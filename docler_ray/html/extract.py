@@ -1,0 +1,207 @@
+"""Readability-style main-content extraction over the hand-rolled DOM.
+
+The algorithmic heart of the engine's HTML path (north rule: "HTML
+boilerplate strip ... DOM heuristics"): text-density + link-density scoring
+over block containers, boilerplate pruning by tag and class/id pattern, then
+markdown serialization through the frozen marker grammar.
+
+Functional analog (not a port) of the reference's markitdown-based HTML
+conversion (/root/reference/src/docler/converters/markitdown_provider/provider.py:79-114);
+the scoring heuristics follow the published readability/arc90 family of
+algorithms (text density, link density, paragraph evidence).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from docler_ray.html.dom import Node, parse_html
+from docler_ray.html.markdown import serialize_to_markdown
+from docler_ray.markers import prepend_first_page_marker
+
+# Tags that are structurally boilerplate regardless of content.
+BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside", "form", "iframe", "button"})
+
+# class/id tokens that mark boilerplate containers (matched on token
+# boundaries so "gradient" does not match "ad").
+_BOILERPLATE_TOKEN_RE = re.compile(
+    r"(?:^|[\s_-])(?:ad|ads|advert|advertisement|banner|breadcrumb|breadcrumbs|"
+    r"comment|comments|cookie|footer|header|masthead|menu|nav|navbar|navigation|"
+    r"popup|promo|related|share|sharing|sidebar|social|sponsor|subscribe|widget)"
+    r"(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+
+# Containers eligible to be "the main content".
+_CANDIDATE_TAGS = frozenset({"main", "article", "div", "section", "td", "body"})
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _norm_len(text: str) -> int:
+    """Length of whitespace-collapsed text without building the string
+    (str.split is C-speed; the regex sub was the profile hotspot on MB pages)."""
+    parts = text.split()
+    if not parts:
+        return 0
+    return sum(map(len, parts)) + len(parts) - 1
+
+
+@dataclass
+class ExtractionResult:
+    """Transient converter output — the columnar stand-in for the reference's
+    ``ConverterResult`` (/root/reference/src/docler/converters/base.py:32-47)."""
+
+    content: str = ""
+    title: str | None = None
+    images: list[dict] = field(default_factory=list)
+    metadata: dict = field(default_factory=dict)
+
+
+def _is_boilerplate(node: Node) -> bool:
+    if node.tag in BOILERPLATE_TAGS:
+        return True
+    if node.tag in ("main", "article"):
+        return False
+    blob = f"{node.attr('class')} {node.attr('id')}"
+    if blob.strip() and _BOILERPLATE_TOKEN_RE.search(blob):
+        return True
+    return node.attr("hidden") != "" and "hidden" in node.attrs
+
+
+def prune_boilerplate(root: Node) -> None:
+    """Remove boilerplate subtrees in place (single pre-order pass)."""
+
+    def walk(node: Node) -> None:
+        kept: list[Node] = []
+        for child in node.children:
+            if child.is_text():
+                kept.append(child)
+                continue
+            if _is_boilerplate(child):
+                continue
+            walk(child)
+            kept.append(child)
+        node.children = kept
+
+    walk(root)
+
+
+def _link_text_len(node: Node) -> int:
+    total = 0
+    for a in node.find_all("a"):
+        total += _norm_len(a.get_text())
+    return total
+
+
+def score_candidate(node: Node) -> float:
+    """Text-density score: content text minus link text, plus paragraph and
+    punctuation evidence. Deterministic, no randomness."""
+    text = node.get_text()
+    text_len = _norm_len(text)
+    if text_len == 0:
+        return 0.0
+    link_len = _link_text_len(node)
+    link_density = link_len / text_len
+    p_evidence = 0
+    for p in node.find_all("p", "pre", "blockquote"):
+        if _norm_len(p.get_text()) >= 25:
+            p_evidence += 1
+    commas = text.count(",") + text.count("、")  # incl. CJK comma
+    base = text_len * (1.0 - link_density)
+    return base + 25.0 * min(p_evidence, 30) + 3.0 * min(commas, 50)
+
+
+def select_main_content(root: Node) -> Node | None:
+    """Pick the main-content container.
+
+    Preference order: semantic <main>/<article> (highest subtree score), else
+    readability-style parent scoring — every substantial <p>/<pre>/<blockquote>
+    votes for its parent (full points) and grandparent (half points), the
+    winning candidate is the one with the highest vote total damped by its
+    link density — else <body>. First-in-document-order wins exact ties so
+    extraction is deterministic.
+    """
+    semantic = [n for n in root.iter() if n.tag in ("main", "article")]
+    if semantic:
+        best_sem = semantic[0]
+        best_sem_score = score_candidate(best_sem)
+        for n in semantic[1:]:
+            s = score_candidate(n)
+            if s > best_sem_score:
+                best_sem, best_sem_score = n, s
+        return best_sem
+
+    votes: dict[int, float] = {}
+    nodes: dict[int, Node] = {}
+    order: dict[int, int] = {}
+
+    def vote(node: Node | None, points: float) -> None:
+        if node is None or node.tag not in _CANDIDATE_TAGS:
+            return
+        key = id(node)
+        if key not in nodes:
+            nodes[key] = node
+            order[key] = len(order)
+            votes[key] = 0.0
+        votes[key] += points
+
+    for p in root.iter():
+        if p.tag not in ("p", "pre", "blockquote"):
+            continue
+        text = p.get_text()
+        tlen = _norm_len(text)
+        if tlen < 25:
+            continue
+        points = 1.0 + min(text.count(",") + text.count("、"), 10) + min(tlen // 100, 3)
+        vote(p.parent, points)
+        vote(p.parent.parent if p.parent else None, points / 2.0)
+
+    best: Node | None = None
+    best_score = 0.0
+    for key, node in nodes.items():
+        text_len = _norm_len(node.get_text())
+        if text_len == 0:
+            continue
+        link_density = _link_text_len(node) / text_len
+        s = votes[key] * (1.0 - link_density)
+        if s > best_score:
+            best, best_score = node, s
+    if best is not None:
+        return best
+    bodies = root.find_all("body")
+    if bodies:
+        return bodies[0]
+    return root
+
+
+def extract_title(root: Node) -> str | None:
+    for t in root.find_all("title"):
+        title = _WS_RE.sub(" ", t.get_text()).strip()
+        if title:
+            return title
+    for h1 in root.find_all("h1"):
+        title = _WS_RE.sub(" ", h1.get_text()).strip()
+        if title:
+            return title
+    return None
+
+
+def extract_html(html: str) -> ExtractionResult:
+    """HTML -> markdown main content with docler marker grammar.
+
+    Pipeline: parse -> title -> prune boilerplate -> density-select main
+    container -> serialize to markdown -> prepend the page-1 marker (every
+    reference converter emits a leading page marker; HTML pages are
+    single-page so page_count == 1).
+    """
+    root = parse_html(html)
+    title = extract_title(root)
+    prune_boilerplate(root)
+    main = select_main_content(root)
+    if main is None:
+        return ExtractionResult(content=prepend_first_page_marker(""), title=title)
+    markdown, images = serialize_to_markdown(main)
+    content = prepend_first_page_marker(markdown)
+    return ExtractionResult(content=content, title=title, images=images)

@@ -1,0 +1,157 @@
+"""Chunker semantics transliterated from /root/reference/tests/test_chunkers.py
+(fixtures at FIXTURES.md §3)."""
+
+from docler_ray.functions.chunkers import chunk_by_tokens, chunk_markdown, split_by_headers
+
+MIME = "image/png"
+
+
+def sample_images() -> list[dict]:
+    return [
+        {"id": "img1", "content": b"fake-image-1", "mime_type": MIME, "filename": "image1.png"},
+        {"id": "img2", "content": b"fake-image-2", "mime_type": MIME, "filename": "image2.png"},
+        {"id": "img3", "content": b"fake-image-3", "mime_type": MIME, "filename": "image3.png"},
+    ]
+
+
+MARKDOWN_WITH_IMAGES = """# Section 1
+
+This is some text with an image:
+![img1](image1.png)
+More text here.
+
+## Subsection
+
+Another image here:
+![img2](image2.png)
+
+# Section 2
+
+Final section with the last image:
+![img3](image3.png)
+"""
+
+
+def test_header_based_image_splitting():
+    """/root/reference/tests/test_chunkers.py:67-88."""
+    chunks = chunk_markdown(MARKDOWN_WITH_IMAGES, sample_images(), "test.md")
+    assert len(chunks) == 3
+    assert len(chunks[0]["images"]) == 1
+    assert chunks[0]["images"][0]["id"] == "img1"
+    assert "![img1](image1.png)" in chunks[0]["content"]
+    assert len(chunks[1]["images"]) == 1
+    assert chunks[1]["images"][0]["id"] == "img2"
+    assert "![img2](image2.png)" in chunks[1]["content"]
+    assert len(chunks[2]["images"]) == 1
+    assert chunks[2]["images"][0]["id"] == "img3"
+    assert "![img3](image3.png)" in chunks[2]["content"]
+
+
+def test_header_metadata():
+    chunks = chunk_markdown(MARKDOWN_WITH_IMAGES, sample_images(), "test.md")
+    assert chunks[0]["metadata"]["header"] == "Section 1"
+    assert chunks[0]["metadata"]["level"] == 1
+    assert chunks[1]["metadata"]["header"] == "Subsection"
+    assert chunks[1]["metadata"]["level"] == 2
+    # chunk content leads with the bare header text then a blank line
+    # (markdown_chunker/chunker.py:97)
+    assert chunks[0]["content"].startswith("Section 1\n\n")
+
+
+def test_size_based_image_splitting():
+    """/root/reference/tests/test_chunkers.py:91-102."""
+    content = (
+        "# Long Section\n\n"
+        + "Text " * 200
+        + "\n![img1](image1.png)\n"
+        + "Text " * 200
+        + "\n![img2](image2.png)\n"
+        + "Text " * 200
+        + "\n![img3](image3.png)\n"
+        + "Text " * 200
+    )
+    chunks = chunk_markdown(content, sample_images(), "test.md", max_chunk_size=500)
+    assert len(chunks) > 1
+    for chunk in chunks:
+        for image in chunk["images"]:
+            ref = f"![{image['id']}]({image['filename']})"
+            assert ref in chunk["content"], f"Image reference {ref} not found in chunk"
+
+
+def test_headerless_content_with_images():
+    """/root/reference/tests/test_chunkers.py:105-129."""
+    content = (
+        "This is a document without headers.\n"
+        "It contains an image here:\n"
+        "![img1](image1.png)\n"
+        "And some more text...\n"
+        "And another image:\n"
+        "![img2](image2.png)"
+    )
+    images = [
+        {"id": "img1", "content": b"test1", "mime_type": MIME, "filename": "image1.png"},
+        {"id": "img2", "content": b"test2", "mime_type": MIME, "filename": "image2.png"},
+    ]
+    chunks = chunk_markdown(content, images, "test.md", max_chunk_size=100)
+    assert len(chunks) > 1
+    for chunk in chunks:
+        for image in chunk["images"]:
+            ref = f"![{image['id']}]({image['filename']})"
+            assert ref in chunk["content"]
+
+
+def test_image_metadata_preservation():
+    """/root/reference/tests/test_chunkers.py:132-152."""
+    content = "# Section with image\n![test](test.png)\nSome text here.\n"
+    image = {"id": "test", "content": b"test-content", "mime_type": MIME, "filename": "test.png"}
+    chunks = chunk_markdown(content, [image], "test.md")
+    assert len(chunks) == 1
+    assert len(chunks[0]["images"]) == 1
+    chunk_image = chunks[0]["images"][0]
+    assert chunk_image["id"] == image["id"]
+    assert chunk_image["content"] == image["content"]
+    assert chunk_image["mime_type"] == image["mime_type"]
+    assert chunk_image["filename"] == image["filename"]
+
+
+def test_sample_doc_sections(sample_markdown_doc):
+    """Header split over the reference conftest fixture: 4 sections."""
+    sections = list(split_by_headers(sample_markdown_doc))
+    assert len(sections) == 4
+    headers = [s[0] for s in sections]
+    assert headers == ["Introduction", "First Section", "Second Section", "Subsection"]
+    levels = [s[2] for s in sections]
+    assert levels == [1, 2, 2, 3]
+
+
+def test_fallback_window_arithmetic():
+    """Windows step by max-overlap: len 1000, max 400, overlap 50 -> starts
+    0/350/700 -> 3 chunks. Headerless text still flows through the header
+    path with header="" (split_by_headers always yields for non-empty text,
+    exactly as the reference does), so each window gets the "\\n\\n" prefix."""
+    content = "x" * 1000
+    chunks = chunk_markdown(content, [], "d", max_chunk_size=400, chunk_overlap=50)
+    assert len(chunks) == 3
+    assert chunks[0]["content"] == "\n\n" + "x" * 400
+    assert chunks[0]["metadata"] == {"header": "", "level": 0}
+    assert chunks[2]["content"] == "\n\n" + "x" * 300
+
+
+def test_token_chunker_basic():
+    """Reference semantics: the window STARTS at 100 lines (so small budgets
+    can be exceeded by the seed window) then grows while the next line fits
+    (token_chunker/chunker.py:86-98)."""
+    content = "This is a test document.\nIt has multiple lines.\n" * 100
+    chunks = chunk_by_tokens(content, [], "example.txt", max_tokens_per_chunk=1000)
+    assert len(chunks) > 1
+    for c in chunks:
+        assert c["metadata"]["token_count"] <= 1010
+        assert c["metadata"]["start_line"] >= 1
+    # overlap: next chunk starts 20 lines before previous end
+    assert chunks[1]["metadata"]["start_line"] == chunks[0]["metadata"]["end_line"] - 20 + 1
+
+
+def test_token_chunker_single_chunk():
+    chunks = chunk_by_tokens("one line only", [], "d")
+    assert len(chunks) == 1
+    assert chunks[0]["content"] == "one line only"

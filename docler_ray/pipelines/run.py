@@ -1,0 +1,76 @@
+"""CLI driver: generate / extract / resume from the command line.
+
+The ``ray job submit``-able entry point (north rule). Examples:
+
+    # generate a 5k-row corpus and extract it
+    python -m docler_ray.pipelines.run --gen 5000 --corpus /tmp/corpus --out /tmp/out
+
+    # resume after a crash (completed shards skipped via manifests)
+    python -m docler_ray.pipelines.run --corpus /tmp/corpus --out /tmp/out
+
+This script OWNS its Ray session (guarded init; the library never calls
+ray.init, per the driver contract in __ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="docler_ray extraction job")
+    parser.add_argument("--corpus", required=True, help="pages corpus directory")
+    parser.add_argument("--out", required=True, help="output directory (docs + manifests)")
+    parser.add_argument("--gen", type=int, default=0, help="generate N corpus rows first")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--rows-per-shard", type=int, default=10_000)
+    parser.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 0)) or None)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--shards-per-round", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    try:
+        from docler_ray.pipelines.extract_pipeline import PipelineConfig, run_extract_job
+        from docler_ray.sources.synth import write_pages_corpus
+
+        if args.gen:
+            write_pages_corpus(
+                args.corpus, args.gen, seed=args.seed, rows_per_shard=args.rows_per_shard
+            )
+        input_files = sorted(glob.glob(os.path.join(args.corpus, "*.parquet")))
+        if not input_files:
+            print(f"no input shards in {args.corpus}", file=sys.stderr)
+            return 2
+        cfg = PipelineConfig(
+            extract_batch_size=args.batch_size,
+            shards_per_round=args.shards_per_round,
+        )
+        totals = run_extract_job(input_files, args.out, cfg)
+        totals["docs_per_sec"] = round(totals["docs"] / totals["secs"], 2) if totals["secs"] else None
+        print(json.dumps(totals, sort_keys=True))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,84 @@
+"""Extractor registry + (mime, lang) dispatch.
+
+The columnar restatement of the reference's converter registry and
+``aggregated`` dispatcher
+(/root/reference/src/docler/converters/registry.py:18-139,
+src/docler/converters/aggregated_converter.py:23-104): extractors register by
+NAME, each declares its supported MIME types, per-MIME preferences can be
+overridden, and dispatch happens per row inside the extract stage (the
+registry is tiny and broadcast by construction — it ships inside the actor,
+never per batch).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from docler_ray.html.extract import ExtractionResult, extract_html
+from docler_ray.markers import prepend_first_page_marker
+from docler_ray.mime_types import (
+    HTML_MIME,
+    MARKDOWN_MIME,
+    PDFISH_MIME,
+    TEXT_MIME,
+)
+from docler_ray.pdfish.extract import extract_pdfish
+
+# An extractor: (payload, text_fallback, options) -> ExtractionResult
+ExtractorFn = Callable[[bytes, str, dict], ExtractionResult]
+
+
+def _html_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
+    html = payload.decode("utf-8", errors="replace")
+    return extract_html(html)
+
+
+def _pdfish_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
+    return extract_pdfish(
+        payload,
+        password=options.get("pdf_password"),
+        page_range=options.get("page_range"),
+    )
+
+
+def _text_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
+    content = payload.decode("utf-8", errors="replace") if payload else text
+    return ExtractionResult(content=prepend_first_page_marker(content))
+
+
+EXTRACTORS: dict[str, ExtractorFn] = {
+    "html_extract": _html_extractor,
+    "pdf_extract": _pdfish_extractor,
+    "text_passthrough": _text_extractor,
+}
+
+# Default MIME -> extractor-name preference (overridable per pipeline config,
+# the analog of registry.set_preference, registry.py:119-132).
+DEFAULT_PREFERENCES: dict[str, str] = {
+    HTML_MIME: "html_extract",
+    PDFISH_MIME: "pdf_extract",
+    TEXT_MIME: "text_passthrough",
+    MARKDOWN_MIME: "text_passthrough",
+}
+
+
+def register_extractor(name: str, fn: ExtractorFn) -> None:
+    """User-extension hook: register a new extractor; point a MIME at it via
+    the pipeline config's ``preferences`` (SURVEY.md §2.8)."""
+    EXTRACTORS[name] = fn
+
+
+def build_dispatch(
+    preferences: dict[str, str] | None = None,
+) -> dict[str, tuple[str, ExtractorFn]]:
+    """Resolve (mime -> (extractor_name, fn)) with preference overrides."""
+    prefs = dict(DEFAULT_PREFERENCES)
+    if preferences:
+        prefs.update(preferences)
+    table: dict[str, tuple[str, ExtractorFn]] = {}
+    for mime, name in prefs.items():
+        if name not in EXTRACTORS:
+            msg = f"Unknown extractor {name!r} for MIME {mime!r}"
+            raise ValueError(msg)
+        table[mime] = (name, EXTRACTORS[name])
+    return table

@@ -1,0 +1,86 @@
+"""Pipeline-level golden test: the Ray job must reproduce the committed
+golden extractions byte-for-byte per url (SURVEY.md §5.2 — the north rule's
+"byte-identical extracted text per url" gate)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from docler_ray.markers import count_page_breaks
+from docler_ray.sources.synth import generate_pages_table
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+PAGES_FILES = sorted(glob.glob(os.path.join(GOLDEN_DIR, "pages", "*.parquet")))
+
+
+def test_generator_is_deterministic():
+    """The committed pages corpus must be regenerable bit-for-bit — otherwise
+    goldens silently detach from the generator."""
+    committed = pq.read_table(PAGES_FILES[0])
+    regenerated = generate_pages_table(committed.num_rows, seed=42, start=0)
+    assert regenerated.equals(committed)
+
+
+@pytest.fixture(scope="module")
+def golden() -> dict[str, dict]:
+    t = pq.read_table(os.path.join(GOLDEN_DIR, "golden_docs.parquet"))
+    rows = t.to_pylist()
+    return {r["url"]: r for r in rows}
+
+
+def test_ray_pipeline_matches_goldens(ray_session, golden, tmp_path):
+    import ray.data
+
+    from docler_ray.pipelines.extract_pipeline import (
+        PipelineConfig,
+        extract_dataset,
+        run_extract_job,
+    )
+
+    out_dir = str(tmp_path / "out")
+    cfg = PipelineConfig(extract_batch_size=32, extract_concurrency=(1, 2))
+    totals = run_extract_job(PAGES_FILES, out_dir, cfg)
+    assert totals["shards"] == len(PAGES_FILES)
+
+    import pyarrow.dataset as pds
+
+    result = pds.dataset(os.path.join(out_dir, "docs"), partitioning="hive").to_table(
+        columns=["url", "content", "title", "page_count", "error"]
+    )
+    assert result.num_rows == len(golden)
+
+    mismatches = []
+    for row in result.to_pylist():
+        g = golden[row["url"]]
+        if row["content"] != g["content"]:
+            mismatches.append((row["url"], "content"))
+        if row["title"] != g["title"]:
+            mismatches.append((row["url"], "title"))
+        if row["page_count"] != g["page_count"]:
+            mismatches.append((row["url"], "page_count"))
+        if (row["error"] or None) != (g["error"] or None):
+            mismatches.append((row["url"], "error"))
+    assert not mismatches, f"{len(mismatches)} golden mismatches: {mismatches[:5]}"
+
+    # page_count invariant: declared == markers present in content
+    for row in result.to_pylist():
+        if not row["error"]:
+            assert row["page_count"] == count_page_breaks(row["content"]), row["url"]
+
+
+def test_resume_skips_completed(ray_session, tmp_path):
+    from docler_ray.pipelines.extract_pipeline import PipelineConfig, run_extract_job
+
+    out_dir = str(tmp_path / "out")
+    cfg = PipelineConfig(extract_batch_size=32, extract_concurrency=(1, 2))
+    first = run_extract_job(PAGES_FILES, out_dir, cfg)
+    assert first["skipped_shards"] == 0
+    second = run_extract_job(PAGES_FILES, out_dir, cfg)
+    assert second["skipped_shards"] == len(PAGES_FILES)
+    # totals unchanged (nothing re-ran, manifests intact)
+    assert second["docs"] == first["docs"]
+    assert second["errors"] == first["errors"]

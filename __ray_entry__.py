@@ -1,44 +1,403 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in docler_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship extraction pipeline over sf0.001 documents
+(wrapped into Common-Crawl-style pages, docler_ray.sources.from_documents).
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
+the training-data operators); ``oracle_sql()`` provides DuckDB equivalents
+for every SQL-expressible one. Column names match between both sides.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# chunker window arithmetic (reference defaults, markdown_chunker/chunker.py:26-42)
+_MAX_CHUNK = 1500
+_STEP = _MAX_CHUNK - 50
+
+
+def _pages_ds(sf_dir: str):
+    import ray.data
+
+    from docler_ray.sources.from_documents import documents_to_pages_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    return docs.map_batches(
+        documents_to_pages_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: documents -> pages -> classify ->
+    actor-pool extract -> docs Dataset (lazy; driver consumes)."""
+    from docler_ray.pipelines.extract_pipeline import PipelineConfig, extract_dataset
+
+    cfg = PipelineConfig(extract_batch_size=64, extract_concurrency=(1, 4))
+    return extract_dataset(_pages_ds(SF_SMOKE), cfg)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_per_lang_counts(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _q_length_stats_by_lang(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return ds.groupby("lang").aggregate(
+        Sum("n_chars", alias_name="sum_chars"),
+        Mean("n_chars", alias_name="avg_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+        Count(alias_name="n"),
+    )
+
+
+def _q_exact_dedup_first(sf_dir: str):
+    import ray.data
+
+    from docler_ray.stages.dedup import exact_dedup_keep_first
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    winners = exact_dedup_keep_first(ds, "text", "doc_id")
+    return winners.select_columns(["doc_id"])
+
+
+def _q_dedup_unique_by_lang(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from docler_ray.stages.dedup import add_text_hash
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    hashed = ds.map_batches(
+        lambda b: add_text_hash(b, "text").select(["lang", "text_hash"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    distinct = hashed.groupby(["lang", "text_hash"]).aggregate(Count(alias_name="_c"))
+    return distinct.groupby("lang").aggregate(Count(alias_name="n_unique"))
+
+
+def _q_ws_token_counts(sf_dir: str):
+    import ray.data
+
+    from docler_ray.functions.tokens import count_whitespace_tokens
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = [count_whitespace_tokens(t or "") for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_ws_tokens": pa.array(n, pa.int64())}
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_chunk_counts(sf_dir: str):
+    import ray.data
+
+    from docler_ray.functions.chunkers import chunk_markdown
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = [
+            len(chunk_markdown(t or "", [], str(d)))
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            )
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_chunks": pa.array(n, pa.int64())}
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_events_window_counts(sf_dir: str):
+    """Tumbling 1h window counts with map-side pre-aggregation (partial
+    combine inside map_batches, then a small groupby — SURVEY.md §4.2)."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        epoch = df["ts"].astype("int64") // 1_000_000
+        df["window_start"] = (epoch // 3600) * 3600
+        g = (
+            df.groupby(["event_type", "window_start"], sort=False)
+            .size()
+            .reset_index(name="partial_n")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("partial_n", alias_name="n")
+    )
+    return out
+
+
+def _q_knn_self_top5(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from docler_ray.stages.similarity import knn_brute_force
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(qt.column("vec_id").to_numpy())[:3]
+    q_ids = qt.column("vec_id").to_numpy()[order]
+    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)[order]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    top = knn_brute_force(ds, queries, k=5).to_pandas()
+    top["query_vec_id"] = q_ids[top["query_idx"]]
+    top["rank"] = top.groupby("query_idx").cumcount() + 1
+    out = top[["query_vec_id", "vec_id", "rank"]].astype(
+        {"query_vec_id": "int64", "vec_id": "int64", "rank": "int32"}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _q_q1_qty_by_flag(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n")
+    )
+
+
+def _q_orders_count_by_status(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus"]
+    )
+    return ds.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+# --- non-SQL-expressible operators (rows-only checks) ------------------------
+
+
+def _q_extract_docs(sf_dir: str):
+    from docler_ray.pipelines.extract_pipeline import PipelineConfig, extract_dataset
+
+    cfg = PipelineConfig(extract_batch_size=64, extract_concurrency=(1, 4))
+    return extract_dataset(_pages_ds(sf_dir), cfg).drop_columns(["images"])
+
+
+def _q_extract_chunks(sf_dir: str):
+    from docler_ray.pipelines.extract_pipeline import PipelineConfig, extract_dataset
+    from docler_ray.stages.chunk import make_chunker
+
+    cfg = PipelineConfig(extract_batch_size=64, extract_concurrency=(1, 4))
+    docs = extract_dataset(_pages_ds(sf_dir), cfg)
+    return docs.map_batches(
+        make_chunker("markdown"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_text_analysis(sf_dir: str):
+    import ray.data
+
+    from docler_ray.stages.quality import TextAnalyzer
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(
+        TextAnalyzer,
+        fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=512,
+    )
+    return out.drop_columns(["text"])
+
+
+def _q_minhash_survivors(sf_dir: str):
+    import ray.data
+
+    from docler_ray.stages.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    drop = minhash_dedup(ds, "text", "doc_id", threshold=0.8, concurrency=(1, 4))
+    if not drop:
+        return ds.select_columns(["doc_id"])
+    import pyarrow.compute as pc
+
+    drop_arr = pa.array(sorted(drop))
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.is_in(b.column("doc_id"), value_set=drop_arr))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_simhash_fingerprints(sf_dir: str):
+    import ray.data
+
+    from docler_ray.stages.dedup import add_simhash
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        lambda b: add_simhash(b, "text").drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_knn_ivf_top5(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from docler_ray.stages.similarity import IVFIndex
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(qt.column("vec_id").to_numpy())[:3]
+    q_ids = qt.column("vec_id").to_numpy()[order]
+    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)[order]
+    sample = np.array(qt.column("embedding").to_pylist()[:256], dtype=np.float64)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    index = IVFIndex(n_centroids=16, seed=7).fit(sample)
+    assigned = ds.map_batches(
+        index.make_assigner(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    top = index.search(assigned, queries, k=5, nprobe=4).to_pandas()
+    top["query_vec_id"] = q_ids[top["query_idx"]]
+    out = top[["query_vec_id", "vec_id", "score"]].astype(
+        {"query_vec_id": "int64", "vec_id": "int64"}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-checkable
+        "per_lang_counts": _q_per_lang_counts,
+        "length_stats_by_lang": _q_length_stats_by_lang,
+        "exact_dedup_first": _q_exact_dedup_first,
+        "dedup_unique_by_lang": _q_dedup_unique_by_lang,
+        "ws_token_counts": _q_ws_token_counts,
+        "chunk_counts": _q_chunk_counts,
+        "events_window_counts": _q_events_window_counts,
+        "knn_self_top5": _q_knn_self_top5,
+        "q1_qty_by_flag": _q_q1_qty_by_flag,
+        "orders_count_by_status": _q_orders_count_by_status,
+        # rows-only (non-SQL-expressible)
+        "extract_docs": _q_extract_docs,
+        "extract_chunks": _q_extract_chunks,
+        "text_analysis": _q_text_analysis,
+        "minhash_survivors": _q_minhash_survivors,
+        "simhash_fingerprints": _q_simhash_fingerprints,
+        "knn_ivf_top5": _q_knn_ivf_top5,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "per_lang_counts": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "length_stats_by_lang": (
+            "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "AVG(n_chars) AS avg_chars, MIN(n_chars) AS min_chars, "
+            "MAX(n_chars) AS max_chars, COUNT(*) AS n FROM documents GROUP BY lang"
+        ),
+        "exact_dedup_first": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_unique_by_lang": (
+            "SELECT lang, COUNT(DISTINCT text) AS n_unique FROM documents GROUP BY lang"
+        ),
+        "ws_token_counts": (
+            "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "array_length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+            "AS n_ws_tokens FROM documents"
+        ),
+        "chunk_counts": (
+            f"SELECT doc_id, CAST(CASE WHEN n_chars = 0 THEN 0 "
+            f"WHEN n_chars <= {_MAX_CHUNK} THEN 1 "
+            f"ELSE CEIL(n_chars / {_STEP}.0) END AS BIGINT) AS n_chunks FROM documents"
+        ),
+        "events_window_counts": (
+            "SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) "
+            "AS window_start, COUNT(*) AS n FROM events GROUP BY 1, 2"
+        ),
+        "knn_self_top5": (
+            "WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe "
+            "FROM embeddings ORDER BY vec_id LIMIT 3), "
+            "s AS (SELECT q.query_vec_id, e.vec_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS score "
+            "FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT query_vec_id, vec_id, ROW_NUMBER() OVER "
+            "(PARTITION BY query_vec_id ORDER BY score DESC, vec_id) AS rnk FROM s) "
+            "SELECT query_vec_id, vec_id, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= 5"
+        ),
+        "q1_qty_by_flag": (
+            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+            "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_count_by_status": (
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+        ),
+    }
+
+
+if __name__ == "__main__":
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    ds = entry()
+    print(json.dumps({"entry_rows": ds.count(), "schema": str(ds.schema())}))
+    ray.shutdown()

@@ -56,12 +56,23 @@ def _auto_concurrency() -> tuple[int, int]:
     return (min(2, hi), hi)
 
 
-def build_pages_dataset(input_files: list[str]) -> ray.data.Dataset:
-    """Read pages shards with column pruning + per-row input-path lineage."""
+def build_pages_dataset(
+    input_files: list[str], num_blocks: int | None = None
+) -> ray.data.Dataset:
+    """Read pages shards with column pruning + per-row input-path lineage.
+
+    ``num_blocks`` defaults to max(#files, 4x cluster CPUs) so a small file
+    count can't starve the extract actor pool (each block is one actor task);
+    at production scale #files >> CPUs and the override is a no-op.
+    """
+    if num_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_blocks = max(len(input_files), 4 * cpus)
     return ray.data.read_parquet(
         input_files,
         columns=PAGES_COLUMNS,
         include_paths=True,
+        override_num_blocks=num_blocks,
     )
 
 

@@ -134,16 +134,20 @@ def _boilerplate_blocks(rng: random.Random) -> tuple[str, str]:
     return aside, footer
 
 
-def _article_html(rng: random.Random, lang: str, title: str) -> tuple[str, str]:
-    """Returns (article_html, plain_text_fallback)."""
+def _article_html(
+    rng: random.Random, lang: str, title: str, boost: int = 1
+) -> tuple[str, str]:
+    """Returns (article_html, plain_text_fallback). ``boost`` scales the page
+    size (sections/paragraphs) for benchmark corpora; boost=1 reproduces the
+    committed golden corpus bit-for-bit (identical rng draw sequence)."""
     parts: list[str] = [f"<h1>{title}</h1>"]
     text_parts: list[str] = [title]
-    n_sections = rng.randrange(1, 5)
+    n_sections = rng.randrange(1, 1 + 4 * boost)
     for s in range(n_sections):
         sec_title = _title(rng, lang)
         parts.append(f"<h2>{sec_title}</h2>")
         text_parts.append(sec_title)
-        for _ in range(rng.randrange(1, 4)):
+        for _ in range(rng.randrange(1, 1 + 3 * boost)):
             para = _paragraph(rng, lang)
             if rng.random() < 0.3:
                 # embed a link mid-paragraph
@@ -166,9 +170,9 @@ def _article_html(rng: random.Random, lang: str, title: str) -> tuple[str, str]:
     return "".join(parts), " ".join(text_parts)
 
 
-def _html_page(rng: random.Random, lang: str) -> tuple[bytes, str]:
+def _html_page(rng: random.Random, lang: str, boost: int = 1) -> tuple[bytes, str]:
     title = _title(rng, lang)
-    article, fallback = _article_html(rng, lang, title)
+    article, fallback = _article_html(rng, lang, title, boost)
     aside, footer = _boilerplate_blocks(rng)
     nav = _boilerplate_nav(rng)
     use_semantic = rng.random() < 0.5
@@ -190,11 +194,11 @@ def _html_page(rng: random.Random, lang: str) -> tuple[bytes, str]:
 # --- pdfish assembly ---------------------------------------------------------
 
 def _pdfish_doc(
-    rng: random.Random, lang: str, allow_encrypt: bool = True
+    rng: random.Random, lang: str, allow_encrypt: bool = True, boost: int = 1
 ) -> tuple[bytes, str, int]:
     """Returns (payload, plain_text_fallback, kind) where kind
     0=plain, 1=encrypted-empty-pw."""
-    n_pages = rng.randrange(1, 5)
+    n_pages = rng.randrange(1, 1 + 4 * boost)
     title = _title(rng, lang)
     doc = PdfishDocument(title=title, author="synth")
     text_parts: list[str] = [title]
@@ -205,7 +209,7 @@ def _pdfish_doc(
         page.spans.append(Span(72.0, y, 400.0, 22.0, 20.0, heading))
         text_parts.append(heading)
         y += 40.0
-        for _b in range(rng.randrange(2, 5)):
+        for _b in range(rng.randrange(2, 2 + 3 * boost)):
             if rng.random() < 0.25:
                 for _i in range(rng.randrange(2, 5)):
                     item = "• " + " ".join(_words(rng, lang, rng.randrange(2, 5)))
@@ -231,8 +235,8 @@ def _pdfish_doc(
 
 # --- row assembly ------------------------------------------------------------
 
-def page_record(i: int, seed: int = 42) -> dict:
-    """The i-th corpus row — pure function of (seed, i)."""
+def page_record(i: int, seed: int = 42, boost: int = 1) -> dict:
+    """The i-th corpus row — pure function of (seed, i, boost)."""
     rng = random.Random((seed << 32) ^ i)
     lang = _pick_lang(rng)
     host = _pick_host(rng)
@@ -240,14 +244,14 @@ def page_record(i: int, seed: int = 42) -> dict:
     kind_r = rng.random()
     url = f"https://host{host}.example/{lang}/article-{i}"
     if kind_r < 0.90:
-        html, fallback = _html_page(rng, lang)
+        html, fallback = _html_page(rng, lang, boost)
     elif kind_r < 0.97:
-        payload, fallback, _k = _pdfish_doc(rng, lang)
+        payload, fallback, _k = _pdfish_doc(rng, lang, boost=boost)
         html = payload
         url = f"https://host{host}.example/{lang}/doc-{i}.pdfish"
     elif kind_r < 0.98:
         # truncated html (decode error / partial capture)
-        full, fallback = _html_page(rng, lang)
+        full, fallback = _html_page(rng, lang, boost)
         html = full[: max(10, len(full) // 3)]
     elif kind_r < 0.99:
         # unsupported binary payload; text fallback still present
@@ -255,7 +259,7 @@ def page_record(i: int, seed: int = 42) -> dict:
         html = bytes([0xFF, 0xFE]) + bytes(rng.randrange(256) for _ in range(64))
     else:
         # encrypted pdfish that genuinely needs a password -> per-row error
-        payload, fallback, _k = _pdfish_doc(rng, lang, allow_encrypt=False)
+        payload, fallback, _k = _pdfish_doc(rng, lang, allow_encrypt=False, boost=boost)
         html = encrypt_pdfish(payload, f"pw-{i}")
         url = f"https://host{host}.example/{lang}/locked-{i}.pdfish"
     return {
@@ -278,8 +282,10 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
-def generate_pages_table(n_rows: int, seed: int = 42, start: int = 0) -> pa.Table:
-    records = [page_record(i, seed) for i in range(start, start + n_rows)]
+def generate_pages_table(
+    n_rows: int, seed: int = 42, start: int = 0, boost: int = 1
+) -> pa.Table:
+    records = [page_record(i, seed, boost) for i in range(start, start + n_rows)]
     return pa.Table.from_pylist(records, schema=PAGES_SCHEMA)
 
 

@@ -62,8 +62,13 @@ def make_metrics_reporter(metrics_actor, bytes_per_row: pa.Array | None = None):
                 ).as_py() or 0
                 pages = pc.sum(sub.column("page_count")).as_py() or 0
                 bytes_in = sum(len(c) for c in sub.column("content").to_pylist())
-                metrics_actor.report.remote(
-                    shard, sub.num_rows - errors, errors, pages, bytes_in
+                # synchronous: the task's output block only materializes after
+                # its counts landed, so a snapshot taken after write_parquet
+                # returns has seen every batch (fire-and-forget raced it).
+                ray.get(
+                    metrics_actor.report.remote(
+                        shard, sub.num_rows - errors, errors, pages, bytes_in
+                    )
                 )
         return batch
 

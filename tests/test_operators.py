@@ -1,0 +1,155 @@
+"""Dedup / quality / similarity operators over Ray Datasets."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_keep_first(ray_session):
+    import ray.data
+
+    from docler_ray.stages.dedup import exact_dedup_keep_first
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta"},
+        {"doc_id": 2, "text": "gamma delta"},
+        {"doc_id": 3, "text": "alpha beta"},
+        {"doc_id": 4, "text": "alpha beta"},
+        {"doc_id": 5, "text": "epsilon"},
+    ]
+    ds = ray.data.from_items(rows)
+    winners = exact_dedup_keep_first(ds, "text", "doc_id").to_pandas()
+    assert sorted(winners["doc_id"]) == [1, 2, 5]
+
+
+def test_minhash_dedup_drops_near_duplicates(ray_session):
+    import ray.data
+
+    from docler_ray.stages.dedup import minhash_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches from "
+        "the warm windowsill and the birds sing in the garden under a bright sky "
+        "as the morning light slowly fills every corner of the quiet old house"
+    )
+    words = base.split()
+    near = " ".join(words[:-1] + ["barn"])  # one-word edit -> high jaccard
+    distinct = (
+        "completely different content about distributed dataflow engines and "
+        "arrow batches moving through actor pools with backpressure and spilling "
+        "while manifests record lineage for every partition of the corpus"
+    )
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": distinct},
+        {"doc_id": 4, "text": base},  # exact dup too
+    ]
+    ds = ray.data.from_items(rows)
+    drop = minhash_dedup(ds, "text", "doc_id", threshold=0.5, concurrency=(1, 2))
+    assert 1 not in drop  # cluster minimum kept
+    assert 2 in drop and 4 in drop
+    assert 3 not in drop
+
+
+def test_simhash_near_and_far():
+    from docler_ray.stages.dedup import hamming64, simhash64
+
+    a = simhash64("the quick brown fox jumps over the lazy dog near the river bank")
+    b = simhash64("the quick brown fox jumps over the lazy cat near the river bank")
+    c = simhash64("totally unrelated text about arrow record batches and shuffles")
+    assert hamming64(a, b) < hamming64(a, c)
+    assert hamming64(a, a) == 0
+
+
+def test_ngram_jaccard():
+    import numpy as np
+
+    from docler_ray.stages.dedup import jaccard, shingle_hashes
+
+    a = shingle_hashes("one two three four five six seven eight nine ten")
+    b = shingle_hashes("one two three four five six seven eight nine eleven")
+    c = shingle_hashes("zz yy xx ww vv uu tt ss rr qq")
+    assert jaccard(a, a) == 1.0
+    assert 0.0 < jaccard(a, b) < 1.0
+    assert jaccard(a, c) == 0.0
+    assert jaccard(np.array([], dtype=np.uint64), np.array([], dtype=np.uint64)) == 1.0
+
+
+def test_text_analyzer_stage(ray_session):
+    import ray.data
+
+    from docler_ray.stages.quality import TextAnalyzer
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    out = ds.map_batches(
+        TextAnalyzer,
+        fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        batch_size=256,
+    )
+    df = out.to_pandas()
+    assert len(df) == 500
+    assert set(df["lang_detected"]).issubset({"en", "de", "fr", "es", "zh"})
+    assert (df["n_words"] > 0).all()
+    assert (df["n_tokens"] >= df["n_ws_tokens"]).all()
+    assert df["quality_score"].between(0, 1).all()
+
+
+def test_knn_brute_force_matches_numpy(ray_session):
+    import ray.data
+
+    from docler_ray.stages.similarity import knn_brute_force
+
+    table = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    emb = np.array(table.column("embedding").to_pylist(), dtype=np.float32)
+    ids = np.array(table.column("vec_id").to_pylist())
+    queries = emb[:3]
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    result = knn_brute_force(ds, queries, k=5).to_pandas()
+
+    # oracle: direct numpy cosine
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1
+        return m / n
+
+    scores = norm(emb) @ norm(queries).T
+    for qi in range(3):
+        order = np.lexsort((ids, -scores[:, qi]))[:5]
+        expected = list(ids[order])
+        got = list(result[result.query_idx == qi]["vec_id"])
+        assert got == expected, f"query {qi}: {got} != {expected}"
+        # the query vector itself must be its own best match
+        assert got[0] == ids[qi]
+
+
+def test_ivf_search_recall(ray_session):
+    import ray.data
+
+    from docler_ray.stages.similarity import IVFIndex, knn_brute_force
+
+    table = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    emb = np.array(table.column("embedding").to_pylist(), dtype=np.float32)
+    queries = emb[10:13]
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    index = IVFIndex(n_centroids=8, seed=7).fit(emb[::2])
+    assigned = ds.map_batches(
+        index.make_assigner(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    approx = index.search(assigned, queries, k=5, nprobe=4).to_pandas()
+    exact = knn_brute_force(ds, queries, k=5).to_pandas()
+    # recall@5 with half the centroids probed should be high on clustered data
+    recall = 0.0
+    for qi in range(3):
+        a = set(approx[approx.query_idx == qi]["vec_id"])
+        e = set(exact[exact.query_idx == qi]["vec_id"])
+        recall += len(a & e) / 5
+    assert recall / 3 >= 0.6, f"IVF recall too low: {recall / 3}"

@@ -324,6 +324,41 @@ def _q_knn_ivf_top5(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _q_embedding_neardup_survivors(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.dedup import embedding_neardup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    drop = embedding_neardup(ds, threshold=0.98)
+    if not drop:
+        return ds.select_columns(["vec_id"])
+    drop_arr = pa.array(sorted(drop))
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.is_in(b.column("vec_id"), value_set=drop_arr))
+        ).select(["vec_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_image_features(sf_dir: str):
+    from docler_ray.pipelines.extract_pipeline import PipelineConfig, extract_dataset
+    from docler_ray.stages.media import ImageFeatureExtractor
+
+    cfg = PipelineConfig(extract_batch_size=64, extract_concurrency=(1, 4))
+    docs = extract_dataset(_pages_ds(sf_dir), cfg)
+    return docs.map_batches(
+        ImageFeatureExtractor,
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        batch_size=128,
+        zero_copy_batch=True,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checkable
@@ -344,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_survivors": _q_minhash_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "knn_ivf_top5": _q_knn_ivf_top5,
+        "embedding_neardup_survivors": _q_embedding_neardup_survivors,
+        "image_features": _q_image_features,
     }
 
 

@@ -5,9 +5,11 @@ Prints exactly ONE JSON line to stdout:
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "docs_per_sec": ...}
 
-`--scaling` runs the headline job at two parallelism levels (8 and 32 CPUs)
-in fresh processes on the same input and reports both throughputs plus the
-scaling efficiency (the sandbox stand-in for N vs 4N nodes — BASELINE.md).
+`--scaling` runs the headline job at two parallelism levels (default 4 and
+16 CPUs, env-overridable) in fresh processes on the same input and reports
+both throughputs plus the scaling efficiency (the sandbox stand-in for N vs
+4N nodes — BASELINE.md documents the pair choice and the host's own
+measured scaling ceiling).
 """
 
 from __future__ import annotations
@@ -151,7 +153,34 @@ def bench_once() -> dict:
     return results
 
 
+def prepare_only() -> None:
+    """Generate/caches the corpus at full host width (used by --scaling so
+    the low-CPU run doesn't pay generation at 4 procs)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    try:
+        files = prepare_corpus()
+        print(json.dumps({"prepared_shards": len(files)}))
+    finally:
+        ray.shutdown()
+
+
 def run_scaling() -> None:
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--prepare"],
+        env=dict(os.environ, RAY_GRAFT_CPUS="32"),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
@@ -196,6 +225,9 @@ def run_scaling() -> None:
 
 
 def main() -> None:
+    if "--prepare" in sys.argv:
+        prepare_only()
+        return
     if "--scaling" in sys.argv:
         run_scaling()
         return

@@ -1,0 +1,60 @@
+"""Per-document directory export — the debug/inspection sink.
+
+Analog of mkdown's ``Document.export_to_directory`` as exercised by the
+reference's golden snapshot tests (/root/reference/tests/test_output.py:38-91;
+golden layout at tests/__snapshots__/test_output.ambr:2-18): one directory per
+document containing ``document.md`` (YAML frontmatter with
+title/source_path/mime_type/page_count followed by the content) plus one file
+per image. Not a scale path — the production sink is parquet — but the exact
+file layout users of the reference expect for spot checks.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def export_document_markdown(
+    content: str,
+    title: str,
+    source_path: str,
+    mime_type: str,
+    page_count: int,
+) -> str:
+    """The ``document.md`` payload: YAML frontmatter + blank line + content
+    (field order frozen by the reference snapshot, test_output.ambr:9-15)."""
+    return (
+        "---\n"
+        f"title: {title}\n"
+        f"source_path: {source_path}\n"
+        f"mime_type: {mime_type}\n"
+        f"page_count: {page_count}\n"
+        "---\n"
+        "\n"
+        f"{content}\n"
+    )
+
+
+def export_to_directory(row: dict, out_dir: str) -> list[str]:
+    """Write one extracted docs row as document.md + image files.
+
+    Returns the sorted list of files written (the reference's
+    ``files_list`` snapshot shape, test_output.ambr:3-6).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    md = export_document_markdown(
+        content=row["content"],
+        title=row.get("title") or "Untitled",
+        source_path=row.get("url") or row.get("source_path") or "",
+        mime_type=row.get("mime_type") or "",
+        page_count=int(row.get("page_count") or 0),
+    )
+    with open(os.path.join(out_dir, "document.md"), "w", encoding="utf-8") as f:
+        f.write(md)
+    written = ["document.md"]
+    for img in row.get("images") or []:
+        filename = img.get("filename") or f"{img['id']}.png"
+        with open(os.path.join(out_dir, filename), "wb") as f:
+            f.write(img.get("content") or b"")
+        written.append(filename)
+    return sorted(written)

@@ -50,10 +50,14 @@ class PipelineConfig:
     shards_per_round: int | None = None  # checkpoint granularity; None = one round
 
 
-def _auto_concurrency() -> tuple[int, int]:
+def _auto_concurrency() -> int:
+    """Fixed-size extract pool: all CPUs minus a proportional reservation for
+    the read/write stages (1 per 8 CPUs, min 1). Fixed beats autoscaling here
+    — measured 49.8s vs 63.6s on the 200k-page benchmark at 16 CPUs (the
+    autoscaler ramps too slowly for a pool whose actors are cheap to start
+    relative to the job)."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    hi = max(2, cpus - 2)
-    return (min(2, hi), hi)
+    return max(2, cpus - max(1, cpus // 8))
 
 
 def build_pages_dataset(
@@ -61,13 +65,15 @@ def build_pages_dataset(
 ) -> ray.data.Dataset:
     """Read pages shards with column pruning + per-row input-path lineage.
 
-    ``num_blocks`` defaults to max(#files, 4x cluster CPUs) so a small file
-    count can't starve the extract actor pool (each block is one actor task);
-    at production scale #files >> CPUs and the override is a no-op.
+    ``num_blocks`` defaults to max(#files, 10x cluster CPUs): enough task
+    granularity that the extract pool load-balances across skewed pages
+    (measured 40.1s vs 49.9s at 16 CPUs for 160 vs 80 blocks on the 200k-page
+    benchmark); at production scale #files >> CPUs and the override is a
+    no-op.
     """
     if num_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_blocks = max(len(input_files), 4 * cpus)
+        num_blocks = max(len(input_files), 10 * cpus)
     return ray.data.read_parquet(
         input_files,
         columns=PAGES_COLUMNS,
@@ -99,6 +105,37 @@ def extract_dataset(pages: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Da
         num_cpus=1,
         zero_copy_batch=True,
     )
+
+
+def extract_grouped_by_lang(
+    pages: ray.data.Dataset, cfg: PipelineConfig
+) -> ray.data.Dataset:
+    """Per-language dispatch via ``groupby("lang").map_groups`` — the
+    shuffle route (north-star dispatch axis; SURVEY.md §4.2).
+
+    The default ``extract_dataset`` dispatches per-row inside one actor pool
+    (zero shuffle) because this engine's per-language state is a lookup
+    table. This variant co-locates each language's rows first, so a chain
+    whose per-language state is expensive (per-lang models, tokenizers)
+    initializes it once per group instead of once per language per actor.
+    Prefer the default unless that state dominates.
+    """
+    from docler_ray.stages.extract import ExtractDocs
+
+    ds = pages.map_batches(
+        make_classifier(cfg.num_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    preferences = cfg.preferences
+    options = cfg.extract_options
+
+    def extract_group(group):
+        extractor = ExtractDocs(preferences=preferences, options=options)
+        return extractor(group)
+
+    return ds.groupby("lang").map_groups(extract_group, batch_format="pyarrow")
 
 
 def _clean_incomplete_outputs(docs_dir: str, pending_files: list[str]) -> None:

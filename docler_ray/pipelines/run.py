@@ -31,6 +31,14 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 0)) or None)
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--shards-per-round", type=int, default=None)
+    parser.add_argument(
+        "--chunks-out",
+        default=None,
+        help="also chunk the extracted docs and write a chunks table here",
+    )
+    parser.add_argument(
+        "--chunker", default="markdown", choices=["markdown", "token"]
+    )
     args = parser.parse_args(argv)
 
     import ray
@@ -66,6 +74,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         totals = run_extract_job(input_files, args.out, cfg)
         totals["docs_per_sec"] = round(totals["docs"] / totals["secs"], 2) if totals["secs"] else None
+        if args.chunks_out:
+            import ray.data
+
+            from docler_ray.stages.chunk import make_chunker
+
+            docs = ray.data.read_parquet(
+                os.path.join(args.out, "docs"),
+                columns=["url", "content", "error", "images"],
+            )
+            chunks = docs.map_batches(
+                make_chunker(args.chunker),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            chunks.write_parquet(args.chunks_out)
+            totals["chunks_out"] = args.chunks_out
         print(json.dumps(totals, sort_keys=True))
         return 0
     finally:

@@ -37,6 +37,10 @@ def document_to_page(doc_id: int, text: str, lang: str, source: str) -> dict:
     # split the text into paragraphs of ~40 words for realistic block structure
     paras = [" ".join(words[i : i + 40]) for i in range(0, len(words), 40)] or [""]
     body = f"<h1>{title}</h1>" + "".join(f"<p>{p}</p>" for p in paras)
+    if doc_id % 5 == 0:
+        # every 5th document carries an image reference so the multimodal
+        # plumbing (images column -> ImageFeatureExtractor) has rows to chew
+        body += f'<img src="/media/doc-{doc_id}.png" alt="figure {doc_id}">'
     html = (
         _BOILER_HEAD.format(title=title)
         + f'<div id="content">{body}</div>'

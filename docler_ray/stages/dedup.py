@@ -269,6 +269,85 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def embedding_neardup(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.98,
+    n_planes: int = 12,
+    seed: int = 5,
+) -> set:
+    """Embedding-cosine near-dedup: random-hyperplane LSH buckets ->
+    candidate pairs -> exact cosine verify -> drop all non-minimum members.
+
+    The hyperplane matrix is tiny (d x n_planes) and rebuilt per batch from
+    the fixed seed — cheaper than shipping it; the bucket groupby ships only
+    (id, bucket) pairs. Returns the set of ids to DROP.
+    """
+    from docler_ray.stages.similarity import _normalize, _to_matrix
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_to_matrix(batch.column(emb_col)))
+        if emb.shape[0] == 0:
+            return pa.table({id_col: batch.column(id_col), "bucket": pa.array([], pa.int64())})
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((emb.shape[1], n_planes))
+        signs = (emb @ planes) > 0
+        buckets = signs @ (1 << np.arange(n_planes, dtype=np.int64))
+        return pa.table({id_col: batch.column(id_col), "bucket": pa.array(buckets, pa.int64())})
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "id_a": [sorted(g[id_col])[0]] * (len(g) - 1),
+                    "id_b": sorted(g[id_col])[1:],
+                }
+            )
+            if len(g) > 1
+            else pd.DataFrame({"id_a": [], "id_b": []}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if pairs.empty:
+        return set()
+    cand_ids = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
+    cand = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(id_col), value_set=pa.array(cand_ids))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    emb_by_id = {
+        row[id_col]: np.asarray(row[emb_col], dtype=np.float64)
+        for _, row in cand.iterrows()
+    }
+
+    def cos(a, b) -> float:
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return 0.0
+        return float(a @ b / (na * nb))
+
+    verified = [
+        (a, b)
+        for a, b in zip(pairs["id_a"], pairs["id_b"])
+        if a in emb_by_id and b in emb_by_id and cos(emb_by_id[a], emb_by_id[b]) >= threshold
+    ]
+    drop: set = set()
+    clusters: dict = {}
+    for a, b in verified:
+        root = min(a, b)
+        clusters.setdefault(root, set()).update([a, b])
+    for root, members in clusters.items():
+        keep = min(members)
+        drop.update(m for m in members if m != keep)
+    return drop
+
+
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     sims = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
     out = batch.append_column(

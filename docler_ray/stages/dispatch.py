@@ -71,14 +71,31 @@ def register_extractor(name: str, fn: ExtractorFn) -> None:
 def build_dispatch(
     preferences: dict[str, str] | None = None,
 ) -> dict[str, tuple[str, ExtractorFn]]:
-    """Resolve (mime -> (extractor_name, fn)) with preference overrides."""
+    """Resolve dispatch keys -> (extractor_name, fn) with preference overrides.
+
+    Keys are either a bare MIME ("text/html") or "MIME|lang"
+    ("text/html|de") for per-language chains; lookup tries the (mime, lang)
+    key first, then the MIME (the reference's per-MIME preference model,
+    registry.py:119-132, extended with the north rule's per-language
+    dispatch axis).
+    """
     prefs = dict(DEFAULT_PREFERENCES)
     if preferences:
         prefs.update(preferences)
     table: dict[str, tuple[str, ExtractorFn]] = {}
-    for mime, name in prefs.items():
+    for key, name in prefs.items():
         if name not in EXTRACTORS:
-            msg = f"Unknown extractor {name!r} for MIME {mime!r}"
+            msg = f"Unknown extractor {name!r} for dispatch key {key!r}"
             raise ValueError(msg)
-        table[mime] = (name, EXTRACTORS[name])
+        table[key] = (name, EXTRACTORS[name])
     return table
+
+
+def lookup(
+    table: dict[str, tuple[str, ExtractorFn]], mime: str, lang: str
+) -> tuple[str, ExtractorFn] | None:
+    """(mime, lang) -> extractor, most-specific key first."""
+    entry = table.get(f"{mime}|{lang}")
+    if entry is not None:
+        return entry
+    return table.get(mime)

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from docler_ray.markers import count_page_breaks
 from docler_ray.models import DOCS_SCHEMA, EXTRACTOR_VERSION
-from docler_ray.stages.dispatch import build_dispatch
+from docler_ray.stages.dispatch import build_dispatch, lookup
 
 
 class ExtractDocs:
@@ -43,14 +43,18 @@ class ExtractDocs:
         self.options = options or {}
 
     def extract_row(
-        self, mime: str, payload: bytes, text: str
+        self, mime: str, payload: bytes, text: str, lang: str = ""
     ) -> tuple[dict | None, str | None, str]:
-        """Returns (result_fields, error, extractor_name) for one document."""
-        entry = self.dispatch.get(mime)
+        """Returns (result_fields, error, extractor_name) for one document.
+
+        Dispatch is (mime, lang) -> extractor, most-specific first
+        (docler_ray.stages.dispatch.lookup).
+        """
+        entry = lookup(self.dispatch, mime, lang)
         if entry is None:
             if text:
                 # unsupported payload but usable pre-extracted text fallback
-                entry = self.dispatch.get("text/plain")
+                entry = lookup(self.dispatch, "text/plain", lang)
             if entry is None or not text:
                 supported = sorted(self.dispatch)
                 return None, f"Unsupported MIME type {mime}. Must be one of: {supported}", ""
@@ -82,8 +86,8 @@ class ExtractDocs:
         errors: list[str | None] = []
         extractors: list[str] = []
 
-        for url, payload, text, mime in zip(urls, payloads, texts, mimes):
-            fields, error, name = self.extract_row(mime, payload, text or "")
+        for url, payload, text, mime, lang in zip(urls, payloads, texts, mimes, langs):
+            fields, error, name = self.extract_row(mime, payload, text or "", lang or "")
             if fields is None:
                 contents.append("")
                 titles.append("Untitled")

@@ -152,30 +152,104 @@ def _q_chunk_counts(sf_dir: str):
 def _q_events_window_counts(sf_dir: str):
     """Tumbling 1h window counts with map-side pre-aggregation (partial
     combine inside map_batches, then a small groupby — SURVEY.md §4.2)."""
-    import pandas as pd
     import ray.data
-    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.windows import tumbling_window_counts
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
     )
+    return tumbling_window_counts(ds, "ts", "event_type", window_secs=3600)
+
+
+def _q_events_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user — per-key ordered processing via
+    one coarse-key shuffle + vectorized session assignment."""
+    import ray.data
+
+    from docler_ray.stages.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return sessionize(ds, "user_id", "ts", gap_secs=1800)
+
+
+def _q_orders_by_mktsegment(sf_dir: str):
+    """Broadcast hash join (dimension table ray.put once, Arrow hash join
+    per batch — no shuffle) + partial-combine groupby."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import broadcast_hash_join
+
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    joined = broadcast_hash_join(
+        orders, customer, keys="o_custkey", right_keys="c_custkey"
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        epoch = df["ts"].astype("int64") // 1_000_000
-        df["window_start"] = (epoch // 3600) * 3600
-        g = (
-            df.groupby(["event_type", "window_start"], sort=False)
-            .size()
-            .reset_index(name="partial_n")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        import pyarrow.compute as pc
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(["event_type", "window_start"]).aggregate(
-        Sum("partial_n", alias_name="n")
+        counts = batch.group_by("c_mktsegment").aggregate([("c_mktsegment", "count")])
+        return counts.rename_columns(["c_mktsegment", "partial_n"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("partial_n", alias_name="n"))
     )
-    return out
+
+
+def _q_events_last_order_asof(sf_dir: str):
+    """As-of join: each event gets the user's most recent order at or before
+    the event time (right side deduped to one row per (custkey, orderdate)
+    for deterministic ties, then broadcast merge_asof per batch)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from docler_ray.stages.joins import broadcast_asof_join
+
+    odf = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    ).to_pandas()
+    odf = (
+        odf.groupby(["o_custkey", "o_orderdate"], sort=False)["o_orderkey"]
+        .max()
+        .reset_index()
+        .rename(columns={"o_custkey": "user_id"})
+    )
+    right = pa.Table.from_pandas(odf, preserve_index=False)
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    joined = broadcast_asof_join(
+        events,
+        right,
+        by="user_id",
+        left_on="ts",
+        right_on="o_orderdate",
+        value_cols=["o_orderkey"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select(["event_id", "user_id", "o_orderkey"])
+        t = t.filter(pc.is_valid(t.column("o_orderkey")))
+        return t.set_column(
+            2, "last_orderkey", t.column("o_orderkey").cast(pa.int64())
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_knn_self_top5(sf_dir: str):
@@ -284,6 +358,28 @@ def _q_minhash_survivors(sf_dir: str):
     )
 
 
+def _q_ngram_jaccard_survivors(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.dedup import ngram_jaccard_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    drop = ngram_jaccard_dedup(ds, "text", "doc_id", threshold=0.8)
+    if not drop:
+        return ds.select_columns(["doc_id"])
+    drop_arr = pa.array(sorted(drop))
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.is_in(b.column("doc_id"), value_set=drop_arr))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     import ray.data
 
@@ -369,6 +465,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ws_token_counts": _q_ws_token_counts,
         "chunk_counts": _q_chunk_counts,
         "events_window_counts": _q_events_window_counts,
+        "events_sessionize": _q_events_sessionize,
+        "orders_by_mktsegment": _q_orders_by_mktsegment,
+        "events_last_order_asof": _q_events_last_order_asof,
         "knn_self_top5": _q_knn_self_top5,
         "q1_qty_by_flag": _q_q1_qty_by_flag,
         "orders_count_by_status": _q_orders_count_by_status,
@@ -377,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_chunks": _q_extract_chunks,
         "text_analysis": _q_text_analysis,
         "minhash_survivors": _q_minhash_survivors,
+        "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "knn_ivf_top5": _q_knn_ivf_top5,
         "embedding_neardup_survivors": _q_embedding_neardup_survivors,
@@ -426,6 +526,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_count_by_status": (
             "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+        ),
+        "events_sessionize": (
+            "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep "
+            "FROM events), "
+            "b AS (SELECT user_id, ep, CASE WHEN lag(ep) OVER w IS NULL "
+            "OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS is_new FROM e "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ep)), "
+            "s AS (SELECT user_id, ep, CAST(SUM(is_new) OVER "
+            "(PARTITION BY user_id ORDER BY ep ROWS UNBOUNDED PRECEDING) - 1 "
+            "AS BIGINT) AS session_idx FROM b) "
+            "SELECT user_id, session_idx, COUNT(*) AS n_events, "
+            "MIN(ep) AS session_start, MAX(ep) AS session_end "
+            "FROM s GROUP BY user_id, session_idx"
+        ),
+        "orders_by_mktsegment": (
+            "SELECT c_mktsegment, COUNT(*) AS n FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "events_last_order_asof": (
+            "WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey "
+            "FROM orders GROUP BY o_custkey, o_orderdate) "
+            "SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey "
+            "FROM events e ASOF JOIN o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
     }
 

@@ -139,6 +139,54 @@ def make_minhash_band_emitter(
     return EmitBands
 
 
+_COARSE_GROUPS = 512  # co-location granularity for LSH bucket pair emission
+_MAX_BUCKET_PAIRS = 200  # cap pairs per bucket against degenerate corpora
+
+
+def _lsh_bucket_pairs(buckets, key_cols: list[str], id_col: str) -> pd.DataFrame:
+    """(id, bucket-key) rows -> candidate (id_a, id_b) pairs, id_a = bucket min.
+
+    One shuffle total: bucket keys are folded into a COARSE co-location key
+    (so Ray shuffles ~512 groups, not one per distinct bucket), and the
+    per-bucket "pair everyone with the minimum" emission is a vectorized
+    pandas transform inside each coarse group — per-bucket Python calls would
+    dominate wall-time at ~1e5 buckets (measured 22s -> see BASELINE.md).
+    Connectivity via min-pairing is enough for the later label propagation
+    without O(n^2) pairs per bucket.
+    """
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(len(batch), dtype=np.uint64)
+        for col in key_cols:
+            acc = acc * np.uint64(1000003) + batch.column(col).to_numpy().astype(
+                np.uint64
+            )
+        return batch.append_column(
+            "coarse", pa.array((acc % _COARSE_GROUPS).astype(np.int32))
+        )
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([*key_cols, id_col], kind="mergesort")
+        grouped = df.groupby(key_cols, sort=False)
+        first = grouped[id_col].transform("first")
+        rank = grouped.cumcount()
+        mask = (rank > 0) & (rank <= _MAX_BUCKET_PAIRS)
+        return pd.DataFrame(
+            {
+                "id_a": first[mask].to_numpy(),
+                "id_b": df[id_col][mask].to_numpy(),
+            }
+        )
+
+    pairs = (
+        buckets.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return pairs
+
+
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     """Exact n-gram Jaccard over shingle-hash sets (verification kernel)."""
     if a.size == 0 and b.size == 0:
@@ -184,25 +232,79 @@ def minhash_dedup(
         zero_copy_batch=True,
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_col].tolist())[:200]
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        # pair every member with the bucket minimum — enough connectivity for
-        # label propagation without O(n^2) pairs
-        lo = ids[0]
-        return pd.DataFrame({"id_a": [lo] * (len(ids) - 1), "id_b": ids[1:]})
-
-    pairs = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+    pairs = _lsh_bucket_pairs(bands, ["band", "band_hash"], id_col)
+    return _jaccard_verify_and_drop(
+        ds, pairs, text_col, id_col, shingle_k=shingle_k, threshold=threshold
     )
+
+
+def ngram_jaccard_dedup(
+    ds,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_anchors: int = 3,
+) -> set:
+    """n-gram-Jaccard near-dedup without MinHash signatures. Returns the ids
+    to DROP.
+
+    Candidate generation blocks each document on its ``num_anchors`` smallest
+    k-shingle hashes (bottom-k sketch anchors): two documents with Jaccard
+    >= t share a bottom-k anchor with probability >= 1-(1-t)^k. Candidates
+    are then verified with EXACT n-gram Jaccard over full shingle sets —
+    the same verify kernel minhash_dedup uses, so the two operators differ
+    only in their recall/cost trade at candidate generation.
+
+    Shuffle cost: one groupby over (id, anchor) pairs — documents never move.
+    """
+
+    def emit_anchors(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_anchor = [], []
+        for i, text in zip(ids, texts):
+            hs = np.unique(shingle_hashes(text or "", k=shingle_k))
+            anchors = hs[:num_anchors] if hs.size else np.array([0], dtype=np.uint64)
+            for a in anchors:
+                out_id.append(i)
+                out_anchor.append(int(a) & 0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "anchor": pa.array(out_anchor, type=pa.int64()),
+            }
+        )
+
+    anchored = ds.map_batches(
+        emit_anchors, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = _lsh_bucket_pairs(anchored, ["anchor"], id_col)
+    return _jaccard_verify_and_drop(
+        ds, pairs, text_col, id_col, shingle_k=shingle_k, threshold=threshold
+    )
+
+
+def _jaccard_verify_and_drop(
+    ds,
+    pairs: pd.DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int,
+    threshold: float,
+) -> set:
+    """Exact-Jaccard verify of candidate pairs, then keep-min-per-cluster.
+
+    Shingles are recomputed only for candidate ids (semi-join via broadcast
+    id set); connected components run driver-side over the verified pair
+    graph, which the LSH contract keeps small relative to the corpus.
+    """
     if pairs.empty:
         return set()
     pairs = pairs.drop_duplicates()
 
-    # exact verify on the candidate subset (semi-join via broadcast id set)
     cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
     cand_rows = ds.map_batches(
         lambda b: b.filter(
@@ -212,8 +314,8 @@ def minhash_dedup(
         zero_copy_batch=True,
     ).to_pandas()
     shingles = {
-        row[id_col]: shingle_hashes(row[text_col] or "", k=shingle_k)
-        for _, row in cand_rows.iterrows()
+        i: shingle_hashes(t or "", k=shingle_k)
+        for i, t in zip(cand_rows[id_col], cand_rows[text_col])
     }
     verified = [
         (a, b)
@@ -297,22 +399,8 @@ def embedding_neardup(
         buckets = signs @ (1 << np.arange(n_planes, dtype=np.int64))
         return pa.table({id_col: batch.column(id_col), "bucket": pa.array(buckets, pa.int64())})
 
-    pairs = (
-        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {
-                    "id_a": [sorted(g[id_col])[0]] * (len(g) - 1),
-                    "id_b": sorted(g[id_col])[1:],
-                }
-            )
-            if len(g) > 1
-            else pd.DataFrame({"id_a": [], "id_b": []}),
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _lsh_bucket_pairs(buckets, ["bucket"], id_col)
     if pairs.empty:
         return set()
     cand_ids = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))

@@ -1,0 +1,114 @@
+"""Join operators: broadcast hash join and broadcast as-of join.
+
+The reference has no relational joins (SURVEY.md §2.7 — its only lookups are
+the MIME->converter registry dispatch, registry.py:58-117, and intra-row
+image/chunk association); these are engine infrastructure a Common-Crawl-scale
+corpus pipeline needs for enrichment against dimension tables.
+
+Scale design (the partitioning assumption, stated explicitly):
+- Both operators BROADCAST the right side: it is `ray.put` once and read by
+  every map task — never re-shipped per batch, never shuffled. This is the
+  correct plan whenever the right side fits in a worker's heap (dimension
+  tables, reference/config tables, golden tables). For a large right side the
+  plan changes to co-partitioning both sides by key hash + per-partition
+  merge; that variant is intentionally not implemented here — callers with
+  two big tables should pre-bucket with `groupby` instead.
+- The left side streams: each operator is a single `map_batches` over the
+  left Dataset, preserving backpressure; nothing materializes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def broadcast_hash_join(
+    left,
+    right: pa.Table,
+    *,
+    keys: str | list[str],
+    right_keys: str | list[str] | None = None,
+    join_type: str = "inner",
+    right_suffix: str = "_r",
+):
+    """Join a streaming left Dataset against a small in-memory right table.
+
+    The right table is put in the object store ONCE; every batch task gets a
+    zero-copy reference and runs a vectorized Arrow hash join
+    (`pyarrow.Table.join`) locally — no shuffle, no per-batch reshipping.
+
+    ``join_type``: "inner" or "left outer" (pyarrow's names);
+    ``right_keys``: right-side key names when they differ from ``keys``.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    rkey_list = (
+        None
+        if right_keys is None
+        else [right_keys] if isinstance(right_keys, str) else list(right_keys)
+    )
+    right_ref = ray.put(right)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        rt = ray.get(right_ref)
+        return batch.join(
+            rt,
+            keys=key_list,
+            right_keys=rkey_list,
+            join_type=join_type,
+            right_suffix=right_suffix,
+        )
+
+    return left.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def broadcast_asof_join(
+    left,
+    right: pa.Table,
+    *,
+    by: str,
+    left_on: str,
+    right_on: str,
+    value_cols: list[str],
+    direction: str = "backward",
+):
+    """As-of join: for each left row, attach the right row with the same
+    ``by`` key whose ``right_on`` is the closest value <= ``left_on``
+    (direction="backward"; "forward" for >=). Unmatched left rows get nulls.
+
+    The right side is sorted by (by, right_on) once on the driver and
+    broadcast; each left batch sorts itself and runs pandas ``merge_asof``
+    (vectorized C merge), then restores input order. Right-side ties on
+    (by, right_on) must be resolved by the caller beforehand (e.g. keep the
+    max value per key+time) — merge_asof keeps the LAST tied row, which is
+    only deterministic if the caller made it so.
+    """
+    rdf = right.select([by, right_on, *value_cols]).to_pandas()
+    rdf = rdf.sort_values([right_on, by], kind="mergesort").reset_index(drop=True)
+    right_ref = ray.put(rdf)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        rt = ray.get(right_ref)
+        df = batch.to_pandas()
+        order = np.argsort(df[left_on].to_numpy(), kind="stable")
+        sorted_df = df.iloc[order].reset_index(drop=True)
+        merged = pd.merge_asof(
+            sorted_df,
+            rt,
+            left_on=left_on,
+            right_on=right_on,
+            left_by=by,
+            right_by=by,
+            direction=direction,
+            suffixes=("", "_r"),
+        )
+        # restore the batch's input order
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        merged = merged.iloc[inv].reset_index(drop=True)
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    return left.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,113 @@
+"""Windowed/ordered event operators: tumbling windows and session windows.
+
+No reference precedent (docler's only streaming surface is the progress
+generator, dir_converter.py:95-166); these are the event-table operators a
+training-data pipeline needs. Both follow the same scale pattern:
+pre-aggregate or co-locate with ONE shuffle, vectorized pandas inside.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SESSION_COARSE = 64  # co-location granularity for per-key ordered processing
+
+
+def _epoch_seconds(ts: pd.Series) -> np.ndarray:
+    """Timestamp column -> int64 epoch seconds, independent of the pandas
+    datetime unit (parquet timestamp[us] loads as datetime64[us] on pandas 2,
+    while in-memory test frames are datetime64[ns] — a raw astype(int64)
+    would differ by 1000x between the two)."""
+    return ts.to_numpy().astype("datetime64[s]").astype(np.int64)
+
+
+def tumbling_window_counts(ds, ts_col: str, group_col: str, *, window_secs: int = 3600):
+    """Counts per (group, tumbling window): map-side partial combine inside
+    map_batches, then a small groupby over the partials (SURVEY.md §4.2)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        epoch = _epoch_seconds(df[ts_col])
+        df["window_start"] = (epoch // window_secs) * window_secs
+        g = (
+            df.groupby([group_col, "window_start"], sort=False)
+            .size()
+            .reset_index(name="partial_n")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby([group_col, "window_start"]).aggregate(
+        Sum("partial_n", alias_name="n")
+    )
+
+
+def sessionize(ds, key_col: str, ts_col: str, *, gap_secs: int = 1800):
+    """Session windows: events of one key separated by more than ``gap_secs``
+    start a new session. Returns one row per (key, session_idx) with
+    ``n_events``, ``session_start`` and ``session_end`` (epoch seconds).
+
+    This is per-key ORDERED processing, which Ray Data has no primitive for;
+    the composition is: co-locate each key's rows with one groupby over a
+    COARSE key (hash(key) % 64 — one shuffle of (key, ts) pairs, not one
+    Ray-level group per key), then assign sessions inside each coarse group
+    with a fully vectorized sort + gap-cumsum. Skewed keys are bounded by the
+    coarse factor; raise _SESSION_COARSE for very hot keys.
+    """
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "coarse",
+            pa.array(((keys * np.uint64(1000003)) % _SESSION_COARSE).astype(np.int32)),
+        )
+
+    def assign_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    "session_idx": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "session_start": pd.Series([], dtype="int64"),
+                    "session_end": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.assign(_epoch=_epoch_seconds(df[ts_col]))
+        df = df.sort_values([key_col, "_epoch"], kind="mergesort")
+        key = df[key_col].to_numpy()
+        ep = df["_epoch"].to_numpy()
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0:1] = True
+        new_key[1:] = key[1:] != key[:-1]
+        gap = np.empty(len(df), dtype=bool)
+        gap[0:1] = True
+        gap[1:] = (ep[1:] - ep[:-1]) > gap_secs
+        boundary = new_key | gap
+        session_global = np.cumsum(boundary) - 1  # contiguous session labels
+        out = pd.DataFrame(
+            {key_col: key, "_sid": session_global, "_epoch": ep}
+        )
+        g = out.groupby("_sid", sort=True)
+        agg = g.agg(
+            **{
+                key_col: (key_col, "first"),
+                "n_events": ("_epoch", "size"),
+                "session_start": ("_epoch", "min"),
+                "session_end": ("_epoch", "max"),
+            }
+        ).reset_index(drop=True)
+        # session_idx: 0-based per key, sessions ordered by start time
+        agg["session_idx"] = agg.groupby(key_col, sort=False).cumcount().astype("int64")
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg[[key_col, "session_idx", "n_events", "session_start", "session_end"]]
+
+    return (
+        ds.select_columns([key_col, ts_col])
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(assign_sessions, batch_format="pandas")
+    )

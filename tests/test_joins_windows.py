@@ -1,0 +1,107 @@
+"""Joins (broadcast hash / as-of) and window (tumbling / session) operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_broadcast_hash_join_inner(ray_session):
+    import ray.data
+
+    from docler_ray.stages.joins import broadcast_hash_join
+
+    left = ray.data.from_items(
+        [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}, {"k": 2, "v": "d"}]
+    )
+    right = pa.table({"rk": [1, 2], "label": ["one", "two"]})
+    out = (
+        broadcast_hash_join(left, right, keys="k", right_keys="rk")
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 2]
+    assert out["label"].tolist() == ["one", "two", "two"]
+    assert "c" not in out["v"].tolist()  # unmatched left row dropped (inner)
+
+
+def test_broadcast_hash_join_left_outer(ray_session):
+    import ray.data
+
+    from docler_ray.stages.joins import broadcast_hash_join
+
+    left = ray.data.from_items([{"k": 1}, {"k": 9}])
+    right = pa.table({"k": [1], "label": ["one"]})
+    out = broadcast_hash_join(left, right, keys="k", join_type="left outer").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["label"].tolist()[0] == "one"
+    assert pd.isna(out["label"].tolist()[1])
+
+
+def test_broadcast_asof_join_backward(ray_session):
+    import ray.data
+
+    from docler_ray.stages.joins import broadcast_asof_join
+
+    left = ray.data.from_items(
+        [
+            {"key": 1, "t": 10, "eid": 100},
+            {"key": 1, "t": 25, "eid": 101},
+            {"key": 2, "t": 7, "eid": 102},
+            {"key": 1, "t": 5, "eid": 103},  # before any right row -> null
+        ]
+    )
+    right = pa.table({"key": [1, 1, 2], "rt": [8, 20, 3], "val": [80, 200, 30]})
+    out = broadcast_asof_join(
+        left, right, by="key", left_on="t", right_on="rt", value_cols=["val"]
+    ).to_pandas()
+    by_eid = out.set_index("eid")["val"].to_dict()
+    assert by_eid[100] == 80  # rt=8 is latest <= 10
+    assert by_eid[101] == 200  # rt=20 is latest <= 25
+    assert by_eid[102] == 30
+    assert pd.isna(by_eid[103])
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import ray.data
+
+    from docler_ray.stages.windows import sessionize
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: three events, gap of 2000s between 2nd and 3rd -> 2 sessions
+        {"user_id": 1, "ts": base},
+        {"user_id": 1, "ts": base + pd.Timedelta(seconds=100)},
+        {"user_id": 1, "ts": base + pd.Timedelta(seconds=2200)},
+        # user 2: one event -> 1 session
+        {"user_id": 2, "ts": base + pd.Timedelta(seconds=50)},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = sessionize(ds, "user_id", "ts", gap_secs=1800).to_pandas()
+    out = out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    assert out[out.user_id == 1]["n_events"].tolist() == [2, 1]
+    assert out[out.user_id == 1]["session_idx"].tolist() == [0, 1]
+    assert out[out.user_id == 2]["n_events"].tolist() == [1]
+    u1s0 = out[(out.user_id == 1) & (out.session_idx == 0)].iloc[0]
+    assert u1s0["session_end"] - u1s0["session_start"] == 100
+
+
+def test_tumbling_window_counts(ray_session):
+    import ray.data
+
+    from docler_ray.stages.windows import tumbling_window_counts
+
+    base = pd.Timestamp("2024-01-01 00:30:00")
+    rows = [
+        {"ts": base, "event_type": "a"},
+        {"ts": base + pd.Timedelta(minutes=10), "event_type": "a"},
+        {"ts": base + pd.Timedelta(hours=1), "event_type": "a"},
+        {"ts": base, "event_type": "b"},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = tumbling_window_counts(ds, "ts", "event_type", window_secs=3600).to_pandas()
+    a = out[out.event_type == "a"].sort_values("window_start")
+    assert a["n"].tolist() == [2, 1]
+    assert out[out.event_type == "b"]["n"].tolist() == [1]

@@ -153,3 +153,33 @@ def test_ivf_search_recall(ray_session):
         e = set(exact[exact.query_idx == qi]["vec_id"])
         recall += len(a & e) / 5
     assert recall / 3 >= 0.6, f"IVF recall too low: {recall / 3}"
+
+
+def test_ngram_jaccard_dedup_drops_near_duplicates(ray_session):
+    import ray.data
+
+    from docler_ray.stages.dedup import ngram_jaccard_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches from "
+        "the warm windowsill and the birds sing in the garden under a bright sky "
+        "as the morning light slowly fills every corner of the quiet old house"
+    )
+    words = base.split()
+    near = " ".join(words[:-1] + ["barn"])
+    distinct = (
+        "completely different content about distributed dataflow engines and "
+        "arrow batches moving through actor pools with backpressure and spilling "
+        "while manifests record lineage for every partition of the corpus"
+    )
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": distinct},
+        {"doc_id": 4, "text": base},
+    ]
+    ds = ray.data.from_items(rows)
+    drop = ngram_jaccard_dedup(ds, "text", "doc_id", threshold=0.5)
+    assert 1 not in drop
+    assert 2 in drop and 4 in drop
+    assert 3 not in drop

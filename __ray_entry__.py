@@ -335,6 +335,25 @@ def _q_text_analysis(sf_dir: str):
     return out.drop_columns(["text"])
 
 
+def _q_doc_keywords(sf_dir: str):
+    """Top-5 TF keywords per document — the deterministic annotator stage
+    (actor pool; regex + stopword table compiled once per actor)."""
+    import ray.data
+
+    from docler_ray.stages.annotate import KeywordAnnotator
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        KeywordAnnotator,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=256,
+        zero_copy_batch=True,
+    )
+
+
 def _q_minhash_survivors(sf_dir: str):
     import ray.data
 
@@ -475,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs": _q_extract_docs,
         "extract_chunks": _q_extract_chunks,
         "text_analysis": _q_text_analysis,
+        "doc_keywords": _q_doc_keywords,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -551,7 +571,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF JOIN o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
+        "doc_keywords": _doc_keywords_sql(),
     }
+
+
+def _doc_keywords_sql() -> str:
+    """Oracle for the keyword annotator; stopwords inlined from the SAME
+    frozenset the stage uses, so the two can't drift."""
+    from docler_ray.stages.annotate import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS keyword "
+        "FROM documents), "
+        "f AS (SELECT doc_id, keyword FROM toks "
+        f"WHERE length(keyword) >= 3 AND keyword NOT IN ({stop_list})), "
+        "c AS (SELECT doc_id, keyword, COUNT(*) AS n FROM f GROUP BY 1, 2), "
+        "r AS (SELECT doc_id, keyword, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY n DESC, keyword) AS kw_rank FROM c) "
+        "SELECT doc_id, keyword, kw_rank FROM r WHERE kw_rank <= 5"
+    )
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--rows-per-shard", type=int, default=10_000)
     parser.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 0)) or None)
-    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--shards-per-round", type=int, default=None)
     parser.add_argument(
         "--chunks-out",
@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--chunker", default="markdown", choices=["markdown", "token"]
+    )
+    parser.add_argument(
+        "--config",
+        default=None,
+        help="declarative JSON job config (docler_ray.config.JobConfig); "
+        "CLI flags override its pipeline knobs",
     )
     args = parser.parse_args(argv)
 
@@ -68,10 +74,18 @@ def main(argv: list[str] | None = None) -> int:
         if not input_files:
             print(f"no input shards in {args.corpus}", file=sys.stderr)
             return 2
-        cfg = PipelineConfig(
-            extract_batch_size=args.batch_size,
-            shards_per_round=args.shards_per_round,
-        )
+        job = None
+        if args.config:
+            from docler_ray.config import JobConfig
+
+            job = JobConfig.from_json(args.config)
+            cfg = job.build_pipeline_config()
+        else:
+            cfg = PipelineConfig()
+        if args.batch_size is not None:
+            cfg.extract_batch_size = args.batch_size
+        if args.shards_per_round is not None:
+            cfg.shards_per_round = args.shards_per_round
         totals = run_extract_job(input_files, args.out, cfg)
         totals["docs_per_sec"] = round(totals["docs"] / totals["secs"], 2) if totals["secs"] else None
         if args.chunks_out:
@@ -83,8 +97,14 @@ def main(argv: list[str] | None = None) -> int:
                 os.path.join(args.out, "docs"),
                 columns=["url", "content", "error", "images"],
             )
+            if job is not None and job.chunker is not None:
+                from docler_ray.config import get_chunker
+
+                chunk_fn = get_chunker(job.chunker)
+            else:
+                chunk_fn = make_chunker(args.chunker)
             chunks = docs.map_batches(
-                make_chunker(args.chunker),
+                chunk_fn,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )

@@ -183,3 +183,26 @@ def test_ngram_jaccard_dedup_drops_near_duplicates(ray_session):
     assert 1 not in drop
     assert 2 in drop and 4 in drop
     assert 3 not in drop
+
+
+def test_keyword_annotator_deterministic_ties():
+    import pyarrow as pa
+
+    from docler_ray.stages.annotate import KeywordAnnotator
+
+    ann = KeywordAnnotator()
+    batch = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "alpha alpha beta beta gamma the the the an of",
+                "",
+            ],
+        }
+    )
+    out = ann(batch)
+    rows = list(zip(out.column("doc_id").to_pylist(),
+                    out.column("keyword").to_pylist(),
+                    out.column("kw_rank").to_pylist()))
+    # alpha/beta tie at 2 -> alphabetical; gamma third; stopwords excluded
+    assert rows == [(1, "alpha", 1), (1, "beta", 2), (1, "gamma", 3)]

@@ -335,6 +335,28 @@ def _q_text_analysis(sf_dir: str):
     return out.drop_columns(["text"])
 
 
+def _q_top_orders_by_price(sf_dir: str):
+    """Global top-10 orders by price — per-batch partial top-k, tiny merge
+    (no all-to-all sort shuffle)."""
+    import ray.data
+
+    from docler_ray.stages.topk import topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    top = topk(
+        ds,
+        sort_col="o_totalprice",
+        k=10,
+        keep_cols=["o_orderkey"],
+        tie_col="o_orderkey",
+    ).to_pandas()
+    top["rank"] = range(1, len(top) + 1)
+    out = top[["o_orderkey", "rank"]].astype({"o_orderkey": "int64", "rank": "int64"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _q_doc_keywords(sf_dir: str):
     """Top-5 TF keywords per document — the deterministic annotator stage
     (actor pool; regex + stopword table compiled once per actor)."""
@@ -490,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_self_top5": _q_knn_self_top5,
         "q1_qty_by_flag": _q_q1_qty_by_flag,
         "orders_count_by_status": _q_orders_count_by_status,
+        "top_orders_by_price": _q_top_orders_by_price,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_chunks": _q_extract_chunks,
@@ -572,6 +595,11 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
         "doc_keywords": _doc_keywords_sql(),
+        "top_orders_by_price": (
+            "SELECT o_orderkey, CAST(ROW_NUMBER() OVER "
+            "(ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank "
+            "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
     }
 
 

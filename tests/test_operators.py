@@ -206,3 +206,16 @@ def test_keyword_annotator_deterministic_ties():
                     out.column("kw_rank").to_pylist()))
     # alpha/beta tie at 2 -> alphabetical; gamma third; stopwords excluded
     assert rows == [(1, "alpha", 1), (1, "beta", 2), (1, "gamma", 3)]
+
+
+def test_topk_partial_merge(ray_session):
+    import ray.data
+
+    from docler_ray.stages.topk import topk
+
+    rows = [{"id": i, "v": (i * 37) % 100} for i in range(500)]
+    ds = ray.data.from_items(rows).repartition(8)
+    out = topk(ds, sort_col="v", k=5, keep_cols=["id"], tie_col="id").to_pandas()
+    expect = sorted(rows, key=lambda r: (-r["v"], r["id"]))[:5]
+    assert out["id"].tolist() == [r["id"] for r in expect]
+    assert out["v"].tolist() == [r["v"] for r in expect]

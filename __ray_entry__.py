@@ -335,6 +335,17 @@ def _q_text_analysis(sf_dir: str):
     return out.drop_columns(["text"])
 
 
+def _q_events_props_k_counts(sf_dir: str):
+    """Counts per value of the 'k' field inside the JSON props column —
+    map-side parse + partial combine; the shuffle ships (k, partial_n) only."""
+    import ray.data
+
+    from docler_ray.stages.semistructured import json_field_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["props"])
+    return json_field_counts(ds, col="props", field="k")
+
+
 def _q_top_orders_by_price(sf_dir: str):
     """Global top-10 orders by price — per-batch partial top-k, tiny merge
     (no all-to-all sort shuffle)."""
@@ -513,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_qty_by_flag": _q_q1_qty_by_flag,
         "orders_count_by_status": _q_orders_count_by_status,
         "top_orders_by_price": _q_top_orders_by_price,
+        "events_props_k_counts": _q_events_props_k_counts,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_chunks": _q_extract_chunks,
@@ -599,6 +611,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, CAST(ROW_NUMBER() OVER "
             "(ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank "
             "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "events_props_k_counts": (
+            "SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
+            "COUNT(*) AS n FROM events GROUP BY k"
         ),
     }
 

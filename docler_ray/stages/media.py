@@ -113,6 +113,161 @@ def png_to_webp(data: bytes, max_dim: int = 1080, quality: int = 20) -> bytes:
     return out.getvalue()  # pragma: no cover
 
 
+# --- audio -------------------------------------------------------------------
+
+_AUDIO_MAGIC = (
+    (b"ID3", "audio/mpeg"),
+    (b"\xff\xfb", "audio/mpeg"),
+    (b"\xff\xf3", "audio/mpeg"),
+    (b"OggS", "audio/ogg"),
+    (b"fLaC", "audio/flac"),
+)
+
+
+def sniff_audio_mime(data: bytes) -> str | None:
+    """Magic-byte audio MIME detection (WAV via RIFF/WAVE, plus MP3/OGG/FLAC)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "audio/wav"
+    for magic, mime in _AUDIO_MAGIC:
+        if data.startswith(magic):
+            return mime
+    return None
+
+
+def probe_wav_info(data: bytes) -> dict | None:
+    """Pure-Python WAV header parse: channels, sample rate, bit depth and
+    duration from the fmt/data chunks. Returns None for non-WAV payloads."""
+    if sniff_audio_mime(data) != "audio/wav" or len(data) < 12:
+        return None
+    pos, n = 12, len(data)
+    fmt: dict | None = None
+    data_size: int | None = None
+    try:
+        while pos + 8 <= n:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            if cid == b"fmt " and pos + 24 <= n:
+                channels, rate = struct.unpack("<HI", data[pos + 10 : pos + 16])
+                (bits,) = struct.unpack("<H", data[pos + 22 : pos + 24])
+                fmt = {"channels": channels, "sample_rate": rate, "bits": bits}
+            elif cid == b"data":
+                data_size = size
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+    except struct.error:
+        return None
+    if fmt is None:
+        return None
+    if data_size is not None and fmt["sample_rate"] and fmt["channels"] and fmt["bits"]:
+        bytes_per_sec = fmt["sample_rate"] * fmt["channels"] * (fmt["bits"] // 8)
+        fmt["duration_secs"] = data_size / bytes_per_sec if bytes_per_sec else None
+    else:
+        fmt["duration_secs"] = None
+    return fmt
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: (key, audio binary) batch -> typed audio metadata
+    rows. WAV header parsing is real; decode/transcode of compressed codecs
+    is where a decoder library would plug in (none in this environment)."""
+
+    def __init__(self, audio_col: str = "audio", key_col: str = "url") -> None:
+        self.audio_col = audio_col
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key_col).to_pylist()
+        payloads = batch.column(self.audio_col).to_pylist()
+        out = {"url": [], "mime_sniffed": [], "n_bytes": [], "channels": [],
+               "sample_rate": [], "duration_secs": []}
+        for key, data in zip(keys, payloads):
+            data = data or b""
+            info = probe_wav_info(data)
+            out["url"].append(key)
+            out["mime_sniffed"].append(sniff_audio_mime(data) or "")
+            out["n_bytes"].append(len(data))
+            out["channels"].append(info["channels"] if info else None)
+            out["sample_rate"].append(info["sample_rate"] if info else None)
+            out["duration_secs"].append(info["duration_secs"] if info else None)
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "mime_sniffed": pa.array(out["mime_sniffed"], pa.string()),
+                "n_bytes": pa.array(out["n_bytes"], pa.int64()),
+                "channels": pa.array(out["channels"], pa.int32()),
+                "sample_rate": pa.array(out["sample_rate"], pa.int32()),
+                "duration_secs": pa.array(out["duration_secs"], pa.float64()),
+            }
+        )
+
+
+# --- video -------------------------------------------------------------------
+
+
+def decode_video_frames(data: bytes):  # pragma: no cover - stub by design
+    """STUB: pixel-level frame decode requires a video decoder (PyAV/ffmpeg),
+    not installed in this environment."""
+    msg = "decode_video_frames requires a video decoder (PyAV/ffmpeg), not installed"
+    raise NotImplementedError(msg)
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: (key, video binary, duration) batch -> one row per
+    sampled frame timestamp (every ``interval_secs``). The sampling schedule,
+    schema and batch layout are real; frame pixel decode is stubbed
+    (``decode_video_frames``), so each row carries the frame's time offset
+    and a deterministic content fingerprint of the byte range a decoder
+    would read — swap the stub for PyAV and the pipeline shape is unchanged.
+    Small batch sizes are the operating assumption (wide binary rows)."""
+
+    def __init__(
+        self,
+        video_col: str = "video",
+        key_col: str = "url",
+        duration_col: str = "duration_secs",
+        interval_secs: float = 10.0,
+        max_frames: int = 32,
+    ) -> None:
+        self.video_col = video_col
+        self.key_col = key_col
+        self.duration_col = duration_col
+        self.interval_secs = interval_secs
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        keys = batch.column(self.key_col).to_pylist()
+        payloads = batch.column(self.video_col).to_pylist()
+        durations = (
+            batch.column(self.duration_col).to_pylist()
+            if self.duration_col in batch.column_names
+            else [None] * len(keys)
+        )
+        out = {"url": [], "frame_idx": [], "t_offset_secs": [], "frame_fingerprint": []}
+        for key, data, duration in zip(keys, payloads, durations):
+            data = data or b""
+            dur = duration if duration is not None else len(data) / 1_000_000
+            n_frames = min(self.max_frames, int(dur // self.interval_secs) + 1)
+            for i in range(n_frames):
+                t = i * self.interval_secs
+                # byte range a decoder would seek to, fingerprinted for
+                # deterministic downstream dedup/tests without real decode
+                lo = int(len(data) * (t / dur)) if dur else 0
+                window = data[lo : lo + 4096]
+                out["url"].append(key)
+                out["frame_idx"].append(i)
+                out["t_offset_secs"].append(t)
+                out["frame_fingerprint"].append(zlib.crc32(window) & 0xFFFFFFFF)
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "t_offset_secs": pa.array(out["t_offset_secs"], pa.float64()),
+                "frame_fingerprint": pa.array(out["frame_fingerprint"], pa.int64()),
+            }
+        )
+
+
 class ImageFeatureExtractor:
     """Actor-pool stage: docs batch -> exploded image-feature rows.
 

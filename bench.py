@@ -145,9 +145,16 @@ def bench_once() -> dict:
         timed("text_analysis", q["text_analysis"])
         timed("exact_dedup_first", q["exact_dedup_first"])
         timed("minhash_survivors", q["minhash_survivors"])
+        timed("ngram_jaccard_survivors", q["ngram_jaccard_survivors"])
         timed("knn_self_top5", q["knn_self_top5"])
         timed("events_window_counts", q["events_window_counts"])
+        timed("events_sessionize", q["events_sessionize"])
+        timed("events_last_order_asof", q["events_last_order_asof"])
+        timed("orders_by_mktsegment", q["orders_by_mktsegment"])
         timed("simhash_fingerprints", q["simhash_fingerprints"])
+        timed("doc_keywords", q["doc_keywords"])
+        timed("top_orders_by_price", q["top_orders_by_price"])
+        timed("events_props_k_counts", q["events_props_k_counts"])
     finally:
         ray.shutdown()
     return results

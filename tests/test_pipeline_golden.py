@@ -84,3 +84,21 @@ def test_resume_skips_completed(ray_session, tmp_path):
     # totals unchanged (nothing re-ran, manifests intact)
     assert second["docs"] == first["docs"]
     assert second["errors"] == first["errors"]
+
+
+def test_repartition_skew_break_preserves_output(ray_session, golden):
+    """The url-hash skew-break repartition (north rule: explicit partitioning)
+    must not change WHAT is extracted — only how rows are distributed."""
+    from docler_ray.pipelines.extract_pipeline import (
+        PipelineConfig,
+        build_pages_dataset,
+        extract_dataset,
+    )
+
+    cfg = PipelineConfig(
+        extract_batch_size=32, extract_concurrency=(1, 2), repartition_blocks=7
+    )
+    docs = extract_dataset(build_pages_dataset(PAGES_FILES), cfg)
+    result = {r["url"]: r for r in docs.select_columns(["url", "content"]).take_all()}
+    assert len(result) == len(golden)
+    assert all(result[u]["content"] == g["content"] for u, g in golden.items())

@@ -1,0 +1,65 @@
+"""Property-based guards (hypothesis) for invariants that byte-identical
+goldens alone can't cover: arbitrary/adversarial inputs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docler_ray.html.dom import parse_html
+from docler_ray.html.extract import _norm_len, _subtree_stats, extract_html
+
+# HTML-ish soup: tags, text, entities, brokenness
+_tokens = st.sampled_from(
+    ["a", "bc", " ", "\n", "\t", "<", ">", "/", "=", '"', "'", "&", ";", "!",
+     "-", "<p>", "</p>", "<div", "<div>", "</div>", "&amp;", "&#65;", "<!--",
+     "-->", "<a href='x'>", "</a>", "<br>", "word", " ", "、"]
+)
+_soup = st.lists(_tokens, max_size=80).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_soup)
+def test_stats_memo_matches_get_text(html: str) -> None:
+    """The one-pass _Stats summary must equal the naive per-node
+    _norm_len(get_text()) on EVERY element of EVERY tree — this is the
+    invariant the memoized scorer's byte-identical claim rests on."""
+    root = parse_html(html)
+    stats = _subtree_stats(root)
+    for node in root.iter():
+        if node.is_text():
+            continue
+        assert stats[id(node)].norm_len() == _norm_len(node.get_text())
+
+
+@settings(max_examples=150, deadline=None)
+@given(_soup)
+def test_extract_html_total_function(html: str) -> None:
+    """extract_html never raises and always emits the leading page marker."""
+    result = extract_html(html)
+    assert result.content.startswith('<!-- docler:page_break {"next_page":1} -->')
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_pdfish_decode_never_hangs(data: bytes) -> None:
+    """Arbitrary bytes either parse or raise ValueError — no other escape."""
+    from docler_ray.pdfish.extract import extract_pdfish
+
+    try:
+        extract_pdfish(data)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=500), st.integers(min_value=60, max_value=300))
+def test_chunker_covers_content(text: str, max_size: int) -> None:
+    """Markdown chunker: chunk_index contiguous from 0; non-empty input with
+    any non-whitespace yields at least one chunk."""
+    from docler_ray.functions.chunkers import chunk_markdown
+
+    chunks = chunk_markdown(text, source_doc_id="u", max_chunk_size=max_size)
+    assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+    if text.strip():
+        assert chunks

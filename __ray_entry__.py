@@ -335,6 +335,30 @@ def _q_text_analysis(sf_dir: str):
     return out.drop_columns(["text"])
 
 
+def _q_median_chars_by_lang(sf_dir: str):
+    """Exact per-group discrete median via map-side value counts — the
+    shuffle ships (lang, n_chars, partial_n), never documents."""
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_discrete_quantile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_discrete_quantile(ds, value_col="n_chars", group_col="lang", q=0.5)
+
+
+def _q_sample_docs_pct10(sf_dir: str):
+    """Deterministic seedless 10% sample by id arithmetic (resume-safe;
+    identical SQL expression on the oracle side)."""
+    import ray.data
+
+    from docler_ray.stages.stats import deterministic_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return deterministic_sample(ds, id_col="doc_id", pct=10)
+
+
 def _q_events_props_k_counts(sf_dir: str):
     """Counts per value of the 'k' field inside the JSON props column —
     map-side parse + partial combine; the shuffle ships (k, partial_n) only."""
@@ -525,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_count_by_status": _q_orders_count_by_status,
         "top_orders_by_price": _q_top_orders_by_price,
         "events_props_k_counts": _q_events_props_k_counts,
+        "median_chars_by_lang": _q_median_chars_by_lang,
+        "sample_docs_pct10": _q_sample_docs_pct10,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_chunks": _q_extract_chunks,
@@ -615,6 +641,14 @@ def oracle_sql() -> dict[str, str]:
         "events_props_k_counts": (
             "SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
             "COUNT(*) AS n FROM events GROUP BY k"
+        ),
+        "median_chars_by_lang": (
+            "SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) "
+            "AS q50_n_chars FROM documents GROUP BY lang"
+        ),
+        "sample_docs_pct10": (
+            "SELECT doc_id FROM documents "
+            "WHERE ((doc_id % 1000003) * 2654435761) % 100 < 10"
         ),
     }
 

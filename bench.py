@@ -155,6 +155,8 @@ def bench_once() -> dict:
         timed("doc_keywords", q["doc_keywords"])
         timed("top_orders_by_price", q["top_orders_by_price"])
         timed("events_props_k_counts", q["events_props_k_counts"])
+        timed("median_chars_by_lang", q["median_chars_by_lang"])
+        timed("sample_docs_pct10", q["sample_docs_pct10"])
     finally:
         ray.shutdown()
     return results

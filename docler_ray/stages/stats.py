@@ -1,0 +1,88 @@
+"""Distributed statistics operators: exact quantiles over bounded domains
+and deterministic sampling.
+
+No reference precedent (docler's only aggregates are running counters,
+SURVEY.md §2.7); these are corpus-triage operators. Scale pattern: the
+shuffle ships (group, value, partial_count) triples — never rows — and the
+final quantile walk runs over the value-count table, whose size is bounded
+by the value domain, not the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def grouped_discrete_quantile(
+    ds, *, value_col: str, group_col: str, q: float = 0.5
+) -> pa.Table:
+    """Exact discrete quantile of an integer column per group.
+
+    Semantics match DuckDB's ``quantile_disc``: the element at 0-based sorted
+    index ``floor((n-1) * q)``. Implementation: map-side value counts ->
+    one groupby over (group, value) partials -> per-group cumulative walk
+    over the (small) count table. Assumes the value domain is bounded
+    (lengths, scores, page counts) — the count table is domain-sized, not
+    corpus-sized.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, value_col]).to_pandas()
+        g = (
+            df.groupby([group_col, value_col], sort=False)
+            .size()
+            .reset_index(name="partial_n")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, value_col])
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .to_pandas()
+    )
+    out_groups, out_vals = [], []
+    for grp, sub in counts.groupby(group_col, sort=True):
+        sub = sub.sort_values(value_col, kind="mergesort")
+        total = int(sub["n"].sum())
+        target = int(np.floor((total - 1) * q))
+        cum = sub["n"].cumsum().to_numpy()
+        idx = int(np.searchsorted(cum, target + 1))
+        out_groups.append(grp)
+        out_vals.append(sub[value_col].iloc[idx])
+    return pa.table(
+        {
+            group_col: pa.array(out_groups),
+            f"q{int(q * 100)}_{value_col}": pa.array(
+                pd.Series(out_vals).astype("int64")
+            ),
+        }
+    )
+
+
+_SAMPLE_MOD = 1_000_003  # prime fold keeping the product in int64 range
+_SAMPLE_MULT = 2_654_435_761  # Knuth multiplicative constant
+
+
+def sample_hash_bucket(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 0-99 bucket per integer id — pure arithmetic, so the
+    EXACT same expression is writable in SQL (no library hash involved)."""
+    return ((ids.astype(np.int64) % _SAMPLE_MOD) * _SAMPLE_MULT) % 100
+
+
+def deterministic_sample(ds, *, id_col: str, pct: int):
+    """Keep rows whose id hashes into the first ``pct`` of 100 buckets.
+
+    Seedless and stable across runs/cluster sizes (resume-safe): membership
+    depends only on the id. Vectorized filter per batch; no shuffle.
+    """
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        mask = sample_hash_bucket(ids) < pct
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

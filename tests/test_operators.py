@@ -219,3 +219,35 @@ def test_topk_partial_merge(ray_session):
     expect = sorted(rows, key=lambda r: (-r["v"], r["id"]))[:5]
     assert out["id"].tolist() == [r["id"] for r in expect]
     assert out["v"].tolist() == [r["v"] for r in expect]
+
+
+def test_grouped_discrete_quantile_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_discrete_quantile
+
+    rng = np.random.RandomState(3)
+    rows = [
+        {"g": ["a", "b"][i % 2], "v": int(rng.randint(0, 50))} for i in range(401)
+    ]
+    ds = ray.data.from_items(rows).repartition(6)
+    out = grouped_discrete_quantile(ds, value_col="v", group_col="g", q=0.5)
+    got = dict(zip(out.column("g").to_pylist(), out.column("q50_v").to_pylist()))
+    for g in ("a", "b"):
+        vals = sorted(r["v"] for r in rows if r["g"] == g)
+        assert got[g] == vals[(len(vals) - 1) // 2]
+
+
+def test_deterministic_sample_stable_across_partitioning(ray_session):
+    import ray.data
+
+    from docler_ray.stages.stats import deterministic_sample
+
+    rows = [{"doc_id": i} for i in range(1000)]
+    a = deterministic_sample(ray.data.from_items(rows).repartition(2), id_col="doc_id", pct=10)
+    b = deterministic_sample(ray.data.from_items(rows).repartition(9), id_col="doc_id", pct=10)
+    ids_a = sorted(r["doc_id"] for r in a.take_all())
+    ids_b = sorted(r["doc_id"] for r in b.take_all())
+    assert ids_a == ids_b
+    assert 50 < len(ids_a) < 150  # ~10%

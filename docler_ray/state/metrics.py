@@ -61,7 +61,9 @@ def make_metrics_reporter(metrics_actor, bytes_per_row: pa.Array | None = None):
                     pc.cast(pc.is_valid(sub.column("error")), pa.int64())
                 ).as_py() or 0
                 pages = pc.sum(sub.column("page_count")).as_py() or 0
-                bytes_in = sum(len(c) for c in sub.column("content").to_pylist())
+                bytes_in = (
+                    pc.sum(pc.binary_length(sub.column("content"))).as_py() or 0
+                )
                 # synchronous: the task's output block only materializes after
                 # its counts landed, so a snapshot taken after write_parquet
                 # returns has seen every batch (fire-and-forget raced it).

@@ -317,6 +317,18 @@ def _q_extract_chunks(sf_dir: str):
     )
 
 
+def _q_extract_docs_grouped_by_lang(sf_dir: str):
+    """The groupby("lang").map_groups dispatch route (north-rule per-language
+    axis) — must produce the same docs as the zero-shuffle default."""
+    from docler_ray.pipelines.extract_pipeline import (
+        PipelineConfig,
+        extract_grouped_by_lang,
+    )
+
+    cfg = PipelineConfig(extract_batch_size=64)
+    return extract_grouped_by_lang(_pages_ds(sf_dir), cfg).drop_columns(["images"])
+
+
 def _q_text_analysis(sf_dir: str):
     import ray.data
 
@@ -553,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_pct10": _q_sample_docs_pct10,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
+        "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
         "extract_chunks": _q_extract_chunks,
         "text_analysis": _q_text_analysis,
         "doc_keywords": _q_doc_keywords,

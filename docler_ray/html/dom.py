@@ -43,6 +43,9 @@ BLOCK_ELEMENTS = frozenset(
 )
 
 
+_NO_ATTRS: dict = {}  # shared read-only attrs for attr-less nodes
+
+
 class Node:
     """One DOM node. ``tag is None`` => text node (``text`` holds the data)."""
 
@@ -55,7 +58,9 @@ class Node:
         text: str = "",
     ) -> None:
         self.tag = tag
-        self.attrs: dict[str, str] = attrs or {}
+        # attribute dicts are never mutated after construction, so attr-less
+        # nodes (every text node) share one empty dict instead of allocating
+        self.attrs: dict[str, str] = attrs if attrs else _NO_ATTRS
         self.children: list[Node] = []
         self.parent: Node | None = None
         self.text = text

@@ -65,25 +65,29 @@ def fast_feed(handler, html: str) -> None:
     """
     pos = 0
     n = len(html)
+    find = html.find
+    token_match = _TOKEN_RE.match
+    handle_data = handler.handle_data
     while pos < n:
-        lt = html.find("<", pos)
+        lt = find("<", pos)
         if lt < 0:
             _emit_text(handler, html[pos:])
             break
         if lt > pos:
-            _emit_text(handler, html[pos:lt])
-        m = _TOKEN_RE.match(html, lt)
+            text = html[pos:lt]
+            handle_data(unescape(text) if "&" in text else text)
+        m = token_match(html, lt)
         if m is None:
             # a bare '<' that opens nothing parseable: treat as text
-            _emit_text(handler, "<")
+            handle_data("<")
             pos = lt + 1
             continue
         pos = m.end()
-        start = m.group("starttag")
+        start, attrs_blob, selfclose_g = m.group("starttag", "attrs", "selfclose")
         if start is not None:
             tag = start.lower()
-            attrs = _parse_attrs(m.group("attrs")) if m.group("attrs").strip() else []
-            selfclose = bool(m.group("selfclose")) or tag in _VOID
+            attrs = _parse_attrs(attrs_blob) if attrs_blob.strip() else []
+            selfclose = bool(selfclose_g) or tag in _VOID
             if selfclose:
                 handler.handle_startendtag(tag, attrs)
                 continue

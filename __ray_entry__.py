@@ -371,6 +371,49 @@ def _q_sample_docs_pct10(sf_dir: str):
     return deterministic_sample(ds, id_col="doc_id", pct=10)
 
 
+_PRICE_BANDS = [
+    # (band_id, lo, hi) — non-overlapping, in docstring order
+    (1, 0.0, 50_000.0),
+    (2, 50_000.0, 150_000.0),
+    (3, 150_000.0, 300_000.0),
+    (4, 300_000.0, 10_000_000.0),
+]
+
+
+def _q_orders_price_band_counts(sf_dir: str):
+    """Range (non-equi) join: orders binned into price bands via one
+    vectorized searchsorted per batch against the broadcast interval table."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import broadcast_range_join
+
+    bands = pa.table(
+        {
+            "band_id": pa.array([b[0] for b in _PRICE_BANDS], pa.int64()),
+            "lo": pa.array([b[1] for b in _PRICE_BANDS], pa.float64()),
+            "hi": pa.array([b[2] for b in _PRICE_BANDS], pa.float64()),
+        }
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    joined = broadcast_range_join(
+        orders, bands, value_col="o_totalprice", lo_col="lo", hi_col="hi",
+        right_cols=["band_id"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = batch.group_by("band_id").aggregate([("band_id", "count")])
+        return counts.rename_columns(["band_id", "partial_n"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("band_id")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+
 def _q_events_props_k_counts(sf_dir: str):
     """Counts per value of the 'k' field inside the JSON props column —
     map-side parse + partial combine; the shuffle ships (k, partial_n) only."""
@@ -563,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_k_counts": _q_events_props_k_counts,
         "median_chars_by_lang": _q_median_chars_by_lang,
         "sample_docs_pct10": _q_sample_docs_pct10,
+        "orders_price_band_counts": _q_orders_price_band_counts,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -663,7 +707,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents "
             "WHERE ((doc_id % 1000003) * 2654435761) % 100 < 10"
         ),
+        "orders_price_band_counts": _price_bands_sql(),
     }
+
+
+def _price_bands_sql() -> str:
+    """Oracle for the range join; interval bounds inlined from the SAME
+    _PRICE_BANDS list the Ray query uses, so the two can't drift."""
+    rows = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+    return (
+        f"WITH bands(band_id, lo, hi) AS (VALUES {rows}) "
+        "SELECT band_id, COUNT(*) AS n FROM orders "
+        "JOIN bands ON o_totalprice >= lo AND o_totalprice < hi "
+        "GROUP BY band_id"
+    )
 
 
 def _doc_keywords_sql() -> str:

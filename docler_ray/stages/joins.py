@@ -65,6 +65,53 @@ def broadcast_hash_join(
     return left.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def broadcast_range_join(
+    left,
+    right: pa.Table,
+    *,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    right_cols: list[str],
+):
+    """Range (non-equi) join: each left row matches the right interval with
+    ``lo <= value < hi``. Inner semantics — unmatched left rows drop.
+
+    Partitioning assumption: the right intervals are NON-OVERLAPPING (each
+    value matches at most one). They are sorted by ``lo`` once on the driver
+    and broadcast; each left batch resolves its interval with one vectorized
+    ``searchsorted`` — no shuffle, no per-row Python.
+    """
+    import numpy as np
+
+    rdf = right.select([lo_col, hi_col, *right_cols]).to_pandas()
+    rdf = rdf.sort_values(lo_col, kind="mergesort").reset_index(drop=True)
+    los = rdf[lo_col].to_numpy()
+    if (los[1:] < rdf[hi_col].to_numpy()[:-1]).any():
+        msg = "broadcast_range_join requires non-overlapping intervals"
+        raise ValueError(msg)
+    right_ref = ray.put(rdf)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        rt = ray.get(right_ref)
+        values = batch.column(value_col).to_numpy(zero_copy_only=False)
+        r_lo = rt[lo_col].to_numpy()
+        r_hi = rt[hi_col].to_numpy()
+        idx = np.searchsorted(r_lo, values, side="right") - 1
+        valid = idx >= 0
+        idx_safe = np.where(valid, idx, 0)
+        matched = valid & (values < r_hi[idx_safe])
+        out = batch.filter(pa.array(matched))
+        hit = idx_safe[matched]
+        for col in right_cols:
+            out = out.append_column(
+                col, pa.array(rt[col].to_numpy()[hit])
+            )
+        return out
+
+    return left.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def broadcast_asof_join(
     left,
     right: pa.Table,

@@ -105,3 +105,34 @@ def test_tumbling_window_counts(ray_session):
     a = out[out.event_type == "a"].sort_values("window_start")
     assert a["n"].tolist() == [2, 1]
     assert out[out.event_type == "b"]["n"].tolist() == [1]
+
+
+def test_broadcast_range_join(ray_session):
+    import ray.data
+
+    from docler_ray.stages.joins import broadcast_range_join
+
+    left = ray.data.from_items(
+        [{"v": 5.0, "id": 1}, {"v": 15.0, "id": 2}, {"v": 25.0, "id": 3},
+         {"v": 99.0, "id": 4}, {"v": 10.0, "id": 5}]  # 10.0 -> band B (lo-inclusive)
+    )
+    bands = pa.table({"lo": [0.0, 10.0], "hi": [10.0, 20.0], "name": ["A", "B"]})
+    out = broadcast_range_join(
+        left, bands, value_col="v", lo_col="lo", hi_col="hi", right_cols=["name"]
+    ).to_pandas()
+    got = dict(zip(out["id"], out["name"]))
+    assert got == {1: "A", 2: "B", 5: "B"}  # 25.0 and 99.0 unmatched
+
+
+def test_broadcast_range_join_rejects_overlap(ray_session):
+    import pytest
+    import ray.data
+
+    from docler_ray.stages.joins import broadcast_range_join
+
+    left = ray.data.from_items([{"v": 1.0}])
+    bad = pa.table({"lo": [0.0, 5.0], "hi": [6.0, 10.0], "name": ["A", "B"]})
+    with pytest.raises(ValueError, match="non-overlapping"):
+        broadcast_range_join(
+            left, bad, value_col="v", lo_col="lo", hi_col="hi", right_cols=["name"]
+        )

@@ -25,6 +25,23 @@ import pyarrow as pa
 
 import ray
 
+# Per-worker-process memo of deserialized broadcast sides, keyed by object
+# ref. Arrow tables come out of the object store zero-copy, but pandas
+# frames deserialize on ray.get — this guarantees that cost is paid once per
+# worker process, not once per batch, regardless of Ray's internal caching.
+_BROADCAST_CACHE: dict[str, object] = {}
+
+
+def _get_broadcast(ref):
+    key = ref.hex()
+    obj = _BROADCAST_CACHE.get(key)
+    if obj is None:
+        obj = ray.get(ref)
+        if len(_BROADCAST_CACHE) >= 4:  # bound worker heap; 4 sides is plenty
+            _BROADCAST_CACHE.clear()
+        _BROADCAST_CACHE[key] = obj
+    return obj
+
 
 def broadcast_hash_join(
     left,
@@ -53,7 +70,7 @@ def broadcast_hash_join(
     right_ref = ray.put(right)
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        rt = ray.get(right_ref)
+        rt = _get_broadcast(right_ref)
         return batch.join(
             rt,
             keys=key_list,
@@ -93,7 +110,7 @@ def broadcast_range_join(
     right_ref = ray.put(rdf)
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        rt = ray.get(right_ref)
+        rt = _get_broadcast(right_ref)
         values = batch.column(value_col).to_numpy(zero_copy_only=False)
         r_lo = rt[lo_col].to_numpy()
         r_hi = rt[hi_col].to_numpy()
@@ -138,7 +155,7 @@ def broadcast_asof_join(
     right_ref = ray.put(rdf)
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        rt = ray.get(right_ref)
+        rt = _get_broadcast(right_ref)
         df = batch.to_pandas()
         order = np.argsort(df[left_on].to_numpy(), kind="stable")
         sorted_df = df.iloc[order].reset_index(drop=True)

@@ -447,6 +447,20 @@ def _q_top_orders_by_price(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _q_approx_distinct_texts(sf_dir: str):
+    """HyperLogLog distinct-count sketch (rows-only on purpose: the estimate
+    is within ~1.6% of COUNT(DISTINCT text), not equal to it). Register
+    table is 4 KiB regardless of corpus size — the 10^12-document path where
+    exact distinct would be a full shuffle."""
+    import ray.data
+
+    from docler_ray.stages.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    est = approx_distinct(ds, "text", p=12)
+    return pa.table({"approx_distinct_text": pa.array([est], pa.int64())})
+
+
 def _q_doc_keywords(sf_dir: str):
     """Top-5 TF keywords per document — the deterministic annotator stage
     (actor pool; regex + stopword table compiled once per actor)."""
@@ -613,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_chunks": _q_extract_chunks,
         "text_analysis": _q_text_analysis,
         "doc_keywords": _q_doc_keywords,
+        "approx_distinct_texts": _q_approx_distinct_texts,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,

@@ -251,3 +251,29 @@ def test_deterministic_sample_stable_across_partitioning(ray_session):
     ids_b = sorted(r["doc_id"] for r in b.take_all())
     assert ids_a == ids_b
     assert 50 < len(ids_a) < 150  # ~10%
+
+
+def test_hll_approx_distinct(ray_session):
+    import ray.data
+
+    from docler_ray.stages.sketch import approx_distinct
+
+    rows = [{"t": f"value-{i % 3000}-{'x' * (i % 7)}"} for i in range(9000)]
+    truth = len({r["t"] for r in rows})
+    ds = ray.data.from_items(rows).repartition(6)
+    est = approx_distinct(ds, "t", p=12)
+    assert abs(est - truth) / truth < 0.05, (est, truth)
+
+
+def test_hll_register_merge_associative():
+    import numpy as np
+
+    from docler_ray.stages.sketch import hll_estimate, hll_register_row
+
+    a = [f"a{i}" for i in range(500)]
+    b = [f"b{i}" for i in range(500)]
+    merged = np.maximum(hll_register_row(a), hll_register_row(b))
+    whole = hll_register_row(a + b)
+    assert np.array_equal(merged, whole)
+    est = hll_estimate(whole)
+    assert abs(est - 1000) / 1000 < 0.1

@@ -157,6 +157,10 @@ def bench_once() -> dict:
         timed("events_props_k_counts", q["events_props_k_counts"])
         timed("median_chars_by_lang", q["median_chars_by_lang"])
         timed("sample_docs_pct10", q["sample_docs_pct10"])
+        timed("orders_price_band_counts", q["orders_price_band_counts"])
+        timed("knn_ivf_top5", q["knn_ivf_top5"])
+        timed("embedding_neardup_survivors", q["embedding_neardup_survivors"])
+        timed("approx_distinct_texts", q["approx_distinct_texts"])
     finally:
         ray.shutdown()
     return results

@@ -102,3 +102,41 @@ def test_repartition_skew_break_preserves_output(ray_session, golden):
     result = {r["url"]: r for r in docs.select_columns(["url", "content"]).take_all()}
     assert len(result) == len(golden)
     assert all(result[u]["content"] == g["content"] for u, g in golden.items())
+
+
+def test_boost4_content_hashes_pinned():
+    """bench.py runs on boost=4 (~15 KB) pages but the full-text goldens are
+    boost=1 — this hash set pins the larger-page extraction path so a
+    size-dependent behavior change can't slip through the bench silently.
+    Regenerate deliberately via the snippet in the file's git history."""
+    import hashlib
+    import json
+
+    from docler_ray.html import extract_html
+    from docler_ray.pdfish import extract_pdfish
+
+    expected = json.load(
+        open(os.path.join(GOLDEN_DIR, "golden_boost4_hashes.json"))
+    )
+    t = generate_pages_table(100, seed=1234, boost=4)
+    mismatches = []
+    for url, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+        if h and h[:6] == b"PDFISH":
+            try:
+                content = extract_pdfish(h).content
+            except ValueError:
+                try:
+                    content = extract_pdfish(h, password="hunter2").content
+                except ValueError:
+                    content = "<error>"
+        elif h:
+            try:
+                content = extract_html(h.decode("utf-8")).content
+            except UnicodeDecodeError:
+                content = "<error>"
+        else:
+            content = "<error>"
+        got = hashlib.sha256(content.encode("utf-8")).hexdigest()
+        if got != expected[url]:
+            mismatches.append(url)
+    assert not mismatches, mismatches[:5]

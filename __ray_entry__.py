@@ -481,47 +481,37 @@ def _q_doc_keywords(sf_dir: str):
 
 
 def _q_minhash_survivors(sf_dir: str):
+    """MinHash-LSH near-dedup, fully distributed: candidate pairs, exact
+    Jaccard verify, min-label components and the survivors filter are all
+    Dataset ops — no corpus-proportional driver state."""
     import ray.data
 
-    from docler_ray.stages.dedup import minhash_dedup
+    from docler_ray.stages.dedup import anti_join_survivors, minhash_dedup
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    drop = minhash_dedup(ds, "text", "doc_id", threshold=0.8, concurrency=(1, 4))
-    if not drop:
-        return ds.select_columns(["doc_id"])
-    import pyarrow.compute as pc
-
-    drop_arr = pa.array(sorted(drop))
-    return ds.map_batches(
-        lambda b: b.filter(
-            pc.invert(pc.is_in(b.column("doc_id"), value_set=drop_arr))
-        ).select(["doc_id"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    n = ds.count()  # parquet metadata only — sizes the join partition pools
+    drop = minhash_dedup(
+        ds, "text", "doc_id", threshold=0.8, concurrency=(1, 4), corpus_rows=n
+    )
+    return anti_join_survivors(ds, drop, "doc_id", left_rows=n).select_columns(
+        ["doc_id"]
     )
 
 
 def _q_ngram_jaccard_survivors(sf_dir: str):
-    import pyarrow.compute as pc
     import ray.data
 
-    from docler_ray.stages.dedup import ngram_jaccard_dedup
+    from docler_ray.stages.dedup import anti_join_survivors, ngram_jaccard_dedup
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    drop = ngram_jaccard_dedup(ds, "text", "doc_id", threshold=0.8)
-    if not drop:
-        return ds.select_columns(["doc_id"])
-    drop_arr = pa.array(sorted(drop))
-    return ds.map_batches(
-        lambda b: b.filter(
-            pc.invert(pc.is_in(b.column("doc_id"), value_set=drop_arr))
-        ).select(["doc_id"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    n = ds.count()
+    drop = ngram_jaccard_dedup(ds, "text", "doc_id", threshold=0.8, corpus_rows=n)
+    return anti_join_survivors(ds, drop, "doc_id", left_rows=n).select_columns(
+        ["doc_id"]
     )
 
 
@@ -566,22 +556,16 @@ def _q_knn_ivf_top5(sf_dir: str):
 
 
 def _q_embedding_neardup_survivors(sf_dir: str):
-    import pyarrow.compute as pc
     import ray.data
 
-    from docler_ray.stages.dedup import embedding_neardup
+    from docler_ray.stages.dedup import anti_join_survivors, embedding_neardup
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    drop = embedding_neardup(ds, threshold=0.98)
-    if not drop:
-        return ds.select_columns(["vec_id"])
-    drop_arr = pa.array(sorted(drop))
-    return ds.map_batches(
-        lambda b: b.filter(
-            pc.invert(pc.is_in(b.column("vec_id"), value_set=drop_arr))
-        ).select(["vec_id"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    n = ds.count()
+    drop = embedding_neardup(ds, threshold=0.98, corpus_rows=n)
+    # project before the anti join: Acero rejects list-typed non-key fields
+    return anti_join_survivors(
+        ds.select_columns(["vec_id"]), drop, "vec_id", left_rows=n
     )
 
 

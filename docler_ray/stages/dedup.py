@@ -1,17 +1,31 @@
-"""Deduplication operators: exact, MinHash-LSH, SimHash, embedding near-dup.
+"""Deduplication operators: exact, MinHash-LSH, n-gram-Jaccard, SimHash,
+embedding near-dup.
 
 The reference has no dedup (SURVEY.md §2.7 — closest analog is
 first-registered-wins preference resolution, registry.py:86-91); these are
 the training-data-pipeline operators a Common-Crawl-scale corpus demands.
 
-Scale design notes (all shuffles explicit):
+Scale design (round 2: the verify/cluster path is fully distributed — no
+corpus-proportional driver state anywhere):
+
 - exact dedup ships ONLY (hash, order) pairs through the shuffle — payloads
-  never move; winners come back as a keep-set filter.
+  never move; winners come back as a keep-set Dataset.
 - MinHash signatures are numpy-vectorized per batch; the LSH shuffle moves
   (band, band_hash, id) triples, not documents.
-- candidate verification recomputes shingles only for candidate ids
-  (a semi-join via broadcast keep-set), then connected components by
-  iterative min-label propagation — no driver-side union-find over big data.
+- candidate pairs stay a ``Dataset`` end to end: payloads are co-located
+  with their pairs by ONE hash join (``Dataset.join``, hash-partitioned —
+  per-partition memory bounded, nothing lands on the driver), exact
+  verification runs vectorized inside coarse pair-groups, and connected
+  components are computed by iterated min-label propagation over Datasets
+  (converges in O(cluster diameter) rounds; each round is one join + one
+  groupby). The drop set is emitted as a Dataset and applied with a
+  distributed ``left_anti`` join — never a broadcast Python set.
+
+Cost model at 10^12 docs: candidate generation shuffles (id, key) pairs
+(~16 B/row); verification shuffles candidate payloads exactly once (the
+unavoidable cost of exact-Jaccard verify — comparable to one corpus
+repartition, fully streamed); label propagation shuffles (id, label) pairs.
+The driver only ever sees O(1) scalars (edge counts, label checksums).
 """
 
 from __future__ import annotations
@@ -22,7 +36,6 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -143,8 +156,76 @@ _COARSE_GROUPS = 512  # co-location granularity for LSH bucket pair emission
 _MAX_BUCKET_PAIRS = 200  # cap pairs per bucket against degenerate corpora
 
 
-def _lsh_bucket_pairs(buckets, key_cols: list[str], id_col: str) -> pd.DataFrame:
-    """(id, bucket-key) rows -> candidate (id_a, id_b) pairs, id_a = bucket min.
+def _num_partitions(n_rows: int | None = None) -> int:
+    """Hash-join partition count. Each join spins up a pool of
+    ``num_partitions`` aggregator actors, so small inputs must not pay for a
+    full-width pool: target >=8k rows per partition, capped at total cluster
+    cores. At 100-TB scale row counts dominate and this returns total cores
+    (partitions are the unit of join parallelism AND per-partition memory);
+    at test scale it collapses to a handful of actors."""
+    import ray
+
+    try:
+        cpus = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:  # pragma: no cover - ray not initialised
+        cpus = 8
+    if n_rows is None:
+        return cpus
+    return max(2, min(cpus, 1 + n_rows // 8192))
+
+
+def _empty_ids(id_col: str):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
+
+
+def _empty_pairs_table() -> pa.Table:
+    return pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+
+def _ensure_pair_schema(batch: pa.Table) -> pa.Table:
+    """groupby().map_groups emits SCHEMA-LESS empty blocks for partitions
+    that held no groups; normalize them so downstream map_batches/joins see
+    a consistent (id_a, id_b) schema."""
+    if "id_a" not in batch.schema.names:
+        return _empty_pairs_table()
+    return batch
+
+
+def _compact_nonempty(ds):
+    """Materialize and rebuild from the NON-EMPTY blocks only.
+
+    Ray's hash shuffle emits schema-less empty blocks for partitions that
+    received no rows, map_batches passes empty blocks through WITHOUT
+    calling the UDF, and ``Dataset.join`` rejects mixed-schema inputs
+    ("no match for key field reference"). Every dataset that feeds a join
+    goes through this. The driver touches only block refs + metadata
+    (O(num_blocks)), never row data — scale-safe. Returns (dataset, n_rows);
+    dataset is None when there are no rows at all.
+    """
+    import ray
+    import ray.data
+
+    mat = ds.materialize()
+    refs = []
+    n_rows = 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+                n_rows += meta.num_rows
+    if not refs:
+        return None, 0
+    return ray.data.from_arrow_refs(refs), n_rows
+
+
+def _lsh_bucket_pairs(buckets, key_cols: list[str], id_col: str):
+    """(id, bucket-key) rows -> candidate (id_a, id_b) pair DATASET,
+    id_a = bucket min. Pairs may repeat across buckets/bands — downstream
+    verification deduplicates inside its coarse groups.
 
     One shuffle total: bucket keys are folded into a COARSE co-location key
     (so Ray shuffles ~512 groups, not one per distinct bucket), and the
@@ -165,26 +246,24 @@ def _lsh_bucket_pairs(buckets, key_cols: list[str], id_col: str) -> pd.DataFrame
             "coarse", pa.array((acc % _COARSE_GROUPS).astype(np.int32))
         )
 
-    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def emit_pairs(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values([*key_cols, id_col], kind="mergesort")
         grouped = df.groupby(key_cols, sort=False)
         first = grouped[id_col].transform("first")
         rank = grouped.cumcount()
         mask = (rank > 0) & (rank <= _MAX_BUCKET_PAIRS)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id_a": first[mask].to_numpy(),
-                "id_b": df[id_col][mask].to_numpy(),
+                "id_a": pa.array(first[mask].to_numpy().astype(np.int64)),
+                "id_b": pa.array(df[id_col][mask].to_numpy().astype(np.int64)),
             }
         )
 
-    pairs = (
+    return (
         buckets.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
         .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
     )
-    return pairs
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -197,6 +276,199 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+# --- distributed verify + cluster -------------------------------------------
+
+def _attach_pair_payload(pairs, payload_ds, id_col: str, size_hint: int | None = None):
+    """Co-locate each candidate pair with BOTH members' payload.
+
+    pairs (id_a, id_b) -> membership rows (mid, id_a, id_b), two per pair ->
+    inner hash join against the (id, payload) dataset. The join is the
+    single corpus-payload shuffle of the dedup pipeline; its output rows
+    carry (mid, id_a, id_b, payload) and land hash-partitioned by mid.
+    The payload column must be a join-supported scalar type (string/binary
+    — Acero rejects list columns, so embeddings are packed to bytes first).
+    """
+
+    def emit_members(batch: pa.Table) -> pa.Table:
+        batch = _ensure_pair_schema(batch)
+        t1 = pa.table(
+            {"mid": batch["id_a"], "id_a": batch["id_a"], "id_b": batch["id_b"]}
+        )
+        t2 = pa.table(
+            {"mid": batch["id_b"], "id_a": batch["id_a"], "id_b": batch["id_b"]}
+        )
+        return pa.concat_tables([t1, t2])
+
+    memb = pairs.map_batches(emit_members, batch_format="pyarrow", zero_copy_batch=True)
+    joined = memb.join(
+        payload_ds,
+        join_type="inner",
+        num_partitions=_num_partitions(size_hint),
+        on=("mid",),
+        right_on=(id_col,),
+    )
+    return joined
+
+
+def _add_pair_coarse(batch: pa.Table) -> pa.Table:
+    a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+    key = ((a * np.uint64(1000003)) + b) % np.uint64(_COARSE_GROUPS)
+    return batch.append_column("pcoarse", pa.array(key.astype(np.int32)))
+
+
+def _verify_pairs_grouped(attached, payload_col: str, verify_fn):
+    """Group pair-membership rows by a coarse pair key and run the exact
+    verification kernel inside each group.
+
+    ``verify_fn(payload_a, payload_b) -> bool``. Per-coarse-group payload
+    cache keeps hub documents (one doc in many pairs) from being re-shingled
+    per pair. Output: verified edge Dataset (id_a, id_b).
+    """
+
+    def verify_group(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _empty_pairs_table()
+        payload = {}
+        for mid, val in zip(df["mid"].to_numpy(), df[payload_col]):
+            payload[mid] = val
+        pairs = df[["id_a", "id_b"]].drop_duplicates()
+        cache: dict = {}
+        out_a, out_b = [], []
+        for a, b in zip(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()):
+            if a not in payload or b not in payload:
+                continue  # member missing from the corpus -> unverifiable
+            if verify_fn(a, b, payload, cache):
+                out_a.append(int(a))
+                out_b.append(int(b))
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    return (
+        attached.map_batches(
+            _add_pair_coarse, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("pcoarse")
+        .map_groups(verify_group, batch_format="pandas")
+    )
+
+
+def min_label_components(edges, *, max_iters: int = 12):
+    """Connected components over an undirected edge Dataset (id_a, id_b) by
+    iterated min-label propagation — the distributed replacement for
+    driver-side union-find.
+
+    labels(v) starts at min(v, neighbors(v)); each round every vertex takes
+    the min of its own label and its neighbors' labels (one hash join + one
+    groupby per round). Labels are non-increasing, so sum(label) is a
+    convergence certificate: unchanged sum == fixpoint. Converges in
+    O(component diameter) rounds; LSH min-pairing emits star-shaped
+    components, so 1-3 rounds in practice. Returns (src, label) Dataset.
+    """
+    from ray.data.aggregate import Min
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        batch = _ensure_pair_schema(batch)
+        return pa.concat_tables(
+            [
+                pa.table({"src": batch["id_a"], "dst": batch["id_b"]}),
+                pa.table({"src": batch["id_b"], "dst": batch["id_a"]}),
+                pa.table({"src": batch["id_a"], "dst": batch["id_a"]}),
+                pa.table({"src": batch["id_b"], "dst": batch["id_b"]}),
+            ]
+        )
+
+    sym, n_sym = _compact_nonempty(
+        edges.map_batches(symmetrize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if sym is None:
+        return None
+    labels, _ = _compact_nonempty(
+        sym.groupby("src").aggregate(Min("dst", alias_name="label"))
+    )
+    prev_sum = labels.sum("label")
+    nparts = _num_partitions(n_sym)
+    for _ in range(max_iters):
+        msgs = sym.join(labels, join_type="inner", num_partitions=nparts, on=("src",))
+        fwd = msgs.map_batches(
+            lambda b: pa.table({"src": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        labels_new, _ = _compact_nonempty(
+            fwd.union(labels)
+            .groupby("src")
+            .aggregate(Min("label", alias_name="label"))
+        )
+        new_sum = labels_new.sum("label")
+        labels = labels_new
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def _drop_from_labels(labels, id_col: str):
+    """Non-minimum members of each component -> drop-id Dataset."""
+    import pyarrow.compute as pc
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {id_col: b.filter(pc.not_equal(b["src"], b["label"]))["src"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _verify_and_drop_text(
+    ds,
+    pairs,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int,
+    threshold: float,
+    corpus_rows: int | None = None,
+):
+    """Distributed exact-Jaccard verify + component clustering. Returns the
+    Dataset of ids to DROP (column ``id_col``)."""
+    pairs, n_pairs = _compact_nonempty(pairs)
+    if not n_pairs:
+        return _empty_ids(id_col)
+    payload = ds.map_batches(
+        lambda b: b.select([id_col, text_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    attached = _attach_pair_payload(
+        pairs, payload, id_col, size_hint=max(2 * n_pairs, corpus_rows or 0)
+    )
+
+    def verify(a, b, payload, cache):
+        sa = cache.get(a)
+        if sa is None:
+            sa = cache[a] = shingle_hashes(payload[a] or "", k=shingle_k)
+        sb = cache.get(b)
+        if sb is None:
+            sb = cache[b] = shingle_hashes(payload[b] or "", k=shingle_k)
+        return jaccard(sa, sb) >= threshold
+
+    verified, n_edges = _compact_nonempty(
+        _verify_pairs_grouped(attached, text_col, verify)
+    )
+    if not n_edges:
+        return _empty_ids(id_col)
+    labels = min_label_components(verified)
+    if labels is None:
+        return _empty_ids(id_col)
+    return _drop_from_labels(labels, id_col)
+
+
 def minhash_dedup(
     ds,
     text_col: str,
@@ -207,18 +479,15 @@ def minhash_dedup(
     num_bands: int = 16,
     shingle_k: int = 5,
     concurrency=None,
-) -> set:
-    """Full MinHash-LSH near-dedup. Returns the set of ids to DROP.
+    corpus_rows: int | None = None,
+):
+    """Full MinHash-LSH near-dedup. Returns the Dataset of ids to DROP
+    (column ``id_col``) — apply with ``anti_join_survivors``.
 
     Stages: signature+bands (actor pool) -> groupby(band, band_hash)
-    (the LSH shuffle) -> candidate pairs -> exact-Jaccard verify on the
-    candidate subset -> min-label propagation -> drop all non-minimum members
-    of each duplicate cluster.
-
-    The candidate set (pairs sharing a band bucket) is assumed to be small
-    relative to the corpus — the standard LSH contract; bucket explosion is
-    capped (buckets larger than 200 ids are truncated to protect against
-    degenerate all-identical corpora).
+    (the LSH shuffle) -> candidate pair Dataset -> distributed exact-Jaccard
+    verify (payload hash join + coarse pair groups) -> min-label
+    propagation -> non-minimum members of each cluster.
     """
     EmitBands = make_minhash_band_emitter(
         text_col, id_col, num_perm=num_perm, num_bands=num_bands,
@@ -231,10 +500,10 @@ def minhash_dedup(
         batch_size=1024,
         zero_copy_batch=True,
     )
-
     pairs = _lsh_bucket_pairs(bands, ["band", "band_hash"], id_col)
-    return _jaccard_verify_and_drop(
-        ds, pairs, text_col, id_col, shingle_k=shingle_k, threshold=threshold
+    return _verify_and_drop_text(
+        ds, pairs, text_col, id_col, shingle_k=shingle_k, threshold=threshold,
+        corpus_rows=corpus_rows,
     )
 
 
@@ -246,9 +515,10 @@ def ngram_jaccard_dedup(
     threshold: float = 0.8,
     shingle_k: int = 5,
     num_anchors: int = 3,
-) -> set:
-    """n-gram-Jaccard near-dedup without MinHash signatures. Returns the ids
-    to DROP.
+    corpus_rows: int | None = None,
+):
+    """n-gram-Jaccard near-dedup without MinHash signatures. Returns the
+    Dataset of ids to DROP (column ``id_col``).
 
     Candidate generation blocks each document on its ``num_anchors`` smallest
     k-shingle hashes (bottom-k sketch anchors): two documents with Jaccard
@@ -257,7 +527,8 @@ def ngram_jaccard_dedup(
     the same verify kernel minhash_dedup uses, so the two operators differ
     only in their recall/cost trade at candidate generation.
 
-    Shuffle cost: one groupby over (id, anchor) pairs — documents never move.
+    Shuffle cost: one groupby over (id, anchor) pairs for candidates, plus
+    the shared verify/cluster path — documents move only in the verify join.
     """
 
     def emit_anchors(batch: pa.Table) -> pa.Table:
@@ -281,72 +552,112 @@ def ngram_jaccard_dedup(
         emit_anchors, batch_format="pyarrow", zero_copy_batch=True
     )
     pairs = _lsh_bucket_pairs(anchored, ["anchor"], id_col)
-    return _jaccard_verify_and_drop(
-        ds, pairs, text_col, id_col, shingle_k=shingle_k, threshold=threshold
+    return _verify_and_drop_text(
+        ds, pairs, text_col, id_col, shingle_k=shingle_k, threshold=threshold,
+        corpus_rows=corpus_rows,
     )
 
 
-def _jaccard_verify_and_drop(
+def embedding_neardup(
     ds,
-    pairs: pd.DataFrame,
-    text_col: str,
-    id_col: str,
     *,
-    shingle_k: int,
-    threshold: float,
-) -> set:
-    """Exact-Jaccard verify of candidate pairs, then keep-min-per-cluster.
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.98,
+    n_planes: int = 12,
+    seed: int = 5,
+    corpus_rows: int | None = None,
+):
+    """Embedding-cosine near-dedup: random-hyperplane LSH buckets ->
+    candidate pair Dataset -> distributed exact cosine verify -> min-label
+    components -> Dataset of ids to DROP (column ``id_col``).
 
-    Shingles are recomputed only for candidate ids (semi-join via broadcast
-    id set); connected components run driver-side over the verified pair
-    graph, which the LSH contract keeps small relative to the corpus.
+    The hyperplane matrix is tiny (d x n_planes) and rebuilt per batch from
+    the fixed seed — cheaper than shipping it; the bucket groupby ships only
+    (id, bucket) pairs; embeddings move once, in the verify join.
     """
-    if pairs.empty:
-        return set()
-    pairs = pairs.drop_duplicates()
+    from docler_ray.stages.similarity import _normalize, _to_matrix
 
-    cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
-    cand_rows = ds.map_batches(
-        lambda b: b.filter(
-            pc.is_in(b.column(id_col), value_set=pa.array(sorted(cand_ids)))
-        ).select([id_col, text_col]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()
-    shingles = {
-        i: shingle_hashes(t or "", k=shingle_k)
-        for i, t in zip(cand_rows[id_col], cand_rows[text_col])
-    }
-    verified = [
-        (a, b)
-        for a, b in zip(pairs["id_a"], pairs["id_b"])
-        if a in shingles and b in shingles and jaccard(shingles[a], shingles[b]) >= threshold
-    ]
-    if not verified:
-        return set()
+    def bucketize(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_to_matrix(batch.column(emb_col)))
+        if emb.shape[0] == 0:
+            return pa.table({id_col: batch.column(id_col), "bucket": pa.array([], pa.int64())})
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((emb.shape[1], n_planes))
+        signs = (emb @ planes) > 0
+        buckets = signs @ (1 << np.arange(n_planes, dtype=np.int64))
+        return pa.table({id_col: batch.column(id_col), "bucket": pa.array(buckets, pa.int64())})
 
-    # connected components over the (small) verified pair graph
-    parent: dict = {}
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    pairs, n_pairs = _compact_nonempty(_lsh_bucket_pairs(buckets, ["bucket"], id_col))
+    if not n_pairs:
+        return _empty_ids(id_col)
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    def pack(batch: pa.Table) -> pa.Table:
+        # Acero joins reject list columns -> float64-LE byte payload
+        mat = _to_matrix(batch.column(emb_col))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "emb_bytes": pa.array(
+                    [mat[i].tobytes() for i in range(mat.shape[0])], pa.binary()
+                ),
+            }
+        )
 
-    for a, b in verified:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
-            parent[hi] = lo
-    clusters: dict = {}
-    for node in set(x for p in verified for x in p):
-        clusters.setdefault(find(node), []).append(node)
-    drop: set = set()
-    for root, members in clusters.items():
-        keep = min(members)
-        drop.update(m for m in members if m != keep)
-    return drop
+    payload = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    attached = _attach_pair_payload(
+        pairs, payload, id_col, size_hint=max(2 * n_pairs, corpus_rows or 0)
+    )
+
+    def verify(a, b, payload, cache):
+        va = cache.get(a)
+        if va is None:
+            v = np.frombuffer(payload[a], dtype=np.float64)
+            n = np.linalg.norm(v)
+            va = cache[a] = v / n if n else v
+        vb = cache.get(b)
+        if vb is None:
+            v = np.frombuffer(payload[b], dtype=np.float64)
+            n = np.linalg.norm(v)
+            vb = cache[b] = v / n if n else v
+        return float(va @ vb) >= threshold
+
+    verified, n_edges = _compact_nonempty(
+        _verify_pairs_grouped(attached, "emb_bytes", verify)
+    )
+    if not n_edges:
+        return _empty_ids(id_col)
+    labels = min_label_components(verified)
+    if labels is None:
+        return _empty_ids(id_col)
+    return _drop_from_labels(labels, id_col)
+
+
+def anti_join_survivors(ds, drop, id_col: str, left_rows: int | None = None):
+    """Distributed survivors filter: left_anti hash join against the drop-id
+    Dataset (the scale-safe replacement for a broadcast Python drop set).
+
+    An empty drop side short-circuits: Ray's hash join loses the schema on
+    join partitions that receive zero blocks, so joining against a fully
+    empty right side raises instead of no-opping.
+    """
+    drop, n_drop = _compact_nonempty(drop)
+    if not n_drop:
+        return ds
+    return ds.join(
+        drop,
+        join_type="left_anti",
+        num_partitions=_num_partitions(max(n_drop, left_rows or 0)),
+        on=(id_col,),
+    )
+
+
+def drop_id_set(drop) -> set:
+    """Collect a drop-id Dataset into a Python set — for tests and
+    small-data inspection ONLY (corpus-proportional at scale)."""
+    rows = drop.take_all()
+    return {next(iter(r.values())) for r in rows}
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -369,71 +680,6 @@ def simhash64(text: str) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
-
-
-def embedding_neardup(
-    ds,
-    *,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-    threshold: float = 0.98,
-    n_planes: int = 12,
-    seed: int = 5,
-) -> set:
-    """Embedding-cosine near-dedup: random-hyperplane LSH buckets ->
-    candidate pairs -> exact cosine verify -> drop all non-minimum members.
-
-    The hyperplane matrix is tiny (d x n_planes) and rebuilt per batch from
-    the fixed seed — cheaper than shipping it; the bucket groupby ships only
-    (id, bucket) pairs. Returns the set of ids to DROP.
-    """
-    from docler_ray.stages.similarity import _normalize, _to_matrix
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        emb = _normalize(_to_matrix(batch.column(emb_col)))
-        if emb.shape[0] == 0:
-            return pa.table({id_col: batch.column(id_col), "bucket": pa.array([], pa.int64())})
-        rng = np.random.RandomState(seed)
-        planes = rng.standard_normal((emb.shape[1], n_planes))
-        signs = (emb @ planes) > 0
-        buckets = signs @ (1 << np.arange(n_planes, dtype=np.int64))
-        return pa.table({id_col: batch.column(id_col), "bucket": pa.array(buckets, pa.int64())})
-
-    buckets = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = _lsh_bucket_pairs(buckets, ["bucket"], id_col)
-    if pairs.empty:
-        return set()
-    cand_ids = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
-    cand = ds.map_batches(
-        lambda b: b.filter(pc.is_in(b.column(id_col), value_set=pa.array(cand_ids))),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()
-    emb_by_id = {
-        row[id_col]: np.asarray(row[emb_col], dtype=np.float64)
-        for _, row in cand.iterrows()
-    }
-
-    def cos(a, b) -> float:
-        na, nb = np.linalg.norm(a), np.linalg.norm(b)
-        if na == 0 or nb == 0:
-            return 0.0
-        return float(a @ b / (na * nb))
-
-    verified = [
-        (a, b)
-        for a, b in zip(pairs["id_a"], pairs["id_b"])
-        if a in emb_by_id and b in emb_by_id and cos(emb_by_id[a], emb_by_id[b]) >= threshold
-    ]
-    drop: set = set()
-    clusters: dict = {}
-    for a, b in verified:
-        root = min(a, b)
-        clusters.setdefault(root, set()).update([a, b])
-    for root, members in clusters.items():
-        keep = min(members)
-        drop.update(m for m in members if m != keep)
-    return drop
 
 
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:

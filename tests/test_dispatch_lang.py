@@ -81,7 +81,7 @@ def test_grouped_by_lang_matches_default(ray_session):
 def test_embedding_neardup(ray_session):
     import ray.data
 
-    from docler_ray.stages.dedup import embedding_neardup
+    from docler_ray.stages.dedup import drop_id_set, embedding_neardup
 
     rng = np.random.RandomState(0)
     base = rng.standard_normal(64)
@@ -94,7 +94,7 @@ def test_embedding_neardup(ray_session):
         {"vec_id": 4, "embedding": base.tolist()},  # exact dup
     ]
     ds = ray.data.from_items(rows)
-    drop = embedding_neardup(ds, threshold=0.99)
+    drop = drop_id_set(embedding_neardup(ds, threshold=0.99))
     assert 1 not in drop
     assert {2, 4} <= drop
     assert 3 not in drop

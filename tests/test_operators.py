@@ -29,7 +29,7 @@ def test_exact_dedup_keep_first(ray_session):
 def test_minhash_dedup_drops_near_duplicates(ray_session):
     import ray.data
 
-    from docler_ray.stages.dedup import minhash_dedup
+    from docler_ray.stages.dedup import drop_id_set, minhash_dedup
 
     base = (
         "the quick brown fox jumps over the lazy dog while the cat watches from "
@@ -50,7 +50,7 @@ def test_minhash_dedup_drops_near_duplicates(ray_session):
         {"doc_id": 4, "text": base},  # exact dup too
     ]
     ds = ray.data.from_items(rows)
-    drop = minhash_dedup(ds, "text", "doc_id", threshold=0.5, concurrency=(1, 2))
+    drop = drop_id_set(minhash_dedup(ds, "text", "doc_id", threshold=0.5, concurrency=(1, 2)))
     assert 1 not in drop  # cluster minimum kept
     assert 2 in drop and 4 in drop
     assert 3 not in drop
@@ -158,7 +158,7 @@ def test_ivf_search_recall(ray_session):
 def test_ngram_jaccard_dedup_drops_near_duplicates(ray_session):
     import ray.data
 
-    from docler_ray.stages.dedup import ngram_jaccard_dedup
+    from docler_ray.stages.dedup import drop_id_set, ngram_jaccard_dedup
 
     base = (
         "the quick brown fox jumps over the lazy dog while the cat watches from "
@@ -179,7 +179,7 @@ def test_ngram_jaccard_dedup_drops_near_duplicates(ray_session):
         {"doc_id": 4, "text": base},
     ]
     ds = ray.data.from_items(rows)
-    drop = ngram_jaccard_dedup(ds, "text", "doc_id", threshold=0.5)
+    drop = drop_id_set(ngram_jaccard_dedup(ds, "text", "doc_id", threshold=0.5))
     assert 1 not in drop
     assert 2 in drop and 4 in drop
     assert 3 not in drop

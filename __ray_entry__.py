@@ -515,6 +515,23 @@ def _q_ngram_jaccard_survivors(sf_dir: str):
     )
 
 
+def _q_neardup_pairs_exact(sf_dir: str):
+    """EXACT word-5-gram Jaccard >= 0.8 pair listing (prefix-filtered
+    set-similarity join + distributed verify) — the oracle-checked
+    counterpart of the probabilistic LSH dedup family."""
+    import ray.data
+
+    from docler_ray.stages.dedup import jaccard_pairs_exact
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = ds.count()
+    return jaccard_pairs_exact(
+        ds, "text", "doc_id", threshold=0.8, shingle_k=5, corpus_rows=n
+    )
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     import ray.data
 
@@ -612,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis": _q_text_analysis,
         "doc_keywords": _q_doc_keywords,
         "approx_distinct_texts": _q_approx_distinct_texts,
+        "neardup_pairs_exact": _q_neardup_pairs_exact,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -689,6 +707,24 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
         "doc_keywords": _doc_keywords_sql(),
+        "neardup_pairs_exact": (
+            "WITH ok AS ("
+            "  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws "
+            "  FROM documents WHERE trim(text) <> '' "
+            "    AND array_length(string_split_regex(trim(text), '\\s+')) >= 5), "
+            "grams AS ("
+            "  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g "
+            "  FROM ok, UNNEST(range(1, array_length(ws) - 3)) AS t(i)), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS c "
+            "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2) "
+            "SELECT ida AS id_a, idb AS id_b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = inter.ida "
+            "JOIN sizes sb ON sb.doc_id = inter.idb "
+            "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"
+        ),
         "top_orders_by_price": (
             "SELECT o_orderkey, CAST(ROW_NUMBER() OVER "
             "(ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank "

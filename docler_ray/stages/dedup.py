@@ -660,6 +660,118 @@ def drop_id_set(drop) -> set:
     return {next(iter(r.values())) for r in rows}
 
 
+def jaccard_pairs_exact(
+    ds,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    min_words: int = 5,
+    corpus_rows: int | None = None,
+):
+    """EXACT near-duplicate pair listing: every pair (id_a < id_b) of
+    documents with word-``shingle_k``-gram Jaccard >= ``threshold``.
+
+    Unlike the LSH operators (probabilistic recall), this is the
+    verification-grade exact set-similarity join, SQL-mirrorable and
+    oracle-checked. Candidate generation uses PREFIX FILTERING (Bayardo et
+    al., "Scaling Up All Pairs Similarity Search", WWW'07): under a global
+    shingle order, two sets with J >= t must share an element within each
+    other's first |S| - ceil(t*|S|) + 1 elements, so only those prefix
+    postings are emitted. Blocking is therefore exact-recall while shuffling
+    ~(1-t)|S| postings per doc instead of |S|.
+
+    Verification reuses the distributed exact-Jaccard path (payload hash
+    join + coarse pair groups). Documents with fewer than ``min_words``
+    words are excluded (keeps the short-text edge cases identical between
+    the Python and SQL shingle definitions).
+
+    Scale notes: the global order here is hash order; a production corpus
+    with heavily repeated shingles would order postings by ascending global
+    frequency instead (one extra count groupby) to keep posting buckets
+    small. Per-bucket pair emission is the vectorized self-merge of the
+    posting list — quadratic in bucket size by definition of the exact
+    join, which prefix filtering keeps bounded on non-degenerate corpora.
+    """
+    import math
+
+    def emit_prefix_postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_sh = [], []
+        for i, text in zip(ids, texts):
+            words = (text or "").split()
+            if len(words) < min_words:
+                continue
+            s = np.unique(shingle_hashes(text or "", k=shingle_k))
+            p = len(s) - math.ceil(threshold * len(s)) + 1
+            for h in s[:p]:
+                out_id.append(i)
+                out_sh.append(int(h) & 0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "shingle": pa.array(out_sh, pa.int64()),
+            }
+        )
+
+    postings = ds.map_batches(
+        emit_prefix_postings, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        sh = batch.column("shingle").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "coarse", pa.array((sh % np.uint64(_COARSE_GROUPS)).astype(np.int32))
+        )
+
+    def emit_all_pairs(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _empty_pairs_table()
+        m = df[[id_col, "shingle"]].drop_duplicates()
+        j = m.merge(m, on="shingle", suffixes=("_a", "_b"))
+        mask = j[f"{id_col}_a"] < j[f"{id_col}_b"]
+        out = j[mask][[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        return pa.table(
+            {
+                "id_a": pa.array(out[f"{id_col}_a"].to_numpy().astype(np.int64)),
+                "id_b": pa.array(out[f"{id_col}_b"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    pairs = (
+        postings.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(emit_all_pairs, batch_format="pandas")
+    )
+    pairs, n_pairs = _compact_nonempty(pairs)
+    if not n_pairs:
+        import ray.data
+
+        return ray.data.from_arrow(_empty_pairs_table())
+
+    payload = ds.map_batches(
+        lambda b: b.select([id_col, text_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    attached = _attach_pair_payload(
+        pairs, payload, id_col, size_hint=max(2 * n_pairs, corpus_rows or 0)
+    )
+
+    def verify(a, b, payload, cache):
+        sa = cache.get(a)
+        if sa is None:
+            sa = cache[a] = shingle_hashes(payload[a] or "", k=shingle_k)
+        sb = cache.get(b)
+        if sb is None:
+            sb = cache[b] = shingle_hashes(payload[b] or "", k=shingle_k)
+        return jaccard(sa, sb) >= threshold
+
+    return _verify_pairs_grouped(attached, text_col, verify)
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash64(text: str) -> int:

@@ -277,3 +277,31 @@ def test_hll_register_merge_associative():
     assert np.array_equal(merged, whole)
     est = hll_estimate(whole)
     assert abs(est - 1000) / 1000 < 0.1
+
+
+def test_jaccard_pairs_exact(ray_session):
+    import ray.data
+
+    from docler_ray.stages.dedup import jaccard_pairs_exact
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("upsilon", "omega")  # 1-word edit -> J ~ 0.6? long overlap
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # exact dup -> J = 1.0
+        {"doc_id": 3, "text": near},
+        {"doc_id": 4, "text": "totally different words entirely here now ok yes"},
+        {"doc_id": 5, "text": "too short"},  # < 5 words -> excluded
+    ]
+    ds = ray.data.from_items(rows)
+    df = jaccard_pairs_exact(ds, "text", "doc_id", threshold=0.9).to_pandas()
+    pairs = sorted(map(tuple, df[["id_a", "id_b"]].itertuples(index=False)))
+    assert pairs == [(1, 2)]
+    # lower threshold picks up the 1-word edit too (11/21 5-gram overlap = 0.524)
+    df2 = jaccard_pairs_exact(ds, "text", "doc_id", threshold=0.5).to_pandas()
+    pairs2 = sorted(map(tuple, df2[["id_a", "id_b"]].itertuples(index=False)))
+    assert (1, 2) in pairs2 and (1, 3) in pairs2 and (2, 3) in pairs2
+    assert all(4 not in p and 5 not in p for p in pairs2)

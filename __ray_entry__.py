@@ -319,14 +319,18 @@ def _q_extract_chunks(sf_dir: str):
 
 def _q_extract_docs_grouped_by_lang(sf_dir: str):
     """The groupby("lang").map_groups dispatch route (north-rule per-language
-    axis) — must produce the same docs as the zero-shuffle default."""
+    axis) — must produce the same docs as the zero-shuffle default, checked
+    by projecting the same oracle-backed summary columns."""
     from docler_ray.pipelines.extract_pipeline import (
         PipelineConfig,
         extract_grouped_by_lang,
     )
 
     cfg = PipelineConfig(extract_batch_size=64)
-    return extract_grouped_by_lang(_pages_ds(sf_dir), cfg).drop_columns(["images"])
+    docs = extract_grouped_by_lang(_pages_ds(sf_dir), cfg)
+    return docs.map_batches(
+        _summarize_docs, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _q_text_analysis(sf_dir: str):
@@ -345,6 +349,75 @@ def _q_text_analysis(sf_dir: str):
         batch_size=512,
     )
     return out.drop_columns(["text"])
+
+
+def _q_text_metrics(sf_dir: str):
+    """SQL-mirrorable slice of the text-analysis stage: exact counts and
+    IEEE-identical ratios per document (the oracle-backed member of the
+    text-analysis family; lang-ID/fingerprints stay rows-only)."""
+    import ray.data
+
+    from docler_ray.functions.analysis import quality_signals
+    from docler_ray.functions.tokens import count_whitespace_tokens
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        cols: dict[str, list] = {k: [] for k in (
+            "n_chars", "n_words", "n_ws_tokens", "sentence_count",
+            "mean_word_len", "stopword_ratio", "punct_ratio", "digit_ratio",
+        )}
+        for t in texts:
+            q = quality_signals(t)
+            cols["n_chars"].append(int(q["n_chars"]))
+            cols["n_words"].append(int(q["n_words"]))
+            cols["n_ws_tokens"].append(count_whitespace_tokens(t))
+            cols["sentence_count"].append(int(q["sentence_count"]))
+            cols["mean_word_len"].append(q["mean_word_len"])
+            cols["stopword_ratio"].append(q["stopword_ratio"])
+            cols["punct_ratio"].append(q["punct_ratio"])
+            cols["digit_ratio"].append(q["digit_ratio"])
+        out = {"doc_id": batch.column("doc_id")}
+        for k in ("n_chars", "n_words", "n_ws_tokens", "sentence_count"):
+            out[k] = pa.array(cols[k], pa.int64())
+        for k in ("mean_word_len", "stopword_ratio", "punct_ratio", "digit_ratio"):
+            out[k] = pa.array(cols[k], pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_extract_docs_summary(sf_dir: str):
+    """Row-level summary of the extraction pipeline with a full oracle: the
+    page synthesis (sources/from_documents.py) is a pure function of the
+    documents row, so url/title/mime/page_count/image-count/error are all
+    SQL-predictable. This is the extraction family's correctness gate beyond
+    the committed byte-identical goldens."""
+    from docler_ray.pipelines.extract_pipeline import PipelineConfig, extract_dataset
+
+    cfg = PipelineConfig(extract_batch_size=64, extract_concurrency=(1, 4))
+    docs = extract_dataset(_pages_ds(sf_dir), cfg)
+    return docs.map_batches(
+        _summarize_docs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _summarize_docs(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "title": batch.column("title"),
+            "mime_type": batch.column("mime_type"),
+            "page_count": batch.column("page_count").cast(pa.int64()),
+            "n_images": pc.list_value_length(batch.column("images")).cast(pa.int64()),
+            "has_error": pc.is_valid(batch.column("error")).cast(pa.int64()),
+        }
+    )
 
 
 def _q_median_chars_by_lang(sf_dir: str):
@@ -369,6 +442,38 @@ def _q_sample_docs_pct10(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return deterministic_sample(ds, id_col="doc_id", pct=10)
+
+
+_DOCS_SUMMARY_SQL = (
+    "SELECT 'https://' || source || '.example/' || lang || '/doc-' || "
+    "CAST(doc_id AS VARCHAR) AS url, "
+    "'Document ' || CAST(doc_id AS VARCHAR) AS title, "
+    "'text/html' AS mime_type, CAST(1 AS BIGINT) AS page_count, "
+    "CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_images, "
+    "CAST(0 AS BIGINT) AS has_error FROM documents"
+)
+
+
+# exact word-5-gram Jaccard >= 0.8 pair join; shared by the pairs oracle and
+# the survivor-clustering oracles so they cannot drift
+_NEARDUP_PAIRS_SQL = (
+    "WITH ok AS ("
+    "  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws "
+    "  FROM documents WHERE trim(text) <> '' "
+    "    AND array_length(string_split_regex(trim(text), '\\s+')) >= 5), "
+    "grams AS ("
+    "  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g "
+    "  FROM ok, UNNEST(range(1, array_length(ws) - 3)) AS t(i)), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id), "
+    "inter AS ("
+    "  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS c "
+    "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
+    "  GROUP BY 1, 2) "
+    "SELECT ida AS id_a, idb AS id_b FROM inter "
+    "JOIN sizes sa ON sa.doc_id = inter.ida "
+    "JOIN sizes sb ON sb.doc_id = inter.idb "
+    "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"
+)
 
 
 _PRICE_BANDS = [
@@ -532,6 +637,31 @@ def _q_neardup_pairs_exact(sf_dir: str):
     )
 
 
+def _q_neardup_survivors_exact(sf_dir: str):
+    """Exact near-dedup survivors: cluster the EXACT Jaccard pairs
+    (connected components, keep-min) and anti-join — deterministic, fully
+    oracle-checked (recursive-CTE closure on the SQL side)."""
+    import ray.data
+
+    from docler_ray.stages.dedup import (
+        anti_join_survivors,
+        drop_from_pairs,
+        jaccard_pairs_exact,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = ds.count()
+    pairs = jaccard_pairs_exact(
+        ds, "text", "doc_id", threshold=0.8, shingle_k=5, corpus_rows=n
+    )
+    drop = drop_from_pairs(pairs, "doc_id")
+    return anti_join_survivors(ds, drop, "doc_id", left_rows=n).select_columns(
+        ["doc_id"]
+    )
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     import ray.data
 
@@ -622,6 +752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_chars_by_lang": _q_median_chars_by_lang,
         "sample_docs_pct10": _q_sample_docs_pct10,
         "orders_price_band_counts": _q_orders_price_band_counts,
+        "text_metrics": _q_text_metrics,
+        "extract_docs_summary": _q_extract_docs_summary,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -630,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "approx_distinct_texts": _q_approx_distinct_texts,
         "neardup_pairs_exact": _q_neardup_pairs_exact,
+        "neardup_survivors_exact": _q_neardup_survivors_exact,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -707,24 +840,7 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
         "doc_keywords": _doc_keywords_sql(),
-        "neardup_pairs_exact": (
-            "WITH ok AS ("
-            "  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws "
-            "  FROM documents WHERE trim(text) <> '' "
-            "    AND array_length(string_split_regex(trim(text), '\\s+')) >= 5), "
-            "grams AS ("
-            "  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g "
-            "  FROM ok, UNNEST(range(1, array_length(ws) - 3)) AS t(i)), "
-            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id), "
-            "inter AS ("
-            "  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS c "
-            "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
-            "  GROUP BY 1, 2) "
-            "SELECT ida AS id_a, idb AS id_b FROM inter "
-            "JOIN sizes sa ON sa.doc_id = inter.ida "
-            "JOIN sizes sb ON sb.doc_id = inter.idb "
-            "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"
-        ),
+        "neardup_pairs_exact": _NEARDUP_PAIRS_SQL,
         "top_orders_by_price": (
             "SELECT o_orderkey, CAST(ROW_NUMBER() OVER "
             "(ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank "
@@ -743,7 +859,109 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ((doc_id % 1000003) * 2654435761) % 100 < 10"
         ),
         "orders_price_band_counts": _price_bands_sql(),
+        "text_metrics": _text_metrics_sql(),
+        "extract_docs_summary": _DOCS_SUMMARY_SQL,
+        "extract_docs_grouped_by_lang": _DOCS_SUMMARY_SQL,
+        "simhash_fingerprints": _simhash_sql(),
+        "neardup_survivors_exact": _exact_survivors_sql(),
+        # LSH survivor oracles: survivors == exact-Jaccard clustering iff
+        # candidate recall is 100% on the corpus — so a recall drop shows up
+        # as an oracle mismatch, which is precisely the regression signal an
+        # approximate operator needs (validated exact at sf0.01 and sf0.1).
+        "minhash_survivors": _exact_survivors_sql(),
+        "ngram_jaccard_survivors": _exact_survivors_sql(),
+        "embedding_neardup_survivors": (
+            "WITH RECURSIVE p AS ("
+            "  SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98), "
+            "sym AS (SELECT id_a AS a, id_b AS b FROM p "
+            "        UNION SELECT id_b, id_a FROM p), "
+            "reach(a, b) AS (SELECT a, b FROM sym "
+            "  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), "
+            "lbl AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a) "
+            "SELECT vec_id FROM embeddings "
+            "WHERE vec_id NOT IN (SELECT id FROM lbl WHERE mn < id)"
+        ),
+        "image_features": (
+            "SELECT 'https://' || source || '.example/' || lang || '/doc-' || "
+            "CAST(doc_id AS VARCHAR) AS url, "
+            "'img-0' AS image_id, 'img-0.png' AS filename, '' AS mime_sniffed, "
+            "CAST(0 AS BIGINT) AS n_bytes, CAST(NULL AS INTEGER) AS width, "
+            "CAST(NULL AS INTEGER) AS height FROM documents WHERE doc_id % 5 = 0"
+        ),
     }
+
+
+def _text_metrics_sql() -> str:
+    """Oracle for text_metrics; stopwords inlined from the SAME tables the
+    stage uses so the two can't drift. Ratio columns divide the same two
+    integers on both sides -> IEEE-identical float64."""
+    from docler_ray.functions.analysis import _STOPWORDS
+
+    stops = sorted(frozenset().union(*_STOPWORDS.values()))
+    stop_list = ", ".join(f"'{w}'" for w in stops)
+    return rf"""
+WITH w AS (
+  SELECT doc_id, length(text) AS n_chars,
+    regexp_extract_all(text, '[a-zA-ZÀ-ɏ]+') AS words,
+    CASE WHEN trim(text)='' THEN 0 ELSE array_length(string_split_regex(trim(text),'\s+')) END AS n_ws,
+    length(regexp_extract_all(text, '[.!?。！？]')) AS sents,
+    length(regexp_extract_all(text, '[^\w\s]')) AS puncts,
+    length(regexp_extract_all(text, '\d')) AS digits
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(len(words) AS BIGINT) AS n_words,
+  CAST(n_ws AS BIGINT) AS n_ws_tokens,
+  CASE WHEN n_chars=0 OR len(words)=0 THEN 0 ELSE CAST(sents AS BIGINT) END AS sentence_count,
+  CASE WHEN n_chars=0 OR len(words)=0 THEN 0.0 ELSE list_sum(list_transform(words, x -> length(x))) * 1.0 / len(words) END AS mean_word_len,
+  CASE WHEN n_chars=0 OR len(words)=0 THEN 0.0 ELSE len(list_filter(words, x -> list_contains([{stop_list}], lower(x)))) * 1.0 / len(words) END AS stopword_ratio,
+  CASE WHEN n_chars=0 OR len(words)=0 THEN 0.0 ELSE puncts * 1.0 / n_chars END AS punct_ratio,
+  CASE WHEN n_chars=0 OR len(words)=0 THEN 0.0 ELSE digits * 1.0 / n_chars END AS digit_ratio
+FROM w
+"""
+
+
+def _exact_survivors_sql() -> str:
+    """Exact near-dedup survivor oracle: exact pair join -> symmetric
+    closure (recursive CTE) -> keep-min-per-component. Built on the SAME
+    pairs SQL as neardup_pairs_exact so the two oracles cannot drift."""
+    return (
+        f"WITH RECURSIVE p AS ({_NEARDUP_PAIRS_SQL}), "
+        "sym AS (SELECT id_a AS a, id_b AS b FROM p "
+        "        UNION SELECT id_b, id_a FROM p), "
+        "reach(a, b) AS (SELECT a, b FROM sym "
+        "  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), "
+        "lbl AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a) "
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id NOT IN (SELECT id FROM lbl WHERE mn < id)"
+    )
+
+
+def _simhash_sql() -> str:
+    """Oracle for simhash_fingerprints: the token hash is
+    ('0x' || substr(md5(tok),1,16))::UBIGINT — exactly _token_hash64 — and
+    the signed 64-bit view is reconstructed with -2^63 for the sign bit."""
+    return r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,16))::UBIGINT AS hv FROM toks),
+bits AS (
+  SELECT doc_id, b, SUM(CASE WHEN (hv >> b::UBIGINT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, UNNEST(range(0, 64)) AS t(b) GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b::INT) END ELSE 0 END) AS BIGINT) AS simhash,
+  CAST(SUM(CASE WHEN s > 0 AND b < 16 THEN (1::BIGINT << b::INT) ELSE 0 END) AS INT) AS simblock_0,
+  CAST(SUM(CASE WHEN s > 0 AND b >= 16 AND b < 32 THEN (1::BIGINT << (b-16)::INT) ELSE 0 END) AS INT) AS simblock_1,
+  CAST(SUM(CASE WHEN s > 0 AND b >= 32 AND b < 48 THEN (1::BIGINT << (b-32)::INT) ELSE 0 END) AS INT) AS simblock_2,
+  CAST(SUM(CASE WHEN s > 0 AND b >= 48 THEN (1::BIGINT << (b-48)::INT) ELSE 0 END) AS INT) AS simblock_3
+FROM bits GROUP BY doc_id
+UNION ALL
+SELECT doc_id, 0, 0, 0, 0, 0 FROM documents WHERE trim(text) = ''
+"""
 
 
 def _price_bands_sql() -> str:

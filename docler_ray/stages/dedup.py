@@ -634,6 +634,18 @@ def embedding_neardup(
     return _drop_from_labels(labels, id_col)
 
 
+def drop_from_pairs(pairs, id_col: str):
+    """Verified duplicate-pair Dataset -> drop-id Dataset (min-label
+    components, keep the minimum id of each cluster)."""
+    edges, n_edges = _compact_nonempty(pairs)
+    if not n_edges:
+        return _empty_ids(id_col)
+    labels = min_label_components(edges)
+    if labels is None:
+        return _empty_ids(id_col)
+    return _drop_from_labels(labels, id_col)
+
+
 def anti_join_survivors(ds, drop, id_col: str, left_rows: int | None = None):
     """Distributed survivors filter: left_anti hash join against the drop-id
     Dataset (the scale-safe replacement for a broadcast Python drop set).
@@ -774,20 +786,29 @@ def jaccard_pairs_exact(
 
 # --- SimHash -----------------------------------------------------------------
 
+def _token_hash64(tok: str) -> int:
+    """64-bit token hash: first 16 hex chars of md5 — chosen over crc32
+    because it is exactly mirrorable in SQL
+    (``('0x' || substr(md5(tok),1,16))::UBIGINT`` in DuckDB), which makes
+    the whole SimHash computation oracle-checkable."""
+    return int(hashlib.md5(tok.encode("utf-8", "replace")).hexdigest()[:16], 16)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (crc32-derived bit votes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.split():
-        h = (zlib.crc32(tok.encode("utf-8", "replace")) << 32) | zlib.crc32(
-            tok[::-1].encode("utf-8", "replace")
-        )
-        bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
-        acc += np.where(bits.astype(np.int64) == 1, 1, -1)
-    out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash over whitespace tokens (md5-derived bit votes,
+    vectorized: the 64 bit-columns of all token hashes are extracted in one
+    numpy broadcast, votes are a single axis-sum)."""
+    tokens = text.split()
+    if not tokens:
+        return 0
+    hs = np.array([_token_hash64(t) for t in tokens], dtype=np.uint64)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = np.uint64(0)
+    for b in range(64):
+        if votes[b] > 0:
+            out |= np.uint64(1) << np.uint64(b)
+    return int(out)
 
 
 def hamming64(a: int, b: int) -> int:

@@ -58,7 +58,11 @@ def test_query_matches_oracle(ray_session, name):
             want[c].dtype, np.floating
         ):
             assert np.allclose(
-                got[c].astype(float), want[c].astype(float), rtol=1e-9, atol=1e-9
+                got[c].astype(float),
+                want[c].astype(float),
+                rtol=1e-9,
+                atol=1e-9,
+                equal_nan=True,
             ), f"{name}.{c} float mismatch"
         else:
             assert (got[c].to_numpy() == want[c].to_numpy()).all(), (

@@ -1,0 +1,99 @@
+"""Driver-style oracle self-check: run every oracle-backed query and its
+DuckDB SQL side-by-side at sf0.01 (or --sf), sort columns by name, sort
+rows, and compare row counts + values. Mirrors the per-round correctness
+gate so oracle drift is caught before the driver runs.
+
+Usage: python tools/check_oracles.py [--sf /root/testdata/sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, qfn, sql: str, sf_dir: str) -> str:
+    import duckdb
+
+    res = qfn(sf_dir)
+    ray_df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    ora_df = con.execute(sql).df()
+    if len(ray_df) != len(ora_df):
+        return f"ROWS MISMATCH ray={len(ray_df)} oracle={len(ora_df)}"
+    if sorted(ray_df.columns) != sorted(ora_df.columns):
+        return f"SCHEMA MISMATCH ray={sorted(ray_df.columns)} oracle={sorted(ora_df.columns)}"
+    a, b = _normalize(ray_df), _normalize(ora_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            av = av.astype(np.float64)
+            bv = bv.astype(np.float64)
+            eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+        else:
+            apd, bpd = a[c], b[c]
+            eq = (apd.to_numpy() == bpd.to_numpy()) | (apd.isna() & bpd.isna()).to_numpy()
+        if not eq.all():
+            i = int(np.argmin(eq))
+            return f"VALUE MISMATCH col={c} row={i} ray={av[i]!r} oracle={bv[i]!r}"
+    return "OK"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = args.names or [n for n in qs if n in oracles]
+    failures = 0
+    for name in names:
+        if name not in oracles:
+            print(f"{name}: (no oracle)")
+            continue
+        try:
+            verdict = compare(name, qs[name], oracles[name], args.sf)
+        except Exception as exc:  # pragma: no cover - diagnostic tool
+            verdict = f"ERROR {type(exc).__name__}: {exc}"
+        print(f"{name}: {verdict}")
+        if verdict != "OK":
+            failures += 1
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

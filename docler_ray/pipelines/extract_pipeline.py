@@ -32,7 +32,7 @@ import ray.data
 from docler_ray.models import EXTRACTOR_VERSION
 from docler_ray.stages.classify import DEFAULT_NUM_BUCKETS, make_classifier
 from docler_ray.stages.extract import ExtractDocs
-from docler_ray.state.manifest import ManifestStore, filter_pending
+from docler_ray.state.manifest import ManifestStore, filter_pending, shard_id_for_path
 from docler_ray.state.metrics import MetricsActor, make_metrics_reporter
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
@@ -47,7 +47,17 @@ class PipelineConfig:
     repartition_blocks: int | None = None  # explicit skew break when set
     preferences: dict[str, str] | None = None
     extract_options: dict = field(default_factory=dict)
-    shards_per_round: int | None = None  # checkpoint granularity; None = one round
+    # checkpoint granularity: at most this many shards per round (manifests
+    # land after each round, so a crash loses at most one round of work).
+    # "auto" (default) = max(64, 4 x cluster CPUs): bounded rounds whose
+    # width still saturates the actor pool — a fixed small round count pays
+    # ~5s of pool spinup + execution warmup PER ROUND (measured: 80 bench
+    # shards at 32 CPUs run 29.9s in 1 round, 34.4s in 2, 65.8s in 4), so
+    # rounds must scale with cluster width, not be a constant. Rounds are
+    # EQUALIZED (e.g. 150 shards at cap 128 -> 2x75, not 128+22) so the tail
+    # round doesn't starve the pool. None = single round (explicit opt-out);
+    # an int pins the cap.
+    shards_per_round: int | str | None = "auto"
 
 
 def _auto_concurrency() -> int:
@@ -140,21 +150,67 @@ def extract_grouped_by_lang(
 
 def _clean_incomplete_outputs(docs_dir: str, pending_files: list[str]) -> None:
     for path in pending_files:
-        shard_dir = os.path.join(docs_dir, f"shard_id={os.path.basename(path)}")
+        shard_dir = os.path.join(docs_dir, f"shard_id={shard_id_for_path(path)}")
         if os.path.isdir(shard_dir):
             shutil.rmtree(shard_dir)
+
+
+def _shard_output_stats(docs_dir: str, shard_id: str) -> dict | None:
+    """Row/doc/error counts from the DURABLY WRITTEN shard partition.
+
+    Manifest lineage must not come from the in-flight metrics actor (a
+    retried task double-counts there — metrics.py documents this); rows come
+    from parquet footers (no data read) and errors from the error column's
+    footer null-count statistics, falling back to reading that single column.
+    """
+    import pyarrow.parquet as pq
+
+    shard_dir = os.path.join(docs_dir, f"shard_id={shard_id}")
+    if not os.path.isdir(shard_dir):
+        return None
+    rows = 0
+    errors = 0
+    stats_ok = True
+    for name in os.listdir(shard_dir):
+        if not name.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(shard_dir, name)).metadata
+        rows += meta.num_rows
+        try:
+            err_idx = meta.schema.to_arrow_schema().get_field_index("error")
+            for rg in range(meta.num_row_groups):
+                col = meta.row_group(rg).column(err_idx)
+                st = col.statistics
+                if st is None or st.null_count is None:
+                    raise ValueError("no stats")
+                errors += meta.row_group(rg).num_rows - st.null_count
+        except Exception:
+            stats_ok = False
+    if not stats_ok:
+        import pyarrow.compute as pc
+
+        t = pq.read_table(shard_dir, columns=["error"])
+        errors = pc.sum(pc.cast(pc.is_valid(t.column("error")), "int64")).as_py() or 0
+    return {"rows": rows, "docs": rows - errors, "errors": errors}
 
 
 def run_extract_job(
     input_files: list[str],
     out_dir: str,
     cfg: PipelineConfig | None = None,
+    _after_round=None,
 ) -> dict:
     """Run (or resume) the flagship job. Returns aggregate metrics.
 
     Lineage per shard: {shard_id, input_file, row_start, row_end,
     extractor_version, docs, errors, pages, bytes_in, secs} — the row range
-    is the whole file (shard == file, deterministic across runs).
+    is the whole file (shard == file, deterministic across runs). docs /
+    errors / row_end are counted from the durably written output partition;
+    pages / bytes_in come from the in-flight metrics actor and are
+    best-effort (a retried task may double-count them).
+
+    ``_after_round(round_idx)`` is a test hook for crash injection between
+    a round's manifests landing and the next round starting.
     """
     cfg = cfg or PipelineConfig()
     docs_dir = os.path.join(out_dir, "docs")
@@ -164,10 +220,20 @@ def run_extract_job(
     skipped = len(input_files) - len(pending)
     _clean_incomplete_outputs(docs_dir, pending)
 
-    round_size = cfg.shards_per_round or len(pending) or 1
-    rounds = [pending[i : i + round_size] for i in range(0, len(pending), round_size)]
+    if pending:
+        cap = cfg.shards_per_round
+        if cap == "auto":
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            cap = max(64, 4 * cpus)
+        n_rounds = 1 if not cap else -(-len(pending) // cap)
+        round_size = -(-len(pending) // n_rounds)  # equalized rounds
+        rounds = [
+            pending[i : i + round_size] for i in range(0, len(pending), round_size)
+        ]
+    else:
+        rounds = []
 
-    for round_files in rounds:
+    for round_idx, round_files in enumerate(rounds):
         t0 = time.time()
         metrics = MetricsActor.remote()
         pages = build_pages_dataset(round_files)
@@ -182,22 +248,30 @@ def run_extract_job(
         snap = ray.get(metrics.snapshot.remote())
         per_shard = snap["per_shard"]
         for path in round_files:
-            shard_id = os.path.basename(path)
-            stats = per_shard.get(
-                shard_id, {"docs": 0, "errors": 0, "pages": 0, "bytes_in": 0}
-            )
+            shard_id = shard_id_for_path(path)
+            soft = per_shard.get(shard_id, {"pages": 0, "bytes_in": 0})
+            durable = _shard_output_stats(docs_dir, shard_id) or {
+                "rows": 0,
+                "docs": 0,
+                "errors": 0,
+            }
             store.record(
                 {
                     "shard_id": shard_id,
                     "input_file": path,
                     "row_start": 0,
-                    "row_end": stats["docs"] + stats["errors"],
+                    "row_end": durable["rows"],
+                    "docs": durable["docs"],
+                    "errors": durable["errors"],
+                    "pages": soft.get("pages", 0),
+                    "bytes_in": soft.get("bytes_in", 0),
                     "extractor_version": EXTRACTOR_VERSION,
                     "secs": secs / max(len(round_files), 1),
-                    **stats,
                 }
             )
         ray.kill(metrics)
+        if _after_round is not None:
+            _after_round(round_idx)
 
     totals = store.totals()
     totals["skipped_shards"] = skipped

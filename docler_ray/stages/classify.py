@@ -10,12 +10,12 @@ bucketing) and ``shard_id`` (input-file lineage for checkpoint manifests).
 
 from __future__ import annotations
 
-import os
 import zlib
 
 import pyarrow as pa
 
 from docler_ray.mime_types import sniff_mime
+from docler_ray.state.manifest import shard_id_for_path
 
 DEFAULT_NUM_BUCKETS = 64
 
@@ -29,7 +29,11 @@ def classify_batch(batch: pa.Table, *, num_buckets: int = DEFAULT_NUM_BUCKETS) -
     out = batch.append_column("mime_type", pa.array(mimes, type=pa.string()))
     out = out.append_column("url_hash", pa.array(hashes, type=pa.int32()))
     if "path" in batch.column_names and "shard_id" not in batch.column_names:
-        shard = [os.path.basename(p) for p in batch.column("path").to_pylist()]
+        memo: dict[str, str] = {}
+        shard = [
+            memo.get(p) or memo.setdefault(p, shard_id_for_path(p))
+            for p in batch.column("path").to_pylist()
+        ]
         out = out.append_column("shard_id", pa.array(shard, type=pa.string()))
         out = out.drop_columns(["path"])
     return out

@@ -20,6 +20,21 @@ from __future__ import annotations
 import json
 import os
 import time
+import zlib
+
+
+def shard_id_for_path(path: str) -> str:
+    """Deterministic shard identity for an input file.
+
+    basename alone collides when two input directories carry same-named
+    shards (the resume filter would silently skip one and both would write
+    into the same hive partition), so the id folds in a crc32 of the
+    absolute path. Everything that names a shard — the classify stage's
+    lineage column, the resume filter, incomplete-output cleanup, manifest
+    rows — derives the id through this one function.
+    """
+    ap = os.path.abspath(path)
+    return f"{os.path.basename(path)}-{zlib.crc32(ap.encode('utf-8')) & 0xFFFFFFFF:08x}"
 
 
 class ManifestStore:
@@ -82,4 +97,4 @@ class ManifestStore:
 def filter_pending(input_files: list[str], store: ManifestStore) -> list[str]:
     """Input files whose shard has no manifest entry yet (resume filter)."""
     done = store.completed_shards()
-    return [p for p in input_files if os.path.basename(p) not in done]
+    return [p for p in input_files if shard_id_for_path(p) not in done]

@@ -140,3 +140,72 @@ def test_boost4_content_hashes_pinned():
         if got != expected[url]:
             mismatches.append(url)
     assert not mismatches, mismatches[:5]
+
+
+def test_crash_mid_job_resumes_incomplete_rounds_only(ray_session, golden, tmp_path):
+    """Kill the job after its first checkpoint round: resume must redo ONLY
+    the shards with no manifest, leave completed shard outputs untouched
+    (mtime-stable), and converge to the exact golden output."""
+    import pyarrow.dataset as pds
+
+    from docler_ray.pipelines.extract_pipeline import PipelineConfig, run_extract_job
+    from docler_ray.state.manifest import shard_id_for_path
+
+    # re-shard the committed corpus into 6 small input files -> 3 rounds of 2
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    all_rows = pq.read_table(PAGES_FILES[0]).to_pylist() + pq.read_table(
+        PAGES_FILES[1]
+    ).to_pylist()
+    files = []
+    for i in range(0, len(all_rows), 50):
+        import pyarrow as pa
+
+        path = str(shard_dir / f"part-{i // 50:03d}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(all_rows[i : i + 50], schema=pq.read_table(PAGES_FILES[0]).schema),
+            path,
+        )
+        files.append(path)
+    assert len(files) == 6
+
+    out_dir = str(tmp_path / "out")
+    cfg = PipelineConfig(
+        extract_batch_size=32, extract_concurrency=(1, 2), shards_per_round=2
+    )
+
+    class Crash(RuntimeError):
+        pass
+
+    def crash_after_first(round_idx: int) -> None:
+        if round_idx == 0:
+            raise Crash
+
+    with pytest.raises(Crash):
+        run_extract_job(files, out_dir, cfg, _after_round=crash_after_first)
+
+    manifests = os.listdir(os.path.join(out_dir, "manifests"))
+    assert len(manifests) == 2  # exactly the first round landed
+
+    done_ids = {shard_id_for_path(p) for p in files[:2]}
+    docs_dir = os.path.join(out_dir, "docs")
+    mtimes_before = {}
+    for sid in done_ids:
+        d = os.path.join(docs_dir, f"shard_id={sid}")
+        for name in os.listdir(d):
+            mtimes_before[f"{sid}/{name}"] = os.path.getmtime(os.path.join(d, name))
+
+    totals = run_extract_job(files, out_dir, cfg)
+    assert totals["skipped_shards"] == 2  # round 1 not redone
+    assert totals["shards"] == 6
+
+    for key, before in mtimes_before.items():
+        sid, name = key.split("/")
+        after = os.path.getmtime(os.path.join(docs_dir, f"shard_id={sid}", name))
+        assert after == before, f"completed shard output {key} was rewritten"
+
+    result = pds.dataset(docs_dir, partitioning="hive").to_table(
+        columns=["url", "content"]
+    )
+    assert result.num_rows == len(golden)
+    assert all(r["content"] == golden[r["url"]]["content"] for r in result.to_pylist())

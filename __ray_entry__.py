@@ -351,6 +351,46 @@ def _q_text_analysis(sf_dir: str):
     return out.drop_columns(["text"])
 
 
+# doc_id % 8 -> deterministic payload kind for the MIME-sniff query; the
+# oracle inlines the same mapping so the two cannot drift
+_MIME_KINDS = [
+    (b"<!DOCTYPE html><html><body><p>x</p></body></html>", "text/html"),
+    (b"plain text content for the sniffer", "text/plain"),
+    (b"%PDF-1.7 fake body", "application/pdf"),
+    (b"PDFISH01 fake body", "application/x-pdfish"),
+    (b"\x89PNG\r\n\x1a\n fake body", "image/png"),
+    (b"PK\x03\x04 fake body", "application/zip"),
+    (b'{"k": 1, "v": "json payload"}', "application/json"),
+    (b'<?xml version="1.0"?><root/>', "application/xml"),
+]
+
+
+def _q_mime_dispatch_counts(sf_dir: str):
+    """MIME-universe sniffing over a deterministically mixed corpus: each
+    documents row becomes one of 8 payload kinds (html/text/pdf/pdfish/png/
+    zip/json/xml) by doc_id %% 8; the query counts classify_batch's sniffed
+    mime_type per kind — the dispatch-breadth gate of mime_types.py."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.mime_types import sniff_mime
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def classify_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        mimes = [sniff_mime(_MIME_KINDS[d % 8][0]) for d in ids]
+        t = pa.table({"mime_type": pa.array(mimes, pa.string())})
+        counts = t.group_by("mime_type").aggregate([("mime_type", "count")])
+        return counts.rename_columns(["mime_type", "partial_n"])
+
+    return (
+        ds.map_batches(classify_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("mime_type")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+
 def _q_text_metrics(sf_dir: str):
     """SQL-mirrorable slice of the text-analysis stage: exact counts and
     IEEE-identical ratios per document (the oracle-backed member of the
@@ -754,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_band_counts": _q_orders_price_band_counts,
         "text_metrics": _q_text_metrics,
         "extract_docs_summary": _q_extract_docs_summary,
+        "mime_dispatch_counts": _q_mime_dispatch_counts,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -860,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_price_band_counts": _price_bands_sql(),
         "text_metrics": _text_metrics_sql(),
+        "mime_dispatch_counts": _mime_counts_sql(),
         "extract_docs_summary": _DOCS_SUMMARY_SQL,
         "extract_docs_grouped_by_lang": _DOCS_SUMMARY_SQL,
         "simhash_fingerprints": _simhash_sql(),
@@ -891,6 +933,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(NULL AS INTEGER) AS height FROM documents WHERE doc_id % 5 = 0"
         ),
     }
+
+
+def _mime_counts_sql() -> str:
+    """Oracle for mime_dispatch_counts; kind->mime mapping inlined from the
+    SAME _MIME_KINDS list the Ray query uses."""
+    whens = " ".join(
+        f"WHEN doc_id % 8 = {k} THEN '{mime}'"
+        for k, (_payload, mime) in enumerate(_MIME_KINDS)
+    )
+    return (
+        f"SELECT CASE {whens} END AS mime_type, COUNT(*) AS n "
+        "FROM documents GROUP BY 1"
+    )
 
 
 def _text_metrics_sql() -> str:

@@ -71,6 +71,75 @@ _CHUNKER_TYPES = {
 }
 
 
+# --- extractor configs (discriminated union, reference parity) ---------------
+#
+# Mirrors the reference's per-provider config surface: a ``type``
+# discriminator selecting the provider, a shared ``page_range`` base field
+# (converter_configs.py:96-99), provider-specific knobs (pdf_password), and
+# strict unknown-field rejection (provider.py:17-22) with
+# from_dict/to_dict round-trip (provider.py:53-60).
+
+
+@dataclass
+class HtmlExtractorConfig:
+    """html_extract knobs. ``page_range`` is accepted for interface parity
+    (HTML pages are single-page; it is ignored); ``extract_images`` drops
+    the images column payload when False."""
+
+    type: str = "html_extract"
+    page_range: str | None = None
+    extract_images: bool = True
+
+
+@dataclass
+class PdfishExtractorConfig:
+    """pdf_extract knobs: decryption password + 1-based page-range string
+    ("1-5,7"), the reference's convert_content surface
+    (base.py:118-225, pdf_utils.py:22-87)."""
+
+    type: str = "pdf_extract"
+    pdf_password: str | None = None
+    page_range: str | None = None
+
+
+@dataclass
+class TextPassthroughConfig:
+    type: str = "text_passthrough"
+
+
+ExtractorConfig = HtmlExtractorConfig | PdfishExtractorConfig | TextPassthroughConfig
+
+_EXTRACTOR_CONFIG_TYPES: dict[str, type] = {
+    "html_extract": HtmlExtractorConfig,
+    "pdf_extract": PdfishExtractorConfig,
+    "text_passthrough": TextPassthroughConfig,
+}
+
+
+def extractor_config_from_dict(data: dict) -> ExtractorConfig:
+    kind = data.get("type")
+    cls = _EXTRACTOR_CONFIG_TYPES.get(kind)
+    if cls is None:
+        msg = (
+            f"Unknown extractor type {kind!r}; one of "
+            f"{sorted(_EXTRACTOR_CONFIG_TYPES)}"
+        )
+        raise ValueError(msg)
+    return cls(**_strict_kwargs(cls, data, f"extractor[{kind}]"))
+
+
+def extractor_options_dict(configs: list[ExtractorConfig]) -> dict[str, dict]:
+    """Config chain -> the per-extractor options mapping ExtractDocs
+    consumes: {extractor_name: {knob: value}} (the get_provider() analog —
+    options land in the right extractor's fn, nothing else's)."""
+    out: dict[str, dict] = {}
+    for cfg in configs:
+        d = asdict(cfg)
+        name = d.pop("type")
+        out[name] = {k: v for k, v in d.items() if v is not None}
+    return out
+
+
 def chunker_config_from_dict(data: dict) -> MarkdownChunkerConfig | TokenChunkerConfig:
     kind = data.get("type")
     cls = _CHUNKER_TYPES.get(kind)
@@ -103,13 +172,14 @@ class JobConfig:
     pipeline knobs. Round-trips through ``to_dict``/``from_dict``."""
 
     extractors: dict[str, str] | None = None
+    extractor_options: list[ExtractorConfig] | None = None
     chunker: MarkdownChunkerConfig | TokenChunkerConfig | None = None
     pipeline: PipelineConfig | None = None
 
     @classmethod
     def from_dict(cls, data: dict[str, Any]) -> "JobConfig":
         data = dict(data)
-        unknown = set(data) - {"extractors", "chunker", "pipeline"}
+        unknown = set(data) - {"extractors", "extractor_options", "chunker", "pipeline"}
         if unknown:
             msg = f"Unknown job config section(s): {sorted(unknown)}"
             raise ValueError(msg)
@@ -122,6 +192,11 @@ class JobConfig:
                         f"extractor; known: {sorted(EXTRACTORS)}"
                     )
                     raise ValueError(msg)
+        extractor_options = data.get("extractor_options")
+        if extractor_options is not None:
+            extractor_options = [
+                extractor_config_from_dict(dict(d)) for d in extractor_options
+            ]
         chunker = data.get("chunker")
         if chunker is not None:
             chunker = chunker_config_from_dict(chunker)
@@ -130,7 +205,12 @@ class JobConfig:
             pipeline = PipelineConfig(
                 **_strict_kwargs(PipelineConfig, dict(pipeline), "pipeline")
             )
-        return cls(extractors=extractors, chunker=chunker, pipeline=pipeline)
+        return cls(
+            extractors=extractors,
+            extractor_options=extractor_options,
+            chunker=chunker,
+            pipeline=pipeline,
+        )
 
     @classmethod
     def from_json(cls, path: str) -> "JobConfig":
@@ -141,6 +221,8 @@ class JobConfig:
         out: dict[str, Any] = {}
         if self.extractors is not None:
             out["extractors"] = dict(self.extractors)
+        if self.extractor_options is not None:
+            out["extractor_options"] = [asdict(c) for c in self.extractor_options]
         if self.chunker is not None:
             out["chunker"] = asdict(self.chunker)
         if self.pipeline is not None:
@@ -148,10 +230,15 @@ class JobConfig:
         return out
 
     def build_pipeline_config(self) -> PipelineConfig:
-        """Merge the dispatch preferences into the pipeline knobs."""
+        """Merge the dispatch preferences + extractor option chain into the
+        pipeline knobs."""
         cfg = self.pipeline or PipelineConfig()
         if self.extractors:
             merged = dict(cfg.preferences or {})
             merged.update(self.extractors)
             cfg.preferences = merged
+        if self.extractor_options:
+            merged_opts = dict(cfg.extract_options or {})
+            merged_opts.update(extractor_options_dict(self.extractor_options))
+            cfg.extract_options = merged_opts
         return cfg

@@ -21,6 +21,8 @@ from docler_ray.mime_types import (
     MARKDOWN_MIME,
     PDFISH_MIME,
     TEXT_MIME,
+    TEXTY_MIME_TYPES,
+    XML_MIME,
 )
 from docler_ray.pdfish.extract import extract_pdfish
 
@@ -30,7 +32,10 @@ ExtractorFn = Callable[[bytes, str, dict], ExtractionResult]
 
 def _html_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
     html = payload.decode("utf-8", errors="replace")
-    return extract_html(html)
+    result = extract_html(html)
+    if not options.get("extract_images", True):
+        result.images = []
+    return result
 
 
 def _pdfish_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
@@ -53,12 +58,17 @@ EXTRACTORS: dict[str, ExtractorFn] = {
 }
 
 # Default MIME -> extractor-name preference (overridable per pipeline config,
-# the analog of registry.set_preference, registry.py:119-132).
+# the analog of registry.set_preference, registry.py:119-132). Every
+# text-like member of the MIME universe routes to text_passthrough so the
+# long tail of a real corpus (csv/rst/org/tex/json...) degrades to readable
+# text instead of error rows; binary families stay unmapped -> per-row error.
 DEFAULT_PREFERENCES: dict[str, str] = {
     HTML_MIME: "html_extract",
     PDFISH_MIME: "pdf_extract",
     TEXT_MIME: "text_passthrough",
     MARKDOWN_MIME: "text_passthrough",
+    XML_MIME: "text_passthrough",
+    **{m: "text_passthrough" for m in sorted(TEXTY_MIME_TYPES)},
 }
 
 

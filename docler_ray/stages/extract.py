@@ -41,6 +41,22 @@ class ExtractDocs:
     ) -> None:
         self.dispatch = build_dispatch(preferences)
         self.options = options or {}
+        # options may be flat ({"pdf_password": ...}, applies to every
+        # extractor) or keyed per extractor name ({"pdf_extract": {...}},
+        # the ExtractorConfig-chain form) — resolve once per actor.
+        from docler_ray.stages.dispatch import EXTRACTORS
+
+        flat = {
+            k: v
+            for k, v in self.options.items()
+            if not (k in EXTRACTORS and isinstance(v, dict))
+        }
+        self._options_by_name = {
+            name: {**flat, **self.options.get(name, {})} for name in EXTRACTORS
+        }
+
+    def options_for(self, name: str) -> dict:
+        return self._options_by_name.get(name, self.options)
 
     def extract_row(
         self, mime: str, payload: bytes, text: str, lang: str = ""
@@ -60,13 +76,13 @@ class ExtractDocs:
                 return None, f"Unsupported MIME type {mime}. Must be one of: {supported}", ""
             name, fn = entry
             try:
-                result = fn(b"", text, self.options)
+                result = fn(b"", text, self.options_for(name))
             except Exception as e:  # noqa: BLE001 - per-row capture by design
                 return None, f"{type(e).__name__}: {e}", name
             return result.__dict__, None, name
         name, fn = entry
         try:
-            result = fn(payload or b"", text or "", self.options)
+            result = fn(payload or b"", text or "", self.options_for(name))
         except Exception as e:  # noqa: BLE001 - per-row capture by design
             return None, f"{type(e).__name__}: {e}", name
         return result.__dict__, None, name

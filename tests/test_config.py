@@ -72,3 +72,95 @@ def test_get_chunker_returns_callable():
     )
     out = fn(batch)
     assert out.num_rows >= 2  # 1500+ chars at max 500 -> several chunks
+
+
+def test_extractor_config_round_trip():
+    """Reference-parity round trip for the extractor config union
+    (converter_configs.py:461-475, provider.py:53-60): pdf_password,
+    page_range and the html scoring/image knob survive dict round-trips
+    and land in the right extractor's options."""
+    from docler_ray.config import JobConfig
+
+    doc = {
+        "extractors": {"application/x-pdfish": "pdf_extract"},
+        "extractor_options": [
+            {"type": "pdf_extract", "pdf_password": "s3cret", "page_range": "1-2"},
+            {"type": "html_extract", "extract_images": False},
+        ],
+        "chunker": {"type": "markdown", "max_chunk_size": 900, "chunk_overlap": 30},
+    }
+    cfg = JobConfig.from_dict(doc)
+    assert cfg.to_dict()["extractor_options"] == [
+        {"type": "pdf_extract", "pdf_password": "s3cret", "page_range": "1-2"},
+        {"type": "html_extract", "page_range": None, "extract_images": False},
+    ]
+    pcfg = cfg.build_pipeline_config()
+    assert pcfg.extract_options["pdf_extract"] == {
+        "pdf_password": "s3cret",
+        "page_range": "1-2",
+    }
+    assert pcfg.extract_options["html_extract"] == {"extract_images": False}
+
+
+def test_extractor_config_rejects_unknown():
+    import pytest
+
+    from docler_ray.config import extractor_config_from_dict
+
+    with pytest.raises(ValueError):
+        extractor_config_from_dict({"type": "pdf_extract", "nope": 1})
+    with pytest.raises(ValueError):
+        extractor_config_from_dict({"type": "mystery"})
+
+
+def test_extract_options_chain_applies_per_extractor():
+    """An encrypted pdfish payload decrypts via the chain's pdf_password;
+    the html extractor's extract_images=False drops image rows — each knob
+    reaches only its own extractor."""
+    import pyarrow as pa
+
+    from docler_ray.config import JobConfig
+    from docler_ray.pdfish.format import (
+        PdfishDocument,
+        PdfishPage,
+        Span,
+        encode_pdfish,
+        encrypt_pdfish,
+    )
+    from docler_ray.stages.extract import ExtractDocs
+
+    page = PdfishPage(
+        width=612.0,
+        height=792.0,
+        spans=[Span(x=72, y=80, w=200, h=14, font_size=12.0, text="secret body")],
+    )
+    payload = encrypt_pdfish(
+        encode_pdfish(PdfishDocument(pages=[page], title="T", author="A")), "pw"
+    )
+    html = (
+        b"<html><head><title>H</title></head><body><article><p>"
+        + b"words here " * 50
+        + b'</p><img src="/x.png" alt="pic"></article></body></html>'
+    )
+    cfg = JobConfig.from_dict(
+        {
+            "extractor_options": [
+                {"type": "pdf_extract", "pdf_password": "pw"},
+                {"type": "html_extract", "extract_images": False},
+            ]
+        }
+    ).build_pipeline_config()
+    ex = ExtractDocs(options=cfg.extract_options)
+    batch = pa.table(
+        {
+            "url": ["u1", "u2"],
+            "html": [payload, html],
+            "text": ["", ""],
+            "lang": ["en", "en"],
+            "mime_type": ["application/x-pdfish", "text/html"],
+        }
+    )
+    out = ex(batch)
+    rows = out.to_pylist()
+    assert rows[0]["error"] is None and "secret body" in rows[0]["content"]
+    assert rows[1]["error"] is None and rows[1]["images"] == []

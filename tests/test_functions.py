@@ -97,3 +97,73 @@ def test_mime_from_extension():
     assert mime_from_extension("page.html") == HTML_MIME
     assert mime_from_extension("doc.pdfish") == PDFISH_MIME
     assert mime_from_extension("noext") is None
+
+
+def test_sniff_mime_binary_magics():
+    from docler_ray.mime_types import sniff_mime
+
+    assert sniff_mime(b"\x89PNG\r\n\x1a\nrest") == "image/png"
+    assert sniff_mime(b"\xff\xd8\xff\xe0rest") == "image/jpeg"
+    assert sniff_mime(b"GIF89a.....") == "image/gif"
+    assert sniff_mime(b"II*\x00rest") == "image/tiff"
+    assert sniff_mime(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "audio/wav"
+    assert sniff_mime(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "image/webp"
+    assert sniff_mime(b"PK\x03\x04rest") == "application/zip"
+    assert sniff_mime(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1x") == "application/x-ole-storage"
+    assert sniff_mime(b"ID3\x04\x00mp3 frames") == "audio/mpeg"
+    assert sniff_mime(b"OggS\x00vorbis") == "audio/ogg"
+    assert sniff_mime(b"\x00\x00\x00\x18ftypmp42....") == "video/mp4"
+    assert sniff_mime(b'<?xml version="1.0"?><a/>') == "application/xml"
+    assert sniff_mime(b'{"json": true}') == "application/json"
+
+
+def test_check_mime_reference_contract():
+    """Transliteration of the reference's check_mime semantics
+    (/root/reference/src/docler/utils.py:49-77): bare extensions work,
+    unknown types optionally raise, allow-list violations always raise."""
+    import pytest
+
+    from docler_ray.mime_types import SUPPORTED_MIME_TYPES, check_mime
+
+    assert check_mime(".pdf") == "application/pdf"
+    assert check_mime("report.docx") == (
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+    )
+    assert check_mime("notes.weirdext") is None
+    with pytest.raises(ValueError):
+        check_mime("notes.weirdext", raise_if_none_found=True)
+    with pytest.raises(ValueError):
+        check_mime(".png", allowed_mime_types={"text/html"})
+    # undetermined + allow-list also raises (reference parity)
+    with pytest.raises(ValueError):
+        check_mime("x.weirdext", allowed_mime_types={"text/html"})
+    assert check_mime(".html", allowed_mime_types=SUPPORTED_MIME_TYPES) == "text/html"
+
+
+def test_texty_mimes_route_to_passthrough():
+    from docler_ray.stages.dispatch import build_dispatch, lookup
+
+    table = build_dispatch()
+    for mime in ("text/csv", "text/x-rst", "application/json", "application/x-latex"):
+        entry = lookup(table, mime, "en")
+        assert entry is not None and entry[0] == "text_passthrough", mime
+    # binary families have no default route -> error rows downstream
+    assert lookup(table, "image/png", "en") is None
+    assert lookup(table, "application/zip", "en") is None
+
+
+def test_extension_map_covers_reference_breadth():
+    """The extension map must cover at least the reference's local-format
+    set (mime_types.py:124-166) — office, image, text, document types."""
+    from docler_ray.mime_types import EXT_TO_MIME
+
+    required = [
+        ".txt", ".md", ".pdf", ".html", ".htm", ".xlsx", ".xls", ".xlsm",
+        ".xlsb", ".xlam", ".xla", ".ods", ".pptx", ".bmp", ".gif", ".jpg",
+        ".jpeg", ".png", ".tiff", ".tif", ".webp", ".jp2", ".jpx", ".jpm",
+        ".mj2", ".pnm", ".pbm", ".pgm", ".ppm", ".csv", ".tsv", ".rst",
+        ".org", ".epub", ".rtf", ".odt", ".docx", ".doc", ".bib", ".ipynb",
+        ".tex",
+    ]
+    missing = [e for e in required if e not in EXT_TO_MIME]
+    assert not missing, missing

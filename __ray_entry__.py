@@ -209,23 +209,27 @@ def _q_orders_by_mktsegment(sf_dir: str):
 
 def _q_events_last_order_asof(sf_dir: str):
     """As-of join: each event gets the user's most recent order at or before
-    the event time (right side deduped to one row per (custkey, orderdate)
-    for deterministic ties, then broadcast merge_asof per batch)."""
-    import pyarrow.parquet as pq
+    the event time. The right side is REDUCED DISTRIBUTEDLY first (Ray
+    groupby max over (custkey, orderdate) — orders is a fact table, so the
+    raw table must never land on the driver); only the reduced per-key-date
+    maxima are collected and broadcast for the per-batch merge_asof."""
     import ray.data
+    from ray.data.aggregate import Max
 
     from docler_ray.stages.joins import broadcast_asof_join
 
-    odf = pq.read_table(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_orderdate", "o_orderkey"],
-    ).to_pandas()
-    odf = (
-        odf.groupby(["o_custkey", "o_orderdate"], sort=False)["o_orderkey"]
-        .max()
-        .reset_index()
-        .rename(columns={"o_custkey": "user_id"})
+    reduced = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_orderkey"],
+        )
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
     )
+    odf = reduced.to_pandas().rename(columns={"o_custkey": "user_id"})
+    # the groupby round-trip lands datetime64[s]; events ts is [us] and
+    # merge_asof requires matching key dtypes
+    odf["o_orderdate"] = odf["o_orderdate"].astype("datetime64[us]")
     right = pa.Table.from_pandas(odf, preserve_index=False)
 
     events = ray.data.read_parquet(
@@ -389,6 +393,86 @@ def _q_mime_dispatch_counts(sf_dir: str):
         .groupby("mime_type")
         .aggregate(Sum("partial_n", alias_name="n"))
     )
+
+
+def _q_pdf_page_metadata(sf_dir: str):
+    """PageMetadata struct probe (reference models.py:69-84 analog) over a
+    deterministic pdfish corpus: each documents row becomes a pdfish payload
+    with 1 + doc_id%3 pages (612x792), title 'Doc {id}', author 'synth';
+    every 7th is password-encrypted, so the probe reports is_encrypted with
+    page_count=0 for it — all columns SQL-predictable."""
+    import ray.data
+
+    from docler_ray.pdfish.format import (
+        PdfishDocument,
+        PdfishPage,
+        Span,
+        encode_pdfish,
+        encrypt_pdfish,
+    )
+    from docler_ray.stages.pdf_meta import PageMetadataProber
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_pdfish(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            pages = [
+                PdfishPage(
+                    width=612.0,
+                    height=792.0,
+                    spans=[
+                        Span(
+                            x=72.0,
+                            y=80.0 + 20.0 * p,
+                            w=200.0,
+                            h=14.0,
+                            font_size=12.0,
+                            text=f"content page {p} of doc {d}",
+                        )
+                    ],
+                )
+                for p in range(1 + d % 3)
+            ]
+            data = encode_pdfish(
+                PdfishDocument(pages=pages, title=f"Doc {d}", author="synth")
+            )
+            if d % 7 == 0:
+                data = encrypt_pdfish(data, "locked")
+            payloads.append(data)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "html": pa.array(payloads, pa.binary())}
+        )
+
+    probed = ds.map_batches(
+        to_pdfish, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        PageMetadataProber,
+        fn_constructor_kwargs={"payload_col": "html", "key_col": "doc_id"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        batch_size=256,
+        zero_copy_batch=True,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "page_count": batch.column("page_count").cast(pa.int64()),
+                "is_encrypted": batch.column("is_encrypted"),
+                "title": batch.column("title"),
+                "author": batch.column("author"),
+                "n_dims": pc.list_value_length(
+                    batch.column("page_dimensions")
+                ).cast(pa.int64()),
+            }
+        )
+
+    return probed.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_text_metrics(sf_dir: str):
@@ -724,10 +808,19 @@ def _q_knn_ivf_top5(sf_dir: str):
     from docler_ray.stages.similarity import IVFIndex
 
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    order = np.argsort(qt.column("vec_id").to_numpy())[:3]
-    q_ids = qt.column("vec_id").to_numpy()[order]
-    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)[order]
-    sample = np.array(qt.column("embedding").to_pylist()[:256], dtype=np.float64)
+    vec_ids = qt.column("vec_id").to_numpy()
+    order = np.argsort(vec_ids)[:3]
+    q_ids = vec_ids[order]
+    all_emb = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    queries = all_emb[order]
+    # scattered deterministic centroid sample: order ids by the sample-hash
+    # mix and take 256 — unbiased vs the old file-head slice, which
+    # over-represented whatever cluster was written first (round-1 VERDICT
+    # item 10)
+    from docler_ray.stages.stats import _SAMPLE_MOD, _SAMPLE_MULT
+
+    mixed = (vec_ids.astype(np.int64) % _SAMPLE_MOD) * _SAMPLE_MULT
+    sample = all_emb[np.argsort(mixed, kind="stable")[:256]]
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     index = IVFIndex(n_centroids=16, seed=7).fit(sample)
@@ -795,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_metrics": _q_text_metrics,
         "extract_docs_summary": _q_extract_docs_summary,
         "mime_dispatch_counts": _q_mime_dispatch_counts,
+        "pdf_page_metadata": _q_pdf_page_metadata,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -895,13 +989,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) "
             "AS q50_n_chars FROM documents GROUP BY lang"
         ),
+        # same arithmetic as stats.sample_hash_bucket (multiply then HIGH
+        # bits then % 100 — decorrelated from id residues)
         "sample_docs_pct10": (
             "SELECT doc_id FROM documents "
-            "WHERE ((doc_id % 1000003) * 2654435761) % 100 < 10"
+            "WHERE ((doc_id % 1000003) * 2654435761) // 1048576 % 100 < 10"
         ),
         "orders_price_band_counts": _price_bands_sql(),
         "text_metrics": _text_metrics_sql(),
         "mime_dispatch_counts": _mime_counts_sql(),
+        "pdf_page_metadata": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 + doc_id % 3 END AS BIGINT) "
+            "AS page_count, "
+            "doc_id % 7 = 0 AS is_encrypted, "
+            "CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'Doc ' || CAST(doc_id AS VARCHAR) "
+            "END AS title, "
+            "CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'synth' END AS author, "
+            "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 + doc_id % 3 END AS BIGINT) "
+            "AS n_dims FROM documents"
+        ),
         "extract_docs_summary": _DOCS_SUMMARY_SQL,
         "extract_docs_grouped_by_lang": _DOCS_SUMMARY_SQL,
         "simhash_fingerprints": _simhash_sql(),

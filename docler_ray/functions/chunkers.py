@@ -129,6 +129,14 @@ def chunk_markdown(
     return chunks
 
 
+def _trailing_ws(s: str) -> str:
+    """The trailing whitespace run of ``s`` (possibly empty or all of it)."""
+    i = len(s)
+    while i > 0 and s[i - 1].isspace():
+        i -= 1
+    return s[i:]
+
+
 def chunk_by_tokens(
     content: str,
     images: list[dict] | None = None,
@@ -152,12 +160,27 @@ def chunk_by_tokens(
         end_idx = min(start_idx + 100, len(lines))
         current_chunk = "\n".join(lines[start_idx:end_idx])
         token_count = count_tokens(current_chunk)
+        # Incremental growth: appending "\n"+line changes the count only at
+        # the join boundary, and regex matches can span that boundary only
+        # through the trailing WHITESPACE RUN of the chunk (the BPE-ish
+        # pattern's ` ?X` forms consume a literal space, never "\n", and
+        # letter/digit/punct runs stop at whitespace) — so
+        # delta = count(tail_ws + "\n" + line) - count(tail_ws) is exact.
+        # This makes the grow loop linear instead of re-tokenizing the whole
+        # chunk per appended line (O(n^2) on long documents —
+        # round-1 VERDICT finding 6); an A/B test pins equality with the
+        # naive recompute.
+        tail_ws = _trailing_ws(current_chunk)
         while end_idx < len(lines) and token_count < max_tokens_per_chunk - count_tokens(
             lines[end_idx]
         ):
+            line = lines[end_idx]
+            joined = tail_ws + "\n" + line
+            token_count += count_tokens(joined) - count_tokens(tail_ws)
+            line_tail = _trailing_ws(line)
+            tail_ws = joined if line_tail == line else line_tail
             end_idx += 1
-            current_chunk = "\n".join(lines[start_idx:end_idx])
-            token_count = count_tokens(current_chunk)
+        current_chunk = "\n".join(lines[start_idx:end_idx])
 
         chunk_images = [
             img for img in images if img.get("filename") and img["filename"] in current_chunk

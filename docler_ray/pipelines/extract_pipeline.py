@@ -120,15 +120,20 @@ def extract_dataset(pages: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Da
 def extract_grouped_by_lang(
     pages: ray.data.Dataset, cfg: PipelineConfig
 ) -> ray.data.Dataset:
-    """Per-language dispatch via ``groupby("lang").map_groups`` — the
-    shuffle route (north-star dispatch axis; SURVEY.md §4.2).
+    """Per-language dispatch via grouped ``map_groups`` — the shuffle route
+    (north-star dispatch axis; SURVEY.md §4.2).
+
+    The grouping key is the COMPOSITE (lang, url_hash): a bare 5-value
+    ``lang`` key would materialize ~40% of a real corpus in one task
+    (round-1 VERDICT finding 3); compositing with the url-hash bucket keeps
+    every group at ~corpus/(5 x num_buckets) rows while still co-locating
+    rows of one language within each group — per-language state still
+    initializes once per group, and the output rows are identical to the
+    bare-lang route (extraction is per-row).
 
     The default ``extract_dataset`` dispatches per-row inside one actor pool
     (zero shuffle) because this engine's per-language state is a lookup
-    table. This variant co-locates each language's rows first, so a chain
-    whose per-language state is expensive (per-lang models, tokenizers)
-    initializes it once per group instead of once per language per actor.
-    Prefer the default unless that state dominates.
+    table. Prefer the default unless per-language state dominates.
     """
     from docler_ray.stages.extract import ExtractDocs
 
@@ -145,7 +150,9 @@ def extract_grouped_by_lang(
         extractor = ExtractDocs(preferences=preferences, options=options)
         return extractor(group)
 
-    return ds.groupby("lang").map_groups(extract_group, batch_format="pyarrow")
+    return ds.groupby(["lang", "url_hash"]).map_groups(
+        extract_group, batch_format="pyarrow"
+    )
 
 
 def _clean_incomplete_outputs(docs_dir: str, pending_files: list[str]) -> None:

@@ -65,12 +65,21 @@ def grouped_discrete_quantile(
 
 _SAMPLE_MOD = 1_000_003  # prime fold keeping the product in int64 range
 _SAMPLE_MULT = 2_654_435_761  # Knuth multiplicative constant
+_SAMPLE_SHIFT_DIV = 1 << 20  # take HIGH bits of the product before % 100
 
 
 def sample_hash_bucket(ids: np.ndarray) -> np.ndarray:
     """Deterministic 0-99 bucket per integer id — pure arithmetic, so the
-    EXACT same expression is writable in SQL (no library hash involved)."""
-    return ((ids.astype(np.int64) % _SAMPLE_MOD) * _SAMPLE_MULT) % 100
+    EXACT same expression is writable in SQL (no library hash involved):
+    ``((id % 1000003) * 2654435761) // 1048576 % 100``.
+
+    The multiply-then-HIGH-BITS step matters: taking the product mod 100
+    directly would make the bucket a pure function of (id % 100) — a
+    residue-class sample, correlated with any periodic id-assignment
+    pattern. Extracting bits 20+ of the product mixes the multiplier's
+    avalanche into the bucket (round-1 ADVICE finding)."""
+    mixed = (ids.astype(np.int64) % _SAMPLE_MOD) * _SAMPLE_MULT
+    return (mixed // _SAMPLE_SHIFT_DIV) % 100
 
 
 def deterministic_sample(ds, *, id_col: str, pct: int):

@@ -59,17 +59,28 @@ def sessionize(ds, key_col: str, ts_col: str, *, gap_secs: int = 1800):
     """
 
     def add_coarse(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_numpy().astype(np.uint64)
-        return batch.append_column(
-            "coarse",
-            pa.array(((keys * np.uint64(1000003)) % _SESSION_COARSE).astype(np.int32)),
-        )
+        col = batch.column(key_col)
+        if pa.types.is_integer(col.type):
+            keys = col.to_numpy().astype(np.uint64)
+            coarse = ((keys * np.uint64(1000003)) % _SESSION_COARSE).astype(np.int32)
+        else:
+            # string / other keys: crc32 into the same coarse bucket space
+            import zlib
+
+            coarse = np.array(
+                [
+                    zlib.crc32(str(k).encode("utf-8")) % _SESSION_COARSE
+                    for k in col.to_pylist()
+                ],
+                dtype=np.int32,
+            )
+        return batch.append_column("coarse", pa.array(coarse))
 
     def assign_sessions(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame(
                 {
-                    key_col: pd.Series([], dtype="int64"),
+                    key_col: pd.Series([], dtype=df[key_col].dtype if key_col in df else "int64"),
                     "session_idx": pd.Series([], dtype="int64"),
                     "n_events": pd.Series([], dtype="int64"),
                     "session_start": pd.Series([], dtype="int64"),

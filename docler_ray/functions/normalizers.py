@@ -178,3 +178,31 @@ def add_chunk_boundaries(content: str, chunks: list[dict]) -> str:
                 )
                 out.extend(lines[start_idx : max(0, next_start - 1)])
     return "\n".join(out) if out else content
+
+
+def insert_page_breaks_by_anchor(
+    content: str, anchors: list[tuple[int, str]]
+) -> str:
+    """Upstage-style anchor-search page-break insertion
+    (/root/reference/src/docler/converters/upstage_provider/provider.py:156-193):
+    prepend the lstripped page-1 marker, then for each (page_num, anchor)
+    with page_num >= 2 in ascending page order, find the anchor text AFTER
+    the previous insertion point and insert a numbered marker (single
+    newline separators) directly before it. Anchors that cannot be found
+    (or are empty) are skipped, matching the reference's warn-and-continue.
+    """
+    from docler_ray.markers import create_page_break
+
+    first_marker = create_page_break(next_page=1, newline_separators=1).lstrip()
+    out = first_marker + content.lstrip()
+    offset = len(first_marker)
+    for page_num, anchor in sorted(anchors, key=lambda a: a[0]):
+        if page_num < 2 or not anchor:
+            continue
+        found = out.find(anchor, offset)
+        if found == -1:
+            continue
+        marker = create_page_break(next_page=page_num, newline_separators=1)
+        out = out[:found] + marker + out[found:]
+        offset = found + len(marker) + len(anchor)
+    return out

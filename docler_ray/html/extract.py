@@ -67,7 +67,10 @@ def _is_boilerplate(node: Node) -> bool:
     blob = f"{node.attr('class')} {node.attr('id')}"
     if blob.strip() and _BOILERPLATE_TOKEN_RE.search(blob):
         return True
-    return node.attr("hidden") != "" and "hidden" in node.attrs
+    # attribute PRESENCE means hidden: the standard boolean form
+    # ``<div hidden>`` normalizes to value "" (round-1 ADVICE finding — the
+    # old value-check kept such containers as content)
+    return "hidden" in node.attrs
 
 
 def prune_boilerplate(root: Node) -> None:

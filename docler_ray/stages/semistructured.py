@@ -14,21 +14,32 @@ import json
 import pyarrow as pa
 
 
-def json_field_counts(ds, *, col: str, field: str):
+_PLACEHOLDER = {int: 0, float: 0.0, str: "", bool: False}
+_ARROW_TYPE = {int: pa.int64(), float: pa.float64(), str: pa.string(), bool: pa.bool_()}
+
+
+def json_field_counts(ds, *, col: str, field: str, field_type: type = int):
     """Counts per distinct value of ``field`` inside the JSON column ``col``.
 
     Rows whose JSON is missing/invalid or lack the field count under null.
     Returns a Dataset with columns (<field>, n).
 
-    The field's non-null values must share one scalar type across the
-    dataset (ints, strings, ...); missing/invalid rows ride through the
-    shuffle under an ``is_null`` flag with a type-stable placeholder key
-    (Ray's sort-based groupby rejects null keys) and are re-nulled
-    afterwards.
+    ``field_type`` declares the field's scalar type (int/float/str/bool) —
+    it fixes BOTH the null-placeholder value and the Arrow column type, so
+    an all-null batch cannot emit a differently-typed block than its
+    siblings (per-batch type inference gave the groupby incompatible block
+    schemas — round-1 ADVICE finding). Missing/invalid rows ride through
+    the shuffle under an ``is_null`` flag (Ray's sort-based groupby rejects
+    null keys) and are re-nulled afterwards; values of a different type
+    than declared count as null.
     """
     from ray.data.aggregate import Sum
 
-    _PLACEHOLDER = {int: 0, float: 0.0, str: "", bool: False}
+    if field_type not in _PLACEHOLDER:
+        msg = f"field_type must be one of {sorted(_PLACEHOLDER, key=str)}"
+        raise ValueError(msg)
+    placeholder = _PLACEHOLDER[field_type]
+    arrow_type = _ARROW_TYPE[field_type]
 
     def partial(batch: pa.Table) -> pa.Table:
         counts: dict = {}
@@ -40,7 +51,9 @@ def json_field_counts(ds, *, col: str, field: str):
                     val = json.loads(blob).get(field)
                 except (ValueError, AttributeError):
                     val = None
-            if val is None:
+            if val is None or not isinstance(val, field_type) or (
+                field_type is not bool and isinstance(val, bool)
+            ):
                 null_n += 1
             else:
                 counts[val] = counts.get(val, 0) + 1
@@ -48,15 +61,12 @@ def json_field_counts(ds, *, col: str, field: str):
         ns = list(counts.values())
         flags = [False] * len(keys)
         if null_n:
-            # placeholder must be IDENTICAL across batches (a per-batch value
-            # would split the null group); type-stable constant, re-nulled below
-            ph = _PLACEHOLDER.get(type(keys[0]), 0) if keys else 0
-            keys.append(ph)
+            keys.append(placeholder)
             ns.append(null_n)
             flags.append(True)
         return pa.table(
             {
-                field: pa.array(keys),
+                field: pa.array(keys, type=arrow_type),
                 "is_null": pa.array(flags, type=pa.bool_()),
                 "partial_n": pa.array(ns, type=pa.int64()),
             }

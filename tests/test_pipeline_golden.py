@@ -209,3 +209,30 @@ def test_crash_mid_job_resumes_incomplete_rounds_only(ray_session, golden, tmp_p
     )
     assert result.num_rows == len(golden)
     assert all(r["content"] == golden[r["url"]]["content"] for r in result.to_pylist())
+
+
+def test_manifest_counts_match_durable_output(ray_session, tmp_path):
+    """Manifest docs/errors must equal the WRITTEN output's true counts
+    (round-1 ADVICE: the metrics actor can double-count on retry, and the
+    first stats implementation read the wrong parquet leaf for the nested
+    schema). The synthetic corpus plants encrypted pdfish rows, so
+    errors > 0 exercises the null-count path."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    from docler_ray.pipelines.extract_pipeline import PipelineConfig, run_extract_job
+    from docler_ray.sources.synth import write_pages_corpus
+
+    files = write_pages_corpus(str(tmp_path / "corpus"), 300, seed=7, rows_per_shard=100)
+    out_dir = str(tmp_path / "out")
+    totals = run_extract_job(
+        files, out_dir, PipelineConfig(extract_batch_size=32, extract_concurrency=(1, 2))
+    )
+    t = pds.dataset(os.path.join(out_dir, "docs"), partitioning="hive").to_table(
+        columns=["error"]
+    )
+    actual_errors = pc.sum(pc.cast(pc.is_valid(t["error"]), "int64")).as_py() or 0
+    assert t.num_rows == 300
+    assert actual_errors > 0, "corpus should plant some encrypted/locked rows"
+    assert totals["errors"] == actual_errors
+    assert totals["docs"] == t.num_rows - actual_errors

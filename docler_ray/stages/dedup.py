@@ -19,13 +19,23 @@ corpus-proportional driver state anywhere):
   components are computed by iterated min-label propagation over Datasets
   (converges in O(cluster diameter) rounds; each round is one join + one
   groupby). The drop set is emitted as a Dataset and applied with a
-  distributed ``left_anti`` join — never a broadcast Python set.
+  distributed ``left_anti`` join — never an unbounded broadcast set.
+
+Hybrid small-side regimes: three stages (pair-payload attach, connected
+components, survivors filter) each switch on a MEASURED row count to a
+bounded broadcast/local fast path (_SMALL_PAIRS / _SMALL_GRAPH_EDGES /
+_SMALL_DROP, each a hard constant-memory cap with the distributed path as
+fallback). This is the standard broadcast-small-side pattern — state is
+bounded by the constant, never by the corpus — and it removes ~3-5 s of
+fixed shuffle/aggregator-pool overhead per query at test scale while the
+distributed regime carries real corpora (covered by an equality test that
+forces the distributed path).
 
 Cost model at 10^12 docs: candidate generation shuffles (id, key) pairs
 (~16 B/row); verification shuffles candidate payloads exactly once (the
 unavoidable cost of exact-Jaccard verify — comparable to one corpus
 repartition, fully streamed); label propagation shuffles (id, label) pairs.
-The driver only ever sees O(1) scalars (edge counts, label checksums).
+The driver only ever sees O(1) scalars and constant-bounded small sides.
 """
 
 from __future__ import annotations
@@ -278,16 +288,76 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 # --- distributed verify + cluster -------------------------------------------
 
-def _attach_pair_payload(pairs, payload_ds, id_col: str, size_hint: int | None = None):
-    """Co-locate each candidate pair with BOTH members' payload.
+_SMALL_PAIRS = 500_000  # broadcast bound for the pair map (~16 MB)
 
-    pairs (id_a, id_b) -> membership rows (mid, id_a, id_b), two per pair ->
-    inner hash join against the (id, payload) dataset. The join is the
-    single corpus-payload shuffle of the dedup pipeline; its output rows
-    carry (mid, id_a, id_b, payload) and land hash-partitioned by mid.
-    The payload column must be a join-supported scalar type (string/binary
-    — Acero rejects list columns, so embeddings are packed to bytes first).
+
+def _attach_pair_payload(
+    pairs,
+    payload_ds,
+    id_col: str,
+    payload_col: str,
+    size_hint: int | None = None,
+    n_pairs: int | None = None,
+):
+    """Co-locate each candidate pair with BOTH members' payload. Output rows
+    carry (mid, id_a, id_b, payload).
+
+    Two regimes by MEASURED pair count (the broadcast-small-side pattern
+    with a hard cap — never corpus-proportional driver/broadcast state):
+
+    - <= _SMALL_PAIRS pairs: the (mid -> pairs) map is ray.put ONCE
+      (~16 MB ceiling) and each payload batch emits its own membership rows
+      map-side — zero shuffle; the broadcast is deserialized once per
+      worker (joins._get_broadcast memo), not per batch.
+    - larger: membership rows + inner hash join against (id, payload) —
+      the single corpus-payload shuffle of the dedup pipeline, fully
+      distributed. The payload column must be a join-supported scalar type
+      (string/binary — Acero rejects list columns, so embeddings are
+      packed to bytes first).
     """
+    import ray
+
+    if n_pairs is not None and n_pairs <= _SMALL_PAIRS:
+        from docler_ray.stages.joins import _get_broadcast
+
+        pair_tbl = pa.concat_tables(
+            [
+                b if b.schema.names else _empty_pairs_table()
+                for b in ray.get(pairs.get_internal_block_refs())
+            ]
+        )
+        by_mid: dict = {}
+        for a, b in zip(
+            pair_tbl.column("id_a").to_pylist(), pair_tbl.column("id_b").to_pylist()
+        ):
+            by_mid.setdefault(a, []).append((a, b))
+            by_mid.setdefault(b, []).append((a, b))
+        map_ref = ray.put(by_mid)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            lookup = _get_broadcast(map_ref)
+            ids = batch.column(id_col).to_pylist()
+            payloads = batch.column(payload_col).to_pylist()
+            payload_type = batch.schema.field(payload_col).type
+            mids, out_a, out_b, out_p = [], [], [], []
+            for i, p in zip(ids, payloads):
+                for a, b in lookup.get(i, ()):
+                    mids.append(i)
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_p.append(p)
+            return pa.table(
+                {
+                    "mid": pa.array(mids, pa.int64()),
+                    "id_a": pa.array(out_a, pa.int64()),
+                    "id_b": pa.array(out_b, pa.int64()),
+                    payload_col: pa.array(out_p, payload_type),
+                }
+            )
+
+        return payload_ds.map_batches(
+            attach, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     def emit_members(batch: pa.Table) -> pa.Table:
         batch = _ensure_pair_schema(batch)
@@ -357,17 +427,30 @@ def _verify_pairs_grouped(attached, payload_col: str, verify_fn):
     )
 
 
-def min_label_components(edges, *, max_iters: int = 12):
-    """Connected components over an undirected edge Dataset (id_a, id_b) by
-    iterated min-label propagation — the distributed replacement for
-    driver-side union-find.
+_SMALL_GRAPH_EDGES = 200_000  # bounded fast-path cap (~3 MB of edge pairs)
 
-    labels(v) starts at min(v, neighbors(v)); each round every vertex takes
-    the min of its own label and its neighbors' labels (one hash join + one
-    groupby per round). Labels are non-increasing, so sum(label) is a
-    convergence certificate: unchanged sum == fixpoint. Converges in
-    O(component diameter) rounds; LSH min-pairing emits star-shaped
-    components, so 1-3 rounds in practice. Returns (src, label) Dataset.
+
+def min_label_components(edges, *, max_iters: int = 12):
+    """Connected components over an undirected edge Dataset (id_a, id_b).
+
+    Two regimes, chosen by MEASURED edge count (never by corpus size):
+
+    - <= _SMALL_GRAPH_EDGES edges: collect the edge list and run union-find
+      locally. Driver state is capped by the CONSTANT (~3 MB), not the
+      corpus — this is bounded-small-side handling like a broadcast join,
+      not the round-1 anti-pattern (which pulled corpus-proportional
+      candidate sets). Saves ~4 s of fixed per-op shuffle overhead per
+      query at test scale.
+    - larger graphs: iterated min-label propagation. labels(v) starts at
+      min(v, neighbors(v)); each round every vertex takes the min of its
+      own and its neighbors' labels (one hash join + one groupby per
+      round). Labels are non-increasing, so sum(label) is a convergence
+      certificate: unchanged sum == fixpoint. Converges in O(component
+      diameter) rounds; LSH min-pairing emits star-shaped components, so
+      1-3 rounds in practice.
+
+    Both regimes return the same (src, label) Dataset (min id per
+    component as the label; every edge endpoint labeled).
     """
     from ray.data.aggregate import Min
 
@@ -382,8 +465,14 @@ def min_label_components(edges, *, max_iters: int = 12):
             ]
         )
 
+    edges_mat, n_edges = _compact_nonempty(edges)
+    if edges_mat is None:
+        return None
+    if n_edges <= _SMALL_GRAPH_EDGES:
+        return _local_components(edges_mat)
+
     sym, n_sym = _compact_nonempty(
-        edges.map_batches(symmetrize, batch_format="pyarrow", zero_copy_batch=True)
+        edges_mat.map_batches(symmetrize, batch_format="pyarrow", zero_copy_batch=True)
     )
     if sym is None:
         return None
@@ -410,6 +499,44 @@ def min_label_components(edges, *, max_iters: int = 12):
             break
         prev_sum = new_sum
     return labels
+
+
+def _local_components(edges_mat):
+    """Union-find over a SIZE-CAPPED collected edge list -> (src, label)
+    Dataset (same contract as the distributed regime)."""
+    import ray
+    import ray.data
+
+    blocks = ray.get(edges_mat.get_internal_block_refs())
+    tbl = pa.concat_tables(
+        [b if b.schema.names else _empty_pairs_table() for b in blocks]
+    )
+    a = tbl.column("id_a").to_pylist()
+    b = tbl.column("id_b").to_pylist()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    nodes = sorted(set(a) | set(b))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(nodes, pa.int64()),
+                "label": pa.array([find(n) for n in nodes], pa.int64()),
+            }
+        )
+    )
 
 
 def _drop_from_labels(labels, id_col: str):
@@ -446,7 +573,8 @@ def _verify_and_drop_text(
         zero_copy_batch=True,
     )
     attached = _attach_pair_payload(
-        pairs, payload, id_col, size_hint=max(2 * n_pairs, corpus_rows or 0)
+        pairs, payload, id_col, text_col,
+        size_hint=max(2 * n_pairs, corpus_rows or 0), n_pairs=n_pairs,
     )
 
     def verify(a, b, payload, cache):
@@ -607,7 +735,8 @@ def embedding_neardup(
 
     payload = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
     attached = _attach_pair_payload(
-        pairs, payload, id_col, size_hint=max(2 * n_pairs, corpus_rows or 0)
+        pairs, payload, id_col, "emb_bytes",
+        size_hint=max(2 * n_pairs, corpus_rows or 0), n_pairs=n_pairs,
     )
 
     def verify(a, b, payload, cache):
@@ -646,17 +775,50 @@ def drop_from_pairs(pairs, id_col: str):
     return _drop_from_labels(labels, id_col)
 
 
+_SMALL_DROP = 2_000_000  # broadcast bound for the drop-id set (~16 MB)
+
+
 def anti_join_survivors(ds, drop, id_col: str, left_rows: int | None = None):
-    """Distributed survivors filter: left_anti hash join against the drop-id
-    Dataset (the scale-safe replacement for a broadcast Python drop set).
+    """Survivors filter against the drop-id Dataset.
+
+    Two regimes by MEASURED drop count:
+
+    - <= _SMALL_DROP ids: the sorted id array is ray.put ONCE (bounded
+      ~16 MB, hoisted — never rebuilt per batch) and applied as a
+      vectorized map-side ``is_in`` filter: zero shuffle.
+    - larger: distributed left_anti hash join — the scale-safe replacement
+      for a broadcast Python drop set when duplicates are
+      corpus-proportional.
 
     An empty drop side short-circuits: Ray's hash join loses the schema on
     join partitions that receive zero blocks, so joining against a fully
     empty right side raises instead of no-opping.
     """
+    import ray
+
     drop, n_drop = _compact_nonempty(drop)
     if not n_drop:
         return ds
+    if n_drop <= _SMALL_DROP:
+        import pyarrow.compute as pc
+
+        from docler_ray.stages.joins import _get_broadcast
+
+        ids = pa.concat_tables(
+            [
+                b if b.schema.names else pa.table({id_col: pa.array([], pa.int64())})
+                for b in ray.get(drop.get_internal_block_refs())
+            ]
+        ).column(id_col)
+        drop_ref = ray.put(ids.combine_chunks())
+
+        def keep(batch: pa.Table) -> pa.Table:
+            drop_arr = _get_broadcast(drop_ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column(id_col), value_set=drop_arr))
+            )
+
+        return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     return ds.join(
         drop,
         join_type="left_anti",
@@ -769,7 +931,8 @@ def jaccard_pairs_exact(
         zero_copy_batch=True,
     )
     attached = _attach_pair_payload(
-        pairs, payload, id_col, size_hint=max(2 * n_pairs, corpus_rows or 0)
+        pairs, payload, id_col, text_col,
+        size_hint=max(2 * n_pairs, corpus_rows or 0), n_pairs=n_pairs,
     )
 
     def verify(a, b, payload, cache):

@@ -329,3 +329,26 @@ def test_sessionize_string_keys(ray_session):
     assert list(out["user_id"]) == ["alice", "alice", "bob", "bob"]
     assert list(out["session_idx"]) == [0, 1, 0, 1]
     assert list(out["n_events"]) == [3, 2, 3, 2]
+
+
+def test_min_label_components_distributed_equals_local(ray_session, monkeypatch):
+    """The distributed min-label-propagation regime must produce the same
+    components as the bounded local fast path (chains + stars + isolates)."""
+    import ray.data
+
+    from docler_ray.stages import dedup
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),            # chain -> label 1
+        (10, 11), (10, 12), (10, 13),      # star  -> label 10
+        (20, 21),                          # pair  -> label 20
+        (31, 30),                          # reversed pair -> label 30
+    ]
+    ds = ray.data.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    local = {r["src"]: r["label"] for r in dedup.min_label_components(ds).take_all()}
+    monkeypatch.setattr(dedup, "_SMALL_GRAPH_EDGES", 0)
+    dist = {r["src"]: r["label"] for r in dedup.min_label_components(ds).take_all()}
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+                20: 20, 21: 20, 30: 30, 31: 30}
+    assert local == expected
+    assert dist == expected

@@ -256,6 +256,42 @@ def _q_events_last_order_asof(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_lineitem_order_status_counts(sf_dir: str):
+    """Big-big co-partitioned hash join (both sides are fact tables, so
+    neither broadcasts): lineitem joins orders on orderkey via Ray's
+    hash-shuffle join, then a partial-combine groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import copartition_hash_join
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    joined = copartition_hash_join(
+        lineitem,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        size_hint=lineitem.count(),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = batch.group_by(["o_orderstatus", "l_returnflag"]).aggregate(
+            [("l_returnflag", "count")]
+        )
+        return counts.rename_columns(["o_orderstatus", "l_returnflag", "partial_n"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "l_returnflag"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+
 def _q_knn_self_top5(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
@@ -970,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_counts": _q_events_window_counts,
         "events_sessionize": _q_events_sessionize,
         "orders_by_mktsegment": _q_orders_by_mktsegment,
+        "lineitem_order_status_counts": _q_lineitem_order_status_counts,
         "events_last_order_asof": _q_events_last_order_asof,
         "knn_self_top5": _q_knn_self_top5,
         "q1_qty_by_flag": _q_q1_qty_by_flag,
@@ -1062,6 +1099,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_mktsegment": (
             "SELECT c_mktsegment, COUNT(*) AS n FROM orders "
             "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "lineitem_order_status_counts": (
+            "SELECT o_orderstatus, l_returnflag, COUNT(*) AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderstatus, l_returnflag"
         ),
         "events_last_order_asof": (
             "WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey "

@@ -165,6 +165,9 @@ def bench_once() -> dict:
         timed("text_metrics", q["text_metrics"])
         timed("mime_dispatch_counts", q["mime_dispatch_counts"])
         timed("pdf_page_metadata", q["pdf_page_metadata"])
+        timed("lineitem_order_status_counts", q["lineitem_order_status_counts"])
+        timed("audio_probe_features", q["audio_probe_features"])
+        timed("video_frame_schedule", q["video_frame_schedule"])
     finally:
         ray.shutdown()
     return results

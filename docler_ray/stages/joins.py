@@ -1,4 +1,5 @@
-"""Join operators: broadcast hash join and broadcast as-of join.
+"""Join operators: broadcast hash join, broadcast as-of join, and the
+co-partitioned big-big hash join.
 
 The reference has no relational joins (SURVEY.md §2.7 — its only lookups are
 the MIME->converter registry dispatch, registry.py:58-117, and intra-row
@@ -6,15 +7,17 @@ image/chunk association); these are engine infrastructure a Common-Crawl-scale
 corpus pipeline needs for enrichment against dimension tables.
 
 Scale design (the partitioning assumption, stated explicitly):
-- Both operators BROADCAST the right side: it is `ray.put` once and read by
+- The broadcast operators ship the right side with `ray.put` once, read by
   every map task — never re-shipped per batch, never shuffled. This is the
   correct plan whenever the right side fits in a worker's heap (dimension
-  tables, reference/config tables, golden tables). For a large right side the
-  plan changes to co-partitioning both sides by key hash + per-partition
-  merge; that variant is intentionally not implemented here — callers with
-  two big tables should pre-bucket with `groupby` instead.
-- The left side streams: each operator is a single `map_batches` over the
-  left Dataset, preserving backpressure; nothing materializes.
+  tables, reference/config tables, golden tables); the left side streams
+  through one `map_batches`, preserving backpressure.
+- `copartition_hash_join` is the BIG-BIG plan: both sides hash-partition by
+  key (Ray's hash-shuffle join operator) and merge per partition — an
+  all-to-all exchange of both tables, so reach for it only when neither
+  side fits in a worker heap. Partition count scales with the larger
+  side's row count (the partition is the unit of join parallelism AND of
+  per-partition memory).
 """
 
 from __future__ import annotations
@@ -216,3 +219,34 @@ def broadcast_asof_join(
         return out
 
     return left.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def copartition_hash_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    size_hint: int | None = None,
+):
+    """Co-partitioned hash join of two LARGE Datasets (the big-big plan the
+    broadcast operators explicitly decline). Both sides shuffle by key hash;
+    per-partition Acero merges produce the output — nothing lands on the
+    driver. Null join keys must be pre-filtered (hash partitioning rejects
+    them); list-typed payload columns are not supported by Acero — pack or
+    project them first.
+
+    ``size_hint`` should be the LARGER side's row count when known
+    (parquet metadata count is free); it sizes the aggregator pool so small
+    inputs don't pay for full-width actor pools.
+    """
+    from docler_ray.stages.dedup import _num_partitions
+
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=_num_partitions(size_hint),
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+    )

@@ -352,3 +352,24 @@ def test_min_label_components_distributed_equals_local(ray_session, monkeypatch)
                 20: 20, 21: 20, 30: 30, 31: 30}
     assert local == expected
     assert dist == expected
+
+
+def test_copartition_hash_join(ray_session):
+    """Big-big co-partitioned join: inner + left variants against a
+    hand-checked table."""
+    import ray.data
+
+    from docler_ray.stages.joins import copartition_hash_join
+
+    left = ray.data.from_items(
+        [{"k": 1, "l": "a"}, {"k": 2, "l": "b"}, {"k": 2, "l": "c"}, {"k": 9, "l": "d"}]
+    )
+    right = ray.data.from_items([{"rk": 1, "r": 10}, {"rk": 2, "r": 20}])
+    inner = copartition_hash_join(left, right, on="k", right_on="rk").take_all()
+    got = sorted((r["k"], r["l"], r["r"]) for r in inner)
+    assert got == [(1, "a", 10), (2, "b", 20), (2, "c", 20)]
+    outer = copartition_hash_join(
+        left, right, on="k", right_on="rk", how="left_outer"
+    ).take_all()
+    assert len(outer) == 4
+    assert {r["l"]: r["r"] for r in outer}["d"] is None

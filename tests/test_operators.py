@@ -373,3 +373,27 @@ def test_copartition_hash_join(ray_session):
     ).take_all()
     assert len(outer) == 4
     assert {r["l"]: r["r"] for r in outer}["d"] is None
+
+
+def test_bucketed_write_coloc_join(ray_session, tmp_path):
+    """Bucketed storage: same-key rows of two tables land in the same
+    bucket, so bucket i of A joins bucket i of B with no exchange, and the
+    union over buckets equals the global join."""
+    import ray.data
+
+    from docler_ray.sources.bucketed import read_bucket, write_bucketed_parquet
+
+    a = ray.data.from_items([{"k": i, "va": i * 10} for i in range(50)])
+    b = ray.data.from_items([{"k": i, "vb": i * 100} for i in range(0, 50, 2)])
+    dir_a, dir_b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed_parquet(a, dir_a, key_col="k", num_buckets=4)
+    write_bucketed_parquet(b, dir_b, key_col="k", num_buckets=4)
+
+    joined_rows = []
+    for bucket in range(4):
+        ta = read_bucket(dir_a, bucket).to_pandas()
+        tb = read_bucket(dir_b, bucket).to_pandas()
+        m = ta.merge(tb, on="k")  # local join, no shuffle
+        joined_rows.extend(m[["k", "va", "vb"]].itertuples(index=False))
+    got = sorted((r.k, r.va, r.vb) for r in joined_rows)
+    assert got == [(i, i * 10, i * 100) for i in range(0, 50, 2)]

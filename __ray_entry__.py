@@ -931,6 +931,25 @@ def _q_simhash_fingerprints(sf_dir: str):
     )
 
 
+def _q_simhash_survivors(sf_dir: str):
+    """EXACT SimHash near-dedup (hamming <= 3): block-key blocking has
+    exact recall by pigeonhole, SimHash is SQL-expressible via md5 token
+    hashes — so unlike the LSH family this dedup is deterministic and its
+    oracle holds on ANY corpus, not just one with perfect LSH recall."""
+    import ray.data
+
+    from docler_ray.stages.dedup import anti_join_survivors, simhash_neardup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = ds.count()
+    drop = simhash_neardup(ds, "text", "doc_id", max_hamming=3, corpus_rows=n)
+    return anti_join_survivors(ds, drop, "doc_id", left_rows=n).select_columns(
+        ["doc_id"]
+    )
+
+
 def _q_knn_ivf_top5(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
@@ -1034,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
+        "simhash_survivors": _q_simhash_survivors,
         "knn_ivf_top5": _q_knn_ivf_top5,
         "embedding_neardup_survivors": _q_embedding_neardup_survivors,
         "image_features": _q_image_features,
@@ -1171,6 +1191,20 @@ def oracle_sql() -> dict[str, str]:
         "extract_docs_summary": _DOCS_SUMMARY_SQL,
         "extract_docs_grouped_by_lang": _DOCS_SUMMARY_SQL,
         "simhash_fingerprints": _simhash_sql(),
+        "simhash_survivors": (
+            "WITH RECURSIVE "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "  FROM (" + _simhash_sql() + ") a JOIN (" + _simhash_sql() + ") b "
+            "  ON a.doc_id < b.doc_id "
+            "  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3), "
+            "sym AS (SELECT id_a AS a, id_b AS b FROM p "
+            "        UNION SELECT id_b, id_a FROM p), "
+            "reach(a, b) AS (SELECT a, b FROM sym "
+            "  UNION SELECT r.a, sy.b FROM reach r JOIN sym sy ON r.b = sy.a), "
+            "lbl AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a) "
+            "SELECT doc_id FROM documents "
+            "WHERE doc_id NOT IN (SELECT id FROM lbl WHERE mn < id)"
+        ),
         "neardup_survivors_exact": _exact_survivors_sql(),
         # LSH survivor oracles: survivors == exact-Jaccard clustering iff
         # candidate recall is 100% on the corpus — so a recall drop shows up

@@ -168,6 +168,7 @@ def bench_once() -> dict:
         timed("lineitem_order_status_counts", q["lineitem_order_status_counts"])
         timed("audio_probe_features", q["audio_probe_features"])
         timed("video_frame_schedule", q["video_frame_schedule"])
+        timed("simhash_survivors", q["simhash_survivors"])
     finally:
         ray.shutdown()
     return results

@@ -834,6 +834,112 @@ def drop_id_set(drop) -> set:
     return {next(iter(r.values())) for r in rows}
 
 
+def _all_pairs_from_postings(postings, id_col: str, key_col: str):
+    """(id, posting-key) rows -> ALL distinct within-bucket pairs
+    (id_a < id_b) — the exact-recall pair generator (vs _lsh_bucket_pairs'
+    everyone-with-min connectivity sketch). Quadratic in bucket size by
+    definition of exact joins; posting schemes must keep buckets bounded
+    (prefix filtering, 16-bit SimHash blocks). One coarse-key shuffle; the
+    self-merge inside each coarse group is vectorized pandas."""
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        ks = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "coarse", pa.array((ks % np.uint64(_COARSE_GROUPS)).astype(np.int32))
+        )
+
+    def emit_all_pairs(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _empty_pairs_table()
+        m = df[[id_col, key_col]].drop_duplicates()
+        j = m.merge(m, on=key_col, suffixes=("_a", "_b"))
+        mask = j[f"{id_col}_a"] < j[f"{id_col}_b"]
+        out = j[mask][[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        return pa.table(
+            {
+                "id_a": pa.array(out[f"{id_col}_a"].to_numpy().astype(np.int64)),
+                "id_b": pa.array(out[f"{id_col}_b"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return (
+        postings.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(emit_all_pairs, batch_format="pandas")
+    )
+
+
+def simhash_neardup(
+    ds,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    corpus_rows: int | None = None,
+):
+    """EXACT SimHash near-dedup: drop-id Dataset for clusters of documents
+    whose 64-bit SimHashes are within ``max_hamming`` bits.
+
+    Candidate generation blocks on the four 16-bit SimHash blocks —
+    pigeonhole gives EXACT recall for max_hamming <= 3 (4 blocks, <= 3
+    differing bits => at least one identical block), so unlike MinHash-LSH
+    this operator's output is deterministic and fully oracle-checkable
+    (SimHash itself is SQL-expressible via the md5 token hashes). All
+    within-block pairs are emitted (exact join semantics), hamming-verified
+    with the simhash ints as the co-located payload, then clustered and
+    dropped through the shared distributed path.
+    """
+    if max_hamming > 3:
+        msg = "block blocking guarantees recall only for max_hamming <= 3"
+        raise ValueError(msg)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        with_sim = add_simhash(batch, text_col)
+        ids = with_sim.column(id_col)
+        # posting key: block INDEX in the high bits so the same 16-bit
+        # value in a different block position never collides
+        tables = []
+        for blk in range(4):
+            key = pc.add(
+                with_sim.column(f"simblock_{blk}").cast(pa.int64()),
+                pa.scalar((blk + 1) << 16, pa.int64()),
+            )
+            tables.append(pa.table({id_col: ids, "blockkey": key}))
+        return pa.concat_tables(tables)
+
+    postings = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+    pairs, n_pairs = _compact_nonempty(
+        _all_pairs_from_postings(postings, id_col, "blockkey")
+    )
+    if not n_pairs:
+        return _empty_ids(id_col)
+
+    def payload_fn(batch: pa.Table) -> pa.Table:
+        return add_simhash(batch, text_col).select([id_col, "simhash"])
+
+    payload = ds.map_batches(payload_fn, batch_format="pyarrow", zero_copy_batch=True)
+    attached = _attach_pair_payload(
+        pairs, payload, id_col, "simhash",
+        size_hint=max(2 * n_pairs, corpus_rows or 0), n_pairs=n_pairs,
+    )
+
+    def verify(a, b, payload, cache):
+        x = (payload[a] ^ payload[b]) & 0xFFFFFFFFFFFFFFFF
+        return bin(x).count("1") <= max_hamming
+
+    verified, n_edges = _compact_nonempty(
+        _verify_pairs_grouped(attached, "simhash", verify)
+    )
+    if not n_edges:
+        return _empty_ids(id_col)
+    labels = min_label_components(verified)
+    if labels is None:
+        return _empty_ids(id_col)
+    return _drop_from_labels(labels, id_col)
+
+
 def jaccard_pairs_exact(
     ds,
     text_col: str,
@@ -893,33 +999,9 @@ def jaccard_pairs_exact(
     postings = ds.map_batches(
         emit_prefix_postings, batch_format="pyarrow", zero_copy_batch=True
     )
-
-    def add_coarse(batch: pa.Table) -> pa.Table:
-        sh = batch.column("shingle").to_numpy(zero_copy_only=False).astype(np.uint64)
-        return batch.append_column(
-            "coarse", pa.array((sh % np.uint64(_COARSE_GROUPS)).astype(np.int32))
-        )
-
-    def emit_all_pairs(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
-            return _empty_pairs_table()
-        m = df[[id_col, "shingle"]].drop_duplicates()
-        j = m.merge(m, on="shingle", suffixes=("_a", "_b"))
-        mask = j[f"{id_col}_a"] < j[f"{id_col}_b"]
-        out = j[mask][[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
-        return pa.table(
-            {
-                "id_a": pa.array(out[f"{id_col}_a"].to_numpy().astype(np.int64)),
-                "id_b": pa.array(out[f"{id_col}_b"].to_numpy().astype(np.int64)),
-            }
-        )
-
-    pairs = (
-        postings.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("coarse")
-        .map_groups(emit_all_pairs, batch_format="pandas")
+    pairs, n_pairs = _compact_nonempty(
+        _all_pairs_from_postings(postings, id_col, "shingle")
     )
-    pairs, n_pairs = _compact_nonempty(pairs)
     if not n_pairs:
         import ray.data
 

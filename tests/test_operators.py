@@ -397,3 +397,29 @@ def test_bucketed_write_coloc_join(ray_session, tmp_path):
         joined_rows.extend(m[["k", "va", "vb"]].itertuples(index=False))
     got = sorted((r.k, r.va, r.vb) for r in joined_rows)
     assert got == [(i, i * 10, i * 100) for i in range(0, 50, 2)]
+
+
+def test_simhash_neardup_exact_recall(ray_session):
+    """SimHash near-dedup with planted near-identical docs: hamming <= 3
+    cluster collapses to its minimum; distinct docs survive."""
+    import ray.data
+
+    from docler_ray.stages.dedup import drop_id_set, simhash_neardup
+
+    base = (
+        "distributed dataflow engines stream arrow batches through actor "
+        "pools with backpressure and spill manifests record lineage for "
+        "every partition of the corpus while schedulers balance work"
+    )
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # identical -> hamming 0
+        {"doc_id": 3, "text": "completely different words entirely here now ok"},
+    ]
+    ds = ray.data.from_items(rows)
+    drop = drop_id_set(simhash_neardup(ds, "text", "doc_id", max_hamming=3))
+    assert drop == {2}
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_neardup(ds, "text", "doc_id", max_hamming=4)

@@ -63,3 +63,26 @@ def test_chunker_covers_content(text: str, max_size: int) -> None:
     assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
     if text.strip():
         assert chunks
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab 12.!\té中'\n  "),
+            max_size=30,
+        ),
+        max_size=40,
+    ),
+    st.integers(min_value=5, max_value=200),
+)
+def test_incremental_token_count_matches_recount(lines, budget):
+    """Property: every chunk's incrementally-maintained token_count equals a
+    from-scratch recount of its content — the exactness claim of the linear
+    grow loop (boundary-delta over the trailing whitespace run)."""
+    from docler_ray.functions.chunkers import chunk_by_tokens
+    from docler_ray.functions.tokens import count_tokens
+
+    doc = "\n".join(lines)
+    for chunk in chunk_by_tokens(doc, [], "d", max_tokens_per_chunk=budget):
+        assert chunk["metadata"]["token_count"] == count_tokens(chunk["content"])

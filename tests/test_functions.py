@@ -167,3 +167,28 @@ def test_extension_map_covers_reference_breadth():
     ]
     missing = [e for e in required if e not in EXT_TO_MIME]
     assert not missing, missing
+
+
+def test_fingerprint_vectorized_equals_scalar():
+    """The vectorized Mersenne-modmul window hashing must be bit-identical
+    to the scalar rolling recurrence across the dispatch threshold."""
+    import random
+
+    from docler_ray.functions.analysis import (
+        _window_hashes_vec,
+        fingerprint,
+        rolling_hashes,
+    )
+
+    rng = random.Random(11)
+    alpha = "ab 中é\n\t\U0001F600xyz0123!"
+    for n in (0, 1, 7, 8, 9, 100, 2047, 2048, 2049, 5000):
+        s = "".join(rng.choice(alpha) for _ in range(n))
+        expected = (
+            min(rolling_hashes(s, 8)) & 0xFFFFFFFFFFFFFFFF
+            if rolling_hashes(s, 8)
+            else 0
+        )
+        assert fingerprint(s) == expected, n
+        if n >= 8:
+            assert list(_window_hashes_vec(s, 8)) == rolling_hashes(s, 8), n

@@ -1026,7 +1026,14 @@ def jaccard_pairs_exact(
             sb = cache[b] = shingle_hashes(payload[b] or "", k=shingle_k)
         return jaccard(sa, sb) >= threshold
 
-    return _verify_pairs_grouped(attached, text_col, verify)
+    verified, n_verified = _compact_nonempty(
+        _verify_pairs_grouped(attached, text_col, verify)
+    )
+    if not n_verified:
+        import ray.data
+
+        return ray.data.from_arrow(_empty_pairs_table())
+    return verified
 
 
 # --- SimHash -----------------------------------------------------------------

@@ -423,3 +423,109 @@ def test_simhash_neardup_exact_recall(ray_session):
 
     with pytest.raises(ValueError):
         simhash_neardup(ds, "text", "doc_id", max_hamming=4)
+
+
+def test_dedup_distributed_regime_equals_fast_path(ray_session, monkeypatch):
+    """Force every bounded fast path OFF (pair broadcast, local components,
+    drop broadcast) and assert the fully distributed join-based pipeline
+    produces the same survivors as the fast paths on a planted-dup corpus."""
+    import ray.data
+
+    from docler_ray.stages import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden under a "
+        "bright sky as the morning light slowly fills the quiet old house"
+    )
+    rows = []
+    for i in range(40):
+        if i % 5 == 0:
+            rows.append({"doc_id": i, "text": base})  # planted dup cluster
+        else:
+            rows.append({"doc_id": i, "text": f"unique document {i} " + base[: i * 3]})
+    ds = ray.data.from_items(rows)
+
+    def survivors() -> list[int]:
+        drop = dedup.minhash_dedup(ds, "text", "doc_id", threshold=0.8, concurrency=(1, 2))
+        surv = dedup.anti_join_survivors(ds.select_columns(["doc_id"]), drop, "doc_id")
+        return sorted(r["doc_id"] for r in surv.take_all())
+
+    fast = survivors()
+    monkeypatch.setattr(dedup, "_SMALL_PAIRS", 0)
+    monkeypatch.setattr(dedup, "_SMALL_GRAPH_EDGES", 0)
+    monkeypatch.setattr(dedup, "_SMALL_DROP", 0)
+    dist = survivors()
+    assert fast == dist
+    assert 0 in fast and all(i not in fast for i in (5, 10, 15, 20, 25, 30, 35))
+
+
+def test_jaccard_pairs_exact_equals_bruteforce(ray_session):
+    """Prefix-filter recall property: on randomized corpora (seeded), the
+    exact pair join must equal brute-force all-pairs Jaccard."""
+    import random
+
+    import ray.data
+
+    from docler_ray.stages.dedup import jaccard_pairs_exact, jaccard, shingle_hashes
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        docs = {}
+        for d in range(25):
+            n = rng.randrange(5, 30)
+            docs[d] = " ".join(rng.choice(vocab) for _ in range(n))
+        for t in (0.5, 0.8):
+            expected = sorted(
+                (a, b)
+                for a in docs
+                for b in docs
+                if a < b
+                and jaccard(shingle_hashes(docs[a]), shingle_hashes(docs[b])) >= t
+            )
+            ds = ray.data.from_items(
+                [{"doc_id": d, "text": txt} for d, txt in docs.items()]
+            )
+            # take_all, not to_pandas: Ray drops columns on 0-row datasets
+            rows = jaccard_pairs_exact(ds, "text", "doc_id", threshold=t).take_all()
+            got_pairs = sorted((r["id_a"], r["id_b"]) for r in rows)
+            assert got_pairs == expected, (trial, t)
+
+
+def test_simhash_neardup_equals_bruteforce(ray_session):
+    """Block-pigeonhole recall property: simhash_neardup's drop set equals
+    brute-force hamming<=3 clustering on randomized corpora."""
+    import random
+
+    import ray.data
+
+    from docler_ray.stages.dedup import drop_id_set, hamming64, simhash64, simhash_neardup
+
+    rng = random.Random(5)
+    vocab = [f"tok{i}" for i in range(40)]
+    docs = {}
+    for d in range(30):
+        if d % 7 == 0 and d:
+            docs[d] = docs[d - 1]  # exact dup
+        else:
+            docs[d] = " ".join(rng.choice(vocab) for _ in range(rng.randrange(6, 25)))
+    sims = {d: simhash64(t) for d, t in docs.items()}
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in docs:
+        for b in docs:
+            if a < b and hamming64(sims[a], sims[b]) <= 3:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expected_drop = {d for d in docs if find(d) != d}
+    ds = ray.data.from_items([{"doc_id": d, "text": t} for d, t in docs.items()])
+    got = drop_id_set(simhash_neardup(ds, "text", "doc_id", max_hamming=3))
+    assert got == expected_drop

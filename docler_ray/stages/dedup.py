@@ -430,7 +430,7 @@ def _verify_pairs_grouped(attached, payload_col: str, verify_fn):
 _SMALL_GRAPH_EDGES = 200_000  # bounded fast-path cap (~3 MB of edge pairs)
 
 
-def min_label_components(edges, *, max_iters: int = 12):
+def min_label_components(edges, *, max_iters: int = 48):
     """Connected components over an undirected edge Dataset (id_a, id_b).
 
     Two regimes, chosen by MEASURED edge count (never by corpus size):
@@ -441,13 +441,15 @@ def min_label_components(edges, *, max_iters: int = 12):
       not the round-1 anti-pattern (which pulled corpus-proportional
       candidate sets). Saves ~4 s of fixed per-op shuffle overhead per
       query at test scale.
-    - larger graphs: iterated min-label propagation. labels(v) starts at
-      min(v, neighbors(v)); each round every vertex takes the min of its
-      own and its neighbors' labels (one hash join + one groupby per
-      round). Labels are non-increasing, so sum(label) is a convergence
-      certificate: unchanged sum == fixpoint. Converges in O(component
-      diameter) rounds; LSH min-pairing emits star-shaped components, so
-      1-3 rounds in practice.
+    - larger graphs: iterated min-label propagation WITH POINTER DOUBLING.
+      labels(v) starts at min(v, neighbors(v)); each round takes the min
+      over neighbors' labels AND over labels-of-labels (label(label(v)) —
+      the path-halving step), so convergence is O(log diameter) rounds,
+      not O(diameter): a duplicate CHAIN of length 10^6 converges in ~20
+      rounds. Labels are non-increasing, so sum(label) is a convergence
+      certificate: unchanged sum == fixpoint. Runs to the fixpoint; a
+      graph that somehow exceeds ``max_iters`` (=48, enough for 2^48-long
+      chains) raises instead of silently returning partial clusters.
 
     Both regimes return the same (src, label) Dataset (min id per
     component as the label; every edge endpoint labeled).
@@ -481,24 +483,47 @@ def min_label_components(edges, *, max_iters: int = 12):
     )
     prev_sum = labels.sum("label")
     nparts = _num_partitions(n_sym)
-    for _ in range(max_iters):
+    for it in range(max_iters):
+        # neighbor-min messages: label(u) -> v for every edge (u, v)
         msgs = sym.join(labels, join_type="inner", num_partitions=nparts, on=("src",))
         fwd = msgs.map_batches(
             lambda b: pa.table({"src": b["dst"], "label": b["label"]}),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        # pointer doubling: label(label(v)) -> v. Join labels against a
+        # RENAMED copy of itself (lkey, glabel) on label = lkey, so output
+        # column names are deterministic without schema introspection.
+        renamed = labels.map_batches(
+            lambda b: pa.table({"lkey": b["src"], "glabel": b["label"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        hop = labels.join(
+            renamed,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("label",),
+            right_on=("lkey",),
+        )
+        hop_fwd = hop.map_batches(
+            lambda b: pa.table({"src": b["src"], "label": b["glabel"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         labels_new, _ = _compact_nonempty(
             fwd.union(labels)
+            .union(hop_fwd)
             .groupby("src")
             .aggregate(Min("label", alias_name="label"))
         )
         new_sum = labels_new.sum("label")
         labels = labels_new
         if new_sum == prev_sum:
-            break
+            return labels
         prev_sum = new_sum
-    return labels
+    msg = f"min_label_components did not converge in {max_iters} rounds"
+    raise RuntimeError(msg)
 
 
 def _local_components(edges_mat):

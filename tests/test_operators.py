@@ -529,3 +529,18 @@ def test_simhash_neardup_equals_bruteforce(ray_session):
     ds = ray.data.from_items([{"doc_id": d, "text": t} for d, t in docs.items()])
     got = drop_id_set(simhash_neardup(ds, "text", "doc_id", max_hamming=3))
     assert got == expected_drop
+
+
+def test_min_label_components_long_chain_distributed(ray_session, monkeypatch):
+    """A 40-node duplicate CHAIN (diameter 40) must fully converge in the
+    distributed regime — pointer doubling makes rounds O(log diameter), and
+    non-convergence raises instead of silently returning partial clusters."""
+    import ray.data
+
+    from docler_ray.stages import dedup
+
+    edges = [{"id_a": i, "id_b": i + 1} for i in range(40)]
+    ds = ray.data.from_items(edges)
+    monkeypatch.setattr(dedup, "_SMALL_GRAPH_EDGES", 0)
+    labels = {r["src"]: r["label"] for r in dedup.min_label_components(ds).take_all()}
+    assert labels == {i: 0 for i in range(41)}

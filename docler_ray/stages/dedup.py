@@ -181,7 +181,11 @@ def _num_partitions(n_rows: int | None = None) -> int:
         cpus = 8
     if n_rows is None:
         return cpus
-    return max(2, min(cpus, 1 + n_rows // 8192))
+    # >=64k rows per partition before widening the pool: measured on the
+    # sf0.1 fact-fact join, a 32-partition pool cost ~20 s of aggregator
+    # spinup for 600k rows where a 10-partition pool is seconds; at real
+    # scale n_rows >> 64k x cores so the cpu cap dominates anyway
+    return max(2, min(cpus, 1 + n_rows // 65536))
 
 
 def _empty_ids(id_col: str):
@@ -918,33 +922,48 @@ def simhash_neardup(
         msg = "block blocking guarantees recall only for max_hamming <= 3"
         raise ValueError(msg)
 
+    # hash once, reuse for both postings and the verify payload (md5 per
+    # token is the dominant per-doc cost — computing it twice doubled the
+    # query's wall time)
+    sims, _ = _compact_nonempty(
+        ds.map_batches(
+            lambda b: add_simhash(b, text_col).select(
+                [id_col, "simhash", "simblock_0", "simblock_1", "simblock_2", "simblock_3"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    if sims is None:
+        return _empty_ids(id_col)
+
     def emit(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        with_sim = add_simhash(batch, text_col)
-        ids = with_sim.column(id_col)
+        ids = batch.column(id_col)
         # posting key: block INDEX in the high bits so the same 16-bit
         # value in a different block position never collides
         tables = []
         for blk in range(4):
             key = pc.add(
-                with_sim.column(f"simblock_{blk}").cast(pa.int64()),
+                batch.column(f"simblock_{blk}").cast(pa.int64()),
                 pa.scalar((blk + 1) << 16, pa.int64()),
             )
             tables.append(pa.table({id_col: ids, "blockkey": key}))
         return pa.concat_tables(tables)
 
-    postings = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+    postings = sims.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
     pairs, n_pairs = _compact_nonempty(
         _all_pairs_from_postings(postings, id_col, "blockkey")
     )
     if not n_pairs:
         return _empty_ids(id_col)
 
-    def payload_fn(batch: pa.Table) -> pa.Table:
-        return add_simhash(batch, text_col).select([id_col, "simhash"])
-
-    payload = ds.map_batches(payload_fn, batch_format="pyarrow", zero_copy_batch=True)
+    payload = sims.map_batches(
+        lambda b: b.select([id_col, "simhash"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     attached = _attach_pair_payload(
         pairs, payload, id_col, "simhash",
         size_hint=max(2 * n_pairs, corpus_rows or 0), n_pairs=n_pairs,

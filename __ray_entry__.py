@@ -293,17 +293,12 @@ def _q_lineitem_order_status_counts(sf_dir: str):
 
 
 def _q_knn_self_top5(sf_dir: str):
-    import pyarrow.parquet as pq
     import ray.data
 
     from docler_ray.stages.similarity import knn_brute_force
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    order = np.argsort(qt.column("vec_id").to_numpy())[:3]
-    q_ids = qt.column("vec_id").to_numpy()[order]
-    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)[order]
-
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q_ids, queries = _query_vectors(ds)
     top = knn_brute_force(ds, queries, k=5).to_pandas()
     top["query_vec_id"] = q_ids[top["query_idx"]]
     top["rank"] = top.groupby("query_idx").cumcount() + 1
@@ -950,28 +945,51 @@ def _q_simhash_survivors(sf_dir: str):
     )
 
 
+def _query_vectors(ds, k: int = 3):
+    """The benchmark's query workload: the k smallest vec_ids and their
+    embeddings, selected DISTRIBUTEDLY (per-batch partial min-k, k-row
+    merge) — the embeddings table never lands on the driver."""
+    from docler_ray.stages.topk import topk
+
+    qt = topk(
+        ds, sort_col="vec_id", k=k, keep_cols=["vec_id", "embedding"],
+        descending=False,
+    )
+    q_ids = qt.column("vec_id").to_numpy()
+    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    return q_ids, queries
+
+
 def _q_knn_ivf_top5(sf_dir: str):
-    import pyarrow.parquet as pq
     import ray.data
 
     from docler_ray.stages.similarity import IVFIndex
-
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vec_ids = qt.column("vec_id").to_numpy()
-    order = np.argsort(vec_ids)[:3]
-    q_ids = vec_ids[order]
-    all_emb = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
-    queries = all_emb[order]
-    # scattered deterministic centroid sample: order ids by the sample-hash
-    # mix and take 256 — unbiased vs the old file-head slice, which
-    # over-represented whatever cluster was written first (round-1 VERDICT
-    # item 10)
-    from docler_ray.stages.stats import _SAMPLE_MOD, _SAMPLE_MULT
-
-    mixed = (vec_ids.astype(np.int64) % _SAMPLE_MOD) * _SAMPLE_MULT
-    sample = all_emb[np.argsort(mixed, kind="stable")[:256]]
+    from docler_ray.stages.stats import _SAMPLE_MOD, _SAMPLE_MULT, sample_hash_bucket
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q_ids, queries = _query_vectors(ds)
+
+    # scattered deterministic centroid sample, selected DISTRIBUTEDLY: a
+    # hash-bucket filter targets ~300 candidate rows (bounded driver pull),
+    # then the smallest 256 by the sample-hash mix are kept — unbiased vs a
+    # file-head slice and never a full-table driver read (round-1 VERDICT
+    # item 10 + scale hygiene).
+    n = ds.count()
+    pct = max(1, min(100, -(-300 * 100 // n)))
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = sample_hash_bucket(ids) < pct
+        return batch.select(["vec_id", "embedding"]).filter(pa.array(mask))
+
+    cand = ds.map_batches(
+        keep_candidates, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    cand_ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
+    mixed = (cand_ids % _SAMPLE_MOD) * _SAMPLE_MULT
+    order = np.argsort(mixed, kind="stable")[:256]
+    sample = np.array([cand[i]["embedding"] for i in order], dtype=np.float64)
+
     index = IVFIndex(n_centroids=16, seed=7).fit(sample)
     assigned = ds.map_batches(
         index.make_assigner(), batch_format="pyarrow", zero_copy_batch=True

@@ -947,16 +947,28 @@ def _q_simhash_survivors(sf_dir: str):
 
 def _query_vectors(ds, k: int = 3):
     """The benchmark's query workload: the k smallest vec_ids and their
-    embeddings, selected DISTRIBUTEDLY (per-batch partial min-k, k-row
-    merge) — the embeddings table never lands on the driver."""
+    embeddings, in two driver-bounded phases: (1) min-k over the ID COLUMN
+    only (per-block partials are k int64s — bytes per block, no embedding
+    payloads), (2) a map-side is_in filter pulls exactly those k embedding
+    rows."""
+    import pyarrow.compute as pc
+
     from docler_ray.stages.topk import topk
 
-    qt = topk(
-        ds, sort_col="vec_id", k=k, keep_cols=["vec_id", "embedding"],
-        descending=False,
+    ids_tbl = topk(
+        ds.select_columns(["vec_id"]), sort_col="vec_id", k=k, descending=False
     )
-    q_ids = qt.column("vec_id").to_numpy()
-    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    q_ids = ids_tbl.column("vec_id").to_numpy()
+    id_arr = pa.array(sorted(int(x) for x in q_ids))
+    rows = ds.map_batches(
+        lambda b: b.select(["vec_id", "embedding"]).filter(
+            pc.is_in(b.column("vec_id"), value_set=id_arr)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    queries = np.array([r["embedding"] for r in rows], dtype=np.float64)
     return q_ids, queries
 
 
@@ -964,23 +976,25 @@ def _q_knn_ivf_top5(sf_dir: str):
     import ray.data
 
     from docler_ray.stages.similarity import IVFIndex
-    from docler_ray.stages.stats import _SAMPLE_MOD, _SAMPLE_MULT, sample_hash_bucket
+    from docler_ray.stages.stats import _SAMPLE_MOD, _SAMPLE_MULT
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     q_ids, queries = _query_vectors(ds)
 
     # scattered deterministic centroid sample, selected DISTRIBUTEDLY: a
-    # hash-bucket filter targets ~300 candidate rows (bounded driver pull),
-    # then the smallest 256 by the sample-hash mix are kept — unbiased vs a
-    # file-head slice and never a full-table driver read (round-1 VERDICT
-    # item 10 + scale hygiene).
-    n = ds.count()
-    pct = max(1, min(100, -(-300 * 100 // n)))
+    # THRESHOLD on the 51-bit sample-hash mix targets ~2x256 expected
+    # candidate rows REGARDLESS of corpus size (a percent-of-100-buckets
+    # filter has a 1% floor — corpus-proportional at 10^9 rows), then the
+    # smallest 256 by the mix are kept. Unbiased vs a file-head slice and
+    # never a full-table or corpus-proportional driver read.
+    n = max(ds.count(), 1)
+    max_mix = (_SAMPLE_MOD - 1) * _SAMPLE_MULT
+    cutoff = int(max_mix * min(1.0, 512 / n)) + 1
 
     def keep_candidates(batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        mask = sample_hash_bucket(ids) < pct
-        return batch.select(["vec_id", "embedding"]).filter(pa.array(mask))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mixed = (ids % _SAMPLE_MOD) * _SAMPLE_MULT
+        return batch.select(["vec_id", "embedding"]).filter(pa.array(mixed < cutoff))
 
     cand = ds.map_batches(
         keep_candidates, batch_format="pyarrow", zero_copy_batch=True

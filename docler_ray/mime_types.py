@@ -224,16 +224,38 @@ _BINARY_MAGICS: tuple[tuple[bytes, str], ...] = (
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
-    (b"BM", "image/bmp"),
     (b"II*\x00", "image/tiff"),
     (b"MM\x00*", "image/tiff"),
     (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", OLE2_MIME),
     (b"PK\x03\x04", ZIP_MIME),
-    (b"ID3", "audio/mpeg"),
     (b"fLaC", "audio/flac"),
     (b"OggS", "audio/ogg"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),  # EBML (webm/mkv)
 )
+
+
+def _looks_like_bmp(head: bytes) -> bool:
+    """'BM' is 2 ASCII letters, so require the header's reserved fields
+    (bytes 6-9, always zero in real BMPs) — otherwise any text starting
+    with 'BM...' would misclassify as an image and become an error row."""
+    return (
+        head.startswith(b"BM")
+        and len(head) >= 14
+        and head[6:10] == b"\x00\x00\x00\x00"
+    )
+
+
+def _looks_like_id3(head: bytes) -> bool:
+    """'ID3' is 3 ASCII letters; require a plausible ID3v2 header: major
+    version <= 10, version bytes != 0xFF, and the sync-safe size bytes'
+    high bits clear (the ID3v2 spec)."""
+    return (
+        head.startswith(b"ID3")
+        and len(head) >= 10
+        and head[3] <= 10
+        and head[4] != 0xFF
+        and all(b < 0x80 for b in head[6:10])
+    )
 
 
 def sniff_mime(payload: bytes) -> str:
@@ -264,6 +286,10 @@ def sniff_mime(payload: bytes) -> str:
     for magic, mime in _BINARY_MAGICS:
         if head.startswith(magic):
             return mime
+    if _looks_like_bmp(head):
+        return "image/bmp"
+    if _looks_like_id3(head):
+        return "audio/mpeg"
     # mp4 family: size-prefixed 'ftyp' box at offset 4
     if len(head) >= 12 and head[4:8] == b"ftyp":
         return "video/mp4"

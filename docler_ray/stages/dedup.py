@@ -32,10 +32,15 @@ distributed regime carries real corpora (covered by an equality test that
 forces the distributed path).
 
 Cost model at 10^12 docs: candidate generation shuffles (id, key) pairs
-(~16 B/row); verification shuffles candidate payloads exactly once (the
-unavoidable cost of exact-Jaccard verify — comparable to one corpus
-repartition, fully streamed); label propagation shuffles (id, label) pairs.
-The driver only ever sees O(1) scalars and constant-bounded small sides.
+(~16 B/row). Verification in the join regime moves each candidate payload
+TWICE — once per pair membership into the hash join, and once more when
+the attached rows co-locate by pair group — i.e. ~2x(avg pairs per
+candidate) payload copies across two exchanges. _lsh_bucket_pairs bounds
+memberships via min-pairing + _MAX_BUCKET_PAIRS; the exact generators
+(_all_pairs_from_postings) are quadratic per posting bucket BY DESIGN, so
+their posting schemes (prefix filtering, 16-bit SimHash blocks) are what
+bound hub skew. Label propagation shuffles (id, label) pairs. The driver
+only ever sees O(1) scalars and constant-bounded small sides.
 """
 
 from __future__ import annotations
@@ -169,10 +174,11 @@ _MAX_BUCKET_PAIRS = 200  # cap pairs per bucket against degenerate corpora
 def _num_partitions(n_rows: int | None = None) -> int:
     """Hash-join partition count. Each join spins up a pool of
     ``num_partitions`` aggregator actors, so small inputs must not pay for a
-    full-width pool: target >=8k rows per partition, capped at total cluster
-    cores. At 100-TB scale row counts dominate and this returns total cores
-    (partitions are the unit of join parallelism AND per-partition memory);
-    at test scale it collapses to a handful of actors."""
+    full-width pool: target >=64k rows per partition, capped at total
+    cluster cores. At 100-TB scale row counts dominate and this returns
+    total cores (partitions are the unit of join parallelism AND
+    per-partition memory); at test scale it collapses to a handful of
+    actors."""
     import ray
 
     try:
@@ -330,32 +336,48 @@ def _attach_pair_payload(
                 for b in ray.get(pairs.get_internal_block_refs())
             ]
         )
-        by_mid: dict = {}
-        for a, b in zip(
-            pair_tbl.column("id_a").to_pylist(), pair_tbl.column("id_b").to_pylist()
-        ):
-            by_mid.setdefault(a, []).append((a, b))
-            by_mid.setdefault(b, []).append((a, b))
-        map_ref = ray.put(by_mid)
+        # membership map as three SORTED int64 arrays probed by searchsorted
+        # — ~48 B/pair, so the 500k-pair cap really is ~24 MB; a Python
+        # dict-of-lists-of-tuples here measured ~10x that per worker
+        pa_np = pair_tbl.column("id_a").to_numpy(zero_copy_only=False)
+        pb_np = pair_tbl.column("id_b").to_numpy(zero_copy_only=False)
+        mids_all = np.concatenate([pa_np, pb_np])
+        a_all = np.concatenate([pa_np, pa_np])
+        b_all = np.concatenate([pb_np, pb_np])
+        order = np.argsort(mids_all, kind="stable")
+        map_ref = ray.put((mids_all[order], a_all[order], b_all[order]))
 
         def attach(batch: pa.Table) -> pa.Table:
-            lookup = _get_broadcast(map_ref)
-            ids = batch.column(id_col).to_pylist()
-            payloads = batch.column(payload_col).to_pylist()
-            payload_type = batch.schema.field(payload_col).type
-            mids, out_a, out_b, out_p = [], [], [], []
-            for i, p in zip(ids, payloads):
-                for a, b in lookup.get(i, ()):
-                    mids.append(i)
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_p.append(p)
+            import pyarrow.compute as pc
+
+            mids_s, a_s, b_s = _get_broadcast(map_ref)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            lo = np.searchsorted(mids_s, ids, side="left")
+            hi = np.searchsorted(mids_s, ids, side="right")
+            counts = hi - lo
+            if not counts.sum():
+                payload_type = batch.schema.field(payload_col).type
+                return pa.table(
+                    {
+                        "mid": pa.array([], pa.int64()),
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        payload_col: pa.array([], payload_type),
+                    }
+                )
+            sel_rows = np.repeat(np.arange(len(ids)), counts)
+            idx = np.concatenate(
+                [np.arange(l, h) for l, h in zip(lo, hi) if h > l]
+            )
+            payload_vals = batch.column(payload_col).take(pa.array(sel_rows))
             return pa.table(
                 {
-                    "mid": pa.array(mids, pa.int64()),
-                    "id_a": pa.array(out_a, pa.int64()),
-                    "id_b": pa.array(out_b, pa.int64()),
-                    payload_col: pa.array(out_p, payload_type),
+                    "mid": pa.array(ids[sel_rows]),
+                    "id_a": pa.array(a_s[idx]),
+                    "id_b": pa.array(b_s[idx]),
+                    payload_col: payload_vals,
                 }
             )
 
@@ -615,15 +637,7 @@ def _verify_and_drop_text(
             sb = cache[b] = shingle_hashes(payload[b] or "", k=shingle_k)
         return jaccard(sa, sb) >= threshold
 
-    verified, n_edges = _compact_nonempty(
-        _verify_pairs_grouped(attached, text_col, verify)
-    )
-    if not n_edges:
-        return _empty_ids(id_col)
-    labels = min_label_components(verified)
-    if labels is None:
-        return _empty_ids(id_col)
-    return _drop_from_labels(labels, id_col)
+    return drop_from_pairs(_verify_pairs_grouped(attached, text_col, verify), id_col)
 
 
 def minhash_dedup(
@@ -781,15 +795,9 @@ def embedding_neardup(
             vb = cache[b] = v / n if n else v
         return float(va @ vb) >= threshold
 
-    verified, n_edges = _compact_nonempty(
-        _verify_pairs_grouped(attached, "emb_bytes", verify)
+    return drop_from_pairs(
+        _verify_pairs_grouped(attached, "emb_bytes", verify), id_col
     )
-    if not n_edges:
-        return _empty_ids(id_col)
-    labels = min_label_components(verified)
-    if labels is None:
-        return _empty_ids(id_col)
-    return _drop_from_labels(labels, id_col)
 
 
 def drop_from_pairs(pairs, id_col: str):
@@ -973,15 +981,9 @@ def simhash_neardup(
         x = (payload[a] ^ payload[b]) & 0xFFFFFFFFFFFFFFFF
         return bin(x).count("1") <= max_hamming
 
-    verified, n_edges = _compact_nonempty(
-        _verify_pairs_grouped(attached, "simhash", verify)
+    return drop_from_pairs(
+        _verify_pairs_grouped(attached, "simhash", verify), id_col
     )
-    if not n_edges:
-        return _empty_ids(id_col)
-    labels = min_label_components(verified)
-    if labels is None:
-        return _empty_ids(id_col)
-    return _drop_from_labels(labels, id_col)
 
 
 def jaccard_pairs_exact(

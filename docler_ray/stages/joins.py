@@ -169,13 +169,18 @@ def broadcast_asof_join(
     rdf = rdf.sort_values([by, right_on], kind="mergesort").reset_index(drop=True)
     r_keys = rdf[by].to_numpy()
     r_on = _ordinal(rdf[right_on].to_numpy())
-    starts = np.flatnonzero(
-        np.concatenate(([True], r_keys[1:] != r_keys[:-1]))
-    )
-    bounds = np.append(starts, len(r_keys))
-    key_slices = {
-        r_keys[s]: (int(s), int(bounds[i + 1])) for i, s in enumerate(starts)
-    }
+    if len(r_keys):
+        starts = np.flatnonzero(
+            np.concatenate(([True], r_keys[1:] != r_keys[:-1]))
+        )
+        bounds = np.append(starts, len(r_keys))
+        key_slices = {
+            r_keys[s]: (int(s), int(bounds[i + 1])) for i, s in enumerate(starts)
+        }
+    else:
+        # empty right side: every left row is simply unmatched (all-null
+        # value columns), matching the old merge_asof behavior
+        key_slices = {}
     r_vals = {c: rdf[c].to_numpy() for c in value_cols}
     right_ref = ray.put((key_slices, r_on, r_vals))
 
@@ -212,10 +217,17 @@ def broadcast_asof_join(
         out = batch
         matched_arr = pa.array(matched)
         for col in value_cols:
-            vals = pa.array(r_vals[col][hit_idx])
-            out = out.append_column(
-                col, pc.if_else(matched_arr, vals, pa.scalar(None, type=vals.type))
-            )
+            src = r_vals[col]
+            if len(src):
+                vals = pa.array(src[hit_idx])
+                out = out.append_column(
+                    col,
+                    pc.if_else(matched_arr, vals, pa.scalar(None, type=vals.type)),
+                )
+            else:
+                out = out.append_column(
+                    col, pa.nulls(n, pa.from_numpy_dtype(src.dtype))
+                )
         return out
 
     return left.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -192,3 +192,16 @@ def test_fingerprint_vectorized_equals_scalar():
         assert fingerprint(s) == expected, n
         if n >= 8:
             assert list(_window_hashes_vec(s, 8)) == rolling_hashes(s, 8), n
+
+
+def test_short_ascii_magics_validated():
+    """'BM'/'ID3' are ordinary ASCII prefixes — plain text starting with
+    them must stay text, while structurally valid headers still sniff."""
+    from docler_ray.mime_types import sniff_mime
+
+    assert sniff_mime(b"BMW engines are remarkable machines") == "text/plain"
+    assert sniff_mime(b"ID3 tags are metadata containers ok") == "text/plain"
+    bmp = b"BM" + (1000).to_bytes(4, "little") + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+    assert sniff_mime(bmp) == "image/bmp"
+    id3 = b"ID3\x04\x00\x00\x00\x00\x02\x01rest"
+    assert sniff_mime(id3) == "audio/mpeg"

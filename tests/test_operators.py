@@ -544,3 +544,28 @@ def test_min_label_components_long_chain_distributed(ray_session, monkeypatch):
     monkeypatch.setattr(dedup, "_SMALL_GRAPH_EDGES", 0)
     labels = {r["src"]: r["label"] for r in dedup.min_label_components(ds).take_all()}
     assert labels == {i: 0 for i in range(41)}
+
+
+def test_broadcast_asof_join_empty_right(ray_session):
+    """An empty right side must emit all-null value columns, not crash
+    (regression: the numpy rewrite raised IndexError building key slices)."""
+    import pyarrow as pa
+    import ray.data
+
+    from docler_ray.stages.joins import broadcast_asof_join
+
+    left = ray.data.from_items(
+        [{"k": 1, "ts": 10}, {"k": 2, "ts": 20}]
+    )
+    right = pa.table(
+        {
+            "k": pa.array([], pa.int64()),
+            "rts": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+        }
+    )
+    out = broadcast_asof_join(
+        left, right, by="k", left_on="ts", right_on="rts", value_cols=["v"]
+    ).take_all()
+    assert len(out) == 2
+    assert all(r["v"] is None for r in out)

@@ -682,6 +682,41 @@ def _q_median_chars_by_lang(sf_dir: str):
     return grouped_discrete_quantile(ds, value_col="n_chars", group_col="lang", q=0.5)
 
 
+def _q_events_hopping_counts(sf_dir: str):
+    """Hopping windows (2h size, 1h hop — each event in 2 windows):
+    map-side pre-aggregation per hop offset, shuffle ships partials only."""
+    import ray.data
+
+    from docler_ray.stages.windows import hopping_window_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return hopping_window_counts(
+        ds, "ts", "event_type", window_secs=7200, hop_secs=3600
+    )
+
+
+def _q_price_quantiles_sampled(sf_dir: str):
+    """Approximate order-price quantiles from the deterministic
+    bottom-4096-by-hash sample — mergeable-sketch shape with an EXACT
+    oracle (DuckDB selects the identical sample)."""
+    import ray.data
+
+    from docler_ray.stages.stats import bottomk_sample_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return bottomk_sample_quantiles(
+        ds,
+        value_col="o_totalprice",
+        id_col="o_orderkey",
+        qs=[0.25, 0.5, 0.75, 0.9],
+        k=4096,
+    )
+
+
 def _q_sample_docs_pct10(sf_dir: str):
     """Deterministic seedless 10% sample by id arithmetic (resume-safe;
     identical SQL expression on the oracle side)."""
@@ -1055,6 +1090,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ws_token_counts": _q_ws_token_counts,
         "chunk_counts": _q_chunk_counts,
         "events_window_counts": _q_events_window_counts,
+        "events_hopping_counts": _q_events_hopping_counts,
+        "price_quantiles_sampled": _q_price_quantiles_sampled,
         "events_sessionize": _q_events_sessionize,
         "orders_by_mktsegment": _q_orders_by_mktsegment,
         "lineitem_order_status_counts": _q_lineitem_order_status_counts,
@@ -1117,6 +1154,24 @@ def oracle_sql() -> dict[str, str]:
         "events_window_counts": (
             "SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) "
             "AS window_start, COUNT(*) AS n FROM events GROUP BY 1, 2"
+        ),
+        "events_hopping_counts": (
+            "WITH m AS ("
+            "  SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) "
+            "  AS w0 FROM events) "
+            "SELECT event_type, window_start, COUNT(*) AS n FROM ("
+            "  SELECT event_type, w0 AS window_start FROM m "
+            "  UNION ALL SELECT event_type, w0 - 3600 FROM m) "
+            "GROUP BY event_type, window_start"
+        ),
+        "price_quantiles_sampled": (
+            "WITH s AS (SELECT o_totalprice AS v FROM orders "
+            "  ORDER BY (o_orderkey % 1000003) * 2654435761, o_orderkey "
+            "  LIMIT 4096) "
+            "SELECT 0.25 AS q, quantile_disc(v, 0.25) AS value FROM s "
+            "UNION ALL SELECT 0.5, quantile_disc(v, 0.5) FROM s "
+            "UNION ALL SELECT 0.75, quantile_disc(v, 0.75) FROM s "
+            "UNION ALL SELECT 0.9, quantile_disc(v, 0.9) FROM s"
         ),
         "knn_self_top5": (
             "WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe "

@@ -169,6 +169,8 @@ def bench_once() -> dict:
         timed("audio_probe_features", q["audio_probe_features"])
         timed("video_frame_schedule", q["video_frame_schedule"])
         timed("simhash_survivors", q["simhash_survivors"])
+        timed("events_hopping_counts", q["events_hopping_counts"])
+        timed("price_quantiles_sampled", q["price_quantiles_sampled"])
     finally:
         ray.shutdown()
     return results

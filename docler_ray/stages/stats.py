@@ -20,12 +20,13 @@ def grouped_discrete_quantile(
 ) -> pa.Table:
     """Exact discrete quantile of an integer column per group.
 
-    Semantics match DuckDB's ``quantile_disc``: the element at 0-based sorted
-    index ``floor((n-1) * q)``. Implementation: map-side value counts ->
-    one groupby over (group, value) partials -> per-group cumulative walk
-    over the (small) count table. Assumes the value domain is bounded
-    (lengths, scores, page counts) — the count table is domain-sized, not
-    corpus-sized.
+    Semantics match DuckDB's ``quantile_disc``: the element at 0-based
+    sorted index ``ceil(n*q) - 1`` (probed empirically — NOT
+    ``floor((n-1)*q)``; the two coincide only at q=0.5). Implementation:
+    map-side value counts -> one groupby over (group, value) partials ->
+    per-group cumulative walk over the (small) count table. Assumes the
+    value domain is bounded (lengths, scores, page counts) — the count
+    table is domain-sized, not corpus-sized.
     """
     from ray.data.aggregate import Sum
 
@@ -48,7 +49,7 @@ def grouped_discrete_quantile(
     for grp, sub in counts.groupby(group_col, sort=True):
         sub = sub.sort_values(value_col, kind="mergesort")
         total = int(sub["n"].sum())
-        target = int(np.floor((total - 1) * q))
+        target = max(0, int(np.ceil(total * q)) - 1)
         cum = sub["n"].cumsum().to_numpy()
         idx = int(np.searchsorted(cum, target + 1))
         out_groups.append(grp)
@@ -80,6 +81,55 @@ def sample_hash_bucket(ids: np.ndarray) -> np.ndarray:
     avalanche into the bucket (round-1 ADVICE finding)."""
     mixed = (ids.astype(np.int64) % _SAMPLE_MOD) * _SAMPLE_MULT
     return (mixed // _SAMPLE_SHIFT_DIV) % 100
+
+
+def bottomk_sample_quantiles(
+    ds,
+    *,
+    value_col: str,
+    id_col: str,
+    qs: list[float],
+    k: int = 4096,
+) -> pa.Table:
+    """Approximate quantiles from a DETERMINISTIC bottom-k-by-hash sample —
+    the mergeable-sketch pattern with an exactly SQL-mirrorable definition.
+
+    Each batch keeps its k rows with the smallest (sample-hash(id), id)
+    keys; the driver merges the per-batch partials and keeps the global
+    bottom-k (a uniform-without-replacement sample of the corpus, stable
+    across runs and partitionings), then reads quantile_disc-style values
+    off the sorted sample (element at floor((k-1)*q)). Driver state is k
+    rows regardless of corpus size. Sampling error is the standard
+    ~1/sqrt(k) quantile deviation; the ORACLE is exact because DuckDB can
+    select the identical sample (ORDER BY the same hash expression LIMIT k).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mixed = (ids % _SAMPLE_MOD) * _SAMPLE_MULT
+        order = np.lexsort((ids, mixed))[:k]
+        return pa.table(
+            {
+                "mixed": pa.array(mixed[order]),
+                id_col: pa.array(ids[order]),
+                value_col: batch.column(value_col).take(pa.array(order)),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    partials = partials.sort_values(["mixed", id_col], kind="mergesort").head(k)
+    vals = np.sort(partials[value_col].to_numpy())
+    n = len(vals)
+    out_q, out_v = [], []
+    for q in qs:
+        out_q.append(q)
+        # DuckDB quantile_disc convention: element at ceil(n*q) - 1
+        out_v.append(vals[max(0, int(np.ceil(n * q)) - 1)] if n else None)
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
+    )
 
 
 def deterministic_sample(ds, *, id_col: str, pct: int):

@@ -45,6 +45,49 @@ def tumbling_window_counts(ds, ts_col: str, group_col: str, *, window_secs: int 
     )
 
 
+def hopping_window_counts(
+    ds,
+    ts_col: str,
+    group_col: str,
+    *,
+    window_secs: int = 7200,
+    hop_secs: int = 3600,
+):
+    """Counts per (group, HOPPING window): windows of ``window_secs`` start
+    every ``hop_secs``, so each event lands in window_secs/hop_secs
+    overlapping windows. Map-side: one vectorized pass per hop offset emits
+    the event's window memberships pre-aggregated; the shuffle ships only
+    (group, window_start, partial_n) — the tumbling-window scale pattern
+    with a fixed small fan-out factor.
+    """
+    if window_secs % hop_secs:
+        msg = "window_secs must be a multiple of hop_secs"
+        raise ValueError(msg)
+    fanout = window_secs // hop_secs
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        epoch = _epoch_seconds(df[ts_col])
+        frames = []
+        base = (epoch // hop_secs) * hop_secs
+        for i in range(fanout):
+            w = base - i * hop_secs
+            g = (
+                pd.DataFrame({group_col: df[group_col], "window_start": w})
+                .groupby([group_col, "window_start"], sort=False)
+                .size()
+                .reset_index(name="partial_n")
+            )
+            frames.append(g)
+        return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby([group_col, "window_start"]).aggregate(
+        Sum("partial_n", alias_name="n")
+    )
+
+
 def sessionize(ds, key_col: str, ts_col: str, *, gap_secs: int = 1800):
     """Session windows: events of one key separated by more than ``gap_secs``
     start a new session. Returns one row per (key, session_idx) with

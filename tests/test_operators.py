@@ -569,3 +569,58 @@ def test_broadcast_asof_join_empty_right(ray_session):
     ).take_all()
     assert len(out) == 2
     assert all(r["v"] is None for r in out)
+
+
+def test_hopping_window_counts(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from docler_ray.stages.windows import hopping_window_counts
+
+    base = dt.datetime(2025, 1, 1, 0, 30)  # lands in windows starting 00:00 and 23:00(-1h)
+    rows = [
+        {"event_type": "a", "ts": base},
+        {"event_type": "a", "ts": base + dt.timedelta(hours=1)},
+        {"event_type": "b", "ts": base},
+    ]
+    ds = ray.data.from_items(rows)
+    out = hopping_window_counts(ds, "ts", "event_type", window_secs=7200, hop_secs=3600)
+    got = {(r["event_type"], r["window_start"]): r["n"] for r in out.take_all()}
+    e0 = int(dt.datetime(2025, 1, 1).timestamp())
+    # event at 00:30 -> windows [-1h, 0]; event at 01:30 -> windows [0, 1h]
+    assert got[("a", e0)] == 2
+    assert got[("a", e0 - 3600)] == 1
+    assert got[("a", e0 + 3600)] == 1
+    assert got[("b", e0)] == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        hopping_window_counts(ds, "ts", "event_type", window_secs=7000, hop_secs=3600)
+
+
+def test_bottomk_sample_quantiles_matches_duckdb_convention(ray_session):
+    import duckdb
+    import ray.data
+
+    from docler_ray.stages.stats import bottomk_sample_quantiles
+
+    rows = [{"id": i, "v": float((i * 37) % 101)} for i in range(500)]
+    ds = ray.data.from_items(rows)
+    got = bottomk_sample_quantiles(
+        ds, value_col="v", id_col="id", qs=[0.25, 0.5, 0.75, 0.9], k=64
+    ).to_pylist()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({r['id']}, {r['v']})" for r in rows)
+        + ") AS t(id, v)"
+    )
+    for row in got:
+        q = row["q"]
+        want = con.execute(
+            "WITH s AS (SELECT v FROM t "
+            "ORDER BY (id % 1000003) * 2654435761, id LIMIT 64) "
+            f"SELECT quantile_disc(v, {q}) FROM s"
+        ).fetchone()[0]
+        assert row["value"] == want, q

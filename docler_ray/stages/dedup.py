@@ -167,8 +167,25 @@ def make_minhash_band_emitter(
     return EmitBands
 
 
-_COARSE_GROUPS = 512  # co-location granularity for LSH bucket pair emission
+_COARSE_GROUPS = 512  # FLOOR for the coarse co-location keyspace
+_COARSE_TARGET_ROWS = 65536  # target rows per coarse group (sizes the keyspace)
 _MAX_BUCKET_PAIRS = 200  # cap pairs per bucket against degenerate corpora
+
+
+def _coarse_group_count(n_rows: int | None) -> int:
+    """Coarse-group keyspace sized from a MEASURED row count, the same way
+    ``_num_partitions`` sizes join pools: target ~``_COARSE_TARGET_ROWS``
+    rows per group, floored at the round-2 constant. A fixed 512-group
+    keyspace made per-task state corpus-proportional (rows/512 posting or
+    pair rows per group — tens of GB at 10^10 candidate pairs, round-2
+    VERDICT finding 1); deriving the count keeps per-group rows bounded by
+    the TARGET constant instead. Group membership is hash % count, so the
+    emitted pairs/edges are identical for any count — only co-location
+    granularity changes (pinned by the regime-equality tests, which force a
+    per-row-sized keyspace)."""
+    if not n_rows or n_rows <= 0:
+        return _COARSE_GROUPS
+    return max(_COARSE_GROUPS, 1 + n_rows // _COARSE_TARGET_ROWS)
 
 
 def _num_partitions(n_rows: int | None = None) -> int:
@@ -242,19 +259,31 @@ def _compact_nonempty(ds):
     return ray.data.from_arrow_refs(refs), n_rows
 
 
-def _lsh_bucket_pairs(buckets, key_cols: list[str], id_col: str):
+def _lsh_bucket_pairs(buckets, key_cols: list[str], id_col: str, n_rows=None):
     """(id, bucket-key) rows -> candidate (id_a, id_b) pair DATASET,
     id_a = bucket min. Pairs may repeat across buckets/bands — downstream
     verification deduplicates inside its coarse groups.
 
     One shuffle total: bucket keys are folded into a COARSE co-location key
-    (so Ray shuffles ~512 groups, not one per distinct bucket), and the
+    sized from the posting-row count (``_coarse_group_count`` — bounded
+    rows per group at any corpus size, keyspace floor 512), and the
     per-bucket "pair everyone with the minimum" emission is a vectorized
     pandas transform inside each coarse group — per-bucket Python calls would
     dominate wall-time at ~1e5 buckets (measured 22s -> see BASELINE.md).
-    Connectivity via min-pairing is enough for the later label propagation
-    without O(n^2) pairs per bucket.
+    ``n_rows`` is the posting count: callers whose emission factor is a
+    constant pass measured_corpus_rows x factor (no barrier); when None the
+    postings are materialized once and counted exactly (the groupby that
+    follows is a full barrier anyway, so this costs one extra block pass,
+    not a new shuffle). Connectivity via min-pairing is enough for the
+    later label propagation without O(n^2) pairs per bucket.
     """
+    if n_rows is None:
+        buckets, n_rows = _compact_nonempty(buckets)
+        if buckets is None:
+            import ray.data
+
+            return ray.data.from_arrow(_empty_pairs_table())
+    n_groups = np.uint64(_coarse_group_count(n_rows))
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         acc = np.zeros(len(batch), dtype=np.uint64)
@@ -263,7 +292,7 @@ def _lsh_bucket_pairs(buckets, key_cols: list[str], id_col: str):
                 np.uint64
             )
         return batch.append_column(
-            "coarse", pa.array((acc % _COARSE_GROUPS).astype(np.int32))
+            "coarse", pa.array((acc % n_groups).astype(np.int64))
         )
 
     def emit_pairs(df: pd.DataFrame) -> pa.Table:
@@ -406,21 +435,32 @@ def _attach_pair_payload(
     return joined
 
 
-def _add_pair_coarse(batch: pa.Table) -> pa.Table:
-    a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-    b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-    key = ((a * np.uint64(1000003)) + b) % np.uint64(_COARSE_GROUPS)
-    return batch.append_column("pcoarse", pa.array(key.astype(np.int32)))
+def _make_pair_coarse(n_groups: int):
+    ng = np.uint64(n_groups)
+
+    def add_pair_coarse(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = ((a * np.uint64(1000003)) + b) % ng
+        return batch.append_column("pcoarse", pa.array(key.astype(np.int64)))
+
+    return add_pair_coarse
 
 
-def _verify_pairs_grouped(attached, payload_col: str, verify_fn):
+def _verify_pairs_grouped(attached, payload_col: str, verify_fn, n_pairs=None):
     """Group pair-membership rows by a coarse pair key and run the exact
     verification kernel inside each group.
 
-    ``verify_fn(payload_a, payload_b) -> bool``. Per-coarse-group payload
-    cache keeps hub documents (one doc in many pairs) from being re-shingled
-    per pair. Output: verified edge Dataset (id_a, id_b).
+    ``verify_fn(payload_a, payload_b) -> bool``. The coarse keyspace is
+    sized from the MEASURED pair count (2 membership rows per pair, with
+    payloads attached — the heaviest per-group rows of the pipeline), so
+    per-group memory is bounded by ``_COARSE_TARGET_ROWS`` at any corpus
+    size. The coarse key is a pure function of (id_a, id_b), so duplicate
+    candidate pairs always land in the same group and dedup there. Per-group
+    payload cache keeps hub documents (one doc in many pairs) from being
+    re-shingled per pair. Output: verified edge Dataset (id_a, id_b).
     """
+    n_groups = _coarse_group_count(2 * n_pairs if n_pairs else None)
 
     def verify_group(df: pd.DataFrame) -> pa.Table:
         if df.empty:
@@ -446,7 +486,7 @@ def _verify_pairs_grouped(attached, payload_col: str, verify_fn):
 
     return (
         attached.map_batches(
-            _add_pair_coarse, batch_format="pyarrow", zero_copy_batch=True
+            _make_pair_coarse(n_groups), batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("pcoarse")
         .map_groups(verify_group, batch_format="pandas")
@@ -637,7 +677,9 @@ def _verify_and_drop_text(
             sb = cache[b] = shingle_hashes(payload[b] or "", k=shingle_k)
         return jaccard(sa, sb) >= threshold
 
-    return drop_from_pairs(_verify_pairs_grouped(attached, text_col, verify), id_col)
+    return drop_from_pairs(
+        _verify_pairs_grouped(attached, text_col, verify, n_pairs=n_pairs), id_col
+    )
 
 
 def minhash_dedup(
@@ -671,7 +713,12 @@ def minhash_dedup(
         batch_size=1024,
         zero_copy_batch=True,
     )
-    pairs = _lsh_bucket_pairs(bands, ["band", "band_hash"], id_col)
+    # posting emission is exactly num_bands rows per document, so the coarse
+    # keyspace sizes from measured corpus rows without a materialize barrier
+    pairs = _lsh_bucket_pairs(
+        bands, ["band", "band_hash"], id_col,
+        n_rows=corpus_rows * num_bands if corpus_rows else None,
+    )
     return _verify_and_drop_text(
         ds, pairs, text_col, id_col, shingle_k=shingle_k, threshold=threshold,
         corpus_rows=corpus_rows,
@@ -722,7 +769,11 @@ def ngram_jaccard_dedup(
     anchored = ds.map_batches(
         emit_anchors, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = _lsh_bucket_pairs(anchored, ["anchor"], id_col)
+    # <= num_anchors posting rows per document
+    pairs = _lsh_bucket_pairs(
+        anchored, ["anchor"], id_col,
+        n_rows=corpus_rows * num_anchors if corpus_rows else None,
+    )
     return _verify_and_drop_text(
         ds, pairs, text_col, id_col, shingle_k=shingle_k, threshold=threshold,
         corpus_rows=corpus_rows,
@@ -760,7 +811,10 @@ def embedding_neardup(
         return pa.table({id_col: batch.column(id_col), "bucket": pa.array(buckets, pa.int64())})
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    pairs, n_pairs = _compact_nonempty(_lsh_bucket_pairs(buckets, ["bucket"], id_col))
+    # exactly one posting row per embedding
+    pairs, n_pairs = _compact_nonempty(
+        _lsh_bucket_pairs(buckets, ["bucket"], id_col, n_rows=corpus_rows)
+    )
     if not n_pairs:
         return _empty_ids(id_col)
 
@@ -796,7 +850,7 @@ def embedding_neardup(
         return float(va @ vb) >= threshold
 
     return drop_from_pairs(
-        _verify_pairs_grouped(attached, "emb_bytes", verify), id_col
+        _verify_pairs_grouped(attached, "emb_bytes", verify, n_pairs=n_pairs), id_col
     )
 
 
@@ -871,18 +925,28 @@ def drop_id_set(drop) -> set:
     return {next(iter(r.values())) for r in rows}
 
 
-def _all_pairs_from_postings(postings, id_col: str, key_col: str):
+def _all_pairs_from_postings(postings, id_col: str, key_col: str, n_rows=None):
     """(id, posting-key) rows -> ALL distinct within-bucket pairs
     (id_a < id_b) — the exact-recall pair generator (vs _lsh_bucket_pairs'
     everyone-with-min connectivity sketch). Quadratic in bucket size by
     definition of exact joins; posting schemes must keep buckets bounded
-    (prefix filtering, 16-bit SimHash blocks). One coarse-key shuffle; the
-    self-merge inside each coarse group is vectorized pandas."""
+    (prefix filtering, 16-bit SimHash blocks). One coarse-key shuffle over a
+    keyspace sized from the posting count (bounded per-group rows;
+    ``n_rows`` semantics as in ``_lsh_bucket_pairs`` — constant-factor
+    callers pass an estimate, variable-emission callers let it be measured);
+    the self-merge inside each coarse group is vectorized pandas."""
+    if n_rows is None:
+        postings, n_rows = _compact_nonempty(postings)
+        if postings is None:
+            import ray.data
+
+            return ray.data.from_arrow(_empty_pairs_table())
+    n_groups = np.uint64(_coarse_group_count(n_rows))
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         ks = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         return batch.append_column(
-            "coarse", pa.array((ks % np.uint64(_COARSE_GROUPS)).astype(np.int32))
+            "coarse", pa.array((ks % n_groups).astype(np.int64))
         )
 
     def emit_all_pairs(df: pd.DataFrame) -> pa.Table:
@@ -961,8 +1025,12 @@ def simhash_neardup(
         return pa.concat_tables(tables)
 
     postings = sims.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+    # exactly 4 block postings per document
     pairs, n_pairs = _compact_nonempty(
-        _all_pairs_from_postings(postings, id_col, "blockkey")
+        _all_pairs_from_postings(
+            postings, id_col, "blockkey",
+            n_rows=corpus_rows * 4 if corpus_rows else None,
+        )
     )
     if not n_pairs:
         return _empty_ids(id_col)
@@ -982,7 +1050,7 @@ def simhash_neardup(
         return bin(x).count("1") <= max_hamming
 
     return drop_from_pairs(
-        _verify_pairs_grouped(attached, "simhash", verify), id_col
+        _verify_pairs_grouped(attached, "simhash", verify, n_pairs=n_pairs), id_col
     )
 
 
@@ -1073,7 +1141,7 @@ def jaccard_pairs_exact(
         return jaccard(sa, sb) >= threshold
 
     verified, n_verified = _compact_nonempty(
-        _verify_pairs_grouped(attached, text_col, verify)
+        _verify_pairs_grouped(attached, text_col, verify, n_pairs=n_pairs)
     )
     if not n_verified:
         import ray.data

@@ -155,8 +155,10 @@ def broadcast_asof_join(
     Input row order is preserved by construction (results land in
     preallocated per-row arrays). Right-side ties on (by, right_on) must be
     resolved by the caller beforehand (e.g. keep the max value per
-    key+time) — on a tie the LAST sorted row wins, deterministic only if
-    the caller made it so.
+    key+time): on a tie the LAST sorted row wins for direction="backward"
+    (searchsorted side="right" - 1) but the FIRST tied row wins for
+    direction="forward" (side="left") — deterministic only if the caller
+    de-duplicated the key+time pairs.
     """
 
     def _ordinal(arr: np.ndarray) -> np.ndarray:
@@ -165,6 +167,10 @@ def broadcast_asof_join(
             return arr.astype("datetime64[ns]").astype(np.int64)
         return arr
 
+    # null-column types come from the ARROW schema, not the numpy dtype: a
+    # string value column round-trips through pandas as dtype('O'), which
+    # pa.from_numpy_dtype cannot map (empty-right regression, round-2 ADVICE)
+    value_types = {c: right.schema.field(c).type for c in value_cols}
     rdf = right.select([by, right_on, *value_cols]).to_pandas()
     rdf = rdf.sort_values([by, right_on], kind="mergesort").reset_index(drop=True)
     r_keys = rdf[by].to_numpy()
@@ -219,15 +225,13 @@ def broadcast_asof_join(
         for col in value_cols:
             src = r_vals[col]
             if len(src):
-                vals = pa.array(src[hit_idx])
+                vals = pa.array(src[hit_idx], type=value_types[col])
                 out = out.append_column(
                     col,
                     pc.if_else(matched_arr, vals, pa.scalar(None, type=vals.type)),
                 )
             else:
-                out = out.append_column(
-                    col, pa.nulls(n, pa.from_numpy_dtype(src.dtype))
-                )
+                out = out.append_column(col, pa.nulls(n, value_types[col]))
         return out
 
     return left.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -12,7 +12,21 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_SESSION_COARSE = 64  # co-location granularity for per-key ordered processing
+_SESSION_COARSE = 64  # FLOOR for the session co-location keyspace
+_SESSION_TARGET_ROWS = 65536  # target event rows per coarse session group
+
+
+def _session_group_count(n_rows: int | None) -> int:
+    """Coarse-group keyspace for sessionize, sized from a MEASURED event
+    count: target ~``_SESSION_TARGET_ROWS`` rows per group, floored at the
+    round-2 constant. A fixed 64-group keyspace materialized ~corpus/64
+    events in one pandas frame (round-2 VERDICT finding 2); deriving the
+    count bounds per-group rows by the TARGET instead. Output is invariant
+    to the count — groups only co-locate keys (hash % count), sessions are
+    computed per key (pinned by the forced-large-keyspace equality test)."""
+    if not n_rows or n_rows <= 0:
+        return _SESSION_COARSE
+    return max(_SESSION_COARSE, 1 + n_rows // _SESSION_TARGET_ROWS)
 
 
 def _epoch_seconds(ts: pd.Series) -> np.ndarray:
@@ -88,34 +102,48 @@ def hopping_window_counts(
     )
 
 
-def sessionize(ds, key_col: str, ts_col: str, *, gap_secs: int = 1800):
+def sessionize(
+    ds, key_col: str, ts_col: str, *, gap_secs: int = 1800, n_rows: int | None = None
+):
     """Session windows: events of one key separated by more than ``gap_secs``
     start a new session. Returns one row per (key, session_idx) with
     ``n_events``, ``session_start`` and ``session_end`` (epoch seconds).
 
     This is per-key ORDERED processing, which Ray Data has no primitive for;
     the composition is: co-locate each key's rows with one groupby over a
-    COARSE key (hash(key) % 64 — one shuffle of (key, ts) pairs, not one
+    COARSE key (hash(key) % N — one shuffle of (key, ts) pairs, not one
     Ray-level group per key), then assign sessions inside each coarse group
-    with a fully vectorized sort + gap-cumsum. Skewed keys are bounded by the
-    coarse factor; raise _SESSION_COARSE for very hot keys.
+    with a fully vectorized sort + gap-cumsum. The keyspace N is sized from
+    the measured row count (``_session_group_count`` — bounded rows per
+    group at any corpus size); pass ``n_rows`` when known (parquet metadata
+    count is free), else ``ds.count()`` measures it. A single key hotter
+    than the target group size still bounds below at one group per key —
+    the inherent skew floor of per-key ordered semantics.
     """
+    if n_rows is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover - count unavailable pre-exec
+            n_rows = None
+    n_groups = _session_group_count(n_rows)
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         col = batch.column(key_col)
         if pa.types.is_integer(col.type):
             keys = col.to_numpy().astype(np.uint64)
-            coarse = ((keys * np.uint64(1000003)) % _SESSION_COARSE).astype(np.int32)
+            coarse = ((keys * np.uint64(1000003)) % np.uint64(n_groups)).astype(
+                np.int64
+            )
         else:
             # string / other keys: crc32 into the same coarse bucket space
             import zlib
 
             coarse = np.array(
                 [
-                    zlib.crc32(str(k).encode("utf-8")) % _SESSION_COARSE
+                    zlib.crc32(str(k).encode("utf-8")) % n_groups
                     for k in col.to_pylist()
                 ],
-                dtype=np.int32,
+                dtype=np.int64,
             )
         return batch.append_column("coarse", pa.array(coarse))
 

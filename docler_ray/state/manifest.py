@@ -29,11 +29,17 @@ def shard_id_for_path(path: str) -> str:
     basename alone collides when two input directories carry same-named
     shards (the resume filter would silently skip one and both would write
     into the same hive partition), so the id folds in a crc32 of the
-    absolute path. Everything that names a shard — the classify stage's
-    lineage column, the resume filter, incomplete-output cleanup, manifest
-    rows — derives the id through this one function.
+    REAL path (``os.path.realpath``: symlinks and relative spellings of the
+    same file resolve to one id, so a resume launched from a different cwd
+    or through a symlinked mount skips completed shards instead of
+    re-running them — round-2 ADVICE). Resume still requires the inputs to
+    live at the same resolved filesystem path across runs; a corpus moved
+    wholesale gets fresh ids and reruns in full. Everything that names a
+    shard — the classify stage's lineage column, the resume filter,
+    incomplete-output cleanup, manifest rows — derives the id through this
+    one function.
     """
-    ap = os.path.abspath(path)
+    ap = os.path.realpath(path)
     return f"{os.path.basename(path)}-{zlib.crc32(ap.encode('utf-8')) & 0xFFFFFFFF:08x}"
 
 

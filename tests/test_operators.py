@@ -331,6 +331,40 @@ def test_sessionize_string_keys(ray_session):
     assert list(out["n_events"]) == [3, 2, 3, 2]
 
 
+def test_sessionize_output_invariant_to_coarse_keyspace(ray_session, monkeypatch):
+    """The measured-size coarse keyspace must not change sessionize output:
+    force one-row-per-group sizing (large keyspace) and compare against the
+    floor keyspace on the same events."""
+    import datetime as dt
+
+    import ray.data
+
+    from docler_ray.stages import windows
+
+    base = dt.datetime(2025, 3, 1, 9, 0)
+    rows = []
+    for uid in range(17):
+        for j in range(4):
+            rows.append({"user_id": uid, "ts": base + dt.timedelta(minutes=40 * j)})
+
+    def run() -> list[tuple]:
+        ds = ray.data.from_items(rows)
+        out = windows.sessionize(ds, "user_id", "ts", gap_secs=1800).take_all()
+        return sorted(
+            (r["user_id"], r["session_idx"], r["n_events"], r["session_start"],
+             r["session_end"])
+            for r in out
+        )
+
+    floor = run()
+    monkeypatch.setattr(windows, "_SESSION_TARGET_ROWS", 1)
+    monkeypatch.setattr(windows, "_SESSION_COARSE", 1)
+    large = run()
+    assert floor == large
+    # 40-min spacing > 30-min gap -> every event is its own session
+    assert len(floor) == len(rows)
+
+
 def test_min_label_components_distributed_equals_local(ray_session, monkeypatch):
     """The distributed min-label-propagation regime must produce the same
     components as the bounded local fast path (chains + stars + isolates)."""
@@ -455,6 +489,10 @@ def test_dedup_distributed_regime_equals_fast_path(ray_session, monkeypatch):
     monkeypatch.setattr(dedup, "_SMALL_PAIRS", 0)
     monkeypatch.setattr(dedup, "_SMALL_GRAPH_EDGES", 0)
     monkeypatch.setattr(dedup, "_SMALL_DROP", 0)
+    # also force a LARGE coarse keyspace (one row per group target) — the
+    # measured-size group sizing must not change the emitted pairs/edges
+    monkeypatch.setattr(dedup, "_COARSE_TARGET_ROWS", 1)
+    monkeypatch.setattr(dedup, "_COARSE_GROUPS", 1)
     dist = survivors()
     assert fast == dist
     assert 0 in fast and all(i not in fast for i in (5, 10, 15, 20, 25, 30, 35))
@@ -569,6 +607,22 @@ def test_broadcast_asof_join_empty_right(ray_session):
     ).take_all()
     assert len(out) == 2
     assert all(r["v"] is None for r in out)
+
+    # string value columns round-trip through pandas as dtype('O'), which
+    # pa.from_numpy_dtype cannot map — the null type must come from the
+    # right table's Arrow schema (round-2 ADVICE regression)
+    right_s = pa.table(
+        {
+            "k": pa.array([], pa.int64()),
+            "rts": pa.array([], pa.int64()),
+            "label": pa.array([], pa.string()),
+        }
+    )
+    out_s = broadcast_asof_join(
+        left, right_s, by="k", left_on="ts", right_on="rts", value_cols=["label"]
+    ).take_all()
+    assert len(out_s) == 2
+    assert all(r["label"] is None for r in out_s)
 
 
 def test_hopping_window_counts(ray_session):

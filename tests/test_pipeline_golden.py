@@ -17,6 +17,27 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 PAGES_FILES = sorted(glob.glob(os.path.join(GOLDEN_DIR, "pages", "*.parquet")))
 
 
+def test_shard_id_stable_across_path_spellings(tmp_path):
+    """Symlinked / relative spellings of one input file must resolve to ONE
+    shard id (realpath normalization), or a resume from a different cwd or
+    mount spelling would re-run every shard and duplicate output rows."""
+    from docler_ray.state.manifest import shard_id_for_path
+
+    real = tmp_path / "pages-0.parquet"
+    real.write_bytes(b"x")
+    link_dir = tmp_path / "mnt"
+    link_dir.mkdir()
+    link = link_dir / "pages-0.parquet"
+    link.symlink_to(real)
+    rel = os.path.relpath(str(real))
+    assert shard_id_for_path(str(real)) == shard_id_for_path(str(link))
+    assert shard_id_for_path(str(real)) == shard_id_for_path(rel)
+    other = tmp_path / "other" / "pages-0.parquet"
+    other.parent.mkdir()
+    other.write_bytes(b"x")
+    assert shard_id_for_path(str(other)) != shard_id_for_path(str(real))
+
+
 def test_generator_is_deterministic():
     """The committed pages corpus must be regenerable bit-for-bit — otherwise
     goldens silently detach from the generator."""

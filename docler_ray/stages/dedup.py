@@ -1153,28 +1153,54 @@ def jaccard_pairs_exact(
 # --- SimHash -----------------------------------------------------------------
 
 def _token_hash64(tok: str) -> int:
-    """64-bit token hash: first 16 hex chars of md5 — chosen over crc32
-    because it is exactly mirrorable in SQL
+    """64-bit token hash: first 8 md5 digest bytes big-endian (== first 16
+    hex chars) — chosen over crc32 because it is exactly mirrorable in SQL
     (``('0x' || substr(md5(tok),1,16))::UBIGINT`` in DuckDB), which makes
     the whole SimHash computation oracle-checkable."""
-    return int(hashlib.md5(tok.encode("utf-8", "replace")).hexdigest()[:16], 16)
+    return int.from_bytes(
+        hashlib.md5(tok.encode("utf-8", "replace")).digest()[:8], "big"
+    )
+
+
+def simhash64_batch(texts: list[str], _cache: dict | None = None) -> np.ndarray:
+    """Vectorized 64-bit SimHash over whitespace tokens for a BATCH of
+    documents (uint64 array out). Semantics are identical to per-doc
+    ``simhash64``: per bit, votes = sum over token OCCURRENCES of +-1, bit
+    set iff votes > 0 — computed here as count-weighted votes over each
+    document's DISTINCT tokens, with one shared token->hash cache for the
+    batch (md5 was the measured dominant per-doc dedup cost; corpora repeat
+    tokens heavily across documents, so the cache turns ~tokens hashes into
+    ~distinct-tokens hashes per batch). The 64 bit-columns of the distinct
+    hashes are extracted in one numpy broadcast; votes are a single
+    weighted axis-sum. Cache size is bounded by the batch's distinct-token
+    count — per-batch state, never corpus-proportional."""
+    from collections import Counter
+
+    cache = _cache if _cache is not None else {}
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        tokens = text.split()
+        if not tokens:
+            continue
+        counts = Counter(tokens)
+        hs = np.empty(len(counts), dtype=np.uint64)
+        cs = np.empty(len(counts), dtype=np.int64)
+        for j, (tok, c) in enumerate(counts.items()):
+            h = cache.get(tok)
+            if h is None:
+                h = cache[tok] = _token_hash64(tok)
+            hs[j] = h
+            cs[j] = c
+        bits = (hs[:, None] >> shifts) & np.uint64(1)
+        votes = 2 * (bits.astype(np.int64) * cs[:, None]).sum(axis=0) - len(tokens)
+        out[i] = np.packbits((votes > 0)[::-1]).view(">u8").item()
+    return out
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (md5-derived bit votes,
-    vectorized: the 64 bit-columns of all token hashes are extracted in one
-    numpy broadcast, votes are a single axis-sum)."""
-    tokens = text.split()
-    if not tokens:
-        return 0
-    hs = np.array([_token_hash64(t) for t in tokens], dtype=np.uint64)
-    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    out = np.uint64(0)
-    for b in range(64):
-        if votes[b] > 0:
-            out |= np.uint64(1) << np.uint64(b)
-    return int(out)
+    """64-bit SimHash of one document (batch kernel of size 1)."""
+    return int(simhash64_batch([text])[0])
 
 
 def hamming64(a: int, b: int) -> int:
@@ -1182,7 +1208,9 @@ def hamming64(a: int, b: int) -> int:
 
 
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    sims = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+    sims = simhash64_batch(
+        [t or "" for t in batch.column(text_col).to_pylist()]
+    ).tolist()
     out = batch.append_column(
         "simhash", pa.array(np.array(sims, dtype=np.uint64).view(np.int64))
     )

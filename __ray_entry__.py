@@ -207,16 +207,26 @@ def _q_orders_by_mktsegment(sf_dir: str):
     )
 
 
+# broadcast bound for the as-of right side: above this many reduced rows the
+# fact-derived side must NEVER land on the driver — the co-partitioned
+# big-big regime takes over (round-2 VERDICT finding 3)
+_ASOF_BROADCAST_MAX = 2_000_000
+
+
 def _q_events_last_order_asof(sf_dir: str):
     """As-of join: each event gets the user's most recent order at or before
     the event time. The right side is REDUCED DISTRIBUTEDLY first (Ray
     groupby max over (custkey, orderdate) — orders is a fact table, so the
-    raw table must never land on the driver); only the reduced per-key-date
-    maxima are collected and broadcast for the per-batch merge_asof."""
+    raw table must never land on the driver). The regime then switches on
+    the MEASURED reduced row count: a dimension-sized right side broadcasts
+    (zero shuffle on the left); a fact-sized one runs the co-partitioned
+    as-of join (both sides hash-partition by key, shared searchsorted
+    kernel per partition — result-identical, pinned by an equality test
+    that forces the distributed regime)."""
     import ray.data
     from ray.data.aggregate import Max
 
-    from docler_ray.stages.joins import broadcast_asof_join
+    from docler_ray.stages.joins import broadcast_asof_join, copartition_asof_join
 
     reduced = (
         ray.data.read_parquet(
@@ -225,24 +235,37 @@ def _q_events_last_order_asof(sf_dir: str):
         )
         .groupby(["o_custkey", "o_orderdate"])
         .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
-    )
-    odf = reduced.to_pandas().rename(columns={"o_custkey": "user_id"})
-    # the groupby round-trip lands datetime64[s]; events ts is [us] and
-    # merge_asof requires matching key dtypes
-    odf["o_orderdate"] = odf["o_orderdate"].astype("datetime64[us]")
-    right = pa.Table.from_pandas(odf, preserve_index=False)
+    ).materialize()
+    n_right = reduced.count()
 
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    joined = broadcast_asof_join(
-        events,
-        right,
-        by="user_id",
-        left_on="ts",
-        right_on="o_orderdate",
-        value_cols=["o_orderkey"],
-    )
+    if n_right <= _ASOF_BROADCAST_MAX:
+        odf = reduced.to_pandas().rename(columns={"o_custkey": "user_id"})
+        # the groupby round-trip lands datetime64[s]; events ts is [us] and
+        # the asof kernel requires matching key dtypes
+        odf["o_orderdate"] = odf["o_orderdate"].astype("datetime64[us]")
+        right = pa.Table.from_pandas(odf, preserve_index=False)
+        joined = broadcast_asof_join(
+            events,
+            right,
+            by="user_id",
+            left_on="ts",
+            right_on="o_orderdate",
+            value_cols=["o_orderkey"],
+        )
+    else:
+        joined = copartition_asof_join(
+            events,
+            reduced,
+            by="user_id",
+            right_by="o_custkey",
+            left_on="ts",
+            right_on="o_orderdate",
+            value_cols=["o_orderkey"],
+            size_hint=n_right,
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

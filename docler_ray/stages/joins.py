@@ -132,6 +132,61 @@ def broadcast_range_join(
     return left.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _ordinal(arr: np.ndarray) -> np.ndarray:
+    """Comparable int64 view of a numeric or datetime64 array (shared by the
+    broadcast and co-partitioned as-of kernels — one ordinal convention
+    keeps the two regimes result-identical)."""
+    if arr.dtype.kind == "M":
+        return arr.astype("datetime64[ns]").astype(np.int64)
+    return arr
+
+
+def _build_key_slices(r_keys: np.ndarray) -> dict:
+    """key -> (start, end) slice bounds over a (key, on)-sorted right side."""
+    if not len(r_keys):
+        return {}
+    starts = np.flatnonzero(np.concatenate(([True], r_keys[1:] != r_keys[:-1])))
+    bounds = np.append(starts, len(r_keys))
+    return {r_keys[s]: (int(s), int(bounds[i + 1])) for i, s in enumerate(starts)}
+
+
+def _asof_match(
+    keys: np.ndarray,
+    values: np.ndarray,
+    key_slices: dict,
+    r_on: np.ndarray,
+    direction: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The vectorized as-of kernel: for each left (key, value) row return
+    (hit_idx into the sorted right side, matched mask). One searchsorted per
+    distinct left key against that key's time slice."""
+    n = len(keys)
+    hit_idx = np.zeros(n, dtype=np.int64)
+    matched = np.zeros(n, dtype=bool)
+    sort_order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[sort_order]
+    grp_starts = np.flatnonzero(
+        np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1]))
+    )
+    grp_bounds = np.append(grp_starts, n)
+    for gi, gs in enumerate(grp_starts):
+        rows = sort_order[gs : grp_bounds[gi + 1]]
+        slc = key_slices.get(sorted_keys[gs])
+        if slc is None:
+            continue
+        lo, hi = slc
+        seg = r_on[lo:hi]
+        if direction == "backward":
+            pos = np.searchsorted(seg, values[rows], side="right") - 1
+            ok = pos >= 0
+        else:
+            pos = np.searchsorted(seg, values[rows], side="left")
+            ok = pos < (hi - lo)
+        hit_idx[rows] = lo + np.clip(pos, 0, hi - lo - 1)
+        matched[rows] = ok
+    return hit_idx, matched
+
+
 def broadcast_asof_join(
     left,
     right: pa.Table,
@@ -161,32 +216,15 @@ def broadcast_asof_join(
     de-duplicated the key+time pairs.
     """
 
-    def _ordinal(arr: np.ndarray) -> np.ndarray:
-        """Comparable int64 view of a numeric or datetime64 array."""
-        if arr.dtype.kind == "M":
-            return arr.astype("datetime64[ns]").astype(np.int64)
-        return arr
-
     # null-column types come from the ARROW schema, not the numpy dtype: a
     # string value column round-trips through pandas as dtype('O'), which
     # pa.from_numpy_dtype cannot map (empty-right regression, round-2 ADVICE)
     value_types = {c: right.schema.field(c).type for c in value_cols}
     rdf = right.select([by, right_on, *value_cols]).to_pandas()
     rdf = rdf.sort_values([by, right_on], kind="mergesort").reset_index(drop=True)
-    r_keys = rdf[by].to_numpy()
+    # an empty right side leaves every left row unmatched (all-null values)
+    key_slices = _build_key_slices(rdf[by].to_numpy())
     r_on = _ordinal(rdf[right_on].to_numpy())
-    if len(r_keys):
-        starts = np.flatnonzero(
-            np.concatenate(([True], r_keys[1:] != r_keys[:-1]))
-        )
-        bounds = np.append(starts, len(r_keys))
-        key_slices = {
-            r_keys[s]: (int(s), int(bounds[i + 1])) for i, s in enumerate(starts)
-        }
-    else:
-        # empty right side: every left row is simply unmatched (all-null
-        # value columns), matching the old merge_asof behavior
-        key_slices = {}
     r_vals = {c: rdf[c].to_numpy() for c in value_cols}
     right_ref = ray.put((key_slices, r_on, r_vals))
 
@@ -197,29 +235,7 @@ def broadcast_asof_join(
         n = batch.num_rows
         keys = batch.column(by).to_numpy(zero_copy_only=False)
         values = _ordinal(batch.column(left_on).to_numpy(zero_copy_only=False))
-        hit_idx = np.zeros(n, dtype=np.int64)
-        matched = np.zeros(n, dtype=bool)
-        sort_order = np.argsort(keys, kind="stable")
-        sorted_keys = keys[sort_order]
-        grp_starts = np.flatnonzero(
-            np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1]))
-        )
-        grp_bounds = np.append(grp_starts, n)
-        for gi, gs in enumerate(grp_starts):
-            rows = sort_order[gs : grp_bounds[gi + 1]]
-            slc = key_slices.get(sorted_keys[gs])
-            if slc is None:
-                continue
-            lo, hi = slc
-            seg = r_on[lo:hi]
-            if direction == "backward":
-                pos = np.searchsorted(seg, values[rows], side="right") - 1
-                ok = pos >= 0
-            else:
-                pos = np.searchsorted(seg, values[rows], side="left")
-                ok = pos < (hi - lo)
-            hit_idx[rows] = lo + np.clip(pos, 0, hi - lo - 1)
-            matched[rows] = ok
+        hit_idx, matched = _asof_match(keys, values, key_slices, r_on, direction)
         out = batch
         matched_arr = pa.array(matched)
         for col in value_cols:
@@ -266,3 +282,154 @@ def copartition_hash_join(
         on=(on,),
         right_on=(right_on,) if right_on else None,
     )
+
+
+def _part_hash(col: pa.ChunkedArray | pa.Array, nparts: int) -> np.ndarray:
+    """Deterministic partition id per key value — the SAME function on both
+    sides of the co-partitioned as-of join (the co-location invariant)."""
+    import zlib
+
+    if pa.types.is_integer(col.type):
+        keys = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return ((keys * np.uint64(2654435761)) % np.uint64(nparts)).astype(np.int64)
+    return np.array(
+        [zlib.crc32(str(k).encode("utf-8")) % nparts for k in col.to_pylist()],
+        dtype=np.int64,
+    )
+
+
+def copartition_asof_join(
+    left,
+    right,
+    *,
+    by: str,
+    left_on: str,
+    right_on: str,
+    value_cols: list[str],
+    right_by: str | None = None,
+    direction: str = "backward",
+    size_hint: int | None = None,
+):
+    """As-of join of two LARGE Datasets — the big-big plan for fact-sized
+    right sides that ``broadcast_asof_join`` explicitly declines (its right
+    side must fit in a worker heap; a fact-derived right side collected to
+    the driver was round-2 VERDICT finding 3).
+
+    Both sides hash-partition by key (``_part_hash`` — identical function on
+    both sides, so every key's left and right rows co-locate) into a narrow
+    UNION schema (side tag + int64 ordinal + payload columns, the other
+    side's columns null), then one ``groupby(part).map_groups`` runs the
+    shared searchsorted kernel (``_asof_match``) per partition — the exact
+    kernel the broadcast regime uses, so the two regimes are
+    result-identical (pinned by an equality test). Nothing lands on the
+    driver at any size; per-partition memory is both sides' rows for that
+    key range (partition count scales with ``size_hint`` — pass the larger
+    side's row count).
+
+    Output: every left row with ``value_cols`` appended (nulls when
+    unmatched) — same contract as ``broadcast_asof_join``. Tie handling is
+    inherited from the kernel (last tied right row wins for backward, first
+    for forward); duplicate (key, on) right rows should be pre-reduced.
+    """
+    from docler_ray.stages.dedup import _num_partitions
+
+    right_by = right_by or by
+    nparts = _num_partitions(size_hint)
+    lschema = left.schema()
+    if lschema is not None and any(
+        c in getattr(lschema, "names", []) for c in value_cols
+    ):
+        msg = "value_cols must not collide with left column names"
+        raise ValueError(msg)
+    rschema = right.schema()
+    lschema = getattr(lschema, "base_schema", lschema)
+    rschema = getattr(rschema, "base_schema", rschema)
+    left_names = list(lschema.names)
+    left_types = {n: lschema.field(n).type for n in left_names}
+    value_types = {c: rschema.field(c).type for c in value_cols}
+    extra_vals = [c for c in value_cols if c not in left_names]
+    key_type = left_types[by]
+
+    def to_narrow_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols: dict = {
+            "_part": pa.array(_part_hash(batch.column(by), nparts)),
+            "_side": pa.array(np.zeros(n, dtype=np.int8)),
+            "_on": pa.array(
+                _ordinal(batch.column(left_on).to_numpy(zero_copy_only=False)).astype(
+                    np.int64
+                )
+            ),
+        }
+        for name in left_names:
+            cols[name] = batch.column(name)
+        for c in extra_vals:
+            cols[c] = pa.nulls(n, value_types[c])
+        return pa.table(cols)
+
+    def to_narrow_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            "_part": pa.array(_part_hash(batch.column(right_by), nparts)),
+            "_side": pa.array(np.ones(n, dtype=np.int8)),
+            "_on": pa.array(
+                _ordinal(
+                    batch.column(right_on).to_numpy(zero_copy_only=False)
+                ).astype(np.int64)
+            ),
+        }
+        for name in left_names:
+            if name == by:
+                cols[name] = batch.column(right_by).cast(key_type)
+            else:
+                cols[name] = pa.nulls(n, left_types[name])
+        for c in extra_vals:
+            cols[c] = batch.column(c).cast(value_types[c])
+        return pa.table(cols)
+
+    narrow = left.map_batches(
+        to_narrow_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(to_narrow_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out_names = [*left_names, *extra_vals]
+
+    def asof_partition(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "_side" not in t.schema.names:
+            return pa.table(
+                {
+                    n: pa.array([], left_types.get(n) or value_types[n])
+                    for n in out_names
+                }
+            )
+        lmask = pc.equal(t.column("_side"), pa.scalar(0, pa.int8()))
+        l = t.filter(lmask)
+        r = t.filter(pc.invert(lmask))
+        out = {n: l.column(n) for n in left_names}
+        if r.num_rows == 0 or l.num_rows == 0:
+            for c in extra_vals:
+                out[c] = pa.nulls(l.num_rows, value_types[c])
+            return pa.table(out)
+        r_keys = r.column(by).to_numpy(zero_copy_only=False)
+        r_on = r.column("_on").to_numpy(zero_copy_only=False)
+        order = np.lexsort((r_on, r_keys))
+        r_keys, r_on = r_keys[order], r_on[order]
+        key_slices = _build_key_slices(r_keys)
+        hit, matched = _asof_match(
+            l.column(by).to_numpy(zero_copy_only=False),
+            l.column("_on").to_numpy(zero_copy_only=False),
+            key_slices,
+            r_on,
+            direction,
+        )
+        matched_arr = pa.array(matched)
+        for c in extra_vals:
+            vals = r.column(c).take(pa.array(order[hit]))
+            out[c] = pc.if_else(
+                matched_arr, vals, pa.scalar(None, type=value_types[c])
+            )
+        return pa.table(out)
+
+    return narrow.groupby("_part").map_groups(asof_partition, batch_format="pyarrow")

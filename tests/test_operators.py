@@ -625,6 +625,67 @@ def test_broadcast_asof_join_empty_right(ray_session):
     assert all(r["label"] is None for r in out_s)
 
 
+def test_copartition_asof_equals_broadcast(ray_session):
+    """The big-big as-of regime must be result-identical to the broadcast
+    regime (shared kernel): int and string keys, numeric + string value
+    columns, matched and unmatched rows, both directions."""
+    import pyarrow as pa
+    import ray.data
+
+    from docler_ray.stages.joins import broadcast_asof_join, copartition_asof_join
+
+    left_rows = [
+        {"k": 1, "ts": 10, "payload": "a"},
+        {"k": 1, "ts": 35, "payload": "b"},
+        {"k": 2, "ts": 5, "payload": "c"},
+        {"k": 3, "ts": 50, "payload": "d"},  # key absent on the right
+        {"k": 2, "ts": 100, "payload": "e"},
+    ]
+    right_tbl = pa.table(
+        {
+            "rk": pa.array([1, 1, 2, 2], pa.int64()),
+            "rts": pa.array([8, 30, 10, 90], pa.int64()),
+            "v": pa.array([100, 130, 210, 290], pa.int64()),
+            "tag": pa.array(["x1", "x2", "y1", "y2"], pa.string()),
+        }
+    )
+    for direction in ("backward", "forward"):
+        bc = broadcast_asof_join(
+            ray.data.from_items(left_rows),
+            right_tbl.rename_columns(["k", "rts", "v", "tag"]),
+            by="k", left_on="ts", right_on="rts", value_cols=["v", "tag"],
+            direction=direction,
+        ).take_all()
+        cp = copartition_asof_join(
+            ray.data.from_items(left_rows),
+            ray.data.from_arrow(right_tbl),
+            by="k", right_by="rk", left_on="ts", right_on="rts",
+            value_cols=["v", "tag"], direction=direction,
+        ).take_all()
+        key = lambda r: (r["k"], r["ts"])  # noqa: E731
+        assert sorted(bc, key=key) == sorted(cp, key=key), direction
+
+    # string keys through the crc32 partition hash
+    left_s = [{"k": f"u{i % 3}", "ts": i * 10, "p": i} for i in range(9)]
+    right_s = pa.table(
+        {
+            "k": pa.array(["u0", "u1", "u0"], pa.string()),
+            "rts": pa.array([5, 25, 60], pa.int64()),
+            "v": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        }
+    )
+    bc = broadcast_asof_join(
+        ray.data.from_items(left_s), right_s,
+        by="k", left_on="ts", right_on="rts", value_cols=["v"],
+    ).take_all()
+    cp = copartition_asof_join(
+        ray.data.from_items(left_s), ray.data.from_arrow(right_s),
+        by="k", left_on="ts", right_on="rts", value_cols=["v"],
+    ).take_all()
+    key = lambda r: (r["k"], r["ts"])  # noqa: E731
+    assert sorted(bc, key=key) == sorted(cp, key=key)
+
+
 def test_hopping_window_counts(ray_session):
     import datetime as dt
 

@@ -70,6 +70,17 @@ def test_query_matches_oracle(ray_session, name):
             )
 
 
+def test_asof_query_distributed_regime_matches_broadcast(ray_session, monkeypatch):
+    """Force the co-partitioned as-of regime for events_last_order_asof and
+    assert it matches the broadcast regime row-for-row — the right side must
+    never need to land on the driver for the query to stay correct."""
+    q = entry_mod.queries()["events_last_order_asof"]
+    broadcast = _canon(_to_pandas(q(SF_DIR)))
+    monkeypatch.setattr(entry_mod, "_ASOF_BROADCAST_MAX", 0)
+    distributed = _canon(_to_pandas(q(SF_DIR)))
+    pd.testing.assert_frame_equal(broadcast, distributed)
+
+
 def test_rows_only_queries_run(ray_session):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()

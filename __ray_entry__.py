@@ -379,13 +379,17 @@ def _q_extract_docs_grouped_by_lang(sf_dir: str):
     """The groupby("lang").map_groups dispatch route (north-rule per-language
     axis) — must produce the same docs as the zero-shuffle default, checked
     by projecting the same oracle-backed summary columns."""
+    import ray.data
+
     from docler_ray.pipelines.extract_pipeline import (
         PipelineConfig,
         extract_grouped_by_lang,
     )
 
     cfg = PipelineConfig(extract_batch_size=64)
-    docs = extract_grouped_by_lang(_pages_ds(sf_dir), cfg)
+    # parquet metadata count — sizes the url-hash bucket keyspace
+    n = ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
+    docs = extract_grouped_by_lang(_pages_ds(sf_dir), cfg, n_rows=n)
     return docs.map_batches(
         _summarize_docs, batch_format="pyarrow", zero_copy_batch=True
     )

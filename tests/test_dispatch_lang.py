@@ -77,6 +77,19 @@ def test_grouped_by_lang_matches_default(ray_session):
     )
     assert default.equals(grouped)
 
+    # forced LARGE bucket count (measured-rows sizing at a huge n_rows):
+    # the grouped route's output must be invariant to the keyspace
+    grouped_wide = (
+        extract_grouped_by_lang(
+            ray.data.read_parquet(files), cfg, n_rows=50_000_000
+        )
+        .select_columns(["url", "content", "title"])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert default.equals(grouped_wide)
+
 
 def test_embedding_neardup(ray_session):
     import ray.data

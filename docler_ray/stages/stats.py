@@ -67,6 +67,7 @@ def grouped_discrete_quantile(
 _SAMPLE_MOD = 1_000_003  # prime fold keeping the product in int64 range
 _SAMPLE_MULT = 2_654_435_761  # Knuth multiplicative constant
 _SAMPLE_SHIFT_DIV = 1 << 20  # take HIGH bits of the product before % 100
+_REDUCE_BLOCKS = 8  # bottom-k tree-reduce width (driver collect <= 8 x k rows)
 
 
 def sample_hash_bucket(ids: np.ndarray) -> np.ndarray:
@@ -94,14 +95,18 @@ def bottomk_sample_quantiles(
     """Approximate quantiles from a DETERMINISTIC bottom-k-by-hash sample —
     the mergeable-sketch pattern with an exactly SQL-mirrorable definition.
 
-    Each batch keeps its k rows with the smallest (sample-hash(id), id)
-    keys; the driver merges the per-batch partials and keeps the global
-    bottom-k (a uniform-without-replacement sample of the corpus, stable
-    across runs and partitionings), then reads quantile_disc-style values
-    off the sorted sample (element at floor((k-1)*q)). Driver state is k
-    rows regardless of corpus size. Sampling error is the standard
-    ~1/sqrt(k) quantile deviation; the ORACLE is exact because DuckDB can
-    select the identical sample (ORDER BY the same hash expression LIMIT k).
+    Each map batch keeps its k rows with the smallest (sample-hash(id), id)
+    keys — so the partial stream is k rows PER BATCH — then one
+    ``repartition(_REDUCE_BLOCKS)`` + per-block bottom-k merge bounds what
+    reaches the driver at ``_REDUCE_BLOCKS x k`` rows REGARDLESS of input
+    block count (without the reduce, a 10^6-block corpus would collect
+    10^6 x k partial rows). The driver keeps the global bottom-k (a
+    uniform-without-replacement sample, stable across runs and
+    partitionings) and reads values off the sorted sample at the DuckDB
+    ``quantile_disc`` index ``ceil(n*q) - 1``. Sampling error is the
+    standard ~1/sqrt(k) quantile deviation; the ORACLE is exact because
+    DuckDB selects the identical sample (ORDER BY the same hash expression
+    LIMIT k).
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -116,9 +121,23 @@ def bottomk_sample_quantiles(
             }
         )
 
-    partials = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    def merge_block(batch: pa.Table) -> pa.Table:
+        mixed = batch.column("mixed").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, mixed))[:k]
+        return batch.take(pa.array(order))
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(_REDUCE_BLOCKS)
+        .map_batches(
+            merge_block,
+            batch_format="pyarrow",
+            batch_size=None,  # whole blocks: one bottom-k per output block
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
     partials = partials.sort_values(["mixed", id_col], kind="mergesort").head(k)
     vals = np.sort(partials[value_col].to_numpy())
     n = len(vals)

@@ -627,6 +627,100 @@ def _q_video_frame_schedule(sf_dir: str):
     return sampled.select_columns(["doc_id", "frame_idx", "t_offset_secs"])
 
 
+def _q_office_extract_docs(sf_dir: str):
+    """Office/OOXML extraction with a FULL-CONTENT oracle: each documents
+    row becomes a deterministic docx / pptx / xlsx payload (kind =
+    doc_id % 3), flows through the real sniff-dispatch-extract actor pool
+    (zip sniffing -> docx_extract / pptx_extract / xlsx_extract), and the
+    query emits the extracted markdown itself — the SQL oracle rebuilds the
+    exact content string (markers included), so office extraction is pinned
+    byte-for-byte like the HTML/pdfish goldens."""
+    import ray.data
+
+    from docler_ray.office.ooxml import make_docx, make_pptx, make_xlsx
+    from docler_ray.stages.classify import classify_batch
+    from docler_ray.stages.extract import ExtractDocs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_office(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            title = f"Office Doc {d}"
+            kind = d % 3
+            if kind == 0:
+                payloads.append(
+                    make_docx(
+                        title,
+                        [(1, title)]
+                        + [
+                            (0, f"Docx paragraph {i} for document {d}.")
+                            for i in range(1 + d % 3)
+                        ],
+                    )
+                )
+            elif kind == 1:
+                payloads.append(
+                    make_pptx(
+                        title,
+                        [
+                            [
+                                f"Slide {s} of doc {d}",
+                                f"Pptx bullet {s} for document {d}.",
+                            ]
+                            for s in range(1 + d % 2)
+                        ],
+                    )
+                )
+            else:
+                payloads.append(
+                    make_xlsx(
+                        title,
+                        {
+                            "Data": [["item", "qty"]]
+                            + [[f"thing {i}", d + i] for i in range(1 + d % 2)]
+                        },
+                    )
+                )
+        return pa.table(
+            {
+                "url": pa.array([str(d) for d in ids], pa.string()),
+                "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+                "html": pa.array(payloads, pa.binary()),
+                "text": pa.array([""] * len(ids), pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+            }
+        )
+
+    docs = (
+        ds.map_batches(to_office, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(classify_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            ExtractDocs,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            batch_size=128,
+            zero_copy_batch=True,
+        )
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch.column("url").cast(pa.int64()),
+                "mime_type": batch.column("mime_type"),
+                "title": batch.column("title"),
+                "page_count": batch.column("page_count").cast(pa.int64()),
+                "content": batch.column("content"),
+            }
+        )
+
+    return docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_text_metrics(sf_dir: str):
     """SQL-mirrorable slice of the text-analysis stage: exact counts and
     IEEE-identical ratios per document (the oracle-backed member of the
@@ -1165,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_band_counts": _q_orders_price_band_counts,
         "text_metrics": _q_text_metrics,
         "extract_docs_summary": _q_extract_docs_summary,
+        "office_extract_docs": _q_office_extract_docs,
         "mime_dispatch_counts": _q_mime_dispatch_counts,
         "pdf_page_metadata": _q_pdf_page_metadata,
         "audio_probe_features": _q_audio_probe_features,
@@ -1343,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "extract_docs_summary": _DOCS_SUMMARY_SQL,
         "extract_docs_grouped_by_lang": _DOCS_SUMMARY_SQL,
+        "office_extract_docs": _office_docs_sql(),
         "simhash_fingerprints": _simhash_sql(),
         "simhash_survivors": (
             "WITH RECURSIVE "
@@ -1386,6 +1482,56 @@ def oracle_sql() -> dict[str, str]:
             "CAST(NULL AS INTEGER) AS height FROM documents WHERE doc_id % 5 = 0"
         ),
     }
+
+
+def _office_docs_sql() -> str:
+    """Oracle for office_extract_docs: rebuilds the EXACT extracted markdown
+    (markers included) per payload kind in SQL — the office analog of the
+    byte-identical golden contract. Templates are inlined from the same
+    strings _q_office_extract_docs generates, so the two cannot drift
+    without a hash mismatch."""
+    docx_mime = (
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+    )
+    pptx_mime = (
+        "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+    )
+    xlsx_mime = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+    marker1 = """'<!-- docler:page_break {"next_page":1} -->'"""
+    docx_content = (
+        f"{marker1} || chr(10) || '# Office Doc ' || doc_id || "
+        "chr(10) || chr(10) || ("
+        "SELECT string_agg('Docx paragraph ' || i || ' for document ' || "
+        "d.doc_id || '.', chr(10) || chr(10) ORDER BY i) "
+        "FROM UNNEST(range(0, 1 + d.doc_id % 3)) AS t(i))"
+    )
+    pptx_content = (
+        f"{marker1} || ("
+        "SELECT string_agg("
+        "CASE WHEN s = 0 THEN '' ELSE repeat(chr(10), 3) || "
+        """'<!-- docler:page_break {"next_page":' || (s + 1) || '} -->' END """
+        "|| repeat(chr(10), 3) || '# Slide ' || s || ' of doc ' || d.doc_id || "
+        "chr(10) || chr(10) || 'Pptx bullet ' || s || ' for document ' || "
+        "d.doc_id || '.', '' ORDER BY s) "
+        "FROM UNNEST(range(0, 1 + d.doc_id % 2)) AS t(s))"
+    )
+    xlsx_content = (
+        f"{marker1} || chr(10) || '## Data' || chr(10) || chr(10) || "
+        "'| item | qty |' || chr(10) || '| --- | --- |' || chr(10) || ("
+        "SELECT string_agg('| thing ' || i || ' | ' || (d.doc_id + i) || ' |', "
+        "chr(10) ORDER BY i) FROM UNNEST(range(0, 1 + d.doc_id % 2)) AS t(i))"
+    )
+    return (
+        "SELECT doc_id, "
+        f"CASE doc_id % 3 WHEN 0 THEN '{docx_mime}' WHEN 1 THEN '{pptx_mime}' "
+        f"ELSE '{xlsx_mime}' END AS mime_type, "
+        "'Office Doc ' || doc_id AS title, "
+        "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 ELSE 1 END AS BIGINT) "
+        "AS page_count, "
+        f"CASE doc_id % 3 WHEN 0 THEN {docx_content} "
+        f"WHEN 1 THEN {pptx_content} ELSE {xlsx_content} END AS content "
+        "FROM documents d"
+    )
 
 
 def _mime_counts_sql() -> str:

@@ -258,6 +258,30 @@ def _looks_like_id3(head: bytes) -> bool:
     )
 
 
+def _sniff_zip(payload: bytes) -> str:
+    """Disambiguate a PK-magic payload: OOXML office formats are zip
+    archives whose part layout names the format (word/ = docx, ppt/ = pptx,
+    xl/ = xlsx). Reads only the central directory (end of the in-memory
+    payload) — no part decompression; a torn or non-archive PK payload
+    stays application/zip."""
+    import io
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            names = zf.namelist()
+    except Exception:
+        return ZIP_MIME
+    for name in names:
+        if name.startswith("word/"):
+            return DOCX_MIME
+        if name.startswith("ppt/"):
+            return PPTX_MIME
+        if name.startswith("xl/"):
+            return XLSX_MIME
+    return ZIP_MIME
+
+
 def sniff_mime(payload: bytes) -> str:
     """Classify a raw page payload by magic bytes / content shape.
 
@@ -272,6 +296,8 @@ def sniff_mime(payload: bytes) -> str:
     if not payload:
         return UNKNOWN_MIME
     head = payload[:256]
+    if head.startswith(b"PK\x03\x04"):
+        return _sniff_zip(payload)
     if head.startswith(PDFISH_MAGIC) or head.startswith(PDFISH_ENCRYPTED_MAGIC):
         return PDFISH_MIME
     if head.startswith(PDF_MAGIC):

@@ -17,13 +17,17 @@ from typing import Callable
 from docler_ray.html.extract import ExtractionResult, extract_html
 from docler_ray.markers import prepend_first_page_marker
 from docler_ray.mime_types import (
+    DOCX_MIME,
     HTML_MIME,
     MARKDOWN_MIME,
     PDFISH_MIME,
+    PPTX_MIME,
     TEXT_MIME,
     TEXTY_MIME_TYPES,
+    XLSX_MIME,
     XML_MIME,
 )
+from docler_ray.office.ooxml import extract_docx, extract_pptx, extract_xlsx
 from docler_ray.pdfish.extract import extract_pdfish
 
 # An extractor: (payload, text_fallback, options) -> ExtractionResult
@@ -51,23 +55,44 @@ def _text_extractor(payload: bytes, text: str, options: dict) -> ExtractionResul
     return ExtractionResult(content=prepend_first_page_marker(content))
 
 
+def _docx_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
+    return extract_docx(payload)
+
+
+def _pptx_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
+    return extract_pptx(payload)
+
+
+def _xlsx_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
+    return extract_xlsx(payload)
+
+
 EXTRACTORS: dict[str, ExtractorFn] = {
     "html_extract": _html_extractor,
     "pdf_extract": _pdfish_extractor,
     "text_passthrough": _text_extractor,
+    "docx_extract": _docx_extractor,
+    "pptx_extract": _pptx_extractor,
+    "xlsx_extract": _xlsx_extractor,
 }
 
 # Default MIME -> extractor-name preference (overridable per pipeline config,
 # the analog of registry.set_preference, registry.py:119-132). Every
 # text-like member of the MIME universe routes to text_passthrough so the
 # long tail of a real corpus (csv/rst/org/tex/json...) degrades to readable
-# text instead of error rows; binary families stay unmapped -> per-row error.
+# text instead of error rows; the OOXML office trio routes to the zip+XML
+# extractors (the reference's MarkItDown office coverage,
+# markitdown_provider/provider.py:79-114); remaining binary families stay
+# unmapped -> per-row error.
 DEFAULT_PREFERENCES: dict[str, str] = {
     HTML_MIME: "html_extract",
     PDFISH_MIME: "pdf_extract",
     TEXT_MIME: "text_passthrough",
     MARKDOWN_MIME: "text_passthrough",
     XML_MIME: "text_passthrough",
+    DOCX_MIME: "docx_extract",
+    PPTX_MIME: "pptx_extract",
+    XLSX_MIME: "xlsx_extract",
     **{m: "text_passthrough" for m in sorted(TEXTY_MIME_TYPES)},
 }
 

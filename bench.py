@@ -24,6 +24,14 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_TMP = "/tmp/docler_ray_bench"
+# best-of-N: this host's documented run variance is ~2x (shared-host steal),
+# so single-run numbers are noise-dominated; every timed item runs N times
+# and the MIN is recorded (round-2 VERDICT item 6)
+REPEATS = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "3")))
+# --scaling legs only need the headline job (the efficiency ratio is
+# computed from extract_e2e); skipping the query suite keeps the two-leg
+# protocol affordable at best-of-3
+HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
 
 
 def _sf_factor() -> float:
@@ -118,28 +126,40 @@ def bench_once() -> dict:
                 f.read()
 
         # headline: extraction end-to-end (read -> classify -> extract ->
-        # partitioned write + manifests)
+        # partitioned write + manifests), best of REPEATS fresh runs
         out_dir = os.path.join(BENCH_TMP, f"out_{NUM_CPUS}")
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.time()
-        totals = run_extract_job(input_files, out_dir, PipelineConfig())
-        extract_sec = time.time() - t0
-        results["extract_e2e"] = extract_sec
+        headline_runs = []
+        for _ in range(REPEATS):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.time()
+            totals = run_extract_job(input_files, out_dir, PipelineConfig())
+            headline_runs.append(time.time() - t0)
+        results["extract_e2e"] = min(headline_runs)
+        results["_headline_runs"] = [round(s, 3) for s in headline_runs]
         results["_docs"] = totals["docs"] + totals["errors"]
+        if HEADLINE_ONLY:
+            return results
 
-        # secondary pipelines (each timed to full consumption)
+        # secondary pipelines (each timed to full consumption, best of
+        # REPEATS back-to-back runs per query)
         q = entry_mod.queries()
 
         def timed(name: str, fn) -> None:
-            t = time.time()
-            res = fn(SF_DIR)
-            import ray.data as rd
+            best = None
+            for _ in range(REPEATS):
+                t = time.time()
+                res = fn(SF_DIR)
+                import ray.data as rd
 
-            if isinstance(res, rd.Dataset):
-                # consume without driver materialization
-                for _ in res.iter_batches(batch_size=8192, batch_format="pyarrow"):
-                    pass
-            results[name] = time.time() - t
+                if isinstance(res, rd.Dataset):
+                    # consume without driver materialization
+                    for _ in res.iter_batches(
+                        batch_size=8192, batch_format="pyarrow"
+                    ):
+                        pass
+                sec = time.time() - t
+                best = sec if best is None else min(best, sec)
+            results[name] = best
 
         timed("extract_chunks", q["extract_chunks"])
         timed("text_analysis", q["text_analysis"])
@@ -206,7 +226,9 @@ def run_scaling() -> None:
     )
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1"
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -258,6 +280,7 @@ def main() -> None:
     results = bench_once()
     docs = results.pop("_docs", 0)
     headline = results.pop("extract_e2e")
+    headline_runs = results.pop("_headline_runs", [])
     print(
         json.dumps(
             {
@@ -268,6 +291,8 @@ def main() -> None:
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "docs_per_sec": round(docs / headline, 1) if headline else None,
+                "repeats": REPEATS,
+                "headline_runs": headline_runs,
             },
             sort_keys=True,
         )

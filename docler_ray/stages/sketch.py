@@ -19,11 +19,14 @@ def _hash64(values: list[str]) -> np.ndarray:
     folds measured ~3x the expected bias on similar-prefix strings)."""
     from hashlib import blake2b
 
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        d = blake2b((v or "").encode("utf-8", "replace"), digest_size=8).digest()
-        out[i] = int.from_bytes(d, "little")
-    return out
+    # one frombuffer over the joined digests instead of a per-value
+    # int.from_bytes (same little-endian 64-bit values, ~2x on the Python
+    # side of the loop; the blake2b call itself is the irreducible cost)
+    buf = b"".join(
+        blake2b((v or "").encode("utf-8", "replace"), digest_size=8).digest()
+        for v in values
+    )
+    return np.frombuffer(buf, dtype="<u8").astype(np.uint64, copy=False)
 
 
 def hll_register_row(values: list[str], p: int = 12) -> np.ndarray:

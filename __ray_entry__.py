@@ -413,24 +413,36 @@ def _q_text_analysis(sf_dir: str):
     return out.drop_columns(["text"])
 
 
-# doc_id % 8 -> deterministic payload kind for the MIME-sniff query; the
-# oracle inlines the same mapping so the two cannot drift
-_MIME_KINDS = [
-    (b"<!DOCTYPE html><html><body><p>x</p></body></html>", "text/html"),
-    (b"plain text content for the sniffer", "text/plain"),
-    (b"%PDF-1.7 fake body", "application/pdf"),
-    (b"PDFISH01 fake body", "application/x-pdfish"),
-    (b"\x89PNG\r\n\x1a\n fake body", "image/png"),
-    (b"PK\x03\x04 fake body", "application/zip"),
-    (b'{"k": 1, "v": "json payload"}', "application/json"),
-    (b'<?xml version="1.0"?><root/>', "application/xml"),
-]
+def _mime_kinds() -> list[tuple[bytes, str]]:
+    """doc_id % len -> deterministic payload kind for the MIME-sniff query;
+    the oracle inlines the same mapping so the two cannot drift. Includes a
+    real (deterministic) docx archive so the zip-vs-OOXML disambiguation is
+    part of the dispatch-breadth gate."""
+    from docler_ray.office.ooxml import make_docx
+
+    return [
+        (b"<!DOCTYPE html><html><body><p>x</p></body></html>", "text/html"),
+        (b"plain text content for the sniffer", "text/plain"),
+        (b"%PDF-1.7 fake body", "application/pdf"),
+        (b"PDFISH01 fake body", "application/x-pdfish"),
+        (b"\x89PNG\r\n\x1a\n fake body", "image/png"),
+        (b"PK\x03\x04 fake body", "application/zip"),
+        (b'{"k": 1, "v": "json payload"}', "application/json"),
+        (b'<?xml version="1.0"?><root/>', "application/xml"),
+        (
+            make_docx("sniff", [(0, "docx sniff payload")]),
+            "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+        ),
+    ]
+
+
+_MIME_KINDS = _mime_kinds()
 
 
 def _q_mime_dispatch_counts(sf_dir: str):
     """MIME-universe sniffing over a deterministically mixed corpus: each
     documents row becomes one of 8 payload kinds (html/text/pdf/pdfish/png/
-    zip/json/xml) by doc_id %% 8; the query counts classify_batch's sniffed
+    zip/json/xml/docx) by doc_id %% len(_MIME_KINDS); the query counts the sniffed
     mime_type per kind — the dispatch-breadth gate of mime_types.py."""
     import ray.data
     from ray.data.aggregate import Sum
@@ -441,7 +453,7 @@ def _q_mime_dispatch_counts(sf_dir: str):
 
     def classify_counts(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        mimes = [sniff_mime(_MIME_KINDS[d % 8][0]) for d in ids]
+        mimes = [sniff_mime(_MIME_KINDS[d % len(_MIME_KINDS)][0]) for d in ids]
         t = pa.table({"mime_type": pa.array(mimes, pa.string())})
         counts = t.group_by("mime_type").aggregate([("mime_type", "count")])
         return counts.rename_columns(["mime_type", "partial_n"])
@@ -836,6 +848,33 @@ def _q_price_quantiles_sampled(sf_dir: str):
         qs=[0.25, 0.5, 0.75, 0.9],
         k=4096,
     )
+
+
+def _q_top_tokens(sf_dir: str):
+    """Corpus-level heavy hitters: Misra-Gries map-side summaries pick the
+    candidates, an exact broadcast recount pins the counts — the shuffle
+    ships bounded sketch rows, never the token stream. Exact end-to-end on
+    this corpus, so the top-k oracle hash-matches."""
+    import ray.data
+
+    from docler_ray.stages.frequent import top_tokens
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_tokens(ds, "text", k=20, capacity=1024)
+
+
+def _q_stratified_sample_by_lang(sf_dir: str):
+    """Stratified deterministic sample: bottom-20-by-hash doc ids per
+    language (fixed-size per-stratum sample, resume-safe, identical SQL
+    ROW_NUMBER expression on the oracle side)."""
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_bottomn_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "doc_id"]
+    )
+    return grouped_bottomn_sample(ds, group_col="lang", id_col="doc_id", n=20)
 
 
 def _q_sample_docs_pct10(sf_dir: str):
@@ -1256,6 +1295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_k_counts": _q_events_props_k_counts,
         "median_chars_by_lang": _q_median_chars_by_lang,
         "sample_docs_pct10": _q_sample_docs_pct10,
+        "top_tokens": _q_top_tokens,
+        "stratified_sample_by_lang": _q_stratified_sample_by_lang,
         "orders_price_band_counts": _q_orders_price_band_counts,
         "text_metrics": _q_text_metrics,
         "extract_docs_summary": _q_extract_docs_summary,
@@ -1401,6 +1442,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents "
             "WHERE ((doc_id % 1000003) * 2654435761) // 1048576 % 100 < 10"
         ),
+        # same tokenization as the keyword annotator; counts are EXACT
+        # (recount pass), so the top-k hash-matches
+        "top_tokens": (
+            "WITH toks AS (SELECT "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "FROM documents), "
+            "c AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token), "
+            "r AS (SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) "
+            "AS rank FROM c) "
+            "SELECT token, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20"
+        ),
+        # same hash arithmetic as sample_docs_pct10, per-language strata
+        "stratified_sample_by_lang": (
+            "WITH r AS (SELECT lang, doc_id, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY (doc_id % 1000003) * 2654435761, doc_id"
+            ") AS rn FROM documents) "
+            "SELECT lang, doc_id FROM r WHERE rn <= 20"
+        ),
         "orders_price_band_counts": _price_bands_sql(),
         "text_metrics": _text_metrics_sql(),
         "mime_dispatch_counts": _mime_counts_sql(),
@@ -1538,7 +1597,7 @@ def _mime_counts_sql() -> str:
     """Oracle for mime_dispatch_counts; kind->mime mapping inlined from the
     SAME _MIME_KINDS list the Ray query uses."""
     whens = " ".join(
-        f"WHEN doc_id % 8 = {k} THEN '{mime}'"
+        f"WHEN doc_id % {len(_MIME_KINDS)} = {k} THEN '{mime}'"
         for k, (_payload, mime) in enumerate(_MIME_KINDS)
     )
     return (

@@ -192,6 +192,8 @@ def bench_once() -> dict:
         timed("simhash_survivors", q["simhash_survivors"])
         timed("events_hopping_counts", q["events_hopping_counts"])
         timed("price_quantiles_sampled", q["price_quantiles_sampled"])
+        timed("top_tokens", q["top_tokens"])
+        timed("stratified_sample_by_lang", q["stratified_sample_by_lang"])
     finally:
         ray.shutdown()
     return results

@@ -35,6 +35,31 @@ def export_document_markdown(
     )
 
 
+def get_metadata(row: dict) -> dict:
+    """Flat metadata dict for one extracted docs row — the standalone
+    projection the reference exposes as ``get_metadata``
+    (/root/reference/src/docler/converters/azure_provider/utils.py:33-42:
+    first document's fields flattened to name -> string). This engine keeps
+    open metadata as a JSON string column (SURVEY.md §1.4), so the
+    projection parses that column and overlays the row's structured fields,
+    values stringified like the reference's valueString/content access.
+    """
+    import json
+
+    meta: dict = {}
+    raw = row.get("metadata")
+    if raw:
+        try:
+            parsed = json.loads(raw) if isinstance(raw, str) else dict(raw)
+        except (ValueError, TypeError):
+            parsed = {}
+        meta.update({str(k): "" if v is None else str(v) for k, v in parsed.items()})
+    for field in ("title", "mime_type", "page_count", "extractor"):
+        if row.get(field) is not None:
+            meta[field] = str(row[field])
+    return meta
+
+
 def export_to_directory(row: dict, out_dir: str) -> list[str]:
     """Write one extracted docs row as document.md + image files.
 

@@ -151,6 +151,41 @@ def bottomk_sample_quantiles(
     )
 
 
+def grouped_bottomn_sample(ds, *, group_col: str, id_col: str, n: int):
+    """Stratified deterministic sample: the ``n`` rows with the smallest
+    (sample-hash(id), id) keys PER GROUP — a fixed-size
+    uniform-without-replacement sample per stratum (lang, source, ...),
+    stable across runs and partitionings, with an exactly SQL-mirrorable
+    definition (ROW_NUMBER over the same hash expression).
+
+    Scale pattern: each batch keeps its per-group bottom-n (vectorized
+    pandas), so the shuffle ships at most n x groups rows per batch; the
+    final per-group head-n runs in ``map_groups``. Nothing is
+    corpus-proportional as long as the group count is bounded (strata are
+    categorical by construction).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, id_col]).to_pandas()
+        ids = df[id_col].to_numpy().astype(np.int64)
+        df["_mixed"] = (ids % _SAMPLE_MOD) * _SAMPLE_MULT
+        df = df.sort_values(["_mixed", id_col], kind="mergesort")
+        df = df.groupby(group_col, sort=False).head(n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def head_n(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df[[group_col, id_col]]
+        df = df.sort_values(["_mixed", id_col], kind="mergesort").head(n)
+        return df[[group_col, id_col]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(head_n, batch_format="pandas")
+    )
+
+
 def deterministic_sample(ds, *, id_col: str, pct: int):
     """Keep rows whose id hashes into the first ``pct`` of 100 buckets.
 

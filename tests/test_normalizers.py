@@ -107,6 +107,31 @@ def test_chunk_boundaries_token_line_ranges():
         assert f"line {i}\n" in out or out.endswith(f"line {i}")
 
 
+def test_get_metadata_projection():
+    from docler_ray.functions.export import get_metadata
+
+    row = {
+        "metadata": '{"office_format": "docx", "n_paragraphs": 4, "note": null}',
+        "title": "Doc T",
+        "mime_type": "text/html",
+        "page_count": 3,
+        "extractor": "html_extract",
+        "content": "ignored",
+    }
+    meta = get_metadata(row)
+    assert meta == {
+        "office_format": "docx",
+        "n_paragraphs": "4",
+        "note": "",
+        "title": "Doc T",
+        "mime_type": "text/html",
+        "page_count": "3",
+        "extractor": "html_extract",
+    }
+    assert get_metadata({"metadata": "not json"}) == {}
+    assert get_metadata({}) == {}
+
+
 def test_export_document_markdown_frontmatter():
     md = export_document_markdown("body text", "pdf_sample", "src/x.pdf", "application/pdf", 2)
     assert md == (

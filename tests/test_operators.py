@@ -714,6 +714,81 @@ def test_hopping_window_counts(ray_session):
         hopping_window_counts(ds, "ts", "event_type", window_secs=7000, hop_secs=3600)
 
 
+def test_misra_gries_guarantee():
+    """Classic MG bound: any token with frequency > len/capacity survives,
+    and counters under-estimate by at most len/capacity."""
+    import collections
+    import random
+
+    from docler_ray.stages.frequent import misra_gries
+
+    rng = random.Random(3)
+    tokens = (
+        ["hot"] * 400 + ["warm"] * 150
+        + [f"cold{i}" for i in range(500) for _ in (0,)]
+    )
+    rng.shuffle(tokens)
+    cap = 16
+    summary = misra_gries(tokens, cap)
+    assert len(summary) <= cap
+    true = collections.Counter(tokens)
+    thresh = len(tokens) / cap
+    for tok, n in true.items():
+        if n > thresh:
+            assert tok in summary
+            assert summary[tok] <= n
+            assert n - summary[tok] <= thresh
+
+
+def test_top_tokens_exact_vs_bruteforce(ray_session):
+    """top_tokens must equal the brute-force token count top-k on randomized
+    corpora (seeded): MG candidates + exact recount end-to-end."""
+    import collections
+    import random
+    import re
+
+    import ray.data
+
+    from docler_ray.stages.frequent import top_tokens
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(120)]
+    weights = [1 + (120 - i) ** 2 for i in range(120)]  # skewed
+    docs = [
+        " ".join(rng.choices(vocab, weights=weights, k=rng.randrange(5, 60)))
+        for _ in range(80)
+    ]
+    counts: collections.Counter = collections.Counter()
+    for d in docs:
+        counts.update(re.findall(r"[a-z0-9]+", d.lower()))
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    ds = ray.data.from_items([{"text": d} for d in docs])
+    got = top_tokens(ds, "text", k=10, capacity=256).to_pylist()
+    assert [(r["token"], r["n"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, 11))
+
+
+def test_grouped_bottomn_sample_invariant_to_partitioning(ray_session):
+    """The stratified sample must depend only on ids, not on block layout:
+    1-block and many-block datasets pick identical rows."""
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_bottomn_sample
+
+    rows = [{"g": f"g{i % 3}", "id": i * 7 % 101} for i in range(90)]
+
+    def run(parallelism: int) -> set[tuple]:
+        ds = ray.data.from_items(rows).repartition(parallelism)
+        out = grouped_bottomn_sample(ds, group_col="g", id_col="id", n=5)
+        return {(r["g"], r["id"]) for r in out.take_all()}
+
+    one = run(1)
+    many = run(16)
+    assert one == many
+    for g in ("g0", "g1", "g2"):
+        assert len([r for r in one if r[0] == g]) == 5
+
+
 def test_bottomk_sample_quantiles_matches_duckdb_convention(ray_session):
     import duckdb
     import ray.data

@@ -1257,6 +1257,22 @@ def _q_embedding_neardup_survivors(sf_dir: str):
     )
 
 
+def _q_span_dedup_docs(sf_dir: str):
+    """Span-level exact dedup (Lee et al. 2021 analog): corpus-wide
+    keep-first removal of duplicated non-overlapping 12-token spans, with
+    per-document reassembly. Fully SQL-mirrorable (split, window,
+    ROW_NUMBER keep-first, ordered string_agg), so the oracle pins the
+    rewritten text byte-for-byte."""
+    import ray.data
+
+    from docler_ray.stages.spandedup import span_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return span_dedup(ds, span_tokens=12)
+
+
 def _q_image_features(sf_dir: str):
     from docler_ray.pipelines.extract_pipeline import PipelineConfig, extract_dataset
     from docler_ray.stages.media import ImageFeatureExtractor
@@ -1306,6 +1322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_probe_features": _q_audio_probe_features,
         "video_frame_schedule": _q_video_frame_schedule,
         "knn_ivf_top5": _q_knn_ivf_top5,  # oracle pins the recall check
+        "span_dedup_docs": _q_span_dedup_docs,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -1452,6 +1469,27 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) "
             "AS rank FROM c) "
             "SELECT token, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20"
+        ),
+        # mirrors spandedup.span_dedup exactly: non-overlapping 12-token
+        # windows, keep-first by (doc_id, idx), ordered reassembly
+        "span_dedup_docs": (
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws "
+            "FROM documents WHERE trim(text) <> ''), "
+            "spans AS (SELECT doc_id, i AS idx, "
+            "array_to_string(ws[i*12+1 : i*12+12], ' ') AS span "
+            "FROM toks, UNNEST(range(0, (array_length(ws)+11)//12)) AS t(i)), "
+            "keep AS (SELECT doc_id, idx, span, "
+            "ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn "
+            "FROM spans), "
+            "agg AS (SELECT doc_id, COUNT(*) AS n_spans, "
+            "COUNT(*) FILTER (rn = 1) AS n_kept, "
+            "COALESCE(string_agg(span, ' ' ORDER BY idx) FILTER (rn = 1), '') "
+            "AS text_dedup FROM keep GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(a.n_spans, 0) AS n_spans, "
+            "COALESCE(a.n_kept, 0) AS n_kept, "
+            "COALESCE(a.text_dedup, '') AS text_dedup "
+            "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
         ),
         # same hash arithmetic as sample_docs_pct10, per-language strata
         "stratified_sample_by_lang": (

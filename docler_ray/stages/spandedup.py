@@ -1,0 +1,219 @@
+"""Span-level exact deduplication: remove corpus-wide duplicated
+fixed-length token spans, keeping the first occurrence.
+
+The operator from "Deduplicating Training Data Makes Language Models
+Better" (Lee et al., arXiv:2107.06499): dedup below document granularity —
+the unit is a fixed-length token span, and every later occurrence of a span
+already seen anywhere in the corpus is cut out of its document. Lee et al.
+find spans with suffix arrays; here the spans are the NON-OVERLAPPING
+``span_tokens``-token windows of each document (the last window may be
+short), which keeps the operator exactly SQL-mirrorable (the driver oracle
+reproduces the whole thing — split, window, keep-first, reassembly — in
+DuckDB) while preserving the scale shape of the real thing.
+
+No reference precedent (docler, SURVEY.md §2.7, has no corpus-level
+operators); this belongs to the training-data tier next to the document
+dedup family in ``stages/dedup.py``.
+
+Keep-first semantics: a span instance is identified by ``(doc_id, idx)``
+(idx = 0-based window index); the kept instance of each distinct span
+string is the one with the smallest ``(doc_id, idx)``. Duplicates WITHIN a
+document collapse too (only the first window survives).
+
+Scale shape (no corpus-proportional driver or per-task state):
+
+1. map-side flat map: docs -> (doc_id, idx, span, pos) rows, where
+   ``pos = doc_id * 2**20 + idx`` encodes the lexicographic (doc_id, idx)
+   order in one int64 (hard error above 2**20 spans/doc = ~12M tokens).
+2. ``groupby(span).min(pos)`` — one all-to-all exchange of the span text
+   (inherent to EXACT span dedup; the hash-prefilter variants live in
+   ``stages/dedup.py``). The winner rows ARE the kept instances: doc_id
+   and idx decode back out of ``min_pos``, so no join back is needed.
+3. ``groupby(doc_id).map_groups`` over winners reassembles each surviving
+   document (sort by idx, join with a single space) — per-task state is one
+   document's kept spans.
+4. One doc-keyed hash join (left_outer, pool sized from measured rows)
+   attaches the map-side per-doc span counts so fully-deduplicated and
+   token-less documents still appear with ``n_kept = 0`` / empty text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_POS_BASE = 1 << 20  # max spans per document (~12M tokens at span_tokens=12)
+
+
+def _spans_of(text: str, span_tokens: int) -> list[str]:
+    toks = (text or "").strip().split()
+    if not toks:
+        return []
+    return [
+        " ".join(toks[i : i + span_tokens])
+        for i in range(0, len(toks), span_tokens)
+    ]
+
+
+def span_dedup(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 12,
+):
+    """Corpus-wide keep-first dedup of non-overlapping token spans.
+
+    Returns a Dataset with one row per input document:
+    ``(doc_id, n_spans, n_kept, text_dedup)`` — ``text_dedup`` is the
+    document with every already-seen span removed (kept spans joined by a
+    single space; empty string when nothing survives).
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from docler_ray.stages.dedup import _compact_nonempty, _num_partitions
+
+    def emit_spans(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        idxs: list[int] = []
+        spans: list[str] = []
+        poss: list[int] = []
+        for doc_id, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            s = _spans_of(text, span_tokens)
+            if len(s) >= _POS_BASE:
+                raise ValueError(
+                    f"doc {doc_id}: {len(s)} spans exceeds the 2**20 "
+                    "per-doc span cap (raise _POS_BASE for longer docs)"
+                )
+            for i, sp in enumerate(s):
+                ids.append(int(doc_id))
+                idxs.append(i)
+                spans.append(sp)
+                poss.append(int(doc_id) * _POS_BASE + i)
+        return pa.table(
+            {
+                "span": pa.array(spans, pa.string()),
+                "pos": pa.array(poss, pa.int64()),
+            }
+        )
+
+    def doc_counts(batch: pa.Table) -> pa.Table:
+        ns = [
+            len(_spans_of(t, span_tokens))
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "n_spans": pa.array(ns, pa.int64()),
+            }
+        )
+
+    spans = ds.map_batches(
+        emit_spans, batch_format="pyarrow", zero_copy_batch=True
+    )
+    winners = spans.groupby("span").aggregate(Min("pos", alias_name="pos"))
+
+    def decode_winners(batch: pa.Table) -> pa.Table:
+        if "pos" not in batch.schema.names:  # schema-less empty shuffle block
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "span": pa.array([], pa.string()),
+                }
+            )
+        pos = batch.column("pos").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(pos // _POS_BASE, pa.int64()),
+                "idx": pa.array(pos % _POS_BASE, pa.int64()),
+                "span": batch.column("span"),
+            }
+        )
+
+    kept = winners.map_batches(
+        decode_winners, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def assemble(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("idx")
+        return pa.table(
+            {
+                id_col: pa.array([int(df[id_col].iloc[0])], pa.int64()),
+                "n_kept": pa.array([len(df)], pa.int64()),
+                "text_dedup": pa.array(
+                    [" ".join(df["span"].tolist())], pa.string()
+                ),
+            }
+        )
+
+    docs_kept = kept.groupby(id_col).map_groups(assemble)
+
+    counts = ds.map_batches(
+        doc_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts_ds, n_docs = _compact_nonempty(counts)
+    if counts_ds is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_spans": pa.array([], pa.int64()),
+                    "n_kept": pa.array([], pa.int64()),
+                    "text_dedup": pa.array([], pa.string()),
+                }
+            )
+        )
+    kept_ds, _ = _compact_nonempty(docs_kept)
+    if kept_ds is None:  # every document was token-less
+        return counts_ds.map_batches(
+            lambda b: b.append_column(
+                "n_kept", pa.array([0] * b.num_rows, pa.int64())
+            ).append_column(
+                "text_dedup", pa.array([""] * b.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+
+    joined = counts_ds.join(
+        kept_ds,
+        join_type="left_outer",
+        num_partitions=_num_partitions(n_docs),
+        on=(id_col,),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n_kept = batch.column("n_kept").fill_null(0)
+        text = batch.column("text_dedup").fill_null("")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_spans": batch.column("n_spans"),
+                "n_kept": n_kept,
+                "text_dedup": text,
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def span_dedup_brute(
+    rows: list[tuple[int, str]], *, span_tokens: int = 12
+) -> list[tuple[int, int, int, str]]:
+    """Single-process reference implementation for property tests."""
+    seen: set[str] = set()
+    out = []
+    for doc_id, text in sorted(rows):
+        spans = _spans_of(text, span_tokens)
+        kept = []
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        out.append((doc_id, len(spans), len(kept), " ".join(kept)))
+    return out

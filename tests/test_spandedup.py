@@ -1,0 +1,91 @@
+"""Span-level exact dedup: distributed operator vs the single-process
+brute-force reference, plus edge cases (token-less docs, full wipeout,
+within-doc repeats)."""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pytest
+
+from docler_ray.stages.spandedup import _spans_of, span_dedup, span_dedup_brute
+
+
+def _docs_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def _run(rows, span_tokens=12):
+    got = (
+        span_dedup(_docs_ds(rows), span_tokens=span_tokens)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return [
+        (int(r.doc_id), int(r.n_spans), int(r.n_kept), r.text_dedup)
+        for r in got.itertuples()
+    ]
+
+
+def test_spans_of_windows():
+    assert _spans_of("a b c d e", 2) == ["a b", "c d", "e"]
+    assert _spans_of("  ", 2) == []
+    assert _spans_of("x", 2) == ["x"]
+
+
+def test_keep_first_across_and_within_docs(ray_session):
+    rows = [
+        (1, "a b c d"),  # spans (k=2): "a b", "c d"
+        (2, "a b x y"),  # "a b" dup -> drops
+        (3, "c d c d"),  # both windows dup of doc1's "c d"
+        (4, ""),
+        (5, "p q p q"),  # within-doc repeat: second "p q" drops
+    ]
+    assert _run(rows, span_tokens=2) == [
+        (1, 2, 2, "a b c d"),
+        (2, 2, 1, "x y"),
+        (3, 2, 0, ""),
+        (4, 0, 0, ""),
+        (5, 2, 1, "p q"),
+    ]
+
+
+def test_all_docs_tokenless(ray_session):
+    assert _run([(1, ""), (2, "   ")], span_tokens=3) == [
+        (1, 0, 0, ""),
+        (2, 0, 0, ""),
+    ]
+
+
+def test_randomized_matches_brute(ray_session):
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30))))
+        for i in range(60)
+    ]
+    assert _run(rows, span_tokens=4) == span_dedup_brute(rows, span_tokens=4)
+
+
+def test_span_cap_raises(ray_session):
+    from docler_ray.stages import spandedup
+
+    rows = [(1, "a " * 12)]  # 12 tokens -> 12 spans at span_tokens=1
+    old = spandedup._POS_BASE
+    spandedup._POS_BASE = 8
+    try:
+        with pytest.raises(Exception, match="span cap"):
+            _run(rows, span_tokens=1)
+    finally:
+        spandedup._POS_BASE = old

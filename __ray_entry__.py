@@ -1273,6 +1273,78 @@ def _q_span_dedup_docs(sf_dir: str):
     return span_dedup(ds, span_tokens=12)
 
 
+def _q_repetition_signals(sf_dir: str):
+    """Gopher-style per-doc repetition filters (top-2-gram char fraction,
+    duplicated-2-gram fraction, distinct-token ratio) — pure map-side pass,
+    zero shuffle; every float is an int/int quotient computed identically
+    in SQL, so the oracle hash-matches."""
+    import ray.data
+
+    from docler_ray.stages.repetition import repetition_signals
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return repetition_signals(ds)
+
+
+def _q_events_user_seq(sf_dir: str):
+    """SQL window functions (ROW_NUMBER + LAG delta per key) as a Ray
+    composition: coarse co-location shuffle + vectorized per-group
+    sort/cumcount/diff. Microsecond integer gaps keep it hash-exact
+    against the DuckDB window-function oracle."""
+    import ray.data
+
+    from docler_ray.stages.windows import per_key_rank_lag
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return per_key_rank_lag(ds, "user_id", "ts", "event_id")
+
+
+def _q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: docs sharing any word-5-gram with the
+    deterministic 'benchmark' slice (doc_id % 97 == 0) are flagged. The
+    benchmark gram set reduces distributedly, collects once (benchmark-
+    sized driver state), broadcasts via ray.put; the corpus side is one
+    stateless map pass — zero corpus shuffle."""
+    import ray.data
+
+    from docler_ray.stages.decontam import benchmark_ngram_ref, decontaminate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _slice(is_bench: bool):
+        def f(batch):
+            ids = batch.column("doc_id").to_numpy()
+            mask = (ids % 97 == 0) if is_bench else (ids % 97 != 0)
+            return batch.filter(pa.array(mask))
+
+        return f
+
+    bench = ds.map_batches(_slice(True), batch_format="pyarrow")
+    corpus = ds.map_batches(_slice(False), batch_format="pyarrow")
+    ref = benchmark_ngram_ref(bench, ngram=5)
+    return decontaminate(corpus, ref, ngram=5)
+
+
+def _q_tfidf_top15(sf_dir: str):
+    """TF-IDF retrieval with integer idf weights ((1e6*N)//df — exact
+    int64 scores, hash-safe vs SQL): DF pass counts query terms only,
+    score pass is stateless map-side, top-k via partial merge."""
+    import ray.data
+
+    from docler_ray.stages.ranking import tfidf_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_topk(ds, ["spark", "window", "merge"], k=15)
+
+
 def _q_image_features(sf_dir: str):
     from docler_ray.pipelines.extract_pipeline import PipelineConfig, extract_dataset
     from docler_ray.stages.media import ImageFeatureExtractor
@@ -1323,6 +1395,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_schedule": _q_video_frame_schedule,
         "knn_ivf_top5": _q_knn_ivf_top5,  # oracle pins the recall check
         "span_dedup_docs": _q_span_dedup_docs,
+        "repetition_signals": _q_repetition_signals,
+        "events_user_seq": _q_events_user_seq,
+        "decontaminate_docs": _q_decontaminate_docs,
+        "tfidf_top15": _q_tfidf_top15,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -1490,6 +1566,85 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(a.n_kept, 0) AS n_kept, "
             "COALESCE(a.text_dedup, '') AS text_dedup "
             "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+        ),
+        # mirrors repetition.repetition_signals_row: whitespace tokens,
+        # overlapping word bigrams, ties lexicographic, int/int float math
+        "repetition_signals": (
+            "WITH base AS (SELECT doc_id, trim(text) AS tt, "
+            "CASE WHEN trim(text) = '' THEN [] "
+            "ELSE string_split_regex(trim(text), '\\s+') END AS ws "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, tt, ws, array_length(ws) AS n_tok FROM base), "
+            "grams AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g "
+            "FROM tok, UNNEST(range(1, n_tok)) AS t(i)), "
+            "gc AS (SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY doc_id, g), "
+            "top AS (SELECT doc_id, g, n, ROW_NUMBER() OVER ("
+            "PARTITION BY doc_id ORDER BY n DESC, g) AS rn FROM gc), "
+            "dup AS (SELECT doc_id, "
+            "COALESCE(SUM(n) FILTER (n > 1), 0) AS dup_n, SUM(n) AS tot_n "
+            "FROM gc GROUP BY doc_id), "
+            "dist AS (SELECT doc_id, COUNT(DISTINCT u) AS n_dist, COUNT(*) AS n_u "
+            "FROM (SELECT doc_id, unnest(ws) AS u FROM tok) GROUP BY doc_id) "
+            "SELECT b.doc_id, COALESCE(t.g, '') AS top_2gram, "
+            "CAST(COALESCE(t.n, 0) AS BIGINT) AS top_2gram_n, "
+            "CASE WHEN t.n IS NOT NULL AND length(b.tt) > 0 "
+            "THEN (t.n * length(t.g)) * 1.0 / length(b.tt) ELSE 0.0 END "
+            "AS top_2gram_frac, "
+            "CASE WHEN d.tot_n IS NOT NULL AND d.tot_n > 0 "
+            "THEN d.dup_n * 1.0 / d.tot_n ELSE 0.0 END AS dup_2gram_frac, "
+            "CASE WHEN s.n_u IS NOT NULL AND s.n_u > 0 "
+            "THEN s.n_dist * 1.0 / s.n_u ELSE 0.0 END AS distinct_token_ratio "
+            "FROM base b "
+            "LEFT JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1 "
+            "LEFT JOIN dup d ON b.doc_id = d.doc_id "
+            "LEFT JOIN dist s ON b.doc_id = s.doc_id"
+        ),
+        # mirrors windows.per_key_rank_lag: ROW_NUMBER + LAG per user_id
+        # ordered by (ts, event_id), microsecond integer gaps
+        "events_user_seq": (
+            "SELECT event_id, user_id, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq, "
+            "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) "
+            "AS gap_usecs FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        # mirrors decontam.decontaminate: overlapping word 5-grams, hits
+        # counted per instance against the DISTINCT benchmark gram set
+        "decontaminate_docs": (
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws "
+            "FROM documents WHERE trim(text) <> ''), "
+            "grams AS (SELECT doc_id, array_to_string(ws[i : i+4], ' ') AS g "
+            "FROM toks, UNNEST(range(1, array_length(ws) - 3)) AS t(i)), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0), "
+            "hits AS (SELECT gr.doc_id, COUNT(*) AS n_grams, "
+            "COUNT(*) FILTER (b.g IS NOT NULL) AS n_hits "
+            "FROM grams gr LEFT JOIN bench b ON gr.g = b.g "
+            "WHERE gr.doc_id % 97 <> 0 GROUP BY gr.doc_id) "
+            "SELECT d.doc_id, COALESCE(h.n_grams, 0) AS n_grams, "
+            "COALESCE(h.n_hits, 0) AS n_hits, "
+            "COALESCE(h.n_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id "
+            "WHERE d.doc_id % 97 <> 0"
+        ),
+        # mirrors ranking.tfidf_topk: integer idf (1e6*N)//df, token
+        # equality tf, ties by doc_id
+        "tfidf_top15": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS u "
+            "FROM documents WHERE trim(text) <> ''), "
+            "tf AS (SELECT doc_id, u AS term, COUNT(*) AS tf FROM toks "
+            "WHERE u IN ('spark', 'window', 'merge') GROUP BY doc_id, u), "
+            "df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf "
+            "GROUP BY term), "
+            "n AS (SELECT COUNT(*) AS n FROM documents), "
+            "w AS (SELECT term, (1000000 * n.n) // df.df AS w FROM df, n), "
+            "s AS (SELECT tf.doc_id, SUM(tf.tf * w.w) AS score FROM tf "
+            "JOIN w ON tf.term = w.term GROUP BY tf.doc_id), "
+            "r AS (SELECT doc_id, score, ROW_NUMBER() OVER ("
+            "ORDER BY score DESC, doc_id) AS rank FROM s) "
+            "SELECT doc_id, CAST(score AS BIGINT) AS score, "
+            "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 15"
         ),
         # same hash arithmetic as sample_docs_pct10, per-language strata
         "stratified_sample_by_lang": (

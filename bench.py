@@ -194,6 +194,11 @@ def bench_once() -> dict:
         timed("price_quantiles_sampled", q["price_quantiles_sampled"])
         timed("top_tokens", q["top_tokens"])
         timed("stratified_sample_by_lang", q["stratified_sample_by_lang"])
+        timed("span_dedup_docs", q["span_dedup_docs"])
+        timed("repetition_signals", q["repetition_signals"])
+        timed("events_user_seq", q["events_user_seq"])
+        timed("decontaminate_docs", q["decontaminate_docs"])
+        timed("tfidf_top15", q["tfidf_top15"])
     finally:
         ray.shutdown()
     return results

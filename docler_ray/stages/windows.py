@@ -102,6 +102,107 @@ def hopping_window_counts(
     )
 
 
+def _make_add_coarse(key_col: str, n_groups: int):
+    """Batch fn appending ``coarse = hash(key) % n_groups`` — the shared
+    co-location key for per-key ordered operators (sessionize, rank/lag).
+    Integer keys mix through a prime multiply; other keys crc32."""
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        if pa.types.is_integer(col.type):
+            keys = col.to_numpy().astype(np.uint64)
+            coarse = ((keys * np.uint64(1000003)) % np.uint64(n_groups)).astype(
+                np.int64
+            )
+        else:
+            # string / other keys: crc32 into the same coarse bucket space
+            import zlib
+
+            coarse = np.array(
+                [
+                    zlib.crc32(str(k).encode("utf-8")) % n_groups
+                    for k in col.to_pylist()
+                ],
+                dtype=np.int64,
+            )
+        return batch.append_column("coarse", pa.array(coarse))
+
+    return add_coarse
+
+
+def per_key_rank_lag(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    *,
+    n_rows: int | None = None,
+):
+    """Per-key ordered analytics: ROW_NUMBER and LAG-delta without a global
+    sort — ``seq`` = 1-based rank of each row within its key (ordered by
+    ``(ts, id)``), ``gap_usecs`` = microseconds since the key's previous row
+    (float64, NaN on each key's first row — exact below 2**53 us, and the
+    same NULL representation DuckDB's BIGINT-with-NULL lands on in pandas,
+    so the two sides compare without dtype ambiguity). The
+    SQL-window-function family
+    (ROW_NUMBER / LAG OVER (PARTITION BY ... ORDER BY ...)) as a Ray
+    composition: same coarse co-location shuffle as :func:`sessionize`
+    (keyspace sized from the measured row count, per-group rows bounded by
+    the target constant), fully vectorized sort + cumcount + diff inside
+    each coarse group. Microsecond integer arithmetic keeps the output
+    exactly SQL-mirrorable (``epoch_us`` on the oracle side).
+    """
+    if n_rows is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover - count unavailable pre-exec
+            n_rows = None
+    add_coarse = _make_add_coarse(key_col, _session_group_count(n_rows))
+
+    def rank_lag(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    key_col: pd.Series([], dtype="int64"),
+                    "seq": pd.Series([], dtype="int64"),
+                    "gap_usecs": pd.Series([], dtype="float64"),
+                }
+            )
+        ep = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.assign(_ep=ep).sort_values(
+            [key_col, "_ep", id_col], kind="mergesort"
+        )
+        key = df[key_col].to_numpy()
+        ep = df["_ep"].to_numpy()
+        first = np.empty(len(df), dtype=bool)
+        first[0:1] = True
+        first[1:] = key[1:] != key[:-1]
+        seq = (
+            df.groupby(key_col, sort=False).cumcount().to_numpy() + 1
+        ).astype(np.int64)
+        gap = np.empty(len(df), dtype=np.float64)
+        gap[0:1] = np.nan
+        gap[1:] = (ep[1:] - ep[:-1]).astype(np.float64)
+        gap[first] = np.nan
+        gap_col = gap
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                key_col: key,
+                "seq": seq,
+                "gap_usecs": gap_col,
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, key_col, ts_col])
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(rank_lag, batch_format="pandas")
+    )
+
+
 def sessionize(
     ds, key_col: str, ts_col: str, *, gap_secs: int = 1800, n_rows: int | None = None
 ):
@@ -126,26 +227,7 @@ def sessionize(
         except Exception:  # pragma: no cover - count unavailable pre-exec
             n_rows = None
     n_groups = _session_group_count(n_rows)
-
-    def add_coarse(batch: pa.Table) -> pa.Table:
-        col = batch.column(key_col)
-        if pa.types.is_integer(col.type):
-            keys = col.to_numpy().astype(np.uint64)
-            coarse = ((keys * np.uint64(1000003)) % np.uint64(n_groups)).astype(
-                np.int64
-            )
-        else:
-            # string / other keys: crc32 into the same coarse bucket space
-            import zlib
-
-            coarse = np.array(
-                [
-                    zlib.crc32(str(k).encode("utf-8")) % n_groups
-                    for k in col.to_pylist()
-                ],
-                dtype=np.int64,
-            )
-        return batch.append_column("coarse", pa.array(coarse))
+    add_coarse = _make_add_coarse(key_col, n_groups)
 
     def assign_sessions(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:

@@ -136,3 +136,73 @@ def test_broadcast_range_join_rejects_overlap(ray_session):
         broadcast_range_join(
             left, bad, value_col="v", lo_col="lo", hi_col="hi", right_cols=["name"]
         )
+
+
+def test_per_key_rank_lag(ray_session):
+    import ray.data
+
+    from docler_ray.stages.windows import per_key_rank_lag
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00:00.000001",
+            "2024-01-01 00:00:00.000001",  # tie: event_id breaks order
+            "2024-01-01 00:00:05.000000",
+            "2024-01-01 00:00:00.000000",
+        ]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": [2, 1, 3, 10],
+            "user_id": [7, 7, 7, 9],
+            "ts": ts,
+        }
+    )
+    out = (
+        per_key_rank_lag(ray.data.from_pandas(df), "user_id", "ts", "event_id")
+        .to_pandas()
+        .sort_values(["user_id", "seq"])
+        .reset_index(drop=True)
+    )
+    assert out.event_id.tolist() == [1, 2, 3, 10]
+    assert out.seq.tolist() == [1, 2, 3, 1]
+    gaps = out.gap_usecs.tolist()
+    assert pd.isna(gaps[0]) and pd.isna(gaps[3])
+    assert gaps[1] == 0 and gaps[2] == 4_999_999
+
+
+def test_per_key_rank_lag_keyspace_invariant(ray_session):
+    """Output must not depend on the coarse keyspace size."""
+    import ray.data
+
+    from docler_ray.stages import windows
+    from docler_ray.stages.windows import per_key_rank_lag
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(200, dtype=np.int64),
+            "user_id": rng.integers(0, 9, 200),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, 200), unit="us"),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    base = (
+        per_key_rank_lag(ds, "user_id", "ts", "event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    old = windows._SESSION_TARGET_ROWS
+    windows._SESSION_TARGET_ROWS = 1  # force a per-row-sized keyspace
+    try:
+        wide = (
+            per_key_rank_lag(ds, "user_id", "ts", "event_id")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        windows._SESSION_TARGET_ROWS = old
+    pd.testing.assert_frame_equal(base, wide)

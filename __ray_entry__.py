@@ -1345,6 +1345,52 @@ def _q_tfidf_top15(sf_dir: str):
     return tfidf_topk(ds, ["spark", "window", "merge"], k=15)
 
 
+def _q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k (ROW_NUMBER PARTITION BY <= k) without a corpus sort:
+    per-batch groupby-head partials, per-group merge."""
+    import ray.data
+
+    from docler_ray.stages.topk import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "doc_id", "n_chars"]
+    )
+    return grouped_topk(
+        ds,
+        group_col="lang",
+        sort_col="n_chars",
+        k=3,
+        keep_cols=["doc_id"],
+        tie_col="doc_id",
+    )
+
+
+def _q_lineitem_f_order_counts(sf_dir: str):
+    """Bloom-pushdown semi join: lineitem rows of finished ('F') orders,
+    counted by linestatus. The broadcast bitmap prunes non-matching rows
+    map-side before the hash-shuffle left_semi join removes the false
+    positives — exact for any bitmap size."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from docler_ray.stages.joins import bloom_semi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderstatus"), "F")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linestatus"]
+    )
+    semi = bloom_semi_join(lineitem, orders, "l_orderkey", "o_orderkey")
+    return semi.groupby("l_linestatus").aggregate(Count(alias_name="n"))
+
+
 def _q_image_features(sf_dir: str):
     from docler_ray.pipelines.extract_pipeline import PipelineConfig, extract_dataset
     from docler_ray.stages.media import ImageFeatureExtractor
@@ -1399,6 +1445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_seq": _q_events_user_seq,
         "decontaminate_docs": _q_decontaminate_docs,
         "tfidf_top15": _q_tfidf_top15,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "lineitem_f_order_counts": _q_lineitem_f_order_counts,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -1645,6 +1693,22 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score DESC, doc_id) AS rank FROM s) "
             "SELECT doc_id, CAST(score AS BIGINT) AS score, "
             "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 15"
+        ),
+        # mirrors topk.grouped_topk: per-lang top-3 by n_chars, doc_id ties
+        "top_docs_per_lang": (
+            "WITH r AS (SELECT lang, doc_id, n_chars, "
+            "ROW_NUMBER() OVER (PARTITION BY lang "
+            "ORDER BY n_chars DESC, doc_id) AS rank FROM documents) "
+            "SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 3"
+        ),
+        # mirrors joins.bloom_semi_join (bloom prefilter is pruning-only;
+        # the left_semi join makes the result the plain SQL semi join)
+        "lineitem_f_order_counts": (
+            "SELECT l_linestatus, COUNT(*) AS n FROM lineitem "
+            "WHERE l_orderkey IN ("
+            "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
+            "GROUP BY l_linestatus"
         ),
         # same hash arithmetic as sample_docs_pct10, per-language strata
         "stratified_sample_by_lang": (

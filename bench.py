@@ -199,6 +199,8 @@ def bench_once() -> dict:
         timed("events_user_seq", q["events_user_seq"])
         timed("decontaminate_docs", q["decontaminate_docs"])
         timed("tfidf_top15", q["tfidf_top15"])
+        timed("top_docs_per_lang", q["top_docs_per_lang"])
+        timed("lineitem_f_order_counts", q["lineitem_f_order_counts"])
     finally:
         ray.shutdown()
     return results

@@ -433,3 +433,127 @@ def copartition_asof_join(
         return pa.table(out)
 
     return narrow.groupby("_part").map_groups(asof_partition, batch_format="pyarrow")
+
+
+# --- bloom-filter semi join -------------------------------------------------
+
+_BLOOM_MIN_BITS = 1 << 20  # 128 KiB floor
+_BLOOM_MAX_BITS = 1 << 30  # 128 MiB cap (a worker-heap constant, not corpus)
+_BLOOM_BITS_PER_KEY = 16  # ~0.05% FP at 3 probes
+_BLOOM_PROBES = 3
+
+
+def _bloom_mix(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit mixes of an int64 key array (splitmix64-style
+    multiply-xor-shift) for double-hashed probe positions."""
+    with np.errstate(over="ignore"):
+        h = keys.astype(np.uint64)
+        h1 = h * np.uint64(0x9E3779B97F4A7C15)
+        h1 ^= h1 >> np.uint64(31)
+        h1 *= np.uint64(0xBF58476D1CE4E5B9)
+        h1 ^= h1 >> np.uint64(27)
+        h2 = h * np.uint64(0x94D049BB133111EB)
+        h2 ^= h2 >> np.uint64(29)
+        h2 *= np.uint64(0xFF51AFD7ED558CCD)
+        h2 ^= h2 >> np.uint64(33)
+    return h1, h2 | np.uint64(1)  # odd step so all probes differ
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int) -> list[np.ndarray]:
+    h1, h2 = _bloom_mix(keys)
+    mask = np.uint64(m_bits - 1)  # m_bits is a power of two
+    with np.errstate(over="ignore"):
+        return [
+            (h1 + np.uint64(i) * h2) & mask for i in range(_BLOOM_PROBES)
+        ]
+
+
+def build_bloom_ref(keys_ds, key_col: str, *, n_rows: int | None = None):
+    """Distributed Bloom bitmap of an integer key column -> ``ray.put`` ref.
+
+    Map-side: each batch sets its keys' bits in a zeroed bitmap and emits
+    the packed uint64 words as ONE binary row. Driver: streams the partial
+    bitmaps and ORs them — driver state is two bitmaps, never the keys.
+    The bitmap is sized from the measured key count
+    (``_BLOOM_BITS_PER_KEY`` bits/key, power-of-two clamped to
+    [_BLOOM_MIN_BITS, _BLOOM_MAX_BITS]) — a worker-heap constant at any
+    corpus size. Returns ``(ref, m_bits)``.
+    """
+    if n_rows is None:
+        n_rows = keys_ds.count()
+    m_bits = _BLOOM_MIN_BITS
+    while m_bits < min(_BLOOM_MAX_BITS, n_rows * _BLOOM_BITS_PER_KEY):
+        m_bits <<= 1
+    n_words = m_bits // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.uint64)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        for pos in _bloom_positions(keys, m_bits):
+            np.bitwise_or.at(
+                words, pos >> np.uint64(6),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pa.table({"bits": pa.array([words.tobytes()], pa.binary())})
+
+    acc = np.zeros(n_words, dtype=np.uint64)
+    partials = keys_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for b in partials.iter_batches(batch_size=4, batch_format="pyarrow"):
+        for buf in b.column("bits").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+    return ray.put(acc), m_bits
+
+
+def bloom_semi_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    *,
+    n_right: int | None = None,
+):
+    """EXACT semi join (keep left rows whose key appears in ``right``) with
+    a Bloom prefilter: the broadcast bitmap drops ~all non-matching left
+    rows map-side BEFORE the hash-shuffle join, so the all-to-all exchange
+    ships only (candidate ∪ false-positive) rows instead of the whole left
+    table — the classic bloom-pushdown plan for big-big semi joins. The
+    trailing ``left_semi`` hash join removes the false positives, so the
+    result is exact for ANY bitmap size. Integer keys only.
+    """
+    from docler_ray.stages.dedup import _compact_nonempty, _num_partitions
+
+    right_keys = right.select_columns([right_key])
+    right_ds, n_r = _compact_nonempty(right_keys)
+    if right_ds is None:  # empty right side: semi join is empty
+        return left.limit(0)
+    ref, m_bits = build_bloom_ref(right_ds, right_key, n_rows=n_r)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        words = _get_broadcast(ref)
+        keys = batch.column(left_key).to_numpy(zero_copy_only=False)
+        hit = np.ones(len(keys), dtype=bool)
+        for pos in _bloom_positions(keys, m_bits):
+            w = words[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= (w >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return batch.filter(pa.array(hit))
+
+    candidates = left.map_batches(
+        prefilter, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand_ds, n_c = _compact_nonempty(candidates)
+    if cand_ds is None:
+        return left.limit(0)
+    if right_key == left_key:
+        rj = right_ds
+    else:
+        rj = right_ds.map_batches(
+            lambda b: b.rename_columns([left_key]), batch_format="pyarrow"
+        )
+    return cand_ds.join(
+        rj,
+        join_type="left_semi",
+        num_partitions=_num_partitions(max(n_c, n_r)),
+        on=(left_key,),
+    )

@@ -206,3 +206,62 @@ def test_per_key_rank_lag_keyspace_invariant(ray_session):
     finally:
         windows._SESSION_TARGET_ROWS = old
     pd.testing.assert_frame_equal(base, wide)
+
+
+def test_bloom_semi_join_exact(ray_session):
+    import ray.data
+
+    from docler_ray.stages.joins import bloom_semi_join
+
+    left = pd.DataFrame(
+        {"k": np.arange(1000, dtype=np.int64), "v": np.arange(1000) * 2}
+    )
+    right = pd.DataFrame({"rk": np.array([5, 17, 999, 17, 2000], dtype=np.int64)})
+    out = (
+        bloom_semi_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right),
+            "k",
+            "rk",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out.k.tolist() == [5, 17, 999]  # exact; no dup from repeated 17
+    assert out.v.tolist() == [10, 34, 1998]
+
+
+def test_bloom_semi_join_empty_right(ray_session):
+    import ray.data
+
+    from docler_ray.stages.joins import bloom_semi_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": np.array([1, 2], dtype=np.int64)})
+    )
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": np.array([], dtype=np.int64)})
+    )
+    assert bloom_semi_join(left, right, "k", "k").count() == 0
+
+
+def test_bloom_no_false_negatives(ray_session):
+    """Every true key must survive the prefilter bitmap."""
+    import ray.data
+
+    from docler_ray.stages.joins import (
+        _bloom_positions,
+        build_bloom_ref,
+    )
+    import ray as _ray
+
+    keys = np.random.default_rng(11).integers(0, 2**62, 5000).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(6)
+    ref, m_bits = build_bloom_ref(ds, "k")
+    words = _ray.get(ref)
+    hit = np.ones(len(keys), dtype=bool)
+    for pos in _bloom_positions(keys.astype(np.uint64), m_bits):
+        w = words[(pos >> np.uint64(6)).astype(np.int64)]
+        hit &= (w >> (pos & np.uint64(63))) & np.uint64(1) != 0
+    assert hit.all()

@@ -814,3 +814,40 @@ def test_bottomk_sample_quantiles_matches_duckdb_convention(ray_session):
             f"SELECT quantile_disc(v, {q}) FROM s"
         ).fetchone()[0]
         assert row["value"] == want, q
+
+
+def test_grouped_topk_across_blocks(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.topk import grouped_topk
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 300),
+            "id": np.arange(300, dtype=np.int64),
+            "v": rng.integers(0, 50, 300),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)  # force multi-block partials
+    got = (
+        grouped_topk(
+            ds, group_col="g", sort_col="v", k=4, keep_cols=["id"], tie_col="id"
+        )
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(4)
+    )
+    exp = exp.sort_values(["g", "v", "id"], ascending=[True, False, True])
+    exp = exp.reset_index(drop=True)
+    exp["rank"] = exp.groupby("g", sort=False).cumcount() + 1
+    assert got[["g", "id", "v", "rank"]].to_dict("list") == exp[
+        ["g", "id", "v", "rank"]
+    ].to_dict("list")

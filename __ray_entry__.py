@@ -1391,6 +1391,22 @@ def _q_lineitem_f_order_counts(sf_dir: str):
     return semi.groupby("l_linestatus").aggregate(Count(alias_name="n"))
 
 
+def _q_price_histogram(sf_dir: str):
+    """Equi-width histogram of order totals: per-batch np.bincount
+    partials, tiny groupby sum — ships O(buckets x blocks) rows. The
+    bucket expression is a single float64 formula mirrored in SQL."""
+    import ray.data
+
+    from docler_ray.stages.stats import equi_width_histogram
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    return equi_width_histogram(
+        ds, "o_totalprice", lo=0.0, hi=600000.0, n_buckets=24
+    )
+
+
 def _q_image_features(sf_dir: str):
     from docler_ray.pipelines.extract_pipeline import PipelineConfig, extract_dataset
     from docler_ray.stages.media import ImageFeatureExtractor
@@ -1447,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top15": _q_tfidf_top15,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lineitem_f_order_counts": _q_lineitem_f_order_counts,
+        "price_histogram": _q_price_histogram,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -1709,6 +1726,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_orderkey IN ("
             "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
             "GROUP BY l_linestatus"
+        ),
+        # mirrors stats.equi_width_histogram: identical float64 bucket
+        # expression, edge-clamped
+        "price_histogram": (
+            "SELECT CAST(LEAST(GREATEST("
+            "FLOOR((o_totalprice - 0.0) * 24 / 600000.0), 0), 23) AS BIGINT) "
+            "AS bucket, COUNT(*) AS n FROM orders GROUP BY 1"
         ),
         # same hash arithmetic as sample_docs_pct10, per-language strata
         "stratified_sample_by_lang": (

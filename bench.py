@@ -201,6 +201,7 @@ def bench_once() -> dict:
         timed("tfidf_top15", q["tfidf_top15"])
         timed("top_docs_per_lang", q["top_docs_per_lang"])
         timed("lineitem_f_order_counts", q["lineitem_f_order_counts"])
+        timed("price_histogram", q["price_histogram"])
     finally:
         ray.shutdown()
     return results

@@ -199,3 +199,52 @@ def deterministic_sample(ds, *, id_col: str, pct: int):
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def equi_width_histogram(
+    ds,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+):
+    """Equi-width histogram: counts per bucket of ``[lo, hi)`` split into
+    ``n_buckets`` (out-of-range values clamp to the edge buckets, so every
+    row lands exactly once). The canonical map-side pre-aggregation shape:
+    each batch reduces to <= n_buckets (bucket, partial) rows via one
+    vectorized ``np.bincount``, then a tiny groupby sums partials — the
+    shuffle ships O(n_buckets x num_blocks) rows, never values.
+
+    Bucket arithmetic is the single float64 expression
+    ``floor((v - lo) * n_buckets / (hi - lo))`` evaluated identically by
+    the DuckDB oracle, so counts hash-match exactly.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    if not (hi > lo) or n_buckets < 1:
+        raise ValueError("need hi > lo and n_buckets >= 1")
+    width_den = float(hi - lo)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        b = np.floor((v - lo) * n_buckets / width_den)
+        b = np.clip(b, 0, n_buckets - 1).astype(np.int64)
+        counts = np.bincount(b, minlength=n_buckets)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "partial_n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )

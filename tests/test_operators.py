@@ -851,3 +851,23 @@ def test_grouped_topk_across_blocks(ray_session):
     assert got[["g", "id", "v", "rank"]].to_dict("list") == exp[
         ["g", "id", "v", "rank"]
     ].to_dict("list")
+
+
+def test_equi_width_histogram_clamps_edges(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.stats import equi_width_histogram
+
+    vals = [-5.0, 0.0, 9.99, 10.0, 55.0, 99.9, 100.0, 250.0]
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(3)
+    out = (
+        equi_width_histogram(ds, "v", lo=0.0, hi=100.0, n_buckets=10)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out.bucket, out.n))
+    # -5 clamps to 0; 10.0 is lo-inclusive of bucket 1; 100/250 clamp to 9
+    assert got == {0: 3, 1: 1, 5: 1, 9: 3}
+    assert out.n.sum() == len(vals)

@@ -38,9 +38,12 @@ def _ngrams(text: str, n: int) -> list[str]:
 def benchmark_ngram_ref(bench_ds, *, text_col: str = "text", ngram: int = 5):
     """Distinct n-gram set of the benchmark side -> ``ray.put`` object ref.
 
-    The benchmark grams are deduplicated DISTRIBUTEDLY (map-side distinct
-    per batch, then a groupby) before the bounded collect, so driver state
-    is the distinct-gram set — benchmark-sized, never corpus-sized.
+    Map-side distinct per batch, then a streaming driver union of the
+    partials — driver state is the distinct-gram set (benchmark-sized by
+    the operator's core assumption: eval suites are MBs) and each shipped
+    partial is a batch's distinct grams, also benchmark-bounded. No
+    shuffle: a distributed groupby-distinct here would pay a full
+    aggregator-pool spinup to dedup a set the driver must hold anyway.
     """
     import ray
 
@@ -50,12 +53,12 @@ def benchmark_ngram_ref(bench_ds, *, text_col: str = "text", ngram: int = 5):
             grams.update(_ngrams(t, ngram))
         return pa.table({"g": pa.array(sorted(grams), pa.string())})
 
-    distinct = (
-        bench_ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("g")
-        .count()
+    partials = bench_ds.map_batches(
+        emit, batch_format="pyarrow", zero_copy_batch=True
     )
-    gram_set = {r["g"] for r in distinct.take_all()}
+    gram_set: set[str] = set()
+    for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        gram_set.update(b.column("g").to_pylist())
     return ray.put(gram_set)
 
 

@@ -506,6 +506,9 @@ def build_bloom_ref(keys_ds, key_col: str, *, n_rows: int | None = None):
     return ray.put(acc), m_bits
 
 
+_SMALL_SEMI_KEYS = 2_000_000  # broadcast bound for an exact key set (~16 MB)
+
+
 def bloom_semi_join(
     left,
     right,
@@ -521,6 +524,12 @@ def bloom_semi_join(
     table — the classic bloom-pushdown plan for big-big semi joins. The
     trailing ``left_semi`` hash join removes the false positives, so the
     result is exact for ANY bitmap size. Integer keys only.
+
+    Measured small-right regime (the dedup family's broadcast pattern,
+    hard constant cap ``_SMALL_SEMI_KEYS``): when the right side fits an
+    exact broadcast key set, the bitmap+join plan degenerates to one
+    vectorized map-side ``isin`` filter — same result, zero shuffle
+    (pinned by the forced-bloom regime-equality test).
     """
     from docler_ray.stages.dedup import _compact_nonempty, _num_partitions
 
@@ -528,6 +537,29 @@ def bloom_semi_join(
     right_ds, n_r = _compact_nonempty(right_keys)
     if right_ds is None:  # empty right side: semi join is empty
         return left.limit(0)
+    if n_r <= _SMALL_SEMI_KEYS:
+        keys = np.unique(
+            np.concatenate(
+                [
+                    b.column(right_key).to_numpy(zero_copy_only=False)
+                    for b in right_ds.iter_batches(
+                        batch_size=65536, batch_format="pyarrow"
+                    )
+                ]
+            )
+        )
+        keys_ref = ray.put(keys)  # sorted; searchsorted membership
+
+        def exact_filter(batch: pa.Table) -> pa.Table:
+            k = _get_broadcast(keys_ref)
+            v = batch.column(left_key).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(k, v)
+            idx[idx == len(k)] = 0
+            return batch.filter(pa.array(k[idx] == v))
+
+        return left.map_batches(
+            exact_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
     ref, m_bits = build_bloom_ref(right_ds, right_key, n_rows=n_r)
 
     def prefilter(batch: pa.Table) -> pa.Table:

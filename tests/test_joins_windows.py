@@ -265,3 +265,32 @@ def test_bloom_no_false_negatives(ray_session):
         w = words[(pos >> np.uint64(6)).astype(np.int64)]
         hit &= (w >> (pos & np.uint64(63))) & np.uint64(1) != 0
     assert hit.all()
+
+
+def test_bloom_semi_join_regime_equality(ray_session, monkeypatch):
+    """Broadcast fast path and the bloom+left_semi plan must agree."""
+    import ray.data
+
+    from docler_ray.stages import joins
+    from docler_ray.stages.joins import bloom_semi_join
+
+    rng = np.random.default_rng(5)
+    left = ray.data.from_pandas(
+        pd.DataFrame(
+            {"k": rng.integers(0, 500, 2000).astype(np.int64),
+             "v": np.arange(2000, dtype=np.int64)}
+        )
+    ).repartition(4)
+    right = ray.data.from_pandas(
+        pd.DataFrame({"rk": rng.integers(0, 500, 300).astype(np.int64)})
+    )
+    fast = (
+        bloom_semi_join(left, right, "k", "rk")
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    monkeypatch.setattr(joins, "_SMALL_SEMI_KEYS", 0)  # force bloom regime
+    dist = (
+        bloom_semi_join(left, right, "k", "rk")
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist)

@@ -45,18 +45,34 @@ def main(argv: list[str] | None = None) -> int:
         help="declarative JSON job config (docler_ray.config.JobConfig); "
         "CLI flags override its pipeline knobs",
     )
+    parser.add_argument(
+        "--address",
+        default=os.environ.get("DOCLER_RAY_ADDRESS", "local"),
+        help="'local' starts a private Ray (default); 'auto' or an explicit "
+        "address ATTACHES to a standing cluster — the execution shape "
+        "`ray job submit` wraps (the job driver attaches to the cluster "
+        "it was submitted to; --num-cpus is ignored there, the cluster "
+        "owns its size)",
+    )
     args = parser.parse_args(argv)
 
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        if args.address == "local":
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        else:
+            ray.init(
+                address=args.address,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -1407,6 +1407,22 @@ def _q_price_histogram(sf_dir: str):
     )
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII redaction (email/IPv4 scrub): stateless map pass with RE2-safe
+    patterns the DuckDB oracle replays verbatim, pinning the rewritten
+    text byte-for-byte (the synthetic corpus is PII-free, so this pins
+    the no-op contract; tests/test_redact.py pins the rewrite contract
+    on adversarial strings against DuckDB directly)."""
+    import ray.data
+
+    from docler_ray.functions.redact import redact
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return redact(ds)
+
+
 def _q_image_features(sf_dir: str):
     from docler_ray.pipelines.extract_pipeline import PipelineConfig, extract_dataset
     from docler_ray.stages.media import ImageFeatureExtractor
@@ -1419,6 +1435,23 @@ def _q_image_features(sf_dir: str):
         concurrency=(1, 2),
         batch_size=128,
         zero_copy_batch=True,
+    )
+
+
+def _redact_sql() -> str:
+    from docler_ray.functions.redact import EMAIL_PATTERN, IPV4_PATTERN
+
+    email = EMAIL_PATTERN.replace("'", "''")
+    ipv4 = IPV4_PATTERN.replace("'", "''")
+    return (
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'), "
+        f"'{ipv4}', '<IP>', 'g') AS text_redacted, "
+        f"CAST(array_length(regexp_extract_all(text, '{email}')) AS BIGINT) "
+        "AS n_emails, "
+        "CAST(array_length(regexp_extract_all("
+        f"regexp_replace(text, '{email}', '<EMAIL>', 'g'), '{ipv4}')) "
+        "AS BIGINT) AS n_ips FROM documents"
     )
 
 
@@ -1464,6 +1497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lineitem_f_order_counts": _q_lineitem_f_order_counts,
         "price_histogram": _q_price_histogram,
+        "redact_pii": _q_redact_pii,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -1734,6 +1768,8 @@ def oracle_sql() -> dict[str, str]:
             "FLOOR((o_totalprice - 0.0) * 24 / 600000.0), 0), 23) AS BIGINT) "
             "AS bucket, COUNT(*) AS n FROM orders GROUP BY 1"
         ),
+        # replays redact.py's RE2-safe patterns verbatim (imported, no drift)
+        "redact_pii": _redact_sql(),
         # same hash arithmetic as sample_docs_pct10, per-language strata
         "stratified_sample_by_lang": (
             "WITH r AS (SELECT lang, doc_id, ROW_NUMBER() OVER ("

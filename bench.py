@@ -202,6 +202,7 @@ def bench_once() -> dict:
         timed("top_docs_per_lang", q["top_docs_per_lang"])
         timed("lineitem_f_order_counts", q["lineitem_f_order_counts"])
         timed("price_histogram", q["price_histogram"])
+        timed("redact_pii", q["redact_pii"])
     finally:
         ray.shutdown()
     return results

@@ -1423,6 +1423,30 @@ def _q_redact_pii(sf_dir: str):
     return redact(ds)
 
 
+def _q_approx_distinct_by_lang(sf_dir: str):
+    """Per-group HLL distinct with an in-query accuracy pin (the IVF-recall
+    pattern): the sketch estimate per lang is checked against the exact
+    distributed distinct count and the oracle pins ``within_5pct = TRUE``
+    (p=12 -> sigma ~1.6%; 5% is ~3 sigma) plus the exact counts, so the
+    approximate operator gets a hard CORRECTNESS row without the SQL
+    having to reproduce the sketch."""
+    import ray.data
+
+    from docler_ray.stages.sketch import grouped_approx_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    est = grouped_approx_distinct(ds, "lang", "text").to_pandas()
+    exact = _q_dedup_unique_by_lang(sf_dir).to_pandas()  # (lang, n_unique)
+    df = exact.merge(est, on="lang")  # one row per group: driver-sized
+    df["within_5pct"] = (
+        (df["n_distinct_est"] - df["n_unique"]).abs() <= 0.05 * df["n_unique"]
+    )
+    df = df[["lang", "n_unique", "within_5pct"]].sort_values("lang")
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
 def _q_image_features(sf_dir: str):
     from docler_ray.pipelines.extract_pipeline import PipelineConfig, extract_dataset
     from docler_ray.stages.media import ImageFeatureExtractor
@@ -1498,6 +1522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_f_order_counts": _q_lineitem_f_order_counts,
         "price_histogram": _q_price_histogram,
         "redact_pii": _q_redact_pii,
+        "approx_distinct_by_lang": _q_approx_distinct_by_lang,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -1767,6 +1792,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(LEAST(GREATEST("
             "FLOOR((o_totalprice - 0.0) * 24 / 600000.0), 0), 23) AS BIGINT) "
             "AS bucket, COUNT(*) AS n FROM orders GROUP BY 1"
+        ),
+        # exact counts + TRUE accuracy pin; the Ray side computes the HLL
+        # estimate and checks it against its own exact distributed count
+        "approx_distinct_by_lang": (
+            "SELECT lang, COUNT(DISTINCT text) AS n_unique, "
+            "TRUE AS within_5pct FROM documents GROUP BY lang"
         ),
         # replays redact.py's RE2-safe patterns verbatim (imported, no drift)
         "redact_pii": _redact_sql(),

@@ -203,6 +203,7 @@ def bench_once() -> dict:
         timed("lineitem_f_order_counts", q["lineitem_f_order_counts"])
         timed("price_histogram", q["price_histogram"])
         timed("redact_pii", q["redact_pii"])
+        timed("approx_distinct_by_lang", q["approx_distinct_by_lang"])
     finally:
         ray.shutdown()
     return results

@@ -75,3 +75,54 @@ def approx_distinct(ds, col: str, *, p: int = 12) -> int:
         for blob in b.column("regs").to_pylist():
             np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
     return round(hll_estimate(merged))
+
+
+def grouped_approx_distinct(ds, group_col: str, value_col: str, *, p: int = 12):
+    """Approximate distinct ``value_col`` PER GROUP — the mergeable-sketch
+    composition: each batch folds each group it sees into one 2^p-byte
+    register row, and a ``groupby(group).map_groups`` merges register rows
+    with an elementwise max (HLL merge is associative + commutative, so
+    map-side partials compose exactly like Sum partials). The shuffle
+    ships O(groups x num_blocks) fixed-size register rows — never values —
+    which is THE way to run count-distinct per key at corpus scale.
+
+    Returns a Dataset of (group, n_distinct_est: int64).
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pylist(),
+                "v": batch.column(value_col).to_pylist(),
+            }
+        )
+        groups, blobs = [], []
+        for g, sub in df.groupby("g", sort=False):
+            groups.append(g)
+            blobs.append(hll_register_row(sub["v"].tolist(), p=p).tobytes())
+        return pa.table(
+            {
+                group_col: pa.array(groups),
+                "regs": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for blob in df["regs"]:
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+        return pd.DataFrame(
+            {
+                group_col: [df[group_col].iloc[0]],
+                "n_distinct_est": np.array(
+                    [round(hll_estimate(merged))], dtype=np.int64
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -871,3 +871,26 @@ def test_equi_width_histogram_clamps_edges(ray_session):
     # -5 clamps to 0; 10.0 is lo-inclusive of bucket 1; 100/250 clamp to 9
     assert got == {0: 3, 1: 1, 5: 1, 9: 3}
     assert out.n.sum() == len(vals)
+
+
+def test_grouped_approx_distinct_accuracy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.sketch import grouped_approx_distinct
+
+    rng = np.random.default_rng(9)
+    rows = []
+    true = {"a": 800, "b": 50, "c": 1}
+    for g, n in true.items():
+        vals = [f"{g}-{i}" for i in range(n)]
+        # duplicates: sample with replacement beyond the distinct set
+        rows += [(g, vals[rng.integers(0, n)]) for _ in range(n * 3)]
+        rows += [(g, v) for v in vals]  # guarantee every distinct appears
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = grouped_approx_distinct(ds, "g", "v").to_pandas()
+    got = dict(zip(out.g, out.n_distinct_est))
+    for g, n in true.items():
+        assert abs(got[g] - n) <= max(1, 0.05 * n), (g, got[g], n)

@@ -1462,6 +1462,210 @@ def _q_image_features(sf_dir: str):
     )
 
 
+# --- URL/host tier, line cleaning, rolling windows, anti join, mixture ------
+
+# The pages-table url is a pure function of the documents row
+# (docler_ray/sources/from_documents.py:51: https://{source}.example/{lang}/
+# doc-{doc_id}), so URL queries construct it vectorized on BOTH sides — the
+# oracle concatenates the identical expression in SQL and the operators parse
+# it back with the shared RE2 pattern.
+_URL_SQL_EXPR = (
+    "'https://' || source || '.example/' || lang || '/doc-' || "
+    "CAST(doc_id AS VARCHAR)"
+)
+
+# C4-style line-filter instantiation that bites on the synthetic corpus:
+# documents.text is single-line by construction, so both engines derive a
+# line-structured corpus by splitting on the frequent token ' merge '
+# (replace -> chr(10)) before filtering; no terminal-punct rule (the corpus
+# has no sentence punctuation) — that rule is pinned by the adversarial
+# Python-vs-DuckDB tests in tests/test_textclean.py instead.
+_C4_SOURCE_EXPR = "replace(text, ' merge ', chr(10))"
+
+_MIX_RATES = {"en": 25, "de": 100, "fr": 50, "es": 75, "zh": 10}
+_BLOCKED_HOSTS = ["src0.example", "src1.example", "src2.example"]
+
+
+def _line_filter_cfg():
+    from docler_ray.functions.textclean import LineFilterConfig
+
+    return LineFilterConfig(
+        min_words=8,
+        require_terminal_punct=False,
+        banned_line_substrings=("slow",),
+        banned_doc_substrings=("lorem ipsum",),
+    )
+
+
+def _url_docs_ds(sf_dir: str):
+    """documents -> (doc_id, lang, url) with the url built by one vectorized
+    concat kernel (no HTML synthesis — the URL tier doesn't need payloads)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "https://",
+            batch.column("source"),
+            ".example/",
+            batch.column("lang"),
+            "/doc-",
+            pc.cast(batch.column("doc_id"), pa.string()),
+            "",
+        )
+        return batch.append_column("url", url)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    return ds.map_batches(add_url, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_url_host_profile(sf_dir: str):
+    """Per-host corpus profile (host, tld, n, sum_path_depth): vectorized
+    RE2 parse + map-side pre-agg, host-cardinality shuffle only."""
+    from docler_ray.stages.urlops import host_profile
+
+    return host_profile(_url_docs_ds(sf_dir), url_col="url")
+
+
+def _q_url_blocklist_survivors(sf_dir: str):
+    """Domain-blocklist filter (the first stage of every web-text pipeline)
+    -> per-lang survivor counts. Zero shuffle until the tiny lang groupby."""
+    from ray.data.aggregate import Count
+
+    from docler_ray.stages.urlops import filter_blocked_hosts
+
+    ds = filter_blocked_hosts(_url_docs_ds(sf_dir), _BLOCKED_HOSTS, url_col="url")
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _q_c4_line_filter(sf_dir: str):
+    """C4 line-level cleaning (arXiv:1910.10683 §2.2): rewritten text pinned
+    byte-for-byte by the DuckDB list_filter replay of the same rules."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.functions.textclean import line_filter
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("text")
+        lined = pc.replace_substring(
+            batch.column("text"), pattern=" merge ", replacement="\n"
+        )
+        return batch.set_column(idx, "text", lined)
+
+    lined = ds.map_batches(to_lines, batch_format="pyarrow", zero_copy_batch=True)
+    return line_filter(lined, text_col="text", cfg=_line_filter_cfg())
+
+
+def _q_events_rolling_value(sf_dir: str):
+    """SQL ROWS-frame windowed SUM as a Ray composition (coarse co-location
+    + vectorized segmented prefix sums); integer-cents fixed point makes the
+    result addition-order-independent, hence exactly oracle-pinnable."""
+    import ray.data
+
+    from docler_ray.stages.windows import per_key_rolling_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return per_key_rolling_sum(
+        ds, "user_id", "ts", "event_id", "value", window_rows=3
+    )
+
+
+def _q_customers_no_orders(sf_dir: str):
+    """EXACT anti join with bloom pass-through certificate: customers with
+    no URGENT-priority orders, counted per market segment (the priority
+    filter keeps the anti side non-degenerate — every synthetic customer
+    has SOME order)."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from docler_ray.stages.joins import bloom_anti_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    survivors = bloom_anti_join(cust, orders, "c_custkey", "o_custkey")
+    return survivors.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+
+def _q_mixture_sample_by_lang(sf_dir: str):
+    """Training-mix reweighting: per-language deterministic sampling rates
+    (same arithmetic bucket as sample_docs_pct10), counted per lang."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from docler_ray.stages.stats import weighted_group_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    mix = weighted_group_sample(
+        ds, group_col="lang", id_col="doc_id", rates=_MIX_RATES, default_pct=100
+    )
+    return mix.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _url_host_profile_sql() -> str:
+    from docler_ray.stages.urlops import TLD_PATTERN, URL_PATTERN
+
+    return (
+        f"WITH p AS (SELECT {_URL_SQL_EXPR} AS url FROM documents), "
+        f"x AS (SELECT lower(regexp_extract(url, '{URL_PATTERN}', 2)) AS host, "
+        f"regexp_extract(url, '{URL_PATTERN}', 3) AS path FROM p) "
+        f"SELECT host, regexp_extract(host, '{TLD_PATTERN}', 1) AS tld, "
+        "COUNT(*) AS n, "
+        "CAST(SUM(length(path) - length(replace(path, '/', ''))) AS BIGINT) "
+        "AS sum_path_depth FROM x GROUP BY host"
+    )
+
+
+def _url_blocklist_sql() -> str:
+    from docler_ray.stages.urlops import URL_PATTERN
+
+    hosts = ", ".join(f"'{h}'" for h in _BLOCKED_HOSTS)
+    return (
+        f"WITH p AS (SELECT lang, {_URL_SQL_EXPR} AS url FROM documents), "
+        f"x AS (SELECT lang, lower(regexp_extract(url, '{URL_PATTERN}', 2)) "
+        "AS host FROM p) "
+        f"SELECT lang, COUNT(*) AS n FROM x WHERE host NOT IN ({hosts}) "
+        "GROUP BY lang"
+    )
+
+
+def _c4_line_filter_sql() -> str:
+    from docler_ray.functions.textclean import line_filter_sql
+
+    return line_filter_sql(_C4_SOURCE_EXPR, _line_filter_cfg())
+
+
+def _mixture_sample_sql() -> str:
+    cases = " ".join(f"WHEN '{g}' THEN {p}" for g, p in _MIX_RATES.items())
+    return (
+        "SELECT lang, COUNT(*) AS n FROM documents "
+        "WHERE ((doc_id % 1000003) * 2654435761) // 1048576 % 100 < "
+        f"CASE lang {cases} ELSE 100 END GROUP BY lang"
+    )
+
+
 def _redact_sql() -> str:
     from docler_ray.functions.redact import EMAIL_PATTERN, IPV4_PATTERN
 
@@ -1523,6 +1727,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": _q_price_histogram,
         "redact_pii": _q_redact_pii,
         "approx_distinct_by_lang": _q_approx_distinct_by_lang,
+        "url_host_profile": _q_url_host_profile,
+        "url_blocklist_survivors": _q_url_blocklist_survivors,
+        "c4_line_filter": _q_c4_line_filter,
+        "events_rolling_value": _q_events_rolling_value,
+        "customers_no_orders": _q_customers_no_orders,
+        "mixture_sample_by_lang": _q_mixture_sample_by_lang,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -1801,6 +2011,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         # replays redact.py's RE2-safe patterns verbatim (imported, no drift)
         "redact_pii": _redact_sql(),
+        # URL tier: SQL rebuilds the url with the identical concat and
+        # replays the SAME RE2 patterns the Arrow kernels run
+        "url_host_profile": _url_host_profile_sql(),
+        "url_blocklist_survivors": _url_blocklist_sql(),
+        # C4 line filter: list_filter lambda replay, rewritten text pinned
+        "c4_line_filter": _c4_line_filter_sql(),
+        "events_rolling_value": (
+            "WITH c AS (SELECT event_id, user_id, ts, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS BIGINT) AS seq, "
+            "CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS roll_sum_cents, "
+            "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS n_in_window FROM c"
+        ),
+        "customers_no_orders": (
+            "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c_custkey "
+            "AND o.o_orderpriority = '1-URGENT') GROUP BY c_mktsegment"
+        ),
+        # same arithmetic bucket as sample_docs_pct10, per-group rates
+        "mixture_sample_by_lang": _mixture_sample_sql(),
         # same hash arithmetic as sample_docs_pct10, per-language strata
         "stratified_sample_by_lang": (
             "WITH r AS (SELECT lang, doc_id, ROW_NUMBER() OVER ("

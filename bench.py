@@ -204,6 +204,12 @@ def bench_once() -> dict:
         timed("price_histogram", q["price_histogram"])
         timed("redact_pii", q["redact_pii"])
         timed("approx_distinct_by_lang", q["approx_distinct_by_lang"])
+        timed("url_host_profile", q["url_host_profile"])
+        timed("url_blocklist_survivors", q["url_blocklist_survivors"])
+        timed("c4_line_filter", q["c4_line_filter"])
+        timed("events_rolling_value", q["events_rolling_value"])
+        timed("customers_no_orders", q["customers_no_orders"])
+        timed("mixture_sample_by_lang", q["mixture_sample_by_lang"])
     finally:
         ray.shutdown()
     return results

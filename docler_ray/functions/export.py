@@ -83,3 +83,43 @@ def export_to_directory(row: dict, out_dir: str) -> list[str]:
             f.write(img.get("content") or b"")
         written.append(filename)
     return sorted(written)
+
+
+def export_jsonl(ds, out_dir: str, *, encode_binary_b64: bool = True):
+    """Sharded JSONL sink — the interchange format training-data tooling
+    reads (one JSON object per line, one file per block, so output
+    parallelism equals pipeline parallelism and a failed run can resume by
+    shard). Streaming end: ``Dataset.write_json`` consumes the pipeline with
+    backpressure; nothing materializes on the driver.
+
+    JSON has no bytes type, so binary columns are base64-encoded first
+    (``<name>_b64`` replaces ``<name>``), matching how the reference ships
+    image payloads in-band (SURVEY.md §1.2: data-URI base64 content).
+    """
+    import base64
+
+    import pyarrow as pa
+
+    binary_cols = [
+        f.name
+        for f in ds.schema().base_schema
+        if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)
+    ]
+    if encode_binary_b64 and binary_cols:
+
+        def encode(batch: pa.Table) -> pa.Table:
+            for name in binary_cols:
+                idx = batch.schema.get_field_index(name)
+                col = batch.column(name).to_pylist()
+                enc = pa.array(
+                    [
+                        None if v is None else base64.b64encode(v).decode("ascii")
+                        for v in col
+                    ],
+                    type=pa.string(),
+                )
+                batch = batch.remove_column(idx).append_column(f"{name}_b64", enc)
+            return batch
+
+        ds = ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+    ds.write_json(out_dir)

@@ -589,3 +589,100 @@ def bloom_semi_join(
         num_partitions=_num_partitions(max(n_c, n_r)),
         on=(left_key,),
     )
+
+
+def bloom_anti_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    *,
+    n_right: int | None = None,
+):
+    """EXACT anti join (keep left rows whose key does NOT appear in
+    ``right``) with the Bloom bitmap flipped into a pass-through certificate:
+    a bitmap MISS proves non-membership, so ~all anti-join survivors stream
+    straight through map-side with zero shuffle, and only the bitmap HITS
+    (true matches + false positives) pay the hash-shuffle ``left_anti``
+    join that removes true matches exactly. The exchange ships
+    O(matches + FP) rows instead of the whole left table — the dual of
+    :func:`bloom_semi_join`, exact for ANY bitmap size because FPs are
+    resolved by the trailing join, never dropped.
+
+    Same measured small-right regime: a right side under
+    ``_SMALL_SEMI_KEYS`` degenerates to one vectorized map-side
+    ``NOT isin`` filter (zero shuffle; pinned by the forced-bloom
+    regime-equality test). Integer keys only.
+    """
+    from docler_ray.stages.dedup import _compact_nonempty, _num_partitions
+
+    right_keys = right.select_columns([right_key])
+    right_ds, n_r = _compact_nonempty(right_keys)
+    if right_ds is None:  # empty right side: every left row survives
+        return left
+    if n_r <= _SMALL_SEMI_KEYS:
+        keys = np.unique(
+            np.concatenate(
+                [
+                    b.column(right_key).to_numpy(zero_copy_only=False)
+                    for b in right_ds.iter_batches(
+                        batch_size=65536, batch_format="pyarrow"
+                    )
+                ]
+            )
+        )
+        keys_ref = ray.put(keys)
+
+        def exact_filter(batch: pa.Table) -> pa.Table:
+            k = _get_broadcast(keys_ref)
+            v = batch.column(left_key).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(k, v)
+            idx[idx == len(k)] = 0
+            return batch.filter(pa.array(k[idx] != v))
+
+        return left.map_batches(
+            exact_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+    ref, m_bits = build_bloom_ref(right_ds, right_key, n_rows=n_r)
+
+    def split_miss(batch: pa.Table) -> pa.Table:
+        """Bitmap misses pass through immediately (definite non-members)."""
+        words = _get_broadcast(ref)
+        keys = batch.column(left_key).to_numpy(zero_copy_only=False)
+        hit = np.ones(len(keys), dtype=bool)
+        for pos in _bloom_positions(keys, m_bits):
+            w = words[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= (w >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return batch.filter(pa.array(~hit))
+
+    def split_hit(batch: pa.Table) -> pa.Table:
+        words = _get_broadcast(ref)
+        keys = batch.column(left_key).to_numpy(zero_copy_only=False)
+        hit = np.ones(len(keys), dtype=bool)
+        for pos in _bloom_positions(keys, m_bits):
+            w = words[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= (w >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return batch.filter(pa.array(hit))
+
+    misses = left.map_batches(
+        split_miss, batch_format="pyarrow", zero_copy_batch=True
+    )
+    candidates = left.map_batches(
+        split_hit, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand_ds, n_c = _compact_nonempty(candidates)
+    if cand_ds is None:  # bitmap caught nothing: left unchanged
+        return misses
+    if right_key == left_key:
+        rj = right_ds
+    else:
+        rj = right_ds.map_batches(
+            lambda b: b.rename_columns([left_key]), batch_format="pyarrow"
+        )
+    fp_survivors = cand_ds.join(
+        rj,
+        join_type="left_anti",
+        num_partitions=_num_partitions(max(n_c, n_r)),
+        on=(left_key,),
+    )
+    return misses.union(fp_survivors)

@@ -248,3 +248,35 @@ def equi_width_histogram(
         .groupby("bucket")
         .aggregate(Sum("partial_n", alias_name="n"))
     )
+
+
+def weighted_group_sample(
+    ds,
+    *,
+    group_col: str,
+    id_col: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+):
+    """Training-mix construction: keep each row with its GROUP's sampling
+    percentage (e.g. downsample en to 25% while keeping all de) — the
+    per-source reweighting step that turns a filtered corpus into a training
+    mixture. Deterministic and resume-safe: the keep decision is the same
+    arithmetic bucket as :func:`deterministic_sample`
+    (``sample_hash_bucket(id) < pct[group]``), so reruns and different
+    partitionings select the identical row set, and the oracle replays the
+    expression as a SQL CASE. Zero shuffle — one vectorized filter pass; the
+    rates table is a handful of entries shipped in the task closure.
+    """
+    for g, p in rates.items():
+        if not 0 <= int(p) <= 100:
+            raise ValueError(f"rate out of [0,100] for group {g!r}: {p}")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        buckets = sample_hash_bucket(ids)
+        groups = pd.Series(batch.column(group_col).to_pylist())
+        pct = groups.map(rates).fillna(default_pct).to_numpy(dtype=np.int64)
+        return batch.filter(pa.array(buckets < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,114 @@
+"""URL/host analytics for Common-Crawl-style page tables.
+
+The north-star input is a pages table keyed by ``url``; host-level skew is
+the canonical web-corpus hazard (three hosts own half the synthetic corpus,
+sources/synth.py:71-80). These operators give the pipeline its URL tier:
+vectorized parsing (scheme/host/tld/path) with pyarrow's RE2 kernels,
+per-host document counts (map-side partials, host-cardinality shuffle), and
+broadcast blocklist filtering. No reference precedent (docler is
+filesystem-keyed); the parse regex is RE2-safe so the DuckDB oracle replays
+it verbatim.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2-safe (no backtracking constructs) — DuckDB regexp_extract replays this
+# pattern verbatim, which is what makes the oracle exact.
+URL_PATTERN = r"^([a-z][a-z0-9+.\-]*)://([^/?#]+)([^?#]*)"
+_URL_NAMED = r"^(?P<scheme>[a-z][a-z0-9+.\-]*)://(?P<host>[^/?#]+)(?P<path>[^?#]*)"
+TLD_PATTERN = r"\.([^.]+)$"
+_TLD_NAMED = r"\.(?P<tld>[^.]+)$"
+
+
+def _fill_empty(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    return pc.fill_null(arr, "")
+
+
+def parse_url_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append scheme/host/tld/path/path_depth columns — one vectorized
+    ``extract_regex`` pass (RE2, zero Python per row). Non-matching or null
+    urls parse to empty strings and path_depth 0, so the stage never drops
+    rows (filtering is a separate, explicit operator)."""
+    urls = pc.fill_null(batch.column(url_col), "")
+    parts = pc.extract_regex(urls, pattern=_URL_NAMED)
+    scheme = _fill_empty(pc.struct_field(parts, "scheme"))
+    host = pc.utf8_lower(_fill_empty(pc.struct_field(parts, "host")))
+    path = _fill_empty(pc.struct_field(parts, "path"))
+    tld = _fill_empty(
+        pc.struct_field(pc.extract_regex(host, pattern=_TLD_NAMED), "tld")
+    )
+    depth = pc.cast(pc.count_substring(path, "/"), pa.int64())
+    for name, arr in (
+        ("scheme", scheme),
+        ("host", host),
+        ("tld", tld),
+        ("path", path),
+        ("path_depth", depth),
+    ):
+        batch = batch.append_column(name, arr)
+    return batch
+
+
+def parse_urls(ds, url_col: str = "url"):
+    """Dataset wrapper: stateless zero-copy map pass."""
+    return ds.map_batches(
+        lambda b: parse_url_batch(b, url_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def host_profile(ds, url_col: str = "url"):
+    """Per-host corpus profile: (host, tld, n docs, sum of path depths).
+
+    Scale shape: the map side parses AND pre-aggregates each batch down to
+    its distinct hosts, so the shuffle ships O(distinct hosts x blocks)
+    partial rows — never documents — and the final groupby is
+    host-cardinality-sized. This is the operator that finds the heavy hosts
+    a url-hash repartition must break.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = parse_url_batch(batch.select([url_col]), url_col)
+        g = (
+            pa.table(
+                {
+                    "host": t.column("host"),
+                    "tld": t.column("tld"),
+                    "path_depth": t.column("path_depth"),
+                }
+            )
+            .group_by(["host", "tld"])
+            .aggregate([([], "count_all"), ("path_depth", "sum")])
+        )
+        return g.rename_columns(["host", "tld", "partial_n", "partial_depth"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["host", "tld"])
+        .aggregate(
+            Sum("partial_n", alias_name="n"),
+            Sum("partial_depth", alias_name="sum_path_depth"),
+        )
+    )
+
+
+def filter_blocked_hosts(ds, blocked: list[str], url_col: str = "url"):
+    """Drop rows whose url host is on the blocklist — the domain-blocklist
+    stage every web-text pipeline runs first. The blocklist is closed over
+    (shipped once per task by Ray); at real scale a multi-million-entry list
+    goes through ``ray.put`` + per-actor memo like joins._get_broadcast, but
+    the operator contract (vectorized parse + ``is_in`` per batch, zero
+    shuffle) is identical."""
+    blocked_arr = pa.array(sorted({h.lower() for h in blocked}), type=pa.string())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = parse_url_batch(batch.select([url_col]), url_col)
+        hit = pc.is_in(t.column("host"), value_set=blocked_arr)
+        return batch.filter(pc.invert(hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

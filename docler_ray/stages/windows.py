@@ -275,3 +275,87 @@ def sessionize(
         .groupby("coarse")
         .map_groups(assign_sessions, batch_format="pandas")
     )
+
+
+def per_key_rolling_sum(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    window_rows: int = 3,
+    n_rows: int | None = None,
+):
+    """Per-key ROWS-frame rolling aggregate — SQL's
+    ``SUM(x) OVER (PARTITION BY key ORDER BY ts, id
+    ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)`` as a Ray composition:
+    one coarse co-location shuffle (keyspace sized from the measured row
+    count like :func:`sessionize`), then a fully vectorized prefix-sum pass
+    per coarse group (sort + segment-aware ``cs[i] - cs[max(seg, i-w+1)-1]``
+    — no per-row Python, no pandas ``rolling``).
+
+    The value is fixed-pointed to integer cents with ``floor(v*100 + 0.5)``
+    BEFORE summation: integer arithmetic makes the result independent of
+    addition order, so the DuckDB oracle (whose windowed SUM uses a segment
+    tree with a different reduction order) matches bit-for-bit — a float
+    rolling sum would be correct but unpinnable. Emits ``seq`` (ROW_NUMBER),
+    ``roll_sum_cents`` and ``n_in_window`` per row.
+    """
+    if n_rows is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover - count unavailable pre-exec
+            n_rows = None
+    add_coarse = _make_add_coarse(key_col, _session_group_count(n_rows))
+    w = int(window_rows)
+    if w < 1:
+        raise ValueError("window_rows must be >= 1")
+
+    def rolling(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    key_col: pd.Series([], dtype="int64"),
+                    "seq": pd.Series([], dtype="int64"),
+                    "roll_sum_cents": pd.Series([], dtype="int64"),
+                    "n_in_window": pd.Series([], dtype="int64"),
+                }
+            )
+        ep = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = df[value_col].to_numpy().astype(np.float64)
+        cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+        df = df.assign(_ep=ep, _cents=cents).sort_values(
+            [key_col, "_ep", id_col], kind="mergesort"
+        )
+        n = len(df)
+        key = df[key_col].to_numpy()
+        first = np.empty(n, dtype=bool)
+        first[0:1] = True
+        first[1:] = key[1:] != key[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(first, np.arange(n), 0)
+        )
+        j = np.maximum(seg_start, np.arange(n) - w + 1)
+        p = np.concatenate([[0], np.cumsum(df["_cents"].to_numpy())])
+        roll = p[np.arange(n) + 1] - p[j]
+        seq = (
+            df.groupby(key_col, sort=False).cumcount().to_numpy() + 1
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                key_col: key,
+                "seq": seq,
+                "roll_sum_cents": roll.astype(np.int64),
+                "n_in_window": (np.arange(n) - j + 1).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, key_col, ts_col, value_col])
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(rolling, batch_format="pandas")
+    )

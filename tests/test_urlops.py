@@ -1,0 +1,107 @@
+"""URL/host tier: vectorized parse, host profile, blocklist filter.
+
+The parse pattern is RE2-safe and replayed verbatim by the DuckDB oracle,
+so these tests pin Python/Arrow-vs-DuckDB equivalence on adversarial URLs
+(the redact_pii test strategy) plus the operator-level contracts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+ADVERSARIAL_URLS = [
+    "https://host0.example/en/article-1",
+    "http://Sub.DOMAIN.Example/path/deep/er?q=1#frag",
+    "https://single/",
+    "https://no-path.example",  # empty path
+    "ftp://files.example/a/b/c",
+    "HTTPS://upper.scheme/x",  # scheme regex is lowercase-anchored: no match
+    "not a url at all",
+    "",
+    "https://trail.dot.example./p",
+    "https://h.example/p?x=/fake/slashes",  # query slashes must not count
+    "https://h.example/p#frag/with/slash",
+]
+
+
+def test_parse_url_batch_fields():
+    from docler_ray.stages.urlops import parse_url_batch
+
+    batch = pa.table({"url": pa.array(ADVERSARIAL_URLS + [None])})
+    out = parse_url_batch(batch)
+    host = out.column("host").to_pylist()
+    path = out.column("path").to_pylist()
+    depth = out.column("path_depth").to_pylist()
+    tld = out.column("tld").to_pylist()
+    assert host[0] == "host0.example" and tld[0] == "example"
+    assert host[1] == "sub.domain.example"  # lowercased
+    assert path[1] == "/path/deep/er" and depth[1] == 3  # query cut
+    assert host[2] == "single" and tld[2] == ""  # no dot -> no tld
+    assert host[3] == "no-path.example" and path[3] == "" and depth[3] == 0
+    assert host[5] == "" and host[6] == "" and host[7] == ""  # non-matches
+    assert host[8] == "trail.dot.example." and tld[8] == ""
+    assert depth[9] == 1 and depth[10] == 1  # query/fragment excluded
+    assert host[-1] == "" and depth[-1] == 0  # null url
+
+
+def test_parse_matches_duckdb_regex():
+    """The SAME pattern string must extract the SAME host/path in DuckDB —
+    this is what makes the url_host_profile oracle exact."""
+    import duckdb
+
+    from docler_ray.stages.urlops import TLD_PATTERN, URL_PATTERN, parse_url_batch
+
+    out = parse_url_batch(pa.table({"url": pa.array(ADVERSARIAL_URLS)}))
+    con = duckdb.connect()
+    df = pd.DataFrame({"url": ADVERSARIAL_URLS})
+    con.register("u", df)
+    sql = con.sql(
+        f"SELECT lower(regexp_extract(url, '{URL_PATTERN}', 2)) AS host, "
+        f"regexp_extract(url, '{URL_PATTERN}', 3) AS path, "
+        f"regexp_extract(lower(regexp_extract(url, '{URL_PATTERN}', 2)), "
+        f"'{TLD_PATTERN}', 1) AS tld, "
+        f"length(regexp_extract(url, '{URL_PATTERN}', 3)) - "
+        f"length(replace(regexp_extract(url, '{URL_PATTERN}', 3), '/', '')) "
+        "AS path_depth FROM u"
+    ).df()
+    assert out.column("host").to_pylist() == sql["host"].tolist()
+    assert out.column("path").to_pylist() == sql["path"].tolist()
+    assert out.column("tld").to_pylist() == sql["tld"].tolist()
+    assert out.column("path_depth").to_pylist() == sql["path_depth"].tolist()
+
+
+def test_host_profile_counts(ray_session):
+    import ray.data
+
+    from docler_ray.stages.urlops import host_profile
+
+    urls = (
+        ["https://a.example/x/1"] * 5
+        + ["https://b.example/y"] * 3
+        + ["https://a.example/x/2/deep"] * 2
+    )
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)})).repartition(3)
+    out = host_profile(ds).to_pandas().sort_values("host").reset_index(drop=True)
+    assert out.host.tolist() == ["a.example", "b.example"]
+    assert out.n.tolist() == [7, 3]
+    # a: 5 urls at depth 2 + 2 urls at depth 3 = 16; b: 3 at depth 1
+    assert out.sum_path_depth.tolist() == [16, 3]
+    assert out.tld.tolist() == ["example", "example"]
+
+
+def test_filter_blocked_hosts(ray_session):
+    import ray.data
+
+    from docler_ray.stages.urlops import filter_blocked_hosts
+
+    urls = [
+        "https://bad.example/a",
+        "https://ok.example/b",
+        "https://BAD.example/c",  # case-insensitive host match
+        "garbage",  # unparsable -> host '' -> kept
+    ]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
+    out = filter_blocked_hosts(ds, ["bad.example"]).to_pandas()
+    assert sorted(out.url.tolist()) == ["garbage", "https://ok.example/b"]

@@ -218,3 +218,84 @@ def content_hash(text: str) -> int:
     vectorizable via zlib; collision-checked by group equality downstream)."""
     data = text.encode("utf-8", errors="replace")
     return (zlib.crc32(data) << 32) | (len(data) & 0xFFFFFFFF)
+
+
+def batch_fingerprints(texts: list, window: int = 8) -> "object":
+    """Fingerprints for a WHOLE batch in one fused numpy pass — bit-identical
+    to calling :func:`fingerprint` per document (property-pinned in
+    tests/test_properties.py).
+
+    The per-document dispatch left short documents (the common web-text
+    case: the sf corpus means ~300 chars) on the scalar per-character
+    Python loop, which measured as 65% of the TextAnalyzer stage. Here all
+    documents' codepoints concatenate into ONE uint64 array, the Mersenne
+    modular-multiply recurrence of ``_window_hashes_vec`` runs over one
+    sliding view of the whole batch, windows that straddle a document
+    boundary are masked to +inf, and ``np.minimum.reduceat`` reads off each
+    document's min-window hash — zero per-character Python regardless of
+    document length. Documents shorter than ``window`` fall back to
+    ``polynomial_hash`` (rare; unchanged semantics), empty ones to 0.
+    """
+    import numpy as np
+
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    long_idx: list[int] = []
+    bufs: list[bytes] = []
+    lens: list[int] = []
+    for i, t in enumerate(texts):
+        t = t or ""
+        if len(t) < window:
+            out[i] = polynomial_hash(t) & 0xFFFFFFFFFFFFFFFF if t else 0
+        else:
+            long_idx.append(i)
+            bufs.append(t.encode("utf-32-le"))
+            lens.append(len(t))
+    if not long_idx:
+        return out
+    codes = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.uint64)
+    doc_len = np.array(lens, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(doc_len)[:-1]])
+    win = np.lib.stride_tricks.sliding_window_view(codes, window)
+    M = np.uint64(_MOD)
+    B = np.uint64(_BASE)
+    low41 = np.uint64((1 << 41) - 1)
+    low20 = np.uint64((1 << 20) - 1)
+    nwin = win.shape[0]
+    # in-place modular Horner (2 scratch buffers, zero per-step allocation
+    # — the allocating formulation measured SLOWER than the scalar loop;
+    # this one is ~2x faster at the sf corpus's ~300-char docs)
+    acc = np.zeros(nwin, dtype=np.uint64)
+    t1 = np.empty(nwin, dtype=np.uint64)
+    t2 = np.empty(nwin, dtype=np.uint64)
+    for k in range(window):
+        np.right_shift(acc, np.uint64(41), out=t1)  # a1 (< 2^20)
+        np.bitwise_and(acc, low41, out=acc)  # a0
+        np.multiply(acc, B, out=acc)  # a0*B < 2^61
+        np.multiply(t1, B, out=t1)  # z = a1*B < 2^40
+        np.bitwise_and(t1, low20, out=t2)
+        np.left_shift(t2, np.uint64(41), out=t2)
+        np.right_shift(t1, np.uint64(20), out=t1)
+        acc += t1
+        acc += t2  # r < 2^63: overflow-free
+        np.right_shift(acc, np.uint64(61), out=t1)  # Mersenne double-fold
+        np.bitwise_and(acc, M, out=acc)
+        acc += t1
+        np.right_shift(acc, np.uint64(61), out=t1)
+        np.bitwise_and(acc, M, out=acc)
+        acc += t1
+        acc[acc >= M] -= M  # fold lands in [0, M]; acc==M -> 0 (M = 0 mod M)
+        acc += win[:, k]
+        acc[acc >= M] -= M
+    # mask windows that straddle a document boundary to the max value so
+    # they never win a min; window at char-position p belongs to the doc
+    # containing p and is valid iff p - start <= len - window
+    pos = np.arange(nwin, dtype=np.int64)
+    d = np.searchsorted(starts, pos, side="right") - 1
+    valid = (pos - starts[d]) <= (doc_len[d] - window)
+    acc[~valid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # reduceat over each doc's window span [start_i, start_{i+1})
+    red_starts = np.minimum(starts, nwin - 1)
+    mins = np.minimum.reduceat(acc, red_starts)
+    out[np.array(long_idx, dtype=np.int64)] = mins
+    return out

@@ -12,9 +12,9 @@ from __future__ import annotations
 import pyarrow as pa
 
 from docler_ray.functions.analysis import (
+    batch_fingerprints,
     content_hash,
     detect_language,
-    fingerprint,
     quality_signals,
 )
 from docler_ray.functions.tokens import count_tokens, count_whitespace_tokens
@@ -36,7 +36,7 @@ class TextAnalyzer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
         langs, scores, stop_r, punct_r, n_words = [], [], [], [], []
-        n_tok, n_ws, fps, hashes = [], [], [], []
+        n_tok, n_ws, hashes = [], [], []
         for t in texts:
             langs.append(detect_language(t))
             q = quality_signals(t)
@@ -46,8 +46,10 @@ class TextAnalyzer:
             n_words.append(int(q["n_words"]))
             n_tok.append(count_tokens(t))
             n_ws.append(count_whitespace_tokens(t))
-            fps.append(fingerprint(t))
             hashes.append(content_hash(t))
+        # one fused numpy pass for the whole batch (bit-identical to the
+        # per-doc fingerprint(); ~2x the scalar loop on short web docs)
+        fps = [int(f) for f in batch_fingerprints(texts)]
         out = batch
         for name, vals, typ in (
             ("lang_detected", langs, pa.string()),

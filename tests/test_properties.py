@@ -86,3 +86,29 @@ def test_incremental_token_count_matches_recount(lines, budget):
     doc = "\n".join(lines)
     for chunk in chunk_by_tokens(doc, [], "d", max_tokens_per_chunk=budget):
         assert chunk["metadata"]["token_count"] == count_tokens(chunk["content"])
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=1, max_codepoint=0x2FFFF, blacklist_categories=("Cs",)
+            ),
+            max_size=64,
+        ),
+        max_size=30,
+    )
+)
+def test_batch_fingerprints_bit_identical(texts):
+    """Property: the fused whole-batch fingerprint pass equals the per-doc
+    fingerprint() for every document — the boundary-masked min must never
+    leak a window hash across adjacent documents."""
+    import numpy as np
+
+    from docler_ray.functions.analysis import batch_fingerprints, fingerprint
+
+    got = batch_fingerprints(texts)
+    exp = np.array(
+        [fingerprint(t) & 0xFFFFFFFFFFFFFFFF for t in texts], dtype=np.uint64
+    )
+    assert (got == exp).all()

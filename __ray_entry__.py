@@ -1624,6 +1624,123 @@ def _q_mixture_sample_by_lang(sf_dir: str):
     return mix.groupby("lang").aggregate(Count(alias_name="n"))
 
 
+def _q_events_ntile(sf_dir: str):
+    """Rank-statistics window family (NTILE / PERCENT_RANK / CUME_DIST
+    OVER (PARTITION BY user ORDER BY ts, id)) — all pure functions of
+    (seq, group size), so the floats are single IEEE divisions and the
+    DuckDB window functions match bit-for-bit."""
+    import ray.data
+
+    from docler_ray.stages.windows import per_key_ntile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return per_key_ntile(ds, "user_id", "ts", "event_id", buckets=4)
+
+
+def _q_orders_star_revenue(sf_dir: str):
+    """Star-join composition: fact stream x two broadcast dimensions
+    (orders -> customer -> nation), revenue in integer cents so the Sum is
+    addition-order independent. Both dimension tables ship via ray.put
+    once; the fact table never shuffles."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from docler_ray.stages.joins import broadcast_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(batch.column("o_totalprice"), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        return batch.drop_columns(["o_totalprice"]).append_column(
+            "price_cents", cents
+        )
+
+    j1 = broadcast_hash_join(
+        orders.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        cust,
+        keys="o_custkey",
+        right_keys="c_custkey",
+    )
+    j2 = broadcast_hash_join(
+        j1, nation, keys="c_nationkey", right_keys="n_nationkey"
+    )
+    return j2.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_cents", alias_name="sum_price_cents"),
+    )
+
+
+def _q_cm_top_token_counts(sf_dir: str):
+    """Count-min sketch accuracy pin (the HLL/IVF pattern): build the
+    mergeable sparse sketch over the whole token stream, point-estimate the
+    EXACT top-20 tokens (from the Misra-Gries+recount path, itself
+    oracle-backed), and pin the sketch's structural guarantee — estimates
+    never undercount — plus a measured 1%-overcount bound the oracle sets
+    to TRUE (validated: 16384 columns vs ~30-token vocab leaves collisions
+    negligible; the guarantee side holds for ANY corpus)."""
+    import ray.data
+
+    from docler_ray.stages.frequent import _TOKEN_RE
+    from docler_ray.stages.frequent import top_tokens as exact_top
+    from docler_ray.stages.sketch import count_min_build, count_min_estimate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    exact = exact_top(ds, "text", k=20, capacity=1024).to_pandas()
+    sketch, _total = count_min_build(
+        ds, lambda t: _TOKEN_RE.findall(t.lower()), text_col="text"
+    )
+    est = count_min_estimate(sketch, exact["token"].tolist())
+    exact["cm_never_undercounts"] = est >= exact["n"].to_numpy()
+    exact["cm_within_1pct"] = (
+        est - exact["n"].to_numpy()
+    ) <= 0.01 * exact["n"].to_numpy()
+    return pa.Table.from_pandas(exact, preserve_index=False)
+
+
+def _q_docs_above_p90_len(sf_dir: str):
+    """Two-phase composition: a deterministic-sample p90 threshold
+    (driver-sized scalar from the bottom-k quantile sketch) broadcast into
+    a stateless corpus filter — the quantile-threshold-filter pipeline
+    every quality-gated corpus run needs. Oracle replays the identical
+    sample and threshold."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from docler_ray.stages.stats import bottomk_sample_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    qt = bottomk_sample_quantiles(
+        ds, value_col="n_chars", id_col="doc_id", qs=[0.9], k=4096
+    )
+    thr = qt.column("value").to_pylist()[0]
+    kept = ds.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n_chars"), thr)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return kept.groupby("lang").aggregate(Count(alias_name="n"))
+
+
 def _url_host_profile_sql() -> str:
     from docler_ray.stages.urlops import TLD_PATTERN, URL_PATTERN
 
@@ -1733,6 +1850,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_value": _q_events_rolling_value,
         "customers_no_orders": _q_customers_no_orders,
         "mixture_sample_by_lang": _q_mixture_sample_by_lang,
+        "events_ntile": _q_events_ntile,
+        "orders_star_revenue": _q_orders_star_revenue,
+        "cm_top_token_counts": _q_cm_top_token_counts,
+        "docs_above_p90_len": _q_docs_above_p90_len,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -2038,6 +2159,44 @@ def oracle_sql() -> dict[str, str]:
         ),
         # same arithmetic bucket as sample_docs_pct10, per-group rates
         "mixture_sample_by_lang": _mixture_sample_sql(),
+        "events_ntile": (
+            "SELECT event_id, user_id, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq, "
+            "CAST(NTILE(4) OVER w AS BIGINT) AS ntile, "
+            "percent_rank() OVER w AS percent_rank, "
+            "cume_dist() OVER w AS cume_dist FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "orders_star_revenue": (
+            "SELECT n_name, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_price_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        # count-min guarantee side is TRUE for any corpus; the 1% bound is
+        # validated at both check scales (vocab << sketch width)
+        "cm_top_token_counts": (
+            "WITH toks AS (SELECT "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "FROM documents), "
+            "c AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token), "
+            "r AS (SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) "
+            "AS rank FROM c) "
+            "SELECT token, n, CAST(rank AS BIGINT) AS rank, "
+            "TRUE AS cm_never_undercounts, TRUE AS cm_within_1pct "
+            "FROM r WHERE rank <= 20"
+        ),
+        # identical deterministic sample + quantile_disc threshold, then a
+        # plain filtered count — the two-phase plan replayed in one query
+        "docs_above_p90_len": (
+            "WITH s AS (SELECT n_chars AS v FROM documents "
+            "  ORDER BY (doc_id % 1000003) * 2654435761, doc_id "
+            "  LIMIT 4096), "
+            "t AS (SELECT quantile_disc(v, 0.9) AS thr FROM s) "
+            "SELECT lang, COUNT(*) AS n FROM documents, t "
+            "WHERE n_chars > thr GROUP BY lang"
+        ),
         # same hash arithmetic as sample_docs_pct10, per-language strata
         "stratified_sample_by_lang": (
             "WITH r AS (SELECT lang, doc_id, ROW_NUMBER() OVER ("

@@ -126,3 +126,82 @@ def grouped_approx_distinct(ds, group_col: str, value_col: str, *, p: int = 12):
         .groupby(group_col)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# --- count-min sketch --------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 1 << 14  # 16384 columns; eps = e/w ~ 1.7e-4 of the stream mass
+
+
+def _cm_positions(tokens: list[str]) -> np.ndarray:
+    """(depth, n) column indices — depth independent hashes derived from one
+    blake2b per DISTINCT token (row r uses bits of blake2b(token, salt=r)).
+    Deterministic across processes, so partial sketches merge exactly."""
+    from hashlib import blake2b
+
+    cols = np.empty((_CM_DEPTH, len(tokens)), dtype=np.int64)
+    for i, t in enumerate(tokens):
+        d = blake2b((t or "").encode("utf-8", "replace"), digest_size=32).digest()
+        for r in range(_CM_DEPTH):
+            cols[r, i] = int.from_bytes(d[r * 8 : r * 8 + 8], "little") % _CM_WIDTH
+    return cols
+
+
+def count_min_build(ds, token_fn, *, text_col: str = "text"):
+    """Mergeable count-min sketch (Cormode & Muthukrishnan, J. Algorithms
+    2005) of a token stream, built as SPARSE partial rows: each map batch
+    tokenizes, counts its distinct tokens (vectorized value_counts), folds
+    them into (row, col, partial_n) cells, and ONE small groupby sums cells
+    — the shuffle ships O(depth x distinct-per-batch) rows, never tokens,
+    and the collected sketch is at most depth x width cells regardless of
+    corpus size. Returns the dense (depth, width) int64 sketch plus the
+    exact total token count N (the error bound's scale: est - true <=
+    e/width * N with prob 1 - exp(-depth))."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column(text_col).to_pylist():
+            toks.extend(token_fn(t or ""))
+        if not toks:
+            return pa.table(
+                {
+                    "row": pa.array([], type=pa.int64()),
+                    "col": pa.array([], type=pa.int64()),
+                    "partial_n": pa.array([], type=pa.int64()),
+                }
+            )
+        vc = pa.compute.value_counts(pa.array(toks, type=pa.string()))
+        values = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        cols = _cm_positions(values)
+        rows = np.repeat(np.arange(_CM_DEPTH, dtype=np.int64), len(values))
+        return pa.table(
+            {
+                "row": pa.array(rows),
+                "col": pa.array(cols.reshape(-1)),
+                "partial_n": pa.array(
+                    np.tile(counts.astype(np.int64), _CM_DEPTH)
+                ),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["row", "col"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .to_pandas()
+    )
+    sketch = np.zeros((_CM_DEPTH, _CM_WIDTH), dtype=np.int64)
+    sketch[cells["row"].to_numpy(), cells["col"].to_numpy()] = cells["n"].to_numpy()
+    total = int(cells[cells["row"] == 0]["n"].sum())
+    return sketch, total
+
+
+def count_min_estimate(sketch: np.ndarray, tokens: list[str]) -> np.ndarray:
+    """Point-estimate each token's count: min over the depth rows. Always
+    an OVERestimate of the true count (cells only ever add mass)."""
+    cols = _cm_positions(tokens)
+    per_row = sketch[np.arange(_CM_DEPTH)[:, None], cols]
+    return per_row.min(axis=0)

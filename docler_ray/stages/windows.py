@@ -359,3 +359,80 @@ def per_key_rolling_sum(
         .groupby("coarse")
         .map_groups(rolling, batch_format="pandas")
     )
+
+
+def per_key_ntile(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    *,
+    buckets: int = 4,
+    n_rows: int | None = None,
+):
+    """The rank-statistics window family — NTILE(b), PERCENT_RANK and
+    CUME_DIST OVER (PARTITION BY key ORDER BY ts, id) — as one Ray
+    composition on the shared coarse co-location shuffle. All three are
+    pure functions of (seq, group size), so the per-group pass is a sort +
+    cumcount + vectorized arithmetic; the float columns are single IEEE
+    divisions ((seq-1)/(n-1), seq/n), so DuckDB's window functions produce
+    bit-identical doubles and the oracle is exact.
+
+    NTILE uses the SQL standard fill: with n = group rows, q = n // b,
+    r = n % b, the first r buckets take q+1 rows each (0-based row i maps
+    to ``i // (q+1)`` if ``i < r*(q+1)`` else ``r + (i - r*(q+1)) // q``).
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    if n_rows is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover - count unavailable pre-exec
+            n_rows = None
+    add_coarse = _make_add_coarse(key_col, _session_group_count(n_rows))
+    b = int(buckets)
+
+    def rank_stats(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    key_col: pd.Series([], dtype="int64"),
+                    "seq": pd.Series([], dtype="int64"),
+                    "ntile": pd.Series([], dtype="int64"),
+                    "percent_rank": pd.Series([], dtype="float64"),
+                    "cume_dist": pd.Series([], dtype="float64"),
+                }
+            )
+        ep = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.assign(_ep=ep).sort_values(
+            [key_col, "_ep", id_col], kind="mergesort"
+        )
+        g = df.groupby(key_col, sort=False)
+        i0 = g.cumcount().to_numpy().astype(np.int64)  # 0-based rank
+        n = g[key_col].transform("size").to_numpy().astype(np.int64)
+        q, r = n // b, n % b
+        split = r * (q + 1)
+        # q can be 0 when n < b (then r = n and every row sits before split)
+        ntile = np.where(
+            i0 < split, i0 // np.maximum(q + 1, 1), r + (i0 - split) // np.maximum(q, 1)
+        ) + 1
+        percent_rank = np.where(n > 1, i0 / np.maximum(n - 1, 1), 0.0)
+        cume_dist = (i0 + 1) / n
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                key_col: df[key_col].to_numpy(),
+                "seq": i0 + 1,
+                "ntile": ntile.astype(np.int64),
+                "percent_rank": percent_rank.astype(np.float64),
+                "cume_dist": cume_dist.astype(np.float64),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, key_col, ts_col])
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(rank_stats, batch_format="pandas")
+    )

@@ -228,3 +228,112 @@ def test_export_jsonl_roundtrip(ray_session, tmp_path):
     assert rows[0]["payload_b64"] == "AAE="
     assert rows[1]["payload_b64"] is None
     assert "payload" not in rows[0]
+
+
+def test_count_min_never_undercounts_and_merges(ray_session):
+    import ray.data
+
+    from docler_ray.stages.sketch import count_min_build, count_min_estimate
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(40)]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+        for _ in range(300)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": docs})).repartition(8)
+    tok = lambda t: t.split()
+    sketch, total = count_min_build(ds, tok, text_col="text")
+
+    truth = pd.Series([w for d in docs for w in d.split()]).value_counts()
+    assert total == int(truth.sum())
+    est = count_min_estimate(sketch, truth.index.tolist())
+    # structural guarantee: the sketch never undercounts
+    assert (est >= truth.to_numpy()).all()
+    # 16384 columns vs 40 tokens: collisions negligible, estimates exact
+    assert (est == truth.to_numpy()).all()
+
+
+def test_count_min_partition_invariance(ray_session):
+    import ray.data
+
+    from docler_ray.stages.sketch import count_min_build
+
+    docs = pd.DataFrame({"text": [f"a b c tok{i % 5}" for i in range(100)]})
+    tok = lambda t: t.split()
+    s1, t1 = count_min_build(ray.data.from_pandas(docs).repartition(1), tok)
+    s8, t8 = count_min_build(ray.data.from_pandas(docs).repartition(8), tok)
+    assert t1 == t8
+    assert (s1 == s8).all()
+
+
+def test_per_key_ntile_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from docler_ray.stages.windows import per_key_ntile
+
+    rng = np.random.default_rng(11)
+    n = 700
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 23, n).astype(np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+        }
+    )
+    got = (
+        per_key_ntile(
+            ray.data.from_pandas(df).repartition(6),
+            "user_id",
+            "ts",
+            "event_id",
+            buckets=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            "SELECT event_id, user_id, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq, "
+            "CAST(NTILE(4) OVER w AS BIGINT) AS ntile, "
+            "percent_rank() OVER w AS percent_rank, "
+            "cume_dist() OVER w AS cume_dist FROM df "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+            "ORDER BY event_id"
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_per_key_ntile_small_groups(ray_session):
+    """n < buckets: every row its own tile, percent_rank 0 for singletons."""
+    import ray.data
+
+    from docler_ray.stages.windows import per_key_ntile
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([1, 2, 3], dtype=np.int64),
+            "user_id": np.array([5, 5, 9], dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+        }
+    )
+    got = (
+        per_key_ntile(
+            ray.data.from_pandas(df), "user_id", "ts", "event_id", buckets=4
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["ntile"].tolist() == [1, 2, 1]
+    assert got["percent_rank"].tolist() == [0.0, 1.0, 0.0]
+    assert got["cume_dist"].tolist() == [0.5, 1.0, 1.0]

@@ -1741,6 +1741,25 @@ def _q_docs_above_p90_len(sf_dir: str):
     return kept.groupby("lang").aggregate(Count(alias_name="n"))
 
 
+_PACK_BUDGET = 16384  # chars per packed training sequence
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Token-budget sequence packing (stages/packing.py): distributed
+    ordered prefix sum over doc_id order (range-bucket -> B-row bucket-sum
+    offsets -> per-bucket scan; no global sort, no corpus-proportional
+    driver state), then seq_id = floor(cum_before / budget). All int64,
+    so the DuckDB window-SUM oracle is bit-exact."""
+    import ray.data
+
+    from docler_ray.stages.packing import pack_sequences
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return pack_sequences(ds, "doc_id", "n_chars", budget=_PACK_BUDGET)
+
+
 def _url_host_profile_sql() -> str:
     from docler_ray.stages.urlops import TLD_PATTERN, URL_PATTERN
 
@@ -1854,6 +1873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_star_revenue": _q_orders_star_revenue,
         "cm_top_token_counts": _q_cm_top_token_counts,
         "docs_above_p90_len": _q_docs_above_p90_len,
+        "pack_sequences": _q_pack_sequences,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -2196,6 +2216,16 @@ def oracle_sql() -> dict[str, str]:
             "t AS (SELECT quantile_disc(v, 0.9) AS thr FROM s) "
             "SELECT lang, COUNT(*) AS n FROM documents, t "
             "WHERE n_chars > thr GROUP BY lang"
+        ),
+        # the packing operator's seq assignment replayed as a window SUM
+        "pack_sequences": (
+            "SELECT doc_id, n_chars, "
+            "SUM(n_chars) OVER ("
+            "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum, "
+            "CAST((SUM(n_chars) OVER ("
+            "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) "
+            f"// {_PACK_BUDGET} AS BIGINT) AS seq_id "
+            "FROM documents"
         ),
         # same hash arithmetic as sample_docs_pct10, per-language strata
         "stratified_sample_by_lang": (

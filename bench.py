@@ -210,6 +210,11 @@ def bench_once() -> dict:
         timed("events_rolling_value", q["events_rolling_value"])
         timed("customers_no_orders", q["customers_no_orders"])
         timed("mixture_sample_by_lang", q["mixture_sample_by_lang"])
+        timed("events_ntile", q["events_ntile"])
+        timed("orders_star_revenue", q["orders_star_revenue"])
+        timed("cm_top_token_counts", q["cm_top_token_counts"])
+        timed("docs_above_p90_len", q["docs_above_p90_len"])
+        timed("pack_sequences", q["pack_sequences"])
     finally:
         ray.shutdown()
     return results

@@ -1760,6 +1760,28 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(ds, "doc_id", "n_chars", budget=_PACK_BUDGET)
 
 
+def _q_gopher_quality_flags(sf_dir: str):
+    """Gopher document-quality rules (functions/gopher.py, Rae et al.
+    arXiv:2112.11446 A.1.1): per-document rule booleans + keep, stateless
+    zero-shuffle actor-pool pass; the oracle replays every rule with the
+    generated SQL spelling (gopher_sql), pinned equivalent by
+    tests/test_gopher.py on adversarial edge corpora."""
+    import ray.data
+
+    from docler_ray.functions.gopher import gopher_flags
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return gopher_flags(ds)
+
+
+def _gopher_flags_sql() -> str:
+    from docler_ray.functions.gopher import GopherConfig, gopher_sql
+
+    return gopher_sql(GopherConfig())
+
+
 def _url_host_profile_sql() -> str:
     from docler_ray.stages.urlops import TLD_PATTERN, URL_PATTERN
 
@@ -1874,6 +1896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_top_token_counts": _q_cm_top_token_counts,
         "docs_above_p90_len": _q_docs_above_p90_len,
         "pack_sequences": _q_pack_sequences,
+        "gopher_quality_flags": _q_gopher_quality_flags,
         # rows-only (non-SQL-expressible)
         "extract_docs": _q_extract_docs,
         "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
@@ -2217,6 +2240,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, COUNT(*) AS n FROM documents, t "
             "WHERE n_chars > thr GROUP BY lang"
         ),
+        # every Gopher rule replayed by the generated SQL spelling
+        "gopher_quality_flags": _gopher_flags_sql(),
         # the packing operator's seq assignment replayed as a window SUM
         "pack_sequences": (
             "SELECT doc_id, n_chars, "

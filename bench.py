@@ -215,6 +215,7 @@ def bench_once() -> dict:
         timed("cm_top_token_counts", q["cm_top_token_counts"])
         timed("docs_above_p90_len", q["docs_above_p90_len"])
         timed("pack_sequences", q["pack_sequences"])
+        timed("gopher_quality_flags", q["gopher_quality_flags"])
     finally:
         ray.shutdown()
     return results

@@ -216,6 +216,10 @@ def bench_once() -> dict:
         timed("docs_above_p90_len", q["docs_above_p90_len"])
         timed("pack_sequences", q["pack_sequences"])
         timed("gopher_quality_flags", q["gopher_quality_flags"])
+        timed("canonical_doc_per_host", q["canonical_doc_per_host"])
+        timed("doc_rule_tags", q["doc_rule_tags"])
+        timed("top_char_pairs", q["top_char_pairs"])
+        timed("ngram_novelty_docs", q["ngram_novelty_docs"])
     finally:
         ray.shutdown()
     return results

@@ -156,9 +156,14 @@ def gopher_flags(
     text_col: str = "text",
     id_col: str = "doc_id",
     cfg: GopherConfig | None = None,
-    concurrency: int | None = 4,
+    concurrency: tuple[int, int] | int | None = (1, 4),
 ):
-    """Dataset -> per-document rule flags. Stateless zero-shuffle pass."""
+    """Dataset -> per-document rule flags. Stateless zero-shuffle pass.
+
+    Default concurrency is an AUTOSCALING (1, 4) pool: a fixed-size pool
+    of c actors deadlocks a c-CPU cluster (all CPUs pinned by idle actors,
+    none left for the upstream read task — observed as a 4-actor pool
+    starving ReadParquet forever under ``num_cpus=4``)."""
     return ds.map_batches(
         GopherFlags,
         fn_constructor_kwargs={

@@ -1,0 +1,152 @@
+"""Cross-document n-gram novelty: how much of each document's distinct
+word-n-gram set also appears in OTHER documents.
+
+The inter-document overlap signal of training-data curation (near-dup
+discovery, template detection, memorization-risk scoring) — the
+document-level complement of the span dedup in stages/spandedup.py. Pure
+integer outputs (no float ratios) so the DuckDB oracle pins every value
+exactly.
+
+Definitions (mirrored by the oracle): tokens = whitespace split of
+``trim(text)``; grams = the DISTINCT overlapping word ``n``-grams of a
+document (decontam.py's spelling); ``n_grams`` = that distinct count;
+``n_shared`` = how many of them occur in >= 2 distinct documents.
+
+Scale shape — the min-owner trick avoids re-joining the gram table:
+
+1. per-document distinct-gram counts are LOCAL to the document, so
+   ``n_grams`` comes from a zero-shuffle map pass over the corpus.
+2. the (gram, doc_id) pairs flat-map out ONCE into a gram-keyed groupby
+   computing df = COUNT and owner = MIN(doc_id) in one exchange. A gram
+   with df == 1 belongs to exactly one document — its owner — so "unique
+   grams per doc" needs NO join back to the gram table: filter df == 1,
+   groupby(owner) -> (doc_id, n_unique).
+3. one narrow left join (2-int rows on both sides) gives
+   n_shared = n_grams - n_unique.
+
+The naive plan (join df back onto the gram table) ships the gram table
+twice and its join output is gram-instance-sized; here the gram table
+ships once and the join is document-sized. The corpus text is read twice
+(once per pass) — streaming re-read beats materializing the
+gram-instance-sized emit table that sharing one pass would require.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from docler_ray.stages.decontam import _ngrams
+
+
+def ngram_novelty(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+):
+    """documents -> (doc_id, n_grams, n_shared) with exact integer counts."""
+    from ray.data.aggregate import Count, Min
+
+    from docler_ray.stages.dedup import _compact_nonempty, _num_partitions
+
+    def count_local(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n = [len(set(_ngrams(t or "", ngram))) for t in texts]
+        return pa.table(
+            {
+                "doc": pc.cast(batch.column(id_col), pa.int64()),
+                "n_grams": pa.array(n, pa.int64()),
+            }
+        )
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_doc: list[int] = []
+        out_gram: list[str] = []
+        for i, t in zip(ids, texts):
+            grams = set(_ngrams(t or "", ngram))
+            out_doc.extend([int(i)] * len(grams))
+            out_gram.extend(grams)
+        return pa.table(
+            {
+                "gram": pa.array(out_gram, pa.string()),
+                "doc": pa.array(out_doc, pa.int64()),
+            }
+        )
+
+    per_doc = ds.map_batches(
+        count_local, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = ds.map_batches(
+        emit_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # one gram-keyed exchange: df + owning doc for the df==1 case
+    df_owner = pairs.groupby("gram").aggregate(
+        Count(alias_name="df"), Min("doc", alias_name="owner")
+    )
+
+    def keep_df1(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("df"), 1))
+        return t.select(["owner"])
+
+    uniques = (
+        df_owner.map_batches(
+            keep_df1, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("owner")
+        .aggregate(Count(alias_name="n_unique"))
+    )
+
+    left, n_docs = _compact_nonempty(per_doc)
+    right, n_right = _compact_nonempty(
+        uniques.rename_columns(["doc", "n_unique"])
+    )
+    if left is None:
+        return per_doc.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    if right is None:
+        # no df==1 grams anywhere: every gram is shared
+        return left.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc"),
+                    "n_grams": b.column("n_grams"),
+                    "n_shared": b.column("n_grams"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    joined = left.join(
+        right,
+        join_type="left_outer",
+        on=("doc",),
+        num_partitions=_num_partitions(n_docs),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_unique = pc.fill_null(batch.column("n_unique"), 0)
+        shared = pc.subtract(batch.column("n_grams"), n_unique)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc"),
+                "n_grams": batch.column("n_grams"),
+                "n_shared": pc.cast(shared, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1,0 +1,138 @@
+"""Vocabulary induction: corpus-wide adjacent-symbol-pair counting — the
+statistic behind byte-pair encoding's merge step (Sennrich et al.,
+arXiv:1508.07909 §3: the most frequent adjacent pair becomes the next
+merge).
+
+Scale shape: the pair DOMAIN is alphabet-bounded (<= 26^2 for lowercase
+ASCII words), so each batch reduces to a <= 676-row partial count via one
+numpy ``bincount`` over the batch's concatenated bytes — zero per-character
+Python — and the trailing groupby sums O(676 x blocks) tiny rows. Driver
+state is the final 676-row table: constant in corpus size, which is why the
+top-k runs on the driver instead of paying a top-k operator's merge.
+
+Tokenization contract (mirrored by the DuckDB oracle): words are maximal
+``[a-z]+`` runs of the lowercased text; pairs are the adjacent character
+pairs INSIDE each word, counted per occurrence. The numpy spelling —
+mask adjacent byte positions where both bytes are lowercase letters —
+counts exactly those pairs because a non-letter byte breaks every pair it
+touches, and documents are joined with a non-letter separator so no pair
+spans documents.
+
+No reference precedent (docler has no corpus-level operators, SURVEY.md
+§2.7); this is the tokenizer-training primitive of the training-data tier.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_PAIR_DOMAIN = 256 * 256
+
+
+def pair_counts_batch(texts: list[str]) -> np.ndarray:
+    """Dense 256x256 count vector of adjacent lowercase-letter byte pairs
+    within [a-z]+ runs, one fused numpy pass over the whole batch."""
+    joined = "\n".join(t or "" for t in texts).lower()
+    codes = np.frombuffer(joined.encode("utf-8", "replace"), dtype=np.uint8)
+    if codes.size < 2:
+        return np.zeros(_PAIR_DOMAIN, dtype=np.int64)
+    is_alpha = (codes >= 97) & (codes <= 122)
+    valid = is_alpha[:-1] & is_alpha[1:]
+    pair_ids = (
+        codes[:-1].astype(np.int64) * 256 + codes[1:].astype(np.int64)
+    )[valid]
+    return np.bincount(pair_ids, minlength=_PAIR_DOMAIN).astype(np.int64)
+
+
+def top_symbol_pairs(ds, *, text_col: str = "text", k: int = 20):
+    """Corpus top-k adjacent character pairs -> (pair, n, rank) Arrow table.
+
+    One stateless map pass emitting a sparse (pair, partial_n) table per
+    batch, a pair-keyed groupby-sum (alphabet-bounded exchange), then a
+    driver-side rank over the <= 676 final rows. Ties rank lexicographic
+    ascending so the result is total-ordered and oracle-stable.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = pair_counts_batch(batch.column(text_col).to_pylist())
+        nz = np.nonzero(counts)[0]
+        pairs = [chr(p >> 8) + chr(p & 0xFF) for p in nz]
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.string()),
+                "partial_n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair")
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .to_pandas()  # alphabet-bounded: <= 676 rows at any corpus size
+    )
+    totals = totals.sort_values(
+        ["n", "pair"], ascending=[False, True]
+    ).reset_index(drop=True)
+    totals["rank"] = np.arange(1, len(totals) + 1, dtype=np.int64)
+    top = totals.head(k)
+    return pa.table(
+        {
+            "pair": pa.array(top["pair"], pa.string()),
+            "n": pa.array(top["n"], pa.int64()),
+            "rank": pa.array(top["rank"], pa.int64()),
+        }
+    )
+
+
+def unk_stats(ds, *, text_col: str = "text", vocab_k: int = 10):
+    """Tokenizer-coverage check: if the vocabulary were the corpus's exact
+    top-``vocab_k`` tokens, how many token occurrences fall outside it?
+
+    -> one row (vocab_size, total_tokens, unk_tokens), all exact integers.
+
+    Composition of existing machinery: the exact heavy-hitter operator
+    (stages/frequent.py, MG sketch + recount) selects the vocabulary; the
+    vocab set broadcasts once (``ray.put``, vocab_k-bounded); one stateless
+    map pass emits 2-int partials per batch that a tiny Sum aggregate
+    folds. Tokenization = frequent.py's lowercase [a-z0-9]+ runs.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.frequent import _TOKEN_RE, top_tokens
+    from docler_ray.stages.joins import _get_broadcast
+
+    vocab_tbl = top_tokens(ds, text_col, k=vocab_k)
+    vocab_ref = ray.put(set(vocab_tbl.column("token").to_pylist()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vocab: set[str] = _get_broadcast(vocab_ref)
+        total = 0
+        unk = 0
+        for t in batch.column(text_col).to_pylist():
+            toks = _TOKEN_RE.findall((t or "").lower())
+            total += len(toks)
+            unk += sum(1 for tok in toks if tok not in vocab)
+        return pa.table(
+            {
+                "partial_total": pa.array([total], pa.int64()),
+                "partial_unk": pa.array([unk], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(
+        Sum("partial_total", alias_name="total_tokens"),
+        Sum("partial_unk", alias_name="unk_tokens"),
+    )
+    return pa.table(
+        {
+            "vocab_size": pa.array([vocab_tbl.num_rows], pa.int64()),
+            "total_tokens": pa.array([agg["total_tokens"] or 0], pa.int64()),
+            "unk_tokens": pa.array([agg["unk_tokens"] or 0], pa.int64()),
+        }
+    )

@@ -1682,6 +1682,56 @@ def _q_ngram_novelty_docs(sf_dir: str):
     return ngram_novelty(ds, ngram=3)
 
 
+def _normalize_ws_docs_sql() -> str:
+    from docler_ray.functions.textclean import normalize_ws_sql
+
+    return normalize_ws_sql()
+
+
+def _q_inverted_postings(sf_dir: str):
+    """Inverted-index heads (stages/index.py): token -> exact df + the 8
+    smallest doc_ids. The head+df contract keeps per-token state k-bounded
+    (a stopword's FULL posting list would be corpus-sized in one group)."""
+    import ray.data
+
+    from docler_ray.stages.index import posting_heads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return posting_heads(ds, head_k=8)
+
+
+def _q_vocab_unk_rate(sf_dir: str):
+    """Tokenizer-coverage stats (stages/vocab.py::unk_stats): UNK token
+    occurrences if the vocab were the exact corpus top-10 tokens. Heavy-
+    hitter vocab selection + one broadcast counting pass, all integers."""
+    import ray.data
+
+    from docler_ray.stages.vocab import unk_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return unk_stats(ds, vocab_k=10)
+
+
+def _q_normalize_ws_docs(sf_dir: str):
+    """Whitespace/control normalization (functions/textclean.py
+    ::normalize_ws): chained RE2 rewrites, fully vectorized, zero Python
+    per row. The oracle replays the same rule list through DuckDB's RE2
+    and pins the rewritten text byte-for-byte (the synthetic corpus is
+    mostly already normal, so the in-corpus oracle pins the near-no-op;
+    tests/test_index_unk_wsnorm.py pins the rewrite contract on
+    adversarial whitespace)."""
+    import ray.data
+
+    from docler_ray.functions.textclean import normalize_ws
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return normalize_ws(ds)
+
+
 def _q_c4_line_filter(sf_dir: str):
     """C4 line-level cleaning (arXiv:1910.10683 §2.2): rewritten text pinned
     byte-for-byte by the DuckDB list_filter replay of the same rules."""
@@ -2033,6 +2083,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rule_tags": _q_doc_rule_tags,
         "top_char_pairs": _q_top_char_pairs,
         "ngram_novelty_docs": _q_ngram_novelty_docs,
+        "inverted_postings": _q_inverted_postings,
+        "vocab_unk_rate": _q_vocab_unk_rate,
+        "normalize_ws_docs": _q_normalize_ws_docs,
         "c4_line_filter": _q_c4_line_filter,
         "events_rolling_value": _q_events_rolling_value,
         "customers_no_orders": _q_customers_no_orders,
@@ -2351,6 +2404,35 @@ def oracle_sql() -> dict[str, str]:
             "AS rank FROM c) SELECT pair, n, CAST(rank AS BIGINT) AS rank "
             "FROM r WHERE rank <= 20"
         ),
+        # mirrors index.posting_heads: frequent.py tokenization, df exact,
+        # head = 8 smallest doc_ids comma-joined ascending
+        "inverted_postings": (
+            "WITH t AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_extract_all(lower(coalesce(text, '')), "
+            "'[a-z0-9]+')) AS token FROM documents), "
+            "r AS (SELECT token, doc_id, "
+            "ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY token) AS df FROM t) "
+            "SELECT token, CAST(df AS BIGINT) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS postings_head FROM r WHERE rn <= 8 GROUP BY token, df"
+        ),
+        # mirrors vocab.unk_stats: exact top-10 vocab (top_tokens ranking
+        # spelling), then occurrence counts outside it
+        "vocab_unk_rate": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(lower("
+            "coalesce(text, '')), '[a-z0-9]+')) AS tok FROM documents), "
+            "c AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok), "
+            "r AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) "
+            "AS rank FROM c), v AS (SELECT tok FROM r WHERE rank <= 10) "
+            "SELECT CAST(10 AS BIGINT) AS vocab_size, "
+            "(SELECT COUNT(*) FROM toks) AS total_tokens, "
+            "(SELECT COUNT(*) FROM toks WHERE tok NOT IN "
+            "(SELECT tok FROM v)) AS unk_tokens"
+        ),
+        # textclean.normalize_ws_sql replays the SAME ordered RE2 rule
+        # list (imported, no drift); rewritten text pinned byte-for-byte
+        "normalize_ws_docs": _normalize_ws_docs_sql(),
         # mirrors novelty.ngram_novelty: distinct word-3-grams per doc
         # (decontam's tokenization), shared = grams with df >= 2
         "ngram_novelty_docs": (

@@ -220,6 +220,9 @@ def bench_once() -> dict:
         timed("doc_rule_tags", q["doc_rule_tags"])
         timed("top_char_pairs", q["top_char_pairs"])
         timed("ngram_novelty_docs", q["ngram_novelty_docs"])
+        timed("inverted_postings", q["inverted_postings"])
+        timed("vocab_unk_rate", q["vocab_unk_rate"])
+        timed("normalize_ws_docs", q["normalize_ws_docs"])
     finally:
         ray.shutdown()
     return results

@@ -138,3 +138,65 @@ def line_filter_sql(
         f"CAST(array_length(kept) AS BIGINT) AS n_lines_kept, "
         f"CAST(n_total AS BIGINT) AS n_lines_total FROM f"
     )
+
+
+# --- whitespace / control-char normalization ---------------------------------
+
+# Ordered rewrite rules, each RE2-safe and engine-identical: the Ray side
+# runs them through Arrow's replace_substring_regex (RE2) and the oracle
+# through DuckDB regexp_replace(..., 'g') (also RE2) — literally the same
+# engine, so byte-identical output is a structural guarantee, not a hope.
+# Classes are explicit ASCII (no \s: Python/RE2 disagree on Unicode there).
+WS_NORM_RULES: tuple[tuple[str, str], ...] = (
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),  # strip control chars
+    (r"\r\n", "\n"),  # CRLF -> LF
+    (r"\r", "\n"),  # bare CR -> LF
+    (r"[ \t]+", " "),  # collapse horizontal runs
+    (r" ?\n ?", "\n"),  # trim around newlines
+    (r"\n\n\n+", "\n\n"),  # squeeze blank-line runs
+)
+
+
+def normalize_ws(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Whitespace/control normalization as a fully VECTORIZED map pass:
+    one chained RE2 rewrite per rule plus an edge trim, zero Python per
+    row, zero shuffle. Emits (id, text_norm, n_chars_before,
+    n_chars_after); the oracle replays the same rule list byte-for-byte.
+    """
+    import pyarrow.compute as pc
+
+    def apply(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col), "")
+        before = pc.cast(pc.utf8_length(text), pa.int64())
+        out = text
+        for pat, rep in WS_NORM_RULES:
+            out = pc.replace_substring_regex(out, pattern=pat, replacement=rep)
+        out = pc.utf8_trim(out, " \n")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "text_norm": out,
+                "n_chars_before": before,
+                "n_chars_after": pc.cast(pc.utf8_length(out), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def normalize_ws_sql(
+    *, text_col: str = "text", id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB replay of :func:`normalize_ws` — same rules, same order."""
+    expr = f"coalesce({text_col}, '')"
+    before = f"CAST(length({expr}) AS BIGINT) AS n_chars_before"
+    out = expr
+    for pat, rep in WS_NORM_RULES:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''").replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    out = f"trim({out}, ' ' || chr(10))"
+    return (
+        f"SELECT {id_col}, {before}, {out} AS text_norm, "
+        f"CAST(length({out}) AS BIGINT) AS n_chars_after FROM {table}"
+    )

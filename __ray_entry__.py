@@ -1688,6 +1688,116 @@ def _normalize_ws_docs_sql() -> str:
     return normalize_ws_sql()
 
 
+def _pipeline_gopher_cfg():
+    from docler_ray.functions.gopher import GopherConfig
+
+    return GopherConfig(min_words=30, min_stopword_hits=1)
+
+
+def _q_curation_pipeline(sf_dir: str):
+    """END-TO-END curation pipeline — the composition a real user runs:
+    host blocklist -> Gopher quality filter -> C4 line cleaning -> exact
+    dedup (keep-first on the CLEANED text) -> per-lang mixture sampling ->
+    per-lang counts. Every stage is an existing operator (urlops filter,
+    GopherFlags kernel, textclean.line_filter, dedup.exact_dedup_keep_first,
+    joins.bloom_semi_join, stats.weighted_group_sample) chained on one
+    streaming Dataset; the oracle stitches the SAME generated SQL
+    spellings into one WITH-chain, so the whole pipeline is pinned, not
+    just its stages. Shuffles: one dedup groupby + one doc_id semi join —
+    everything else is stateless map passes."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from docler_ray.functions.gopher import GopherFlags
+    from docler_ray.functions.textclean import line_filter
+    from docler_ray.stages.dedup import exact_dedup_keep_first
+    from docler_ray.stages.joins import bloom_semi_join
+    from docler_ray.stages.stats import weighted_group_sample
+    from docler_ray.stages.urlops import filter_blocked_hosts
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "https://",
+            batch.column("source"),
+            ".example/",
+            batch.column("lang"),
+            "/doc-",
+            pc.cast(batch.column("doc_id"), pa.string()),
+            "",
+        )
+        return batch.append_column("url", url)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "text"],
+    ).map_batches(add_url, batch_format="pyarrow", zero_copy_batch=True)
+
+    # 1. host blocklist (vectorized RE2 host parse + NOT IN)
+    ds = filter_blocked_hosts(ds, _BLOCKED_HOSTS, url_col="url")
+
+    # 2. Gopher document-quality gate (vectorized kernel, reused inline;
+    #    corpus-tuned thresholds — the synthetic vocabulary rarely carries
+    #    2 distinct English stopwords, so the published defaults would
+    #    degenerate to an empty pipeline)
+    gf = GopherFlags(text_col="text", id_col="doc_id", cfg=_pipeline_gopher_cfg())
+
+    def gopher_gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(gf(batch).column("keep"))
+
+    ds = ds.map_batches(
+        gopher_gate, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "lang", "text"])
+
+    # 3. C4 line cleaning (rewrites text in place, drops banned docs)
+    cleaned = line_filter(ds, cfg=_line_filter_cfg(), drop_banned_docs=True)
+
+    # 4. exact dedup keep-first on the CLEANED text -> surviving doc_ids,
+    #    then a bloom-pushdown semi join re-attaches (lang) map-side
+    survivors = exact_dedup_keep_first(cleaned, "text", "doc_id")
+    kept = bloom_semi_join(
+        cleaned.select_columns(["doc_id", "lang"]),
+        survivors.select_columns(["doc_id"]),
+        "doc_id",
+        "doc_id",
+    )
+
+    # 5. training-mix reweighting + final per-lang counts
+    mix = weighted_group_sample(
+        kept, group_col="lang", id_col="doc_id", rates=_MIX_RATES,
+        default_pct=100,
+    )
+    return mix.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _curation_pipeline_sql() -> str:
+    from docler_ray.functions.gopher import gopher_sql
+    from docler_ray.functions.textclean import line_filter_sql
+    from docler_ray.stages.urlops import URL_PATTERN
+
+    hosts = ", ".join(f"'{h}'" for h in _BLOCKED_HOSTS)
+    gsql = gopher_sql(_pipeline_gopher_cfg(), table="blocked_ok")
+    csql = line_filter_sql("text", _line_filter_cfg(), table="gopher_ok")
+    cases = " ".join(f"WHEN '{g}' THEN {p}" for g, p in _MIX_RATES.items())
+    return (
+        f"WITH p AS (SELECT doc_id, lang, text, {_URL_SQL_EXPR} AS url "
+        "FROM documents), "
+        "blocked_ok AS (SELECT doc_id, lang, text FROM p "
+        f"WHERE lower(regexp_extract(url, '{URL_PATTERN}', 2)) "
+        f"NOT IN ({hosts})), "
+        f"gflags AS ({gsql}), "
+        "gopher_ok AS (SELECT b.doc_id, b.lang, b.text FROM blocked_ok b "
+        "JOIN gflags f ON b.doc_id = f.doc_id WHERE f.keep), "
+        f"cleaned AS ({csql}), "
+        "dedup AS (SELECT MIN(doc_id) AS doc_id FROM cleaned GROUP BY text), "
+        "kept AS (SELECT g.doc_id, g.lang FROM gopher_ok g "
+        "JOIN dedup d ON g.doc_id = d.doc_id) "
+        "SELECT lang, COUNT(*) AS n FROM kept "
+        "WHERE ((doc_id % 1000003) * 2654435761) // 1048576 % 100 < "
+        f"CASE lang {cases} ELSE 100 END GROUP BY lang"
+    )
+
+
 def _q_inverted_postings(sf_dir: str):
     """Inverted-index heads (stages/index.py): token -> exact df + the 8
     smallest doc_ids. The head+df contract keeps per-token state k-bounded
@@ -2085,6 +2195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty_docs": _q_ngram_novelty_docs,
         "inverted_postings": _q_inverted_postings,
         "vocab_unk_rate": _q_vocab_unk_rate,
+        "curation_pipeline": _q_curation_pipeline,
         "normalize_ws_docs": _q_normalize_ws_docs,
         "c4_line_filter": _q_c4_line_filter,
         "events_rolling_value": _q_events_rolling_value,
@@ -2433,6 +2544,9 @@ def oracle_sql() -> dict[str, str]:
         # textclean.normalize_ws_sql replays the SAME ordered RE2 rule
         # list (imported, no drift); rewritten text pinned byte-for-byte
         "normalize_ws_docs": _normalize_ws_docs_sql(),
+        # the end-to-end composition: blocklist -> gopher -> C4 -> dedup
+        # -> mixture, stitched from the SAME generated stage SQL
+        "curation_pipeline": _curation_pipeline_sql(),
         # mirrors novelty.ngram_novelty: distinct word-3-grams per doc
         # (decontam's tokenization), shared = grams with df >= 2
         "ngram_novelty_docs": (

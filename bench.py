@@ -223,6 +223,7 @@ def bench_once() -> dict:
         timed("inverted_postings", q["inverted_postings"])
         timed("vocab_unk_rate", q["vocab_unk_rate"])
         timed("normalize_ws_docs", q["normalize_ws_docs"])
+        timed("curation_pipeline", q["curation_pipeline"])
     finally:
         ray.shutdown()
     return results

@@ -91,20 +91,21 @@ def ngram_novelty(
 
     def keep_df1(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch.column("df"), 1))
-        return t.select(["owner"])
+        # name the owner column "doc" HERE so the join side needs no
+        # rename_columns (a rename fetches the schema, which executes the
+        # whole upstream gram exchange a second time — measured 2x cost)
+        return pa.table({"doc": t.column("owner")})
 
     uniques = (
         df_owner.map_batches(
             keep_df1, batch_format="pyarrow", zero_copy_batch=True
         )
-        .groupby("owner")
+        .groupby("doc")
         .aggregate(Count(alias_name="n_unique"))
     )
 
     left, n_docs = _compact_nonempty(per_doc)
-    right, n_right = _compact_nonempty(
-        uniques.rename_columns(["doc", "n_unique"])
-    )
+    right, n_right = _compact_nonempty(uniques)
     if left is None:
         return per_doc.map_batches(
             lambda b: pa.table(

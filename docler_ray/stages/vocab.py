@@ -109,17 +109,32 @@ def unk_stats(ds, *, text_col: str = "text", vocab_k: int = 10):
     vocab_ref = ray.put(set(vocab_tbl.column("token").to_pylist()))
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         vocab: set[str] = _get_broadcast(vocab_ref)
-        total = 0
-        unk = 0
-        for t in batch.column(text_col).to_pylist():
-            toks = _TOKEN_RE.findall((t or "").lower())
-            total += len(toks)
-            unk += sum(1 for tok in toks if tok not in vocab)
+        # vectorized tokenization: split the lowered text on non-token runs
+        # == maximal [a-z0-9]+ runs (findall's tokens), empties filtered;
+        # equality-vs-vocab via one is_in kernel over the flat token array
+        low = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+        toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        flat = toks.combine_chunks().flatten() if isinstance(
+            toks, pa.ChunkedArray
+        ) else toks.flatten()
+        nonempty = pc.not_equal(flat, "")
+        total = pc.sum(pc.cast(nonempty, pa.int64())).as_py() or 0
+        known = pc.sum(
+            pc.cast(
+                pc.and_(
+                    nonempty,
+                    pc.is_in(flat, value_set=pa.array(sorted(vocab))),
+                ),
+                pa.int64(),
+            )
+        ).as_py() or 0
         return pa.table(
             {
                 "partial_total": pa.array([total], pa.int64()),
-                "partial_unk": pa.array([unk], pa.int64()),
+                "partial_unk": pa.array([total - known], pa.int64()),
             }
         )
 

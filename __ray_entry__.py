@@ -1798,6 +1798,36 @@ def _curation_pipeline_sql() -> str:
     )
 
 
+_EPOCH_SEED = 17
+
+
+def _q_epoch_shuffle(sf_dir: str):
+    """Seeded deterministic epoch shuffle (stages/shuffle.py): the
+    training-loader's reproducible global permutation, computed with the
+    packing module's range-bucket rank plan (no global sort; B-row driver
+    state). The oracle replays the two-multiply arithmetic key and pins
+    the ENTIRE permutation via ROW_NUMBER."""
+    import ray.data
+
+    from docler_ray.stages.shuffle import epoch_shuffle_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return epoch_shuffle_rank(ds, id_col="doc_id", seed=_EPOCH_SEED)
+
+
+def _epoch_shuffle_sql() -> str:
+    from docler_ray.stages.shuffle import shuffle_key_sql
+
+    k = shuffle_key_sql("doc_id", _EPOCH_SEED)
+    return (
+        f"WITH k AS (SELECT doc_id, {k} AS shuffle_key FROM documents) "
+        "SELECT doc_id, shuffle_key, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY shuffle_key, doc_id) AS BIGINT) AS epoch_rank FROM k"
+    )
+
+
 def _q_inverted_postings(sf_dir: str):
     """Inverted-index heads (stages/index.py): token -> exact df + the 8
     smallest doc_ids. The head+df contract keeps per-token state k-bounded
@@ -2196,6 +2226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_postings": _q_inverted_postings,
         "vocab_unk_rate": _q_vocab_unk_rate,
         "curation_pipeline": _q_curation_pipeline,
+        "epoch_shuffle": _q_epoch_shuffle,
         "normalize_ws_docs": _q_normalize_ws_docs,
         "c4_line_filter": _q_c4_line_filter,
         "events_rolling_value": _q_events_rolling_value,
@@ -2547,6 +2578,9 @@ def oracle_sql() -> dict[str, str]:
         # the end-to-end composition: blocklist -> gopher -> C4 -> dedup
         # -> mixture, stitched from the SAME generated stage SQL
         "curation_pipeline": _curation_pipeline_sql(),
+        # shuffle.shuffle_key_sql replays the identical two-multiply
+        # arithmetic; ROW_NUMBER pins the whole permutation
+        "epoch_shuffle": _epoch_shuffle_sql(),
         # mirrors novelty.ngram_novelty: distinct word-3-grams per doc
         # (decontam's tokenization), shared = grams with df >= 2
         "ngram_novelty_docs": (

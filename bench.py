@@ -224,6 +224,7 @@ def bench_once() -> dict:
         timed("vocab_unk_rate", q["vocab_unk_rate"])
         timed("normalize_ws_docs", q["normalize_ws_docs"])
         timed("curation_pipeline", q["curation_pipeline"])
+        timed("epoch_shuffle", q["epoch_shuffle"])
     finally:
         ray.shutdown()
     return results

@@ -1798,6 +1798,100 @@ def _curation_pipeline_sql() -> str:
     )
 
 
+_CHUNK_KEY_BASE = 1024  # composite order key doc_id*BASE + chunk_index
+_CHUNK_PACK_BUDGET = 4000
+
+
+def _q_chunk_pack_pipeline(sf_dir: str):
+    """Chunk-then-pack composition — the extraction -> training handoff:
+    the REAL markdown chunker explodes each document into chunks (char
+    windows here: the corpus has no markdown headers, so every doc is one
+    empty-header preamble section, max 1500 / overlap 50, each chunk
+    carrying the header-join's 2-char '\\n\\n' prefix), then the packing
+    operator assigns token-budget sequence ids over global
+    (doc_id, chunk_index) order via the distributed ordered prefix sum.
+    The oracle rebuilds chunk lengths arithmetically (validated by the
+    chunk_counts family) and replays packing as a window SUM."""
+    import ray.data
+
+    from docler_ray.functions.chunkers import chunk_markdown
+    from docler_ray.stages.packing import pack_sequences
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        okeys: list[int] = []
+        sizes: list[int] = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            chunks = chunk_markdown(t or "", [], str(d))
+            if len(chunks) >= _CHUNK_KEY_BASE:
+                raise ValueError(
+                    f"doc {d}: {len(chunks)} chunks >= key base "
+                    f"{_CHUNK_KEY_BASE}; widen _CHUNK_KEY_BASE"
+                )
+            for c in chunks:
+                okeys.append(int(d) * _CHUNK_KEY_BASE + c["chunk_index"])
+                sizes.append(len(c["content"]))
+        return pa.table(
+            {
+                "okey": pa.array(okeys, pa.int64()),
+                "chunk_chars": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    chunks = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    packed = pack_sequences(
+        chunks, "okey", "chunk_chars", budget=_CHUNK_PACK_BUDGET
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        okey = batch.column("okey")
+        return pa.table(
+            {
+                "doc_id": pc.divide(okey, _CHUNK_KEY_BASE),
+                "chunk_index": pc.subtract(
+                    okey, pc.multiply(pc.divide(okey, _CHUNK_KEY_BASE),
+                                      _CHUNK_KEY_BASE)
+                ),
+                "chunk_chars": batch.column("chunk_chars"),
+                "cum": batch.column("cum"),
+                "seq_id": batch.column("seq_id"),
+            }
+        )
+
+    return packed.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _chunk_pack_sql() -> str:
+    # chunk_chars = 2 ('' header + '\n\n' join) + window size; windows of
+    # _MAX_CHUNK stepping _STEP over the text, n_chunks per chunk_counts
+    return (
+        "WITH c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_index, "
+        f"2 + CASE WHEN n_chars <= {_MAX_CHUNK} THEN n_chars "
+        f"ELSE LEAST({_MAX_CHUNK}, n_chars - i * {_STEP}) END AS chunk_chars "
+        "FROM documents, UNNEST(range(0, CAST(CASE WHEN n_chars = 0 THEN 0 "
+        f"WHEN n_chars <= {_MAX_CHUNK} THEN 1 "
+        f"ELSE CEIL(n_chars / {_STEP}.0) END AS BIGINT))) AS t(i)), "
+        "o AS (SELECT doc_id, chunk_index, chunk_chars, "
+        "SUM(chunk_chars) OVER (ORDER BY doc_id, chunk_index "
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM c) "
+        "SELECT doc_id, chunk_index, chunk_chars, CAST(cum AS BIGINT) AS cum, "
+        f"CAST((cum - chunk_chars) // {_CHUNK_PACK_BUDGET} AS BIGINT) "
+        "AS seq_id FROM o"
+    )
+
+
 _EPOCH_SEED = 17
 
 
@@ -2227,6 +2321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_unk_rate": _q_vocab_unk_rate,
         "curation_pipeline": _q_curation_pipeline,
         "epoch_shuffle": _q_epoch_shuffle,
+        "chunk_pack_pipeline": _q_chunk_pack_pipeline,
         "normalize_ws_docs": _q_normalize_ws_docs,
         "c4_line_filter": _q_c4_line_filter,
         "events_rolling_value": _q_events_rolling_value,
@@ -2581,6 +2676,9 @@ def oracle_sql() -> dict[str, str]:
         # shuffle.shuffle_key_sql replays the identical two-multiply
         # arithmetic; ROW_NUMBER pins the whole permutation
         "epoch_shuffle": _epoch_shuffle_sql(),
+        # real chunker -> packing composition; chunk lengths rebuilt
+        # arithmetically, packing replayed as a window SUM
+        "chunk_pack_pipeline": _chunk_pack_sql(),
         # mirrors novelty.ngram_novelty: distinct word-3-grams per doc
         # (decontam's tokenization), shared = grams with df >= 2
         "ngram_novelty_docs": (

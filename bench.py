@@ -225,6 +225,7 @@ def bench_once() -> dict:
         timed("normalize_ws_docs", q["normalize_ws_docs"])
         timed("curation_pipeline", q["curation_pipeline"])
         timed("epoch_shuffle", q["epoch_shuffle"])
+        timed("chunk_pack_pipeline", q["chunk_pack_pipeline"])
     finally:
         ray.shutdown()
     return results

@@ -105,6 +105,8 @@ def bench_once() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,  # worker prints must not pollute the
+        # one-JSON-line stdout contract (a MapBatches log leaked once)
     )
     from ray.data import DataContext
 
@@ -242,6 +244,8 @@ def prepare_only() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,  # worker prints must not pollute the
+        # one-JSON-line stdout contract (a MapBatches log leaked once)
     )
     try:
         files = prepare_corpus()

@@ -1798,6 +1798,134 @@ def _curation_pipeline_sql() -> str:
     )
 
 
+_Q5_REGION = "ASIA"
+_Q5_LO, _Q5_HI = "1996-01-01", "1998-01-01"
+
+
+def _q_regional_revenue(sf_dir: str):
+    """TPC-H Q5 analog — the 6-table snowflake (lineitem, orders, customer,
+    supplier, nation, region): revenue by nation where the customer's and
+    supplier's nations match inside one region, over a date window.
+
+    Distributed plan (the textbook Q5 shape): the three DIMENSION chains
+    (customer -> nationkey, supplier -> nationkey, nation⋈region ->
+    region-filtered nation names) collapse to driver-built dicts broadcast
+    once via ``ray.put`` — dimensions are small by definition; the only
+    exchange is ONE big-big co-partitioned hash join (date-filtered orders
+    ⋈ lineitem on orderkey — predicate pushed below the shuffle) followed
+    by a nationkey-count-sized groupby of map-side partials. Revenue uses
+    per-row float64 cents rounding, the identical IEEE expression DuckDB
+    evaluates, summed as int64."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import _get_broadcast, copartition_hash_join
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkeys = set(
+        region.loc[region["r_name"] == _Q5_REGION, "r_regionkey"].tolist()
+    )
+    asia = nation[nation["n_regionkey"].isin(rkeys)]
+    dims_ref = ray.put(
+        {
+            "cust": dict(zip(cust["c_custkey"], cust["c_nationkey"])),
+            "supp": dict(zip(supp["s_suppkey"], supp["s_nationkey"])),
+            "names": dict(zip(asia["n_nationkey"], asia["n_name"])),
+        }
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        dims = _get_broadcast(dims_ref)
+        ts = batch.column("o_orderdate")
+        lo = pd.Timestamp(_Q5_LO)
+        hi = pd.Timestamp(_Q5_HI)
+        mask = pc.and_(
+            pc.greater_equal(ts, lo.to_pydatetime()),
+            pc.less(ts, hi.to_pydatetime()),
+        )
+        t = batch.filter(mask)
+        c_nat = (
+            pd.Series(t.column("o_custkey").to_numpy(zero_copy_only=False))
+            .map(dims["cust"])
+            .to_numpy(dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "c_nat": pa.array(c_nat, pa.int64()),
+            }
+        )
+
+    orders_red = orders.map_batches(
+        orders_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = copartition_hash_join(
+        lineitem,
+        orders_red,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        size_hint=lineitem.count(),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dims = _get_broadcast(dims_ref)
+        s_nat = (
+            pd.Series(batch.column("l_suppkey").to_numpy(zero_copy_only=False))
+            .map(dims["supp"])
+            .to_numpy(dtype=np.int64)
+        )
+        c_nat = batch.column("c_nat").to_numpy(zero_copy_only=False)
+        in_region = np.isin(s_nat, np.fromiter(dims["names"], dtype=np.int64))
+        keep = (s_nat == c_nat) & in_region
+        e = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"nat": s_nat[keep], "cents": cents})
+        g = df.groupby("nat", sort=False).agg(
+            partial_cents=("cents", "sum"), partial_n=("cents", "size")
+        ).reset_index()
+        names = dims["names"]
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [names[int(k)] for k in g["nat"]], pa.string()
+                ),
+                "partial_cents": pa.array(g["partial_cents"], pa.int64()),
+                "partial_n": pa.array(g["partial_n"], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(
+            Sum("partial_cents", alias_name="revenue_cents"),
+            Sum("partial_n", alias_name="n_items"),
+        )
+    )
+
+
 _CHUNK_KEY_BASE = 1024  # composite order key doc_id*BASE + chunk_index
 _CHUNK_PACK_BUDGET = 4000
 
@@ -2322,6 +2450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _q_curation_pipeline,
         "epoch_shuffle": _q_epoch_shuffle,
         "chunk_pack_pipeline": _q_chunk_pack_pipeline,
+        "regional_revenue": _q_regional_revenue,
         "normalize_ws_docs": _q_normalize_ws_docs,
         "c4_line_filter": _q_c4_line_filter,
         "events_rolling_value": _q_events_rolling_value,
@@ -2679,6 +2808,23 @@ def oracle_sql() -> dict[str, str]:
         # real chunker -> packing composition; chunk lengths rebuilt
         # arithmetically, packing replayed as a window SUM
         "chunk_pack_pipeline": _chunk_pack_sql(),
+        # TPC-H Q5 analog; identical IEEE cents expression, int64 sum
+        "regional_revenue": (
+            "SELECT n_name, "
+            "CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_nationkey = s_nationkey "
+            f"AND r_name = '{_Q5_REGION}' "
+            f"AND o_orderdate >= TIMESTAMP '{_Q5_LO}' "
+            f"AND o_orderdate < TIMESTAMP '{_Q5_HI}' "
+            "GROUP BY n_name"
+        ),
         # mirrors novelty.ngram_novelty: distinct word-3-grams per doc
         # (decontam's tokenization), shared = grams with df >= 2
         "ngram_novelty_docs": (

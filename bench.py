@@ -228,6 +228,7 @@ def bench_once() -> dict:
         timed("curation_pipeline", q["curation_pipeline"])
         timed("epoch_shuffle", q["epoch_shuffle"])
         timed("chunk_pack_pipeline", q["chunk_pack_pipeline"])
+        timed("regional_revenue", q["regional_revenue"])
     finally:
         ray.shutdown()
     return results

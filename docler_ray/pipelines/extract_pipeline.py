@@ -26,6 +26,7 @@ import shutil
 import time
 from dataclasses import dataclass, field
 
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -58,6 +59,15 @@ class PipelineConfig:
     # round doesn't starve the pool. None = single round (explicit opt-out);
     # an int pins the cap.
     shards_per_round: int | str | None = "auto"
+    # post-extraction quality gates over the extracted markdown, applied in
+    # order ("gopher" = drop documents failing the Gopher rules; "c4" =
+    # rewrite content to its C4-surviving lines, dropping banned docs).
+    # OFF by default: enabling them intentionally changes the
+    # byte-identical-vs-goldens output contract, so it's an explicit
+    # curation decision, not a silent default.
+    quality_filters: tuple[str, ...] = ()
+    gopher_cfg: object | None = None  # functions.gopher.GopherConfig
+    c4_cfg: object | None = None  # functions.textclean.LineFilterConfig
 
 
 def _auto_concurrency() -> int:
@@ -103,7 +113,7 @@ def extract_dataset(pages: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Da
     if cfg.repartition_blocks:
         ds = ds.repartition(cfg.repartition_blocks)
     concurrency = cfg.extract_concurrency or _auto_concurrency()
-    return ds.map_batches(
+    docs = ds.map_batches(
         ExtractDocs,
         fn_constructor_kwargs={
             "preferences": cfg.preferences,
@@ -115,6 +125,55 @@ def extract_dataset(pages: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Da
         num_cpus=1,
         zero_copy_batch=True,
     )
+    return apply_quality_filters(docs, cfg)
+
+
+def apply_quality_filters(
+    docs: ray.data.Dataset, cfg: PipelineConfig
+) -> ray.data.Dataset:
+    """Optional curation gates over the extracted ``content`` column —
+    the engine's quality operators integrated into the flagship job (the
+    same kernels the standalone queries use; both are stateless
+    zero-shuffle passes, so the streaming/resume/manifest contracts are
+    unchanged). Error rows (content == "") pass through untouched: the
+    per-row error contract outranks curation."""
+    for name in cfg.quality_filters:
+        if name == "gopher":
+            from docler_ray.functions.gopher import GopherConfig, GopherFlags
+
+            gf = GopherFlags(
+                text_col="content",
+                id_col="url",
+                cfg=cfg.gopher_cfg or GopherConfig(),
+            )
+
+            def gopher_gate(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                keep = gf(batch).column("keep")
+                is_err = pc.not_equal(
+                    pc.fill_null(batch.column("error"), ""), ""
+                )
+                return batch.filter(pc.or_(keep, is_err))
+
+            docs = docs.map_batches(
+                gopher_gate, batch_format="pyarrow", zero_copy_batch=True
+            )
+        elif name == "c4":
+            from docler_ray.functions.textclean import (
+                LineFilterConfig,
+                line_filter,
+            )
+
+            docs = line_filter(
+                docs,
+                text_col="content",
+                cfg=cfg.c4_cfg or LineFilterConfig(),
+                drop_banned_docs=True,
+            )
+        else:
+            raise ValueError(f"unknown quality filter: {name!r}")
+    return docs
 
 
 _GROUP_TARGET_ROWS = 65536  # target pages per (lang, url_hash) group

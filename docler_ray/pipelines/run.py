@@ -46,6 +46,14 @@ def main(argv: list[str] | None = None) -> int:
         "CLI flags override its pipeline knobs",
     )
     parser.add_argument(
+        "--quality",
+        default=None,
+        help="comma list of post-extraction curation gates applied in "
+        "order: 'gopher' (drop failing docs), 'c4' (line-clean content). "
+        "Off by default — enabling changes the byte-identical output "
+        "contract deliberately",
+    )
+    parser.add_argument(
         "--address",
         default=os.environ.get("DOCLER_RAY_ADDRESS", "local"),
         help="'local' starts a private Ray (default); 'auto' or an explicit "
@@ -102,6 +110,10 @@ def main(argv: list[str] | None = None) -> int:
             cfg.extract_batch_size = args.batch_size
         if args.shards_per_round is not None:
             cfg.shards_per_round = args.shards_per_round
+        if args.quality:
+            cfg.quality_filters = tuple(
+                s.strip() for s in args.quality.split(",") if s.strip()
+            )
         totals = run_extract_job(input_files, args.out, cfg)
         totals["docs_per_sec"] = round(totals["docs"] / totals["secs"], 2) if totals["secs"] else None
         if args.chunks_out:

@@ -1926,6 +1926,35 @@ def _q_regional_revenue(sf_dir: str):
     )
 
 
+def _q_kmeans_assign_counts(sf_dir: str):
+    """Distributed k-means E-step (stages/similarity.py
+    ::centroid_assign_counts): nearest-centroid assignment of every
+    embedding against 8 broadcast centroids, counts per centroid. One
+    normalized matmul + bincount per batch; k-sized exchange."""
+    import ray.data
+
+    from docler_ray.stages.similarity import centroid_assign_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return centroid_assign_counts(ds, k=8)
+
+
+def _q_retention_cohorts(sf_dir: str):
+    """Retention triangle (stages/retention.py): cohort day = user's first
+    event day; counts distinct cohort users active per day. Map-side
+    distinct pairs, one user-keyed exchange, triangle-sized tail."""
+    import ray.data
+
+    from docler_ray.stages.retention import retention_cohorts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ds)
+
+
 _CHUNK_KEY_BASE = 1024  # composite order key doc_id*BASE + chunk_index
 _CHUNK_PACK_BUDGET = 4000
 
@@ -2451,6 +2480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "chunk_pack_pipeline": _q_chunk_pack_pipeline,
         "regional_revenue": _q_regional_revenue,
+        "kmeans_assign_counts": _q_kmeans_assign_counts,
+        "retention_cohorts": _q_retention_cohorts,
         "normalize_ws_docs": _q_normalize_ws_docs,
         "c4_line_filter": _q_c4_line_filter,
         "events_rolling_value": _q_events_rolling_value,
@@ -2824,6 +2855,29 @@ def oracle_sql() -> dict[str, str]:
             f"AND o_orderdate >= TIMESTAMP '{_Q5_LO}' "
             f"AND o_orderdate < TIMESTAMP '{_Q5_HI}' "
             "GROUP BY n_name"
+        ),
+        # nearest centroid per vector (ties -> lowest centroid id on both
+        # engines), counts only — the knn_self_top5 float precedent
+        "kmeans_assign_counts": (
+            "WITH c AS (SELECT vec_id AS cid, embedding AS cemb "
+            "FROM embeddings WHERE vec_id < 8), "
+            "s AS (SELECT e.vec_id, c.cid, "
+            "list_cosine_similarity(c.cemb, e.embedding) AS sim "
+            "FROM embeddings e CROSS JOIN c), "
+            "r AS (SELECT vec_id, cid, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s) "
+            "SELECT cid AS centroid_id, COUNT(*) AS n FROM r "
+            "WHERE rn = 1 GROUP BY cid"
+        ),
+        # mirrors retention.retention_cohorts: iso day strings, cohort =
+        # lexicographic (= chronological) min day
+        "retention_cohorts": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events), "
+            "c AS (SELECT user_id, MIN(day) AS cohort_day FROM d "
+            "GROUP BY user_id) "
+            "SELECT cohort_day, day, COUNT(*) AS n_users FROM d "
+            "JOIN c USING (user_id) GROUP BY cohort_day, day"
         ),
         # mirrors novelty.ngram_novelty: distinct word-3-grams per doc
         # (decontam's tokenization), shared = grams with df >= 2

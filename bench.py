@@ -229,6 +229,8 @@ def bench_once() -> dict:
         timed("epoch_shuffle", q["epoch_shuffle"])
         timed("chunk_pack_pipeline", q["chunk_pack_pipeline"])
         timed("regional_revenue", q["regional_revenue"])
+        timed("kmeans_assign_counts", q["kmeans_assign_counts"])
+        timed("retention_cohorts", q["retention_cohorts"])
     finally:
         ray.shutdown()
     return results

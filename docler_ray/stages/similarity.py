@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -161,3 +162,68 @@ class IVFIndex:
             zero_copy_batch=True,
         )
         return knn_brute_force(filtered, qn, id_col=id_col, emb_col=emb_col, k=k)
+
+
+def centroid_assign_counts(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+):
+    """K-means ASSIGNMENT step at corpus scale: nearest-centroid (cosine)
+    per vector against k fixed centroids -> (centroid_id, n) counts.
+
+    Centroids are the first ``k`` vectors by id (deterministic, fetched
+    with a distributed filter — k rows land on the driver, never the
+    corpus) and broadcast once; each batch is one normalized matmul +
+    argmax + bincount, emitting a k-row partial that a k-sized groupby
+    folds. This is the per-iteration workhorse of distributed Lloyd's
+    (the IVFIndex above runs full Lloyd on a sample; this operator is the
+    full-corpus E-step) — counts-only output keeps the oracle exact
+    (ties break to the lowest centroid id on both engines; the SQL
+    replays cosine + ROW_NUMBER).
+    """
+    from ray.data.aggregate import Sum
+
+    cent_rows = (
+        ds.map_batches(
+            lambda b: b.filter(
+                pc.less(pc.cast(b.column(id_col), pa.int64()), k)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()  # exactly k rows by construction
+        .sort_values(id_col)
+    )
+    c = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in cent_rows[emb_col]])
+    )
+    cref = ray.put(c)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        emb = _normalize(_to_matrix(batch.column(emb_col)))
+        if not len(emb):
+            return pa.table(
+                {
+                    "centroid_id": pa.array([], pa.int64()),
+                    "partial_n": pa.array([], pa.int64()),
+                }
+            )
+        cid = (emb @ cm.T).argmax(axis=1)
+        counts = np.bincount(cid, minlength=cm.shape[0]).astype(np.int64)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "centroid_id": pa.array(nz.astype(np.int64), pa.int64()),
+                "partial_n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("centroid_id")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )

@@ -1926,6 +1926,75 @@ def _q_regional_revenue(sf_dir: str):
     )
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: declared lang x detected lang counts
+    — the lang-ID heuristic (functions/analysis.py::detect_language:
+    CJK-ratio gate, then stopword-coverage argmax with en-wins-ties) gets
+    a FULL SQL oracle because its decisions are integer comparisons
+    (stopword hit counts share one denominator, so the argmax needs no
+    float division). Zero shuffle until the 25-cell groupby."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from docler_ray.functions.analysis import detect_language
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def detect(batch: pa.Table) -> pa.Table:
+        det = [
+            detect_language(t or "")
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "lang_detected": pa.array(det, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(detect, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "lang_detected"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _lang_confusion_sql() -> str:
+    from docler_ray.functions.analysis import _STOPWORDS
+
+    hit_cols = []
+    for lg in ("en", "de", "fr", "es"):
+        terms = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lg]))
+        hit_cols.append(
+            "CAST(coalesce(list_sum(list_transform(words, w -> "
+            f"CASE WHEN w IN ({terms}) THEN 1 ELSE 0 END)), 0) AS BIGINT) "
+            f"AS h_{lg}"
+        )
+    hits = ", ".join(hit_cols)
+    return (
+        "WITH t AS (SELECT lang, "
+        "substring(coalesce(text, ''), 1, 2000) AS s FROM documents), "
+        "tok AS (SELECT lang, s, "
+        "list_transform(regexp_extract_all(s, '[a-zA-ZÀ-ɏ]+'), "
+        "w -> lower(w)) AS words FROM t), "
+        f"sc AS (SELECT lang, s, array_length(words) AS nw, {hits} "
+        "FROM tok), "
+        "det AS (SELECT lang, CASE "
+        "WHEN length(regexp_replace(s, '[^一-鿿㐀-䶿]', '', 'g')) > 0 "
+        "AND length(regexp_replace(s, '[^一-鿿㐀-䶿]', '', 'g')) "
+        "> 0.05 * length(s) THEN 'zh' "
+        "WHEN nw IS NULL OR nw = 0 THEN 'en' "
+        "WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en' "
+        "WHEN h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de' "
+        "WHEN h_fr > h_en AND h_fr > h_de AND h_fr >= h_es THEN 'fr' "
+        "ELSE 'es' END AS lang_detected FROM sc) "
+        "SELECT lang, lang_detected, COUNT(*) AS n FROM det "
+        "GROUP BY lang, lang_detected"
+    )
+
+
 def _q_kmeans_assign_counts(sf_dir: str):
     """Distributed k-means E-step (stages/similarity.py
     ::centroid_assign_counts): nearest-centroid assignment of every
@@ -2482,6 +2551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": _q_regional_revenue,
         "kmeans_assign_counts": _q_kmeans_assign_counts,
         "retention_cohorts": _q_retention_cohorts,
+        "lang_confusion": _q_lang_confusion,
         "normalize_ws_docs": _q_normalize_ws_docs,
         "c4_line_filter": _q_c4_line_filter,
         "events_rolling_value": _q_events_rolling_value,
@@ -2869,6 +2939,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cid AS centroid_id, COUNT(*) AS n FROM r "
             "WHERE rn = 1 GROUP BY cid"
         ),
+        # lang-ID heuristic replayed whole: same sample/word/CJK regexes,
+        # integer hit-count argmax with en-wins-ties
+        "lang_confusion": _lang_confusion_sql(),
         # mirrors retention.retention_cohorts: iso day strings, cohort =
         # lexicographic (= chronological) min day
         "retention_cohorts": (

@@ -231,6 +231,7 @@ def bench_once() -> dict:
         timed("regional_revenue", q["regional_revenue"])
         timed("kmeans_assign_counts", q["kmeans_assign_counts"])
         timed("retention_cohorts", q["retention_cohorts"])
+        timed("lang_confusion", q["lang_confusion"])
     finally:
         ray.shutdown()
     return results

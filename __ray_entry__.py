@@ -1926,6 +1926,20 @@ def _q_regional_revenue(sf_dir: str):
     )
 
 
+def _q_funnel_counts(sf_dir: str):
+    """Ordered conversion funnel view -> click -> purchase
+    (stages/funnel.py): greedy-earliest stage matching per user; one
+    user-keyed exchange over the funnel-typed events only."""
+    import ray.data
+
+    from docler_ray.stages.funnel import funnel_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return funnel_counts(ds, stages=("view", "click", "purchase"))
+
+
 def _q_lang_confusion(sf_dir: str):
     """Language-ID confusion matrix: declared lang x detected lang counts
     — the lang-ID heuristic (functions/analysis.py::detect_language:
@@ -2552,6 +2566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign_counts": _q_kmeans_assign_counts,
         "retention_cohorts": _q_retention_cohorts,
         "lang_confusion": _q_lang_confusion,
+        "funnel_counts": _q_funnel_counts,
         "normalize_ws_docs": _q_normalize_ws_docs,
         "c4_line_filter": _q_c4_line_filter,
         "events_rolling_value": _q_events_rolling_value,
@@ -2942,6 +2957,24 @@ def oracle_sql() -> dict[str, str]:
         # lang-ID heuristic replayed whole: same sample/word/CJK regexes,
         # integer hit-count argmax with en-wins-ties
         "lang_confusion": _lang_confusion_sql(),
+        # mirrors funnel.funnel_counts: greedy-earliest stage chain with
+        # strictly-increasing timestamps
+        "funnel_counts": (
+            "WITH e AS (SELECT user_id, event_type, ts FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')), "
+            "t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM e "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "t2 AS (SELECT e.user_id, MIN(ts) AS ts2 FROM e "
+            "JOIN t1 USING (user_id) WHERE event_type = 'click' "
+            "AND ts > ts1 GROUP BY e.user_id), "
+            "t3 AS (SELECT e.user_id, MIN(ts) AS ts3 FROM e "
+            "JOIN t2 USING (user_id) WHERE event_type = 'purchase' "
+            "AND ts > ts2 GROUP BY e.user_id) "
+            "SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_idx, "
+            "COUNT(*) AS n_users FROM t1 "
+            "UNION ALL SELECT 'click', 2, COUNT(*) FROM t2 "
+            "UNION ALL SELECT 'purchase', 3, COUNT(*) FROM t3"
+        ),
         # mirrors retention.retention_cohorts: iso day strings, cohort =
         # lexicographic (= chronological) min day
         "retention_cohorts": (

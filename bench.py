@@ -232,6 +232,7 @@ def bench_once() -> dict:
         timed("kmeans_assign_counts", q["kmeans_assign_counts"])
         timed("retention_cohorts", q["retention_cohorts"])
         timed("lang_confusion", q["lang_confusion"])
+        timed("funnel_counts", q["funnel_counts"])
     finally:
         ray.shutdown()
     return results

@@ -1975,7 +1975,10 @@ def _q_lang_confusion(sf_dir: str):
     )
 
 
-def _lang_confusion_sql() -> str:
+def _lang_detect_sql(keep_cols: str = "lang") -> str:
+    """Per-document SQL replay of detect_language: SELECT {keep_cols},
+    lang_detected FROM (CTE chain over ``documents``). Reused by the
+    confusion-matrix oracle AND the adversarial equivalence tests."""
     from docler_ray.functions.analysis import _STOPWORDS
 
     hit_cols = []
@@ -1988,14 +1991,14 @@ def _lang_confusion_sql() -> str:
         )
     hits = ", ".join(hit_cols)
     return (
-        "WITH t AS (SELECT lang, "
+        f"WITH t AS (SELECT {keep_cols}, "
         "substring(coalesce(text, ''), 1, 2000) AS s FROM documents), "
-        "tok AS (SELECT lang, s, "
+        f"tok AS (SELECT {keep_cols}, s, "
         "list_transform(regexp_extract_all(s, '[a-zA-ZÀ-ɏ]+'), "
         "w -> lower(w)) AS words FROM t), "
-        f"sc AS (SELECT lang, s, array_length(words) AS nw, {hits} "
-        "FROM tok), "
-        "det AS (SELECT lang, CASE "
+        f"sc AS (SELECT {keep_cols}, s, array_length(words) AS nw, {hits} "
+        "FROM tok) "
+        f"SELECT {keep_cols}, CASE "
         "WHEN length(regexp_replace(s, '[^一-鿿㐀-䶿]', '', 'g')) > 0 "
         "AND length(regexp_replace(s, '[^一-鿿㐀-䶿]', '', 'g')) "
         "> 0.05 * length(s) THEN 'zh' "
@@ -2003,7 +2006,13 @@ def _lang_confusion_sql() -> str:
         "WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en' "
         "WHEN h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de' "
         "WHEN h_fr > h_en AND h_fr > h_de AND h_fr >= h_es THEN 'fr' "
-        "ELSE 'es' END AS lang_detected FROM sc) "
+        "ELSE 'es' END AS lang_detected FROM sc"
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return (
+        f"WITH det AS ({_lang_detect_sql('lang')}) "
         "SELECT lang, lang_detected, COUNT(*) AS n FROM det "
         "GROUP BY lang, lang_detected"
     )

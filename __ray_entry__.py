@@ -19,6 +19,13 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from docler_ray.functions.tokens import ws_tokens_sql as _ws_tokens_sql
+
+# the canonical ASCII whitespace tokenization, shared by every ws-token
+# oracle below (and by the operators' Python side via tokens.ws_tokens)
+_WS_TOKS_SQL = _ws_tokens_sql("text")
+
+
 SF_SMOKE = "/root/testdata/sf0.001"
 
 # chunker window arithmetic (reference defaults, markdown_chunker/chunker.py:26-42)
@@ -902,9 +909,8 @@ _DOCS_SUMMARY_SQL = (
 # the survivor-clustering oracles so they cannot drift
 _NEARDUP_PAIRS_SQL = (
     "WITH ok AS ("
-    "  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws "
-    "  FROM documents WHERE trim(text) <> '' "
-    "    AND array_length(string_split_regex(trim(text), '\\s+')) >= 5), "
+    "  SELECT doc_id, ws FROM (SELECT doc_id, " + _WS_TOKS_SQL + " AS ws "
+    "  FROM documents) WHERE array_length(ws) >= 5), "
     "grams AS ("
     "  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g "
     "  FROM ok, UNNEST(range(1, array_length(ws) - 3)) AS t(i)), "
@@ -1486,6 +1492,24 @@ def _q_image_features(sf_dir: str):
 # doc-{doc_id}), so URL queries construct it vectorized on BOTH sides — the
 # oracle concatenates the identical expression in SQL and the operators parse
 # it back with the shared RE2 pattern.
+
+def _add_url_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized url construction (the SQL twin is _URL_SQL_EXPR — keep
+    the two in sync); shared by every URL-tier query."""
+    import pyarrow.compute as pc
+
+    url = pc.binary_join_element_wise(
+        "https://",
+        batch.column("source"),
+        ".example/",
+        batch.column("lang"),
+        "/doc-",
+        pc.cast(batch.column("doc_id"), pa.string()),
+        "",
+    )
+    return batch.append_column("url", url)
+
+
 _URL_SQL_EXPR = (
     "'https://' || source || '.example/' || lang || '/doc-' || "
     "CAST(doc_id AS VARCHAR)"
@@ -1520,17 +1544,7 @@ def _url_docs_ds(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data
 
-    def add_url(batch: pa.Table) -> pa.Table:
-        url = pc.binary_join_element_wise(
-            "https://",
-            batch.column("source"),
-            ".example/",
-            batch.column("lang"),
-            "/doc-",
-            pc.cast(batch.column("doc_id"), pa.string()),
-            "",
-        )
-        return batch.append_column("url", url)
+    add_url = _add_url_batch
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
@@ -1570,17 +1584,7 @@ def _q_canonical_doc_per_host(sf_dir: str):
     from docler_ray.stages.topk import grouped_topk
     from docler_ray.stages.urlops import parse_urls
 
-    def add_url(batch: pa.Table) -> pa.Table:
-        url = pc.binary_join_element_wise(
-            "https://",
-            batch.column("source"),
-            ".example/",
-            batch.column("lang"),
-            "/doc-",
-            pc.cast(batch.column("doc_id"), pa.string()),
-            "",
-        )
-        return batch.append_column("url", url)
+    add_url = _add_url_batch
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
@@ -1716,17 +1720,7 @@ def _q_curation_pipeline(sf_dir: str):
     from docler_ray.stages.stats import weighted_group_sample
     from docler_ray.stages.urlops import filter_blocked_hosts
 
-    def add_url(batch: pa.Table) -> pa.Table:
-        url = pc.binary_join_element_wise(
-            "https://",
-            batch.column("source"),
-            ".example/",
-            batch.column("lang"),
-            "/doc-",
-            pc.cast(batch.column("doc_id"), pa.string()),
-            "",
-        )
-        return batch.append_column("url", url)
+    add_url = _add_url_batch
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
@@ -2618,8 +2612,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, COUNT(DISTINCT text) AS n_unique FROM documents GROUP BY lang"
         ),
         "ws_token_counts": (
-            "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "array_length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+            "SELECT doc_id, CAST(array_length(" + _WS_TOKS_SQL + ") AS BIGINT) "
             "AS n_ws_tokens FROM documents"
         ),
         "chunk_counts": (
@@ -2737,9 +2730,8 @@ def oracle_sql() -> dict[str, str]:
         # mirrors spandedup.span_dedup exactly: non-overlapping 12-token
         # windows, keep-first by (doc_id, idx), ordered reassembly
         "span_dedup_docs": (
-            "WITH toks AS (SELECT doc_id, "
-            "string_split_regex(trim(text), '\\s+') AS ws "
-            "FROM documents WHERE trim(text) <> ''), "
+            "WITH toks AS (SELECT doc_id, " + _WS_TOKS_SQL + " AS ws "
+            "FROM documents), "
             "spans AS (SELECT doc_id, i AS idx, "
             "array_to_string(ws[i*12+1 : i*12+12], ' ') AS span "
             "FROM toks, UNNEST(range(0, (array_length(ws)+11)//12)) AS t(i)), "
@@ -2758,9 +2750,9 @@ def oracle_sql() -> dict[str, str]:
         # mirrors repetition.repetition_signals_row: whitespace tokens,
         # overlapping word bigrams, ties lexicographic, int/int float math
         "repetition_signals": (
-            "WITH base AS (SELECT doc_id, trim(text) AS tt, "
-            "CASE WHEN trim(text) = '' THEN [] "
-            "ELSE string_split_regex(trim(text), '\\s+') END AS ws "
+            "WITH base AS (SELECT doc_id, "
+            "trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS tt, "
+            + _WS_TOKS_SQL + " AS ws "
             "FROM documents), "
             "tok AS (SELECT doc_id, tt, ws, array_length(ws) AS n_tok FROM base), "
             "grams AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g "
@@ -2799,9 +2791,8 @@ def oracle_sql() -> dict[str, str]:
         # mirrors decontam.decontaminate: overlapping word 5-grams, hits
         # counted per instance against the DISTINCT benchmark gram set
         "decontaminate_docs": (
-            "WITH toks AS (SELECT doc_id, "
-            "string_split_regex(trim(text), '\\s+') AS ws "
-            "FROM documents WHERE trim(text) <> ''), "
+            "WITH toks AS (SELECT doc_id, " + _WS_TOKS_SQL + " AS ws "
+            "FROM documents), "
             "grams AS (SELECT doc_id, array_to_string(ws[i : i+4], ' ') AS g "
             "FROM toks, UNNEST(range(1, array_length(ws) - 3)) AS t(i)), "
             "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0), "
@@ -2819,8 +2810,8 @@ def oracle_sql() -> dict[str, str]:
         # equality tf, ties by doc_id
         "tfidf_top15": (
             "WITH toks AS (SELECT doc_id, "
-            "unnest(string_split_regex(trim(text), '\\s+')) AS u "
-            "FROM documents WHERE trim(text) <> ''), "
+            "unnest(" + _WS_TOKS_SQL + ") AS u "
+            "FROM documents), "
             "tf AS (SELECT doc_id, u AS term, COUNT(*) AS tf FROM toks "
             "WHERE u IN ('spark', 'window', 'merge') GROUP BY doc_id, u), "
             "df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf "
@@ -2916,7 +2907,7 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok), "
             "r AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) "
             "AS rank FROM c), v AS (SELECT tok FROM r WHERE rank <= 10) "
-            "SELECT CAST(10 AS BIGINT) AS vocab_size, "
+            "SELECT (SELECT COUNT(*) FROM v) AS vocab_size, "
             "(SELECT COUNT(*) FROM toks) AS total_tokens, "
             "(SELECT COUNT(*) FROM toks WHERE tok NOT IN "
             "(SELECT tok FROM v)) AS unk_tokens"
@@ -2997,9 +2988,8 @@ def oracle_sql() -> dict[str, str]:
         # mirrors novelty.ngram_novelty: distinct word-3-grams per doc
         # (decontam's tokenization), shared = grams with df >= 2
         "ngram_novelty_docs": (
-            "WITH toks AS (SELECT doc_id, "
-            "string_split_regex(trim(text), '\\s+') AS ws "
-            "FROM documents WHERE trim(text) <> ''), "
+            "WITH toks AS (SELECT doc_id, " + _WS_TOKS_SQL + " AS ws "
+            "FROM documents), "
             "grams AS (SELECT DISTINCT doc_id, "
             "array_to_string(ws[i : i+2], ' ') AS g "
             "FROM toks, UNNEST(range(1, array_length(ws) - 1)) AS t(i)), "
@@ -3253,7 +3243,7 @@ def _text_metrics_sql() -> str:
 WITH w AS (
   SELECT doc_id, length(text) AS n_chars,
     regexp_extract_all(text, '[a-zA-ZÀ-ɏ]+') AS words,
-    CASE WHEN trim(text)='' THEN 0 ELSE array_length(string_split_regex(trim(text),'\s+')) END AS n_ws,
+    array_length({_WS_TOKS_SQL}) AS n_ws,
     length(regexp_extract_all(text, '[.!?。！？]')) AS sents,
     length(regexp_extract_all(text, '[^\w\s]')) AS puncts,
     length(regexp_extract_all(text, '\d')) AS digits
@@ -3290,10 +3280,10 @@ def _simhash_sql() -> str:
     """Oracle for simhash_fingerprints: the token hash is
     ('0x' || substr(md5(tok),1,16))::UBIGINT — exactly _token_hash64 — and
     the signed 64-bit view is reconstructed with -2^63 for the sign bit."""
-    return r"""
+    return rf"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, unnest({_WS_TOKS_SQL}) AS tok
+  FROM documents
 ),
 h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,16))::UBIGINT AS hv FROM toks),
 bits AS (
@@ -3308,7 +3298,7 @@ SELECT doc_id,
   CAST(SUM(CASE WHEN s > 0 AND b >= 48 THEN (1::BIGINT << (b-48)::INT) ELSE 0 END) AS INT) AS simblock_3
 FROM bits GROUP BY doc_id
 UNION ALL
-SELECT doc_id, 0, 0, 0, 0, 0 FROM documents WHERE trim(text) = ''
+SELECT doc_id, 0, 0, 0, 0, 0 FROM documents WHERE array_length({_WS_TOKS_SQL}) = 0
 """
 
 

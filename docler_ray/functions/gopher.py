@@ -307,10 +307,10 @@ def gopher_sql(
     return f"""
 WITH base AS (
   SELECT {id_col},
-    {text_col} AS t,
-    regexp_extract_all({text_col}, '[a-zA-Z]+') AS words,
-    string_split({text_col}, chr(10)) AS lines,
-    string_split({text_col}, ' ') AS toks
+    coalesce({text_col}, '') AS t,
+    regexp_extract_all(coalesce({text_col}, ''), '[a-zA-Z]+') AS words,
+    string_split(coalesce({text_col}, ''), chr(10)) AS lines,
+    string_split(coalesce({text_col}, ''), ' ') AS toks
   FROM {table}
 ), m AS (
   SELECT {id_col}, t, lines, toks,

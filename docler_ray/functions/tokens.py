@@ -26,11 +26,36 @@ def count_tokens(text: str) -> int:
     return len(_BPE_ISH_RE.findall(text))
 
 
+# The ASCII whitespace-token contract, shared by every ws-tokenizing
+# operator (decontam/novelty/span-dedup/repetition/tfidf/token counts) AND
+# their DuckDB oracles. The class is EXPLICIT ASCII on both engines because
+# the engines' shorthands disagree at the edges: Python's unicode \s
+# includes \xa0 etc., RE2's \s omits \v — and DuckDB trim() strips only
+# spaces, so the previous trim()+\s+ oracle spelling produced an empty
+# leading token for tab/newline-edged text (round-3 review finding,
+# latent on the all-ASCII corpus). Splitting then dropping empties handles
+# edges without any trim.
+_ASCII_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def ws_tokens(text: str) -> list[str]:
+    """ASCII-whitespace tokens, no empties — the canonical tokenizer."""
+    return [t for t in _ASCII_WS_RE.split(text or "") if t]
+
+
+def ws_tokens_sql(expr: str) -> str:
+    """The DuckDB replay of :func:`ws_tokens` over a SQL expression."""
+    return (
+        f"list_filter(string_split_regex(coalesce({expr}, ''), "
+        "'[ \\t\\n\\r\\f\\v]+'), x -> x <> '')"
+    )
+
+
 def count_whitespace_tokens(text: str) -> int:
-    """Plain whitespace token count."""
+    """Plain whitespace token count (ASCII contract, see ws_tokens)."""
     if not text:
         return 0
-    return len(_WS_RE.findall(text))
+    return len(ws_tokens(text))
 
 
 def tokenize(text: str) -> list[str]:

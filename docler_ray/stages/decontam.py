@@ -29,7 +29,9 @@ import pyarrow as pa
 
 
 def _ngrams(text: str, n: int) -> list[str]:
-    toks = (text or "").strip().split()
+    from docler_ray.functions.tokens import ws_tokens
+
+    toks = ws_tokens(text)
     if len(toks) < n:
         return []
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]

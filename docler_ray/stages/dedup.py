@@ -49,6 +49,8 @@ import hashlib
 import zlib
 
 import numpy as np
+
+from docler_ray.functions.tokens import ws_tokens
 import pandas as pd
 import pyarrow as pa
 
@@ -86,8 +88,10 @@ def exact_dedup_keep_first(ds, text_col: str, order_col: str):
 # --- shingles + MinHash ------------------------------------------------------
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Word k-gram shingles as uint64 hashes (crc32-pair folded)."""
-    words = text.split()
+    """Word k-gram shingles as uint64 hashes (crc32-pair folded).
+    Tokenization = tokens.ws_tokens (the ASCII contract the oracles
+    replay)."""
+    words = ws_tokens(text)
     if len(words) < k:
         joined = " ".join(words)
         h = zlib.crc32(joined.encode("utf-8", "replace"))
@@ -1095,7 +1099,7 @@ def jaccard_pairs_exact(
         texts = batch.column(text_col).to_pylist()
         out_id, out_sh = [], []
         for i, text in zip(ids, texts):
-            words = (text or "").split()
+            words = ws_tokens(text)
             if len(words) < min_words:
                 continue
             s = np.unique(shingle_hashes(text or "", k=shingle_k))
@@ -1180,7 +1184,7 @@ def simhash64_batch(texts: list[str], _cache: dict | None = None) -> np.ndarray:
     shifts = np.arange(64, dtype=np.uint64)[None, :]
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, text in enumerate(texts):
-        tokens = text.split()
+        tokens = ws_tokens(text)
         if not tokens:
             continue
         counts = Counter(tokens)

@@ -84,18 +84,26 @@ def funnel_counts(
         .map_groups(per_user, batch_format="pandas")
         .groupby("stage_i")
         .aggregate(Sum("reached", alias_name="n_users"))
+        .to_pandas()  # stage-count-sized by construction
     )
+    # reindex over ALL stages so a funnel nobody enters still reports
+    # zeros (the oracle's UNION ALL always emits one row per stage)
+    counts = dict(
+        zip(per_stage.get("stage_i", []), per_stage.get("n_users", []))
+    )
+    import ray.data
 
-    def label(batch: pa.Table) -> pa.Table:
-        idx = batch.column("stage_i").to_pylist()
-        return pa.table(
+    return ray.data.from_arrow(
+        pa.table(
             {
-                "stage": pa.array([stages[i] for i in idx], pa.string()),
-                "stage_idx": pa.array([i + 1 for i in idx], pa.int64()),
-                "n_users": pc.cast(batch.column("n_users"), pa.int64()),
+                "stage": pa.array(list(stages), pa.string()),
+                "stage_idx": pa.array(
+                    np.arange(1, len(stages) + 1, dtype=np.int64), pa.int64()
+                ),
+                "n_users": pa.array(
+                    [int(counts.get(i, 0)) for i in range(len(stages))],
+                    pa.int64(),
+                ),
             }
         )
-
-    return per_stage.map_batches(
-        label, batch_format="pyarrow", zero_copy_batch=True
     )

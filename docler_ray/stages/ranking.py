@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from docler_ray.functions.tokens import ws_tokens
+
 _IDF_SCALE = 1_000_000
 
 
@@ -59,7 +61,7 @@ def tfidf_topk(
     def partial_df(batch: pa.Table) -> pa.Table:
         counts = dict.fromkeys(terms, 0)
         for t in batch.column(text_col).to_pylist():
-            present = term_set.intersection((t or "").strip().split())
+            present = term_set.intersection(ws_tokens(t))
             for term in present:
                 counts[term] += 1
         return pa.table(
@@ -95,7 +97,7 @@ def tfidf_topk(
         out_scores: list[int] = []
         for doc_id, t in zip(ids, batch.column(text_col).to_pylist()):
             s = 0
-            for tok in (t or "").strip().split():
+            for tok in ws_tokens(t):
                 w = weights.get(tok)
                 if w:
                     s += w

@@ -36,9 +36,11 @@ import pyarrow as pa
 
 
 def repetition_signals_row(text: str) -> dict:
-    toks = (text or "").strip().split()
+    from docler_ray.functions.tokens import ws_tokens
+
+    toks = ws_tokens(text)
     n_tok = len(toks)
-    n_chars = len((text or "").strip())
+    n_chars = len((text or "").strip(" \t\n\r\f\v"))  # ASCII strip, SQL trim-replayable
     distinct_ratio = (len(set(toks)) / n_tok) if n_tok else 0.0
     if n_tok < 2:
         return {

@@ -81,14 +81,33 @@ def epoch_shuffle_rank(
             }
         )
 
-    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize the narrow (id, key) projection ONCE: three consumers
+    # follow (bounds aggregate, bucket counts, final rank) and re-reading
+    # the corpus per consumer tripled the wall time; the projection is two
+    # int64 columns, so the object-store cost is 16 bytes/row
+    keyed = ds.map_batches(
+        add_key, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     bounds = keyed.aggregate(
         Min("shuffle_key", alias_name="lo"),
         Max("shuffle_key", alias_name="hi"),
         Count(alias_name="n"),
     )
-    lo, hi, n = int(bounds["lo"]), int(bounds["hi"]), int(bounds["n"])
+    if bounds["lo"] is None:  # empty input: empty permutation, same schema
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "shuffle_key": pa.array([], pa.int64()),
+                    "epoch_rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    n = n_rows if n_rows is not None else int(bounds["n"])
     span = max(hi - lo + 1, 1)
     n_buckets = max(_SHUFFLE_BUCKETS, 1 + n // _TARGET_ROWS)
 

@@ -194,9 +194,15 @@ def centroid_assign_counts(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .to_pandas()  # exactly k rows by construction
+        .to_pandas()  # <= k rows by construction
         .sort_values(id_col)
     )
+    if len(cent_rows) != k:
+        raise ValueError(
+            f"centroid selection expects ids 0..{k - 1} present; found "
+            f"{len(cent_rows)} rows with {id_col} < {k} (renumber ids or "
+            "pass centroids explicitly)"
+        )
     c = _normalize(
         np.stack([np.asarray(v, dtype=np.float64) for v in cent_rows[emb_col]])
     )

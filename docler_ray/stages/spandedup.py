@@ -54,7 +54,9 @@ _POS_BASE = 1 << 20  # max spans per document (~12M tokens at span_tokens=12)
 
 
 def _spans_of(text: str, span_tokens: int) -> list[str]:
-    toks = (text or "").strip().split()
+    from docler_ray.functions.tokens import ws_tokens
+
+    toks = ws_tokens(text)
     if not toks:
         return []
     return [

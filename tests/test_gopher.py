@@ -108,5 +108,43 @@ def test_gopher_flags_dataset(ray_session):
         .reset_index(drop=True)
     )
     assert len(out) == len(EDGE_TEXTS)
-    ref = [gopher_signals(t, GopherConfig())["keep"] for t in EDGE_TEXTS]
-    assert out["keep"].tolist() == ref
+    # EVERY column of the vectorized batch path must match the scalar
+    # spec function — not just keep (a drift in one rule column could
+    # hide behind an unchanged conjunction on this corpus)
+    cfg = GopherConfig()
+    ref_rows = [gopher_signals(t, cfg) for t in EDGE_TEXTS]
+    for col in out.columns:
+        if col == "doc_id":
+            continue
+        got = out[col].tolist()
+        want = [r[col] for r in ref_rows]
+        assert got == want, col
+
+
+def test_gopher_flags_null_text_matches_sql(ray_session):
+    """NULL text rows: batch path and SQL replay must agree (both read
+    NULL as '' -> n_words 0, every rule False)."""
+    import ray.data
+
+    from docler_ray.functions.gopher import gopher_flags
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(3, dtype=np.int64),
+         "text": pd.array([None, "", "word"], dtype="string")}
+    )
+    out = (
+        gopher_flags(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (
+        con.execute(gopher_sql(GopherConfig()))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in want.columns:
+        assert out[col].tolist() == want[col].tolist(), col

@@ -90,6 +90,9 @@ NOVELTY_TEXTS = [
     "one two",  # too short for 3-grams -> 0/0
     "",
     "unique gram sequence here now",
+    "\ta b c d e",  # tab-edged: tokenization must not emit an empty token
+    "p q\nr s t\n",  # newline separators and trailing newline
+    "  a b c d e  ",  # space-edged
 ]
 
 
@@ -124,10 +127,12 @@ def ngram_novelty_result(ds) -> pd.DataFrame:
 
 
 def _novelty_sql() -> str:
+    from docler_ray.functions.tokens import ws_tokens_sql
+
     return (
         "WITH toks AS (SELECT doc_id, "
-        "string_split_regex(trim(text), '\\s+') AS ws "
-        "FROM documents WHERE trim(text) <> ''), "
+        f"{ws_tokens_sql('text')} AS ws "
+        "FROM documents), "
         "grams AS (SELECT DISTINCT doc_id, "
         "array_to_string(ws[i : i+2], ' ') AS g "
         "FROM toks, UNNEST(range(1, array_length(ws) - 1)) AS t(i)), "

@@ -39,8 +39,24 @@ _ASCII_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
 
 
 def ws_tokens(text: str) -> list[str]:
-    """ASCII-whitespace tokens, no empties — the canonical tokenizer."""
-    return [t for t in _ASCII_WS_RE.split(text or "") if t]
+    """ASCII-whitespace tokens, no empties — the canonical tokenizer.
+
+    Fast path: for ASCII text without the 0x1c-0x1f separators,
+    ``str.split()`` produces EXACTLY the contract's tokens (str.split's
+    whitespace set minus the class is \\x1c-\\x1f on ASCII; minus those,
+    the sets coincide) and is ~5x faster than the regex — this sits inside
+    shingle/simhash/decontam per-doc loops, so it's a measured hot path.
+    """
+    t = text or ""
+    if (
+        t.isascii()
+        and "\x1c" not in t
+        and "\x1d" not in t
+        and "\x1e" not in t
+        and "\x1f" not in t
+    ):
+        return t.split()
+    return [tok for tok in _ASCII_WS_RE.split(t) if tok]
 
 
 def ws_tokens_sql(expr: str) -> str:

@@ -85,21 +85,44 @@ def build_pages_dataset(
 ) -> ray.data.Dataset:
     """Read pages shards with column pruning + per-row input-path lineage.
 
+    Accepts Parquet shards, WARC archives (.warc/.warc.gz — Common Crawl's
+    native format, parsed by sources/warc.py), or a mix; both routes emit
+    the same (PAGES_COLUMNS + path) schema so downstream stages and the
+    checkpoint manifests are format-blind.
+
     ``num_blocks`` defaults to max(#files, 10x cluster CPUs): enough task
     granularity that the extract pool load-balances across skewed pages
     (measured 40.1s vs 49.9s at 16 CPUs for 160 vs 80 blocks on the 200k-page
     benchmark); at production scale #files >> CPUs and the override is a
     no-op.
     """
-    if num_blocks is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_blocks = max(len(input_files), 10 * cpus)
-    return ray.data.read_parquet(
-        input_files,
-        columns=PAGES_COLUMNS,
-        include_paths=True,
-        override_num_blocks=num_blocks,
-    )
+    warc_files = [f for f in input_files if f.endswith((".warc", ".warc.gz"))]
+    pq_files = [f for f in input_files if f not in warc_files]
+    parts = []
+    if pq_files:
+        if num_blocks is None:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            num_blocks = max(len(pq_files), 10 * cpus)
+        parts.append(
+            ray.data.read_parquet(
+                pq_files,
+                columns=PAGES_COLUMNS,
+                include_paths=True,
+                override_num_blocks=num_blocks,
+            )
+        )
+    if warc_files:
+        # Common-Crawl shards: one archive per parse task (warc.read_warc);
+        # block granularity is the file, same shard==file contract as the
+        # Parquet route, so checkpoint manifests work unchanged
+        from docler_ray.sources.warc import read_warc
+
+        parts.append(
+            read_warc(warc_files).select_columns(PAGES_COLUMNS + ["path"])
+        )
+    if not parts:
+        raise ValueError("no input shards")
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
 
 def extract_dataset(pages: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:

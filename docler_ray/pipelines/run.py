@@ -94,7 +94,11 @@ def main(argv: list[str] | None = None) -> int:
             write_pages_corpus(
                 args.corpus, args.gen, seed=args.seed, rows_per_shard=args.rows_per_shard
             )
-        input_files = sorted(glob.glob(os.path.join(args.corpus, "*.parquet")))
+        input_files = sorted(
+            glob.glob(os.path.join(args.corpus, "*.parquet"))
+            + glob.glob(os.path.join(args.corpus, "*.warc"))
+            + glob.glob(os.path.join(args.corpus, "*.warc.gz"))
+        )
         if not input_files:
             print(f"no input shards in {args.corpus}", file=sys.stderr)
             return 2

@@ -1446,6 +1446,62 @@ def _q_redact_pii(sf_dir: str):
     return redact(ds)
 
 
+def _q_warc_roundtrip_docs(sf_dir: str):
+    """WARC codec (sources/warc.py) proven in CORRECTNESS: each batch of
+    documents rows becomes pages rows, is serialized into one .warc.gz
+    archive (writer) and parsed back (reader), and the PARSED fields are
+    emitted. The oracle computes the same fields straight off the table,
+    so the codec must be the identity — any drift in record framing, gzip
+    member layout, the HTTP payload split, Content-Language mapping, WET
+    text attach, record ordering, or the WARC-Date microsecond format
+    breaks the hash. Zero shuffle; per-task state is one batch's archive,
+    never corpus-proportional (the CC-shard granularity read_warc uses)."""
+    import datetime as _dt
+
+    import ray.data
+
+    from docler_ray.sources.warc import parse_warc_pages, warc_bytes_for_pages
+
+    base_ts = _dt.datetime(2025, 1, 1)
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        rows = [
+            {
+                "url": f"https://{s or 'src'}.example/{lg or 'en'}/doc-{d}",
+                "warc_ts": base_ts + _dt.timedelta(seconds=int(d)),
+                "html": (t or "").encode("utf-8"),
+                "text": t or "",
+                "lang": lg or "en",
+            }
+            for d, t, lg, s in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+                batch.column("lang").to_pylist(),
+                batch.column("source").to_pylist(),
+            )
+        ]
+        parsed = parse_warc_pages(warc_bytes_for_pages(rows))
+        html_len = pa.array(
+            [len(h) for h in parsed.column("html").to_pylist()], pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),  # parser preserves order
+                "url": parsed.column("url"),
+                "lang": parsed.column("lang"),
+                "text_rt": parsed.column("text"),
+                "html_len": html_len,
+                "warc_ts": parsed.column("warc_ts"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    return ds.map_batches(roundtrip, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_approx_distinct_by_lang(sf_dir: str):
     """Per-group HLL distinct with an in-query accuracy pin (the IVF-recall
     pattern): the sketch estimate per lang is checked against the exact
@@ -2553,6 +2609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_f_order_counts": _q_lineitem_f_order_counts,
         "price_histogram": _q_price_histogram,
         "redact_pii": _q_redact_pii,
+        "warc_roundtrip_docs": _q_warc_roundtrip_docs,
         "approx_distinct_by_lang": _q_approx_distinct_by_lang,
         "url_host_profile": _q_url_host_profile,
         "url_blocklist_survivors": _q_url_blocklist_survivors,
@@ -2863,6 +2920,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # replays redact.py's RE2-safe patterns verbatim (imported, no drift)
         "redact_pii": _redact_sql(),
+        # the Ray side round-trips these fields through the WARC codec;
+        # the oracle computes them directly, pinning codec == identity
+        "warc_roundtrip_docs": (
+            "SELECT doc_id, "
+            "'https://' || coalesce(source, 'src') || '.example/' || "
+            "coalesce(lang, 'en') || '/doc-' || CAST(doc_id AS VARCHAR) AS url, "
+            "coalesce(lang, 'en') AS lang, "
+            "coalesce(text, '') AS text_rt, "
+            "CAST(strlen(coalesce(text, '')) AS BIGINT) AS html_len, "
+            "TIMESTAMP '2025-01-01' + to_seconds(CAST(doc_id AS BIGINT)) "
+            "AS warc_ts FROM documents"
+        ),
         # URL tier: SQL rebuilds the url with the identical concat and
         # replays the SAME RE2 patterns the Arrow kernels run
         "url_host_profile": _url_host_profile_sql(),

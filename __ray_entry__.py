@@ -1465,13 +1465,18 @@ def _q_warc_roundtrip_docs(sf_dir: str):
     base_ts = _dt.datetime(2025, 1, 1)
 
     def roundtrip(batch: pa.Table) -> pa.Table:
+        # NULL-only substitution to mirror the oracle's coalesce exactly
+        # (empty string must stay empty on both sides)
         rows = [
             {
-                "url": f"https://{s or 'src'}.example/{lg or 'en'}/doc-{d}",
+                "url": (
+                    f"https://{'src' if s is None else s}.example/"
+                    f"{'en' if lg is None else lg}/doc-{d}"
+                ),
                 "warc_ts": base_ts + _dt.timedelta(seconds=int(d)),
-                "html": (t or "").encode("utf-8"),
-                "text": t or "",
-                "lang": lg or "en",
+                "html": ("" if t is None else t).encode("utf-8"),
+                "text": "" if t is None else t,
+                "lang": "en" if lg is None else lg,
             }
             for d, t, lg, s in zip(
                 batch.column("doc_id").to_pylist(),
@@ -1597,15 +1602,14 @@ def _line_filter_cfg():
 def _url_docs_ds(sf_dir: str):
     """documents -> (doc_id, lang, url) with the url built by one vectorized
     concat kernel (no HTML synthesis — the URL tier doesn't need payloads)."""
-    import pyarrow.compute as pc
     import ray.data
-
-    add_url = _add_url_batch
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
     )
-    return ds.map_batches(add_url, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        _add_url_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _q_url_host_profile(sf_dir: str):
@@ -1634,18 +1638,15 @@ def _q_canonical_doc_per_host(sf_dir: str):
     grouped top-k operator: vectorized RE2 host extraction, then k=1
     per-batch groupby-head partials + host-keyed merge. No new machinery;
     the shuffle ships <= num_blocks rows per host."""
-    import pyarrow.compute as pc
     import ray.data
 
     from docler_ray.stages.topk import grouped_topk
     from docler_ray.stages.urlops import parse_urls
 
-    add_url = _add_url_batch
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "lang", "source", "n_chars"],
-    ).map_batches(add_url, batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(_add_url_batch, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_topk(
         parse_urls(ds),
         group_col="host",
@@ -1765,7 +1766,6 @@ def _q_curation_pipeline(sf_dir: str):
     spellings into one WITH-chain, so the whole pipeline is pinned, not
     just its stages. Shuffles: one dedup groupby + one doc_id semi join —
     everything else is stateless map passes."""
-    import pyarrow.compute as pc
     import ray.data
     from ray.data.aggregate import Count
 
@@ -1776,12 +1776,10 @@ def _q_curation_pipeline(sf_dir: str):
     from docler_ray.stages.stats import weighted_group_sample
     from docler_ray.stages.urlops import filter_blocked_hosts
 
-    add_url = _add_url_batch
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "lang", "source", "text"],
-    ).map_batches(add_url, batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(_add_url_batch, batch_format="pyarrow", zero_copy_batch=True)
 
     # 1. host blocklist (vectorized RE2 host parse + NOT IN)
     ds = filter_blocked_hosts(ds, _BLOCKED_HOSTS, url_col="url")

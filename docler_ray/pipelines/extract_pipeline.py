@@ -96,8 +96,9 @@ def build_pages_dataset(
     benchmark); at production scale #files >> CPUs and the override is a
     no-op.
     """
-    warc_files = [f for f in input_files if f.endswith((".warc", ".warc.gz"))]
-    pq_files = [f for f in input_files if f not in warc_files]
+    warc_files, pq_files = [], []
+    for f in input_files:
+        (warc_files if f.endswith((".warc", ".warc.gz")) else pq_files).append(f)
     parts = []
     if pq_files:
         if num_blocks is None:

@@ -55,6 +55,8 @@ _WARC_DATE_FMT_NOFRAC = "%Y-%m-%dT%H:%M:%SZ"
 def _record(warc_type: str, headers: list[tuple[str, str]], payload: bytes) -> bytes:
     lines = [b"WARC/1.1", f"WARC-Type: {warc_type}".encode()]
     for k, v in headers:
+        if "\r" in v or "\n" in v:
+            raise ValueError(f"header value for {k} contains CR/LF: {v[:60]!r}")
         lines.append(f"{k}: {v}".encode())
     lines.append(f"Content-Length: {len(payload)}".encode())
     return _CRLF.join(lines) + _HDR_END + payload + _HDR_END
@@ -99,6 +101,8 @@ def warc_bytes_for_pages(rows: list[dict], *, gzip_members: bool = True) -> byte
         html = row["html"]
         if not isinstance(html, bytes):
             html = bytes(html)
+        if "\r" in row["lang"] or "\n" in row["lang"]:
+            raise ValueError(f"lang contains CR/LF: {row['lang']!r}")
         http = (
             b"HTTP/1.1 200 OK\r\n"
             b"Content-Type: application/octet-stream\r\n"
@@ -179,7 +183,9 @@ def _parse_headers(block: bytes) -> dict[str, str]:
         k, sep, v = line.partition(b":")
         if not sep:
             raise ValueError(f"malformed header line: {line[:60]!r}")
-        headers[k.decode("latin-1").strip().lower()] = v.decode("latin-1").strip()
+        # WARC 1.1 header values may be UTF-8 (spec §4); decoding latin-1
+        # would mojibake non-ASCII target URIs silently
+        headers[k.decode("utf-8").strip().lower()] = v.decode("utf-8").strip()
     return headers
 
 
@@ -228,11 +234,18 @@ def parse_warc_pages(data: bytes, path: str = "") -> pa.Table:
 
     response records become rows (html = HTTP entity body, lang =
     Content-Language or ''); conversion records fill text for the matching
-    WARC-Target-URI. Rows come out in response-record order. The URI->row
-    merge state is file-bounded (one archive), never corpus-bounded.
+    WARC-Target-URI, wherever they appear in the archive (the merge is
+    order-independent; rows come out in response-record order). A pure WET
+    shard (conversion records only — how Common Crawl actually ships the
+    text sibling) yields text-only rows (html=b'') in conversion order. A
+    MIXED archive with a conversion record whose response is absent fails
+    loud — that's corruption, not a WET shard. The URI->row merge state is
+    file-bounded (one archive), never corpus-bounded.
     """
     order: list[str] = []
     rows: dict[str, dict] = {}
+    conversions: dict[str, tuple[str, _dt.datetime]] = {}
+    conv_order: list[str] = []
     for headers, payload in iter_warc_records(data):
         rtype = headers.get("warc-type", "")
         uri = headers.get("warc-target-uri", "")
@@ -252,9 +265,33 @@ def parse_warc_pages(data: bytes, path: str = "") -> pa.Table:
                 "lang": http_headers.get("content-language", ""),
             }
         elif rtype == "conversion":
-            if uri in rows:
-                rows[uri]["text"] = payload.decode("utf-8")
+            if uri not in conversions:
+                conv_order.append(uri)
+            conversions[uri] = (
+                payload.decode("utf-8"),
+                _parse_warc_date(headers.get("warc-date", "")),
+            )
         # warcinfo / request / metadata records are not page content: skip
+    if rows:
+        dangling = [u for u in conversions if u not in rows]
+        if dangling:
+            raise ValueError(
+                f"conversion record(s) without a response record: {dangling[:3]!r}"
+            )
+        for uri, (text, _ts) in conversions.items():
+            rows[uri]["text"] = text
+    else:
+        # pure WET shard: text-only pages
+        order = conv_order
+        for uri in conv_order:
+            text, ts = conversions[uri]
+            rows[uri] = {
+                "url": uri,
+                "warc_ts": ts,
+                "html": b"",
+                "text": text,
+                "lang": "",
+            }
     cols = {name: [rows[u][name] for u in order] for name in PAGES_SCHEMA.names}
     table = pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)
     return table.append_column("path", pa.array([path] * len(order), pa.string()))

@@ -27,10 +27,10 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from docler_ray.functions.tokens import ws_tokens
+
 
 def _ngrams(text: str, n: int) -> list[str]:
-    from docler_ray.functions.tokens import ws_tokens
-
     toks = ws_tokens(text)
     if len(toks) < n:
         return []

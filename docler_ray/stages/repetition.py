@@ -34,10 +34,10 @@ from collections import Counter
 
 import pyarrow as pa
 
+from docler_ray.functions.tokens import ws_tokens
+
 
 def repetition_signals_row(text: str) -> dict:
-    from docler_ray.functions.tokens import ws_tokens
-
     toks = ws_tokens(text)
     n_tok = len(toks)
     n_chars = len((text or "").strip(" \t\n\r\f\v"))  # ASCII strip, SQL trim-replayable

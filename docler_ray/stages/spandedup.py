@@ -50,12 +50,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from docler_ray.functions.tokens import ws_tokens
+
 _POS_BASE = 1 << 20  # max spans per document (~12M tokens at span_tokens=12)
 
 
 def _spans_of(text: str, span_tokens: int) -> list[str]:
-    from docler_ray.functions.tokens import ws_tokens
-
     toks = ws_tokens(text)
     if not toks:
         return []

@@ -92,6 +92,83 @@ def test_warc_missing_conversion_record_yields_empty_text():
     assert table.column("html").to_pylist() == [r["html"] for r in rows]
 
 
+def _reframe(records) -> bytes:
+    """Re-emit (headers, payload) pairs as a plain WARC stream."""
+    from docler_ray.sources.warc import _CRLF, _HDR_END
+
+    out = b""
+    for headers, payload in records:
+        lines = [b"WARC/1.1"] + [
+            f"{k}: {v}".encode() for k, v in headers.items() if k != "content-length"
+        ]
+        lines.append(f"Content-Length: {len(payload)}".encode())
+        out += _CRLF.join(lines) + _HDR_END + payload + _HDR_END
+    return out
+
+
+def test_warc_conversion_before_response_still_attaches():
+    """The WET merge is order-independent: a conversion record that
+    precedes its response must still fill text."""
+    rows = _rows(3)
+    data = warc_bytes_for_pages(rows, gzip_members=False)
+    recs = list(iter_warc_records(data))
+    # move all conversion records to the FRONT (after warcinfo)
+    conv = [r for r in recs if r[0].get("warc-type") == "conversion"]
+    rest = [r for r in recs if r[0].get("warc-type") != "conversion"]
+    table = parse_warc_pages(_reframe(rest[:1] + conv + rest[1:]))
+    assert table.column("text").to_pylist() == [r["text"] for r in rows]
+    assert table.column("url").to_pylist() == [r["url"] for r in rows]
+
+
+def test_warc_pure_wet_shard_yields_text_only_pages():
+    """A WET shard (conversion records only — how Common Crawl ships the
+    text sibling) must ingest as text-only pages, not silently drop."""
+    rows = _rows(4)
+    data = warc_bytes_for_pages(rows, gzip_members=False)
+    recs = list(iter_warc_records(data))
+    conv_only = [r for r in recs if r[0].get("warc-type") in ("warcinfo", "conversion")]
+    table = parse_warc_pages(_reframe(conv_only))
+    assert len(table) == 4
+    assert table.column("text").to_pylist() == [r["text"] for r in rows]
+    assert table.column("html").to_pylist() == [b""] * 4
+    assert table.column("lang").to_pylist() == [""] * 4
+
+
+def test_warc_dangling_conversion_in_mixed_archive_fails_loud():
+    rows = _rows(2)
+    data = warc_bytes_for_pages(rows, gzip_members=False)
+    recs = list(iter_warc_records(data))
+    # drop ONE response record, keep both conversions -> corruption
+    dropped = [
+        r
+        for r in recs
+        if not (
+            r[0].get("warc-type") == "response"
+            and r[0].get("warc-target-uri") == rows[0]["url"]
+        )
+    ]
+    with pytest.raises(ValueError, match="without a response"):
+        parse_warc_pages(_reframe(dropped))
+
+
+def test_warc_non_ascii_url_round_trips():
+    row = page_record(0, seed=7)
+    row["url"] = "https://café.example/fr/doc-ü"
+    table = parse_warc_pages(warc_bytes_for_pages([row]))
+    assert table.column("url").to_pylist() == [row["url"]]
+
+
+def test_warc_crlf_in_header_values_rejected():
+    row = page_record(0, seed=7)
+    row["url"] = "https://evil.example/\r\nWARC-Type: response"
+    with pytest.raises(ValueError, match="CR/LF"):
+        warc_bytes_for_pages([row])
+    row2 = page_record(1, seed=7)
+    row2["lang"] = "en\r\nX-Injected: 1"
+    with pytest.raises(ValueError, match="CR/LF"):
+        warc_bytes_for_pages([row2])
+
+
 def test_read_warc_dataset_matches_parquet_read(ray_session, tmp_path):
     """read_warc over .warc.gz shards == the Parquet pages table."""
     import pyarrow.parquet as pq

@@ -233,6 +233,7 @@ def bench_once() -> dict:
         timed("retention_cohorts", q["retention_cohorts"])
         timed("lang_confusion", q["lang_confusion"])
         timed("funnel_counts", q["funnel_counts"])
+        timed("warc_roundtrip_docs", q["warc_roundtrip_docs"])
     finally:
         ray.shutdown()
     return results

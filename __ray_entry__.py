@@ -1507,6 +1507,49 @@ def _q_warc_roundtrip_docs(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_lm_quality_scores(sf_dir: str):
+    """CCNet-style LM quality scoring (stages/lm.py): per-doc negative
+    log-likelihood in integer millinats under an add-one bigram LM
+    estimated from the corpus itself — model training (gram-keyed count
+    exchange), the model join, and the instance-scoring big-big hash join
+    all distributed. EXACT oracle: the one float step (ln) is libm on
+    both engines (bit-identical; numpy's vectorized log is NOT and is
+    deliberately avoided), everything else is integer."""
+    import ray.data
+
+    from docler_ray.stages.lm import bigram_lm_scores
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bigram_lm_scores(ds)
+
+
+def _lm_quality_sql() -> str:
+    """The bigram-LM replay: same smoothing, same millinat floor, same
+    libm ln (see stages/lm.py docstring for the determinism argument)."""
+    return (
+        "WITH toks AS (SELECT doc_id, " + _WS_TOKS_SQL + " AS ws FROM documents), "
+        "big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 "
+        "FROM toks, UNNEST(range(1, array_length(ws))) AS t(i)), "
+        "c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1), "
+        "vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM "
+        "(SELECT unnest(ws) AS tok FROM toks)), "
+        "cost AS (SELECT c2.w1, c2.w2, "
+        "CAST(floor(-1000.0 * ln((c2.c2 + 1)::DOUBLE / "
+        "(c1.c1 + (SELECT v FROM vocab))::DOUBLE)) AS BIGINT) AS cost "
+        "FROM c2 JOIN c1 USING (w1)), "
+        "scored AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, "
+        "SUM(cost) AS nll_milli "
+        "FROM big b JOIN cost c ON b.w1 = c.w1 AND b.w2 = c.w2 "
+        "GROUP BY b.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        "CAST(coalesce(s.nll_milli, 0) AS BIGINT) AS nll_milli "
+        "FROM documents d LEFT JOIN scored s USING (doc_id)"
+    )
+
+
 def _q_approx_distinct_by_lang(sf_dir: str):
     """Per-group HLL distinct with an in-query accuracy pin (the IVF-recall
     pattern): the sketch estimate per lang is checked against the exact
@@ -2608,6 +2651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": _q_price_histogram,
         "redact_pii": _q_redact_pii,
         "warc_roundtrip_docs": _q_warc_roundtrip_docs,
+        "lm_quality_scores": _q_lm_quality_scores,
         "approx_distinct_by_lang": _q_approx_distinct_by_lang,
         "url_host_profile": _q_url_host_profile,
         "url_blocklist_survivors": _q_url_blocklist_survivors,
@@ -2918,6 +2962,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # replays redact.py's RE2-safe patterns verbatim (imported, no drift)
         "redact_pii": _redact_sql(),
+        "lm_quality_scores": _lm_quality_sql(),
         # the Ray side round-trips these fields through the WARC codec;
         # the oracle computes them directly, pinning codec == identity
         "warc_roundtrip_docs": (

@@ -234,6 +234,7 @@ def bench_once() -> dict:
         timed("lang_confusion", q["lang_confusion"])
         timed("funnel_counts", q["funnel_counts"])
         timed("warc_roundtrip_docs", q["warc_roundtrip_docs"])
+        timed("lm_quality_scores", q["lm_quality_scores"])
     finally:
         ray.shutdown()
     return results

@@ -1,0 +1,306 @@
+"""Corpus bigram-LM quality scoring: per-document negative log-likelihood
+under an add-one-smoothed bigram language model estimated from the corpus
+itself.
+
+The CCNet-style quality gate (Wenzek et al., arXiv:1911.00359 score docs
+with a KenLM n-gram model and filter by perplexity band); the model here
+is the textbook add-one bigram LM (Jurafsky & Martin ch. 3) so the whole
+thing — training AND scoring — is exact and SQL-replayable:
+
+  p(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V)
+  cost(g)  = floor(-1000 * ln p)        [integer millinats]
+  nll_milli(doc) = sum over the doc's bigram INSTANCES of cost
+
+Integer millinats make the per-doc sum addition-order independent; the
+one float step (ln) is bit-identical across engines because BOTH sides
+call the same libm: CPython's math.log and DuckDB's ln diverge on 0 of
+200k random rationals on this host, while numpy's vectorized log differs
+from libm in the last ulp on ~21% — so cost computation deliberately
+loops math.log over DISTINCT grams (model-sized, never instance-sized)
+and everything instance-sized stays vectorized/integer.
+
+Scale shape (tokens = the ws_tokens ASCII contract):
+
+1. model pass: per-batch Counter partials emit prefix-tagged keys
+   ("g:"+gram with its instance count, "t:"+token once per batch) into
+   ONE key-keyed exchange — c2 and the vocabulary share the shuffle.
+2. regime switch on the MEASURED model row count (the dedup.py pattern):
+   - <= _LM_BROADCAST_MODEL_ROWS: the model is dimension-sized (real
+     n-gram LMs are pruned to fit serving memory for the same reason).
+     Cost dict built on the driver (bounded by the cap), ray.put once,
+     scored in ONE zero-shuffle map pass with a per-worker-process
+     deserialization memo (joins.py's broadcast pattern).
+   - else: fully distributed — prefix counts via a model-sized exchange,
+     cost via a model-sized join, scoring via the instance x model
+     big-big hash join, per-doc integer sums, left join onto the doc
+     list. No driver state beyond scalars.
+The corpus text is tokenized twice (model pass + scoring pass) rather
+than materializing the gram-instance table, the same streaming-re-read
+tradeoff stages/novelty.py documents.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from docler_ray.functions.tokens import ws_tokens
+
+_MILLI = 1000.0
+
+# fast-path cap on MODEL rows (distinct grams + distinct tokens). A 2M-row
+# cost dict is ~200 MB per worker heap — bounded by this constant, never
+# by the corpus. Above it, the distributed regime runs.
+_LM_BROADCAST_MODEL_ROWS = 2_000_000
+
+# per-worker-process memo of the broadcast cost dict (built once per
+# worker from the zero-copy Arrow table, not once per batch)
+_LM_MEMO: dict[str, dict] = {}
+
+
+def _doc_bigrams(text: str) -> Counter:
+    toks = ws_tokens(text)
+    return Counter(toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1))
+
+
+def _gram_cost(c2: int, c1: int, v: int) -> int:
+    # libm ln (see module docstring); floor to integer millinats
+    return int(math.floor(-_MILLI * math.log((c2 + 1) / (c1 + v))))
+
+
+def bigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """documents -> (doc_id, n_bigrams, nll_milli), exact integers."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.dedup import _compact_nonempty, _num_partitions
+
+    def model_partials(batch: pa.Table) -> pa.Table:
+        grams: Counter = Counter()
+        toks: set[str] = set()
+        for t in batch.column(text_col).to_pylist():
+            tl = ws_tokens(t or "")
+            toks.update(tl)
+            grams.update(tl[i] + " " + tl[i + 1] for i in range(len(tl) - 1))
+        keys = ["g:" + g for g in grams] + ["t:" + t for t in toks]
+        cnts = list(grams.values()) + [1] * len(toks)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    model, n_model = _compact_nonempty(
+        ds.map_batches(model_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="c2"))
+    )
+
+    if model is None or n_model == 0:
+        def zeros(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch.column(id_col), pa.int64()),
+                    "n_bigrams": pa.array([0] * n, pa.int64()),
+                    "nll_milli": pa.array([0] * n, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(zeros, batch_format="pyarrow", zero_copy_batch=True)
+
+    if n_model <= _LM_BROADCAST_MODEL_ROWS:
+        # ---- bounded broadcast fast path (driver state <= the cap) ----
+        mt = model.to_pandas()
+        is_gram = mt["key"].str.startswith("g:")
+        v = int((~is_gram).sum())
+        grams = mt.loc[is_gram]
+        gram_strs = grams["key"].str[2:]
+        w1 = gram_strs.str.split(" ", n=1).str[0]
+        c1 = grams["c2"].groupby(w1.values).transform("sum")
+        cost_tab = pa.table(
+            {
+                "gram": pa.array(gram_strs.tolist(), pa.string()),
+                "cost": pa.array(
+                    [
+                        _gram_cost(int(a), int(b), v)
+                        for a, b in zip(grams["c2"].values, c1.values)
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+        cost_ref = ray.put(cost_tab)
+
+        def score_batch(batch: pa.Table) -> pa.Table:
+            key = cost_ref.hex()
+            cost = _LM_MEMO.get(key)
+            if cost is None:
+                tab = ray.get(cost_ref)  # zero-copy Arrow
+                cost = dict(
+                    zip(tab.column("gram").to_pylist(), tab.column("cost").to_pylist())
+                )
+                if len(_LM_MEMO) >= 2:
+                    _LM_MEMO.clear()
+                _LM_MEMO[key] = cost
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            n_out: list[int] = []
+            nll_out: list[int] = []
+            for t in texts:
+                bg = _doc_bigrams(t or "")
+                n_out.append(sum(bg.values()))
+                nll_out.append(sum(m * cost[g] for g, m in bg.items()))
+            return pa.table(
+                {
+                    "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+                    "n_bigrams": pa.array(n_out, pa.int64()),
+                    "nll_milli": pa.array(nll_out, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(
+            score_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # ---- distributed regime (no driver state beyond scalars) ----
+    # V: model-sized block scan of the materialized model, no exchange
+    v = model.map_batches(
+        lambda b: pa.table(
+            {"one": pc.cast(pc.starts_with(b.column("key"), "t:"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sum("one")
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.starts_with(batch.column("key"), "g:"))
+        grams = [k[2:] for k in t.column("key").to_pylist()]
+        w1 = [g.split(" ", 1)[0] for g in grams]
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "w1": pa.array(w1, pa.string()),
+                "c2": t.column("c2"),
+            }
+        )
+
+    c2w = model.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+    c1 = (
+        c2w.map_batches(
+            lambda b: pa.table({"w1": b.column("w1"), "c2p": b.column("c2")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("w1")
+        .aggregate(Sum("c2p", alias_name="c1"))
+    )
+
+    c2w_c, n_grams_total = _compact_nonempty(c2w)
+    if c2w_c is None:
+        # tokens exist but no doc has 2 tokens: every doc scores zero
+        def zeros2(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch.column(id_col), pa.int64()),
+                    "n_bigrams": pa.array([0] * n, pa.int64()),
+                    "nll_milli": pa.array([0] * n, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(zeros2, batch_format="pyarrow", zero_copy_batch=True)
+
+    merged = c2w_c.join(
+        c1,
+        join_type="inner",
+        on=("w1",),
+        num_partitions=_num_partitions(n_grams_total),
+    )
+
+    def cost_rows(batch: pa.Table) -> pa.Table:
+        costs = [
+            _gram_cost(int(a), int(b), int(v))
+            for a, b in zip(
+                batch.column("c2").to_pylist(), batch.column("c1").to_pylist()
+            )
+        ]
+        return pa.table(
+            {"gram": batch.column("gram"), "cost": pa.array(costs, pa.int64())}
+        )
+
+    cost = merged.map_batches(cost_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def doc_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_doc: list[int] = []
+        out_gram: list[str] = []
+        out_m: list[int] = []
+        for i, t in zip(ids, texts):
+            for g, m in _doc_bigrams(t or "").items():
+                out_doc.append(int(i))
+                out_gram.append(g)
+                out_m.append(m)
+        return pa.table(
+            {
+                "doc": pa.array(out_doc, pa.int64()),
+                "gram": pa.array(out_gram, pa.string()),
+                "m": pa.array(out_m, pa.int64()),
+            }
+        )
+
+    pairs, n_pairs = _compact_nonempty(
+        ds.map_batches(doc_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    scored = pairs.join(
+        cost, join_type="inner", on=("gram",), num_partitions=_num_partitions(n_pairs)
+    )
+
+    nll = (
+        scored.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc": b.column("doc"),
+                    "m": b.column("m"),
+                    "nll_p": pc.multiply(b.column("m"), b.column("cost")),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("doc")
+        .aggregate(Sum("nll_p", alias_name="nll_milli"), Sum("m", alias_name="n_bigrams"))
+    )
+
+    # all doc ids (docs with 0 bigrams get zero rows) — no tokenization
+    left, n_docs = _compact_nonempty(
+        ds.map_batches(
+            lambda b: pa.table({"doc": pc.cast(b.column(id_col), pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    joined = left.join(
+        nll, join_type="left_outer", on=("doc",), num_partitions=_num_partitions(n_docs)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc"),
+                "n_bigrams": pc.cast(
+                    pc.fill_null(batch.column("n_bigrams"), 0), pa.int64()
+                ),
+                "nll_milli": pc.cast(
+                    pc.fill_null(batch.column("nll_milli"), 0), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1550,6 +1550,23 @@ def _lm_quality_sql() -> str:
     )
 
 
+def _q_dsir_importance(sf_dir: str):
+    """DSIR data selection (stages/dsir.py, arXiv:2302.03169): per-doc
+    importance log-ratio against the doc_id%97 target sample under two
+    hashed unigram models. The model is CONSTANT-bounded (8192 buckets),
+    so broadcast scoring is scale-correct at any corpus size; one bucket
+    exchange + one zero-shuffle scoring pass. EXACT oracle (md5 buckets +
+    libm ln + integer millinats)."""
+    import ray.data
+
+    from docler_ray.stages.dsir import dsir_log_ratios
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dsir_log_ratios(ds)
+
+
 def _q_approx_distinct_by_lang(sf_dir: str):
     """Per-group HLL distinct with an in-query accuracy pin (the IVF-recall
     pattern): the sketch estimate per lang is checked against the exact
@@ -2652,6 +2669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "warc_roundtrip_docs": _q_warc_roundtrip_docs,
         "lm_quality_scores": _q_lm_quality_scores,
+        "dsir_importance": _q_dsir_importance,
         "approx_distinct_by_lang": _q_approx_distinct_by_lang,
         "url_host_profile": _q_url_host_profile,
         "url_blocklist_survivors": _q_url_blocklist_survivors,
@@ -2699,6 +2717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from docler_ray.stages.dsir import dsir_sql
+
     return {
         "per_lang_counts": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
         "length_stats_by_lang": (
@@ -2963,6 +2983,7 @@ def oracle_sql() -> dict[str, str]:
         # replays redact.py's RE2-safe patterns verbatim (imported, no drift)
         "redact_pii": _redact_sql(),
         "lm_quality_scores": _lm_quality_sql(),
+        "dsir_importance": dsir_sql(),
         # the Ray side round-trips these fields through the WARC codec;
         # the oracle computes them directly, pinning codec == identity
         "warc_roundtrip_docs": (

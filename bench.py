@@ -235,6 +235,7 @@ def bench_once() -> dict:
         timed("funnel_counts", q["funnel_counts"])
         timed("warc_roundtrip_docs", q["warc_roundtrip_docs"])
         timed("lm_quality_scores", q["lm_quality_scores"])
+        timed("dsir_importance", q["dsir_importance"])
     finally:
         ray.shutdown()
     return results

@@ -1550,6 +1550,49 @@ def _lm_quality_sql() -> str:
     )
 
 
+def _q_ccnet_perplexity_tiers(sf_dir: str):
+    """CCNet head/middle/tail (stages/lm.py::perplexity_tiers): per-lang
+    NTILE(3) of documents by per-bigram LM cost — the lm scoring pipeline
+    (lang threaded through, no extra exchange) + one lang-keyed coarse
+    co-location exchange. ppl_milli is ONE IEEE double division so the
+    NTILE ordering and the emitted value are bit-identical to SQL."""
+    import ray.data
+
+    from docler_ray.stages.lm import perplexity_tiers
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return perplexity_tiers(ds)
+
+
+def _ppl_tiers_sql() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, " + _WS_TOKS_SQL + " AS ws FROM documents), "
+        "big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 "
+        "FROM toks, UNNEST(range(1, array_length(ws))) AS t(i)), "
+        "c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1), "
+        "vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM "
+        "(SELECT unnest(ws) AS tok FROM toks)), "
+        "cost AS (SELECT c2.w1, c2.w2, "
+        "CAST(floor(-1000.0 * ln((c2.c2 + 1)::DOUBLE / "
+        "(c1.c1 + (SELECT v FROM vocab))::DOUBLE)) AS BIGINT) AS cost "
+        "FROM c2 JOIN c1 USING (w1)), "
+        "scored AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, "
+        "SUM(cost) AS nll_milli FROM big b "
+        "JOIN cost c ON b.w1 = c.w1 AND b.w2 = c.w2 GROUP BY b.doc_id), "
+        "allrows AS (SELECT d.doc_id, d.lang, "
+        "CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        "CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0.0 "
+        "ELSE CAST(coalesce(s.nll_milli, 0) AS DOUBLE) / s.n_bigrams END "
+        "AS ppl_milli FROM documents d LEFT JOIN scored s USING (doc_id)) "
+        "SELECT doc_id, lang, n_bigrams, ppl_milli, "
+        "CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY ppl_milli, doc_id) "
+        "AS BIGINT) AS tier FROM allrows"
+    )
+
+
 def _q_dsir_importance(sf_dir: str):
     """DSIR data selection (stages/dsir.py, arXiv:2302.03169): per-doc
     importance log-ratio against the doc_id%97 target sample under two
@@ -2670,6 +2713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip_docs": _q_warc_roundtrip_docs,
         "lm_quality_scores": _q_lm_quality_scores,
         "dsir_importance": _q_dsir_importance,
+        "ccnet_perplexity_tiers": _q_ccnet_perplexity_tiers,
         "approx_distinct_by_lang": _q_approx_distinct_by_lang,
         "url_host_profile": _q_url_host_profile,
         "url_blocklist_survivors": _q_url_blocklist_survivors,
@@ -2984,6 +3028,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _redact_sql(),
         "lm_quality_scores": _lm_quality_sql(),
         "dsir_importance": dsir_sql(),
+        "ccnet_perplexity_tiers": _ppl_tiers_sql(),
         # the Ray side round-trips these fields through the WARC codec;
         # the oracle computes them directly, pinning codec == identity
         "warc_roundtrip_docs": (

@@ -236,6 +236,7 @@ def bench_once() -> dict:
         timed("warc_roundtrip_docs", q["warc_roundtrip_docs"])
         timed("lm_quality_scores", q["lm_quality_scores"])
         timed("dsir_importance", q["dsir_importance"])
+        timed("ccnet_perplexity_tiers", q["ccnet_perplexity_tiers"])
     finally:
         ray.shutdown()
     return results

@@ -71,8 +71,18 @@ def _gram_cost(c2: int, c1: int, v: int) -> int:
     return int(math.floor(-_MILLI * math.log((c2 + 1) / (c1 + v))))
 
 
-def bigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"):
-    """documents -> (doc_id, n_bigrams, nll_milli), exact integers."""
+def bigram_lm_scores(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+):
+    """documents -> (doc_id, n_bigrams, nll_milli), exact integers.
+
+    ``keep_cols`` pass through unchanged (threaded through the scoring map
+    in the broadcast regime and through the doc-list join side in the
+    distributed one — no extra exchange either way)."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
@@ -104,13 +114,14 @@ def bigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     if model is None or n_model == 0:
         def zeros(batch: pa.Table) -> pa.Table:
             n = len(batch)
-            return pa.table(
-                {
-                    "doc_id": pc.cast(batch.column(id_col), pa.int64()),
-                    "n_bigrams": pa.array([0] * n, pa.int64()),
-                    "nll_milli": pa.array([0] * n, pa.int64()),
-                }
-            )
+            cols = {
+                "doc_id": pc.cast(batch.column(id_col), pa.int64()),
+                "n_bigrams": pa.array([0] * n, pa.int64()),
+                "nll_milli": pa.array([0] * n, pa.int64()),
+            }
+            for c in keep_cols:
+                cols[c] = batch.column(c)
+            return pa.table(cols)
 
         return ds.map_batches(zeros, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -156,13 +167,14 @@ def bigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"):
                 bg = _doc_bigrams(t or "")
                 n_out.append(sum(bg.values()))
                 nll_out.append(sum(m * cost[g] for g, m in bg.items()))
-            return pa.table(
-                {
-                    "doc_id": pa.array([int(i) for i in ids], pa.int64()),
-                    "n_bigrams": pa.array(n_out, pa.int64()),
-                    "nll_milli": pa.array(nll_out, pa.int64()),
-                }
-            )
+            cols = {
+                "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+                "n_bigrams": pa.array(n_out, pa.int64()),
+                "nll_milli": pa.array(nll_out, pa.int64()),
+            }
+            for c in keep_cols:
+                cols[c] = batch.column(c)
+            return pa.table(cols)
 
         return ds.map_batches(
             score_batch, batch_format="pyarrow", zero_copy_batch=True
@@ -206,13 +218,14 @@ def bigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         # tokens exist but no doc has 2 tokens: every doc scores zero
         def zeros2(batch: pa.Table) -> pa.Table:
             n = len(batch)
-            return pa.table(
-                {
-                    "doc_id": pc.cast(batch.column(id_col), pa.int64()),
-                    "n_bigrams": pa.array([0] * n, pa.int64()),
-                    "nll_milli": pa.array([0] * n, pa.int64()),
-                }
-            )
+            cols = {
+                "doc_id": pc.cast(batch.column(id_col), pa.int64()),
+                "n_bigrams": pa.array([0] * n, pa.int64()),
+                "nll_milli": pa.array([0] * n, pa.int64()),
+            }
+            for c in keep_cols:
+                cols[c] = batch.column(c)
+            return pa.table(cols)
 
         return ds.map_batches(zeros2, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -279,28 +292,118 @@ def bigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     )
 
     # all doc ids (docs with 0 bigrams get zero rows) — no tokenization
+    def doc_list(b: pa.Table) -> pa.Table:
+        cols = {"doc": pc.cast(b.column(id_col), pa.int64())}
+        for c in keep_cols:
+            cols[c] = b.column(c)
+        return pa.table(cols)
+
     left, n_docs = _compact_nonempty(
-        ds.map_batches(
-            lambda b: pa.table({"doc": pc.cast(b.column(id_col), pa.int64())}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        ds.map_batches(doc_list, batch_format="pyarrow", zero_copy_batch=True)
     )
     joined = left.join(
         nll, join_type="left_outer", on=("doc",), num_partitions=_num_partitions(n_docs)
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        return pa.table(
+        cols = {
+            "doc_id": batch.column("doc"),
+            "n_bigrams": pc.cast(
+                pc.fill_null(batch.column("n_bigrams"), 0), pa.int64()
+            ),
+            "nll_milli": pc.cast(
+                pc.fill_null(batch.column("nll_milli"), 0), pa.int64()
+            ),
+        }
+        for c in keep_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def perplexity_tiers(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    buckets: int = 3,
+):
+    """CCNet's head/middle/tail split (arXiv:1911.00359 §4.3): per
+    language, rank documents by per-bigram LM cost and NTILE them into
+    ``buckets`` (tier 1 = head = most fluent). Output
+    (doc_id, lang, n_bigrams, ppl_milli, tier).
+
+    ``ppl_milli`` = nll_milli / n_bigrams as ONE IEEE double division
+    (0.0 for bigram-less docs), so DuckDB produces bit-identical values
+    and ORDER BY (ppl_milli, doc_id) agrees across engines; the NTILE
+    fill is the SQL-standard formula windows.per_key_ntile already pins
+    against DuckDB. Shape: the lm scoring pipeline + ONE lang-keyed
+    coarse co-location exchange (group sizes bounded by the measured-rows
+    keyspace, the sessionize pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    from docler_ray.stages.windows import _make_add_coarse, _session_group_count
+
+    scored = bigram_lm_scores(
+        ds, text_col=text_col, id_col=id_col, keep_cols=(lang_col,)
+    )
+
+    def add_ppl(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_bigrams").to_numpy()
+        nll = batch.column("nll_milli").to_numpy()
+        ppl = np.where(n > 0, nll / np.maximum(n, 1), 0.0)
+        return batch.append_column("ppl_milli", pa.array(ppl, pa.float64()))
+
+    with_ppl = scored.map_batches(
+        add_ppl, batch_format="pyarrow", zero_copy_batch=True
+    )
+    try:
+        n_rows = ds.count()
+    except Exception:  # pragma: no cover - count unavailable pre-exec
+        n_rows = None
+    add_coarse = _make_add_coarse(lang_col, _session_group_count(n_rows))
+    b = int(buckets)
+
+    def tier_group(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    lang_col: pd.Series([], dtype="object"),
+                    "n_bigrams": pd.Series([], dtype="int64"),
+                    "ppl_milli": pd.Series([], dtype="float64"),
+                    "tier": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values([lang_col, "ppl_milli", id_col], kind="mergesort")
+        g = df.groupby(lang_col, sort=False)
+        i0 = g.cumcount().to_numpy().astype(np.int64)
+        n = g[lang_col].transform("size").to_numpy().astype(np.int64)
+        q, r = n // b, n % b
+        split = r * (q + 1)
+        tier = (
+            np.where(
+                i0 < split,
+                i0 // np.maximum(q + 1, 1),
+                r + (i0 - split) // np.maximum(q, 1),
+            )
+            + 1
+        )
+        return pd.DataFrame(
             {
-                "doc_id": batch.column("doc"),
-                "n_bigrams": pc.cast(
-                    pc.fill_null(batch.column("n_bigrams"), 0), pa.int64()
-                ),
-                "nll_milli": pc.cast(
-                    pc.fill_null(batch.column("nll_milli"), 0), pa.int64()
-                ),
+                id_col: df[id_col].to_numpy(),
+                lang_col: df[lang_col].to_numpy(),
+                "n_bigrams": df["n_bigrams"].to_numpy(),
+                "ppl_milli": df["ppl_milli"].to_numpy(),
+                "tier": tier.astype(np.int64),
             }
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        with_ppl.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(tier_group, batch_format="pandas")
+    )

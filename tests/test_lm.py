@@ -106,6 +106,53 @@ def test_lm_distributed_regime_equals_broadcast(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(dist, want)
 
 
+def test_perplexity_tiers_match_sql_ntile(ray_session):
+    """perplexity_tiers == the lm chain + NTILE(3) OVER (PARTITION BY lang
+    ORDER BY ppl_milli, doc_id) in DuckDB, on a multi-lang corpus with
+    ties (identical docs) and bigram-less docs."""
+    import ray.data
+
+    from docler_ray.stages.lm import perplexity_tiers
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog",
+        "",
+        "one",
+        None,
+        "the the the the",
+        "cat sat cat sat cat sat",
+        "sat on on on a mat the cat",
+        "the mat sat on a cat",
+        "a cat on the mat",
+        "dog cat dog cat",
+        "the cat ran",  # exact duplicate -> ppl tie, doc_id break
+    ]
+    langs = ["en", "en", "fr", "fr", "en", "de", "de", "en", "fr", "en", "de", "fr", "en"]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": pd.array(texts, dtype="string"),
+            "lang": langs,
+        }
+    )
+    got = (
+        perplexity_tiers(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        e.oracle_sql()["ccnet_perplexity_tiers"] + " ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
 def test_lm_cost_is_positive_and_scales_with_rarity(ray_session):
     """A bigram seen often must cost less than one seen once (monotone in
     c2 at fixed prefix), and every cost is >= 0."""

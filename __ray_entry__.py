@@ -1593,6 +1593,44 @@ def _ppl_tiers_sql() -> str:
     )
 
 
+def _q_paragraph_dedup_docs(sf_dir: str):
+    """CCNet paragraph dedup (stages/spandedup.py::paragraph_dedup,
+    1911.00359 §3.2): corpus-wide keep-first on non-empty lines, documents
+    reassembled from survivors. Shares span_dedup's min-pos plan: one
+    line-keyed exchange + one doc-keyed regroup, winners decoded from the
+    packed (doc_id, idx) min — no join back. Rewritten text byte-pinned."""
+    import ray.data
+
+    from docler_ray.stages.spandedup import paragraph_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return paragraph_dedup(ds)
+
+
+def _paragraph_dedup_sql() -> str:
+    return (
+        "WITH lines AS (SELECT doc_id, "
+        "list_filter(string_split(coalesce(text, ''), chr(10)), x -> x <> '') "
+        "AS ls FROM documents), "
+        "units AS (SELECT doc_id, i-1 AS idx, ls[i] AS line "
+        "FROM lines, UNNEST(range(1, array_length(ls)+1)) AS t(i)), "
+        "winners AS (SELECT line, MIN(doc_id * 1048576 + idx) AS pos "
+        "FROM units GROUP BY line), "
+        "kept AS (SELECT pos // 1048576 AS doc_id, pos % 1048576 AS idx, "
+        "line FROM winners), "
+        "agg AS (SELECT doc_id, COUNT(*) AS n_kept, "
+        "string_agg(line, chr(10) ORDER BY idx) AS text_dedup "
+        "FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(array_length(l.ls) AS BIGINT) AS n_lines, "
+        "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
+        "coalesce(a.text_dedup, '') AS text_dedup "
+        "FROM documents d JOIN lines l USING (doc_id) "
+        "LEFT JOIN agg a USING (doc_id)"
+    )
+
+
 def _q_dsir_importance(sf_dir: str):
     """DSIR data selection (stages/dsir.py, arXiv:2302.03169): per-doc
     importance log-ratio against the doc_id%97 target sample under two
@@ -2714,6 +2752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_scores": _q_lm_quality_scores,
         "dsir_importance": _q_dsir_importance,
         "ccnet_perplexity_tiers": _q_ccnet_perplexity_tiers,
+        "paragraph_dedup_docs": _q_paragraph_dedup_docs,
         "approx_distinct_by_lang": _q_approx_distinct_by_lang,
         "url_host_profile": _q_url_host_profile,
         "url_blocklist_survivors": _q_url_blocklist_survivors,
@@ -3029,6 +3068,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_quality_scores": _lm_quality_sql(),
         "dsir_importance": dsir_sql(),
         "ccnet_perplexity_tiers": _ppl_tiers_sql(),
+        "paragraph_dedup_docs": _paragraph_dedup_sql(),
         # the Ray side round-trips these fields through the WARC codec;
         # the oracle computes them directly, pinning codec == identity
         "warc_roundtrip_docs": (

@@ -237,6 +237,7 @@ def bench_once() -> dict:
         timed("lm_quality_scores", q["lm_quality_scores"])
         timed("dsir_importance", q["dsir_importance"])
         timed("ccnet_perplexity_tiers", q["ccnet_perplexity_tiers"])
+        timed("paragraph_dedup_docs", q["paragraph_dedup_docs"])
     finally:
         ray.shutdown()
     return results

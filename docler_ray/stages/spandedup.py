@@ -65,6 +65,12 @@ def _spans_of(text: str, span_tokens: int) -> list[str]:
     ]
 
 
+def _lines_of(text: str) -> list[str]:
+    """Non-empty lines — the CCNet paragraph-dedup unit (newline split,
+    empties dropped; replayed by list_filter(string_split(., chr(10)))."""
+    return [ln for ln in (text or "").split("\n") if ln]
+
+
 def span_dedup(
     ds,
     *,
@@ -79,6 +85,41 @@ def span_dedup(
     document with every already-seen span removed (kept spans joined by a
     single space; empty string when nothing survives).
     """
+    return _keep_first_unit_dedup(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        units_of=lambda t: _spans_of(t, span_tokens),
+        joiner=" ",
+        n_col="n_spans",
+    )
+
+
+def paragraph_dedup(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-wide keep-first PARAGRAPH dedup (CCNet, arXiv:1911.00359
+    §3.2: drop every later occurrence of a paragraph already seen anywhere
+    in the corpus; the paragraph unit here is the non-empty line).
+
+    Returns one row per input document:
+    ``(doc_id, n_lines, n_kept, text_dedup)`` — surviving lines rejoined
+    with a newline. Same scale shape as :func:`span_dedup` (one line-keyed
+    exchange, min-pos winners, union + doc-keyed regroup)."""
+    return _keep_first_unit_dedup(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        units_of=_lines_of,
+        joiner="\n",
+        n_col="n_lines",
+    )
+
+
+def _keep_first_unit_dedup(ds, *, text_col, id_col, units_of, joiner, n_col):
     from ray.data.aggregate import Min
 
     def emit_spans(batch: pa.Table) -> pa.Table:
@@ -89,7 +130,7 @@ def span_dedup(
         for doc_id, text in zip(
             batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
         ):
-            s = _spans_of(text, span_tokens)
+            s = units_of(text)
             if len(s) >= _POS_BASE:
                 raise ValueError(
                     f"doc {doc_id}: {len(s)} spans exceeds the 2**20 "
@@ -109,8 +150,7 @@ def span_dedup(
 
     def doc_counts(batch: pa.Table) -> pa.Table:
         ns = [
-            len(_spans_of(t, span_tokens))
-            for t in batch.column(text_col).to_pylist()
+            len(units_of(t)) for t in batch.column(text_col).to_pylist()
         ]
         n = len(ns)
         return pa.table(
@@ -118,7 +158,7 @@ def span_dedup(
                 id_col: batch.column(id_col).cast(pa.int64()),
                 "idx": pa.nulls(n, pa.int64()),
                 "span": pa.nulls(n, pa.string()),
-                "n_spans": pa.array(ns, pa.int64()),
+                n_col: pa.array(ns, pa.int64()),
             }
         )
 
@@ -134,7 +174,7 @@ def span_dedup(
                 id_col: pa.array(pos // _POS_BASE, pa.int64()),
                 "idx": pa.array(pos % _POS_BASE, pa.int64()),
                 "span": batch.column("span").cast(pa.string()),
-                "n_spans": pa.nulls(len(pos), pa.int64()),
+                n_col: pa.nulls(len(pos), pa.int64()),
             }
         )
 
@@ -146,16 +186,16 @@ def span_dedup(
     )
 
     def assemble(df: pd.DataFrame) -> pa.Table:
-        cnt = df["n_spans"].dropna()
-        n_spans = int(cnt.iloc[0]) if len(cnt) else 0
+        cnt = df[n_col].dropna()
+        n_units = int(cnt.iloc[0]) if len(cnt) else 0
         kept_rows = df[df["span"].notna()].sort_values("idx")
         return pa.table(
             {
                 id_col: pa.array([int(df[id_col].iloc[0])], pa.int64()),
-                "n_spans": pa.array([n_spans], pa.int64()),
+                n_col: pa.array([n_units], pa.int64()),
                 "n_kept": pa.array([len(kept_rows)], pa.int64()),
                 "text_dedup": pa.array(
-                    [" ".join(kept_rows["span"].tolist())], pa.string()
+                    [joiner.join(kept_rows["span"].tolist())], pa.string()
                 ),
             }
         )

@@ -89,3 +89,42 @@ def test_span_cap_raises(ray_session):
             _run(rows, span_tokens=1)
     finally:
         spandedup._POS_BASE = old
+
+
+def test_paragraph_dedup_matches_sql(ray_session):
+    """CCNet paragraph dedup == its DuckDB replay on a corpus with
+    cross-doc and within-doc duplicate lines, empty lines, and None."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    import __ray_entry__ as e
+    from docler_ray.stages.spandedup import paragraph_dedup
+
+    texts = [
+        "alpha beta\ncommon footer\ngamma",
+        "delta\ncommon footer\nalpha beta",
+        "\n\ncommon footer\n\n",
+        "",
+        None,
+        "repeat me\nrepeat me\nunique tail",
+        "solo line",
+    ]
+    df = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": pd.array(texts, dtype="string")}
+    )
+    got = (
+        paragraph_dedup(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        e.oracle_sql()["paragraph_dedup_docs"] + " ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # the within-doc duplicate collapses; the first occurrence survives
+    row5 = got.loc[got["doc_id"] == 5].iloc[0]
+    assert row5["text_dedup"] == "repeat me\nunique tail"

@@ -1525,26 +1525,33 @@ def _q_lm_quality_scores(sf_dir: str):
     return bigram_lm_scores(ds)
 
 
+# the bigram-LM WITH chain (toks -> big -> c2/c1/vocab -> cost -> scored),
+# shared by _lm_quality_sql and _ppl_tiers_sql so the two oracles cannot
+# drift (same smoothing, same millinat floor, same libm ln — see
+# stages/lm.py for the determinism argument)
+_LM_CHAIN_SQL = (
+    "WITH toks AS (SELECT doc_id, " + _WS_TOKS_SQL + " AS ws FROM documents), "
+    "big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 "
+    "FROM toks, UNNEST(range(1, array_length(ws))) AS t(i)), "
+    "c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2), "
+    "c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1), "
+    "vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM "
+    "(SELECT unnest(ws) AS tok FROM toks)), "
+    "cost AS (SELECT c2.w1, c2.w2, "
+    "CAST(floor(-1000.0 * ln((c2.c2 + 1)::DOUBLE / "
+    "(c1.c1 + (SELECT v FROM vocab))::DOUBLE)) AS BIGINT) AS cost "
+    "FROM c2 JOIN c1 USING (w1)), "
+    "scored AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, "
+    "SUM(cost) AS nll_milli FROM big b "
+    "JOIN cost c ON b.w1 = c.w1 AND b.w2 = c.w2 GROUP BY b.doc_id)"
+)
+
+
 def _lm_quality_sql() -> str:
-    """The bigram-LM replay: same smoothing, same millinat floor, same
-    libm ln (see stages/lm.py docstring for the determinism argument)."""
     return (
-        "WITH toks AS (SELECT doc_id, " + _WS_TOKS_SQL + " AS ws FROM documents), "
-        "big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 "
-        "FROM toks, UNNEST(range(1, array_length(ws))) AS t(i)), "
-        "c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2), "
-        "c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1), "
-        "vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM "
-        "(SELECT unnest(ws) AS tok FROM toks)), "
-        "cost AS (SELECT c2.w1, c2.w2, "
-        "CAST(floor(-1000.0 * ln((c2.c2 + 1)::DOUBLE / "
-        "(c1.c1 + (SELECT v FROM vocab))::DOUBLE)) AS BIGINT) AS cost "
-        "FROM c2 JOIN c1 USING (w1)), "
-        "scored AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, "
-        "SUM(cost) AS nll_milli "
-        "FROM big b JOIN cost c ON b.w1 = c.w1 AND b.w2 = c.w2 "
-        "GROUP BY b.doc_id) "
-        "SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        _LM_CHAIN_SQL
+        + " SELECT d.doc_id, "
+        "CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
         "CAST(coalesce(s.nll_milli, 0) AS BIGINT) AS nll_milli "
         "FROM documents d LEFT JOIN scored s USING (doc_id)"
     )
@@ -1568,21 +1575,8 @@ def _q_ccnet_perplexity_tiers(sf_dir: str):
 
 def _ppl_tiers_sql() -> str:
     return (
-        "WITH toks AS (SELECT doc_id, " + _WS_TOKS_SQL + " AS ws FROM documents), "
-        "big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 "
-        "FROM toks, UNNEST(range(1, array_length(ws))) AS t(i)), "
-        "c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2), "
-        "c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1), "
-        "vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM "
-        "(SELECT unnest(ws) AS tok FROM toks)), "
-        "cost AS (SELECT c2.w1, c2.w2, "
-        "CAST(floor(-1000.0 * ln((c2.c2 + 1)::DOUBLE / "
-        "(c1.c1 + (SELECT v FROM vocab))::DOUBLE)) AS BIGINT) AS cost "
-        "FROM c2 JOIN c1 USING (w1)), "
-        "scored AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, "
-        "SUM(cost) AS nll_milli FROM big b "
-        "JOIN cost c ON b.w1 = c.w1 AND b.w2 = c.w2 GROUP BY b.doc_id), "
-        "allrows AS (SELECT d.doc_id, d.lang, "
+        _LM_CHAIN_SQL
+        + ", allrows AS (SELECT d.doc_id, d.lang, "
         "CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
         "CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0.0 "
         "ELSE CAST(coalesce(s.nll_milli, 0) AS DOUBLE) / s.n_bigrams END "

@@ -111,19 +111,21 @@ def bigram_lm_scores(
         .aggregate(Sum("cnt", alias_name="c2"))
     )
 
-    if model is None or n_model == 0:
-        def zeros(batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            cols = {
-                "doc_id": pc.cast(batch.column(id_col), pa.int64()),
-                "n_bigrams": pa.array([0] * n, pa.int64()),
-                "nll_milli": pa.array([0] * n, pa.int64()),
-            }
-            for c in keep_cols:
-                cols[c] = batch.column(c)
-            return pa.table(cols)
+    def _zero_scores(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            "n_bigrams": pa.array([0] * n, pa.int64()),
+            "nll_milli": pa.array([0] * n, pa.int64()),
+        }
+        for c in keep_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
-        return ds.map_batches(zeros, batch_format="pyarrow", zero_copy_batch=True)
+    if model is None or n_model == 0:
+        return ds.map_batches(
+            _zero_scores, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     if n_model <= _LM_BROADCAST_MODEL_ROWS:
         # ---- bounded broadcast fast path (driver state <= the cap) ----
@@ -168,7 +170,7 @@ def bigram_lm_scores(
                 n_out.append(sum(bg.values()))
                 nll_out.append(sum(m * cost[g] for g, m in bg.items()))
             cols = {
-                "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+                id_col: pa.array([int(i) for i in ids], pa.int64()),
                 "n_bigrams": pa.array(n_out, pa.int64()),
                 "nll_milli": pa.array(nll_out, pa.int64()),
             }
@@ -216,18 +218,9 @@ def bigram_lm_scores(
     c2w_c, n_grams_total = _compact_nonempty(c2w)
     if c2w_c is None:
         # tokens exist but no doc has 2 tokens: every doc scores zero
-        def zeros2(batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            cols = {
-                "doc_id": pc.cast(batch.column(id_col), pa.int64()),
-                "n_bigrams": pa.array([0] * n, pa.int64()),
-                "nll_milli": pa.array([0] * n, pa.int64()),
-            }
-            for c in keep_cols:
-                cols[c] = batch.column(c)
-            return pa.table(cols)
-
-        return ds.map_batches(zeros2, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(
+            _zero_scores, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     merged = c2w_c.join(
         c1,
@@ -307,7 +300,7 @@ def bigram_lm_scores(
 
     def finish(batch: pa.Table) -> pa.Table:
         cols = {
-            "doc_id": batch.column("doc"),
+            id_col: batch.column("doc"),
             "n_bigrams": pc.cast(
                 pc.fill_null(batch.column("n_bigrams"), 0), pa.int64()
             ),
@@ -329,6 +322,7 @@ def perplexity_tiers(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     buckets: int = 3,
+    n_rows: int | None = None,
 ):
     """CCNet's head/middle/tail split (arXiv:1911.00359 §4.3): per
     language, rank documents by per-bigram LM cost and NTILE them into
@@ -360,10 +354,13 @@ def perplexity_tiers(
     with_ppl = scored.map_batches(
         add_ppl, batch_format="pyarrow", zero_copy_batch=True
     )
-    try:
-        n_rows = ds.count()
-    except Exception:  # pragma: no cover - count unavailable pre-exec
-        n_rows = None
+    if n_rows is None:
+        try:
+            # metadata-cheap on a parquet read; pass n_rows when composing
+            # on a non-trivial upstream to avoid re-executing its plan
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover - count unavailable pre-exec
+            n_rows = None
     add_coarse = _make_add_coarse(lang_col, _session_group_count(n_rows))
     b = int(buckets)
 
@@ -379,7 +376,10 @@ def perplexity_tiers(
                 }
             )
         df = df.sort_values([lang_col, "ppl_milli", id_col], kind="mergesort")
-        g = df.groupby(lang_col, sort=False)
+        # dropna=False: a NULL lang forms its own partition exactly like
+        # SQL's NTILE over a NULL key (pandas would otherwise drop it and
+        # NaN-cast the tier to INT64_MIN silently)
+        g = df.groupby(lang_col, sort=False, dropna=False)
         i0 = g.cumcount().to_numpy().astype(np.int64)
         n = g[lang_col].transform("size").to_numpy().astype(np.int64)
         q, r = n // b, n % b

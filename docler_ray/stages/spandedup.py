@@ -123,8 +123,6 @@ def _keep_first_unit_dedup(ds, *, text_col, id_col, units_of, joiner, n_col):
     from ray.data.aggregate import Min
 
     def emit_spans(batch: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        idxs: list[int] = []
         spans: list[str] = []
         poss: list[int] = []
         for doc_id, text in zip(
@@ -133,14 +131,13 @@ def _keep_first_unit_dedup(ds, *, text_col, id_col, units_of, joiner, n_col):
             s = units_of(text)
             if len(s) >= _POS_BASE:
                 raise ValueError(
-                    f"doc {doc_id}: {len(s)} spans exceeds the 2**20 "
-                    "per-doc span cap (raise _POS_BASE for longer docs)"
+                    f"doc {doc_id}: {len(s)} {n_col[2:]} exceeds the "
+                    f"{_POS_BASE} per-doc cap (raise _POS_BASE for longer docs)"
                 )
+            base = int(doc_id) * _POS_BASE
             for i, sp in enumerate(s):
-                ids.append(int(doc_id))
-                idxs.append(i)
                 spans.append(sp)
-                poss.append(int(doc_id) * _POS_BASE + i)
+                poss.append(base + i)
         return pa.table(
             {
                 "span": pa.array(spans, pa.string()),

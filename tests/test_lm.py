@@ -8,30 +8,10 @@ import duckdb
 import pandas as pd
 import pytest
 
-from docler_ray.functions.tokens import ws_tokens_sql
+def _lm_sql() -> str:
+    import __ray_entry__ as e
 
-_WS = ws_tokens_sql("text")
-
-_SQL = (
-    "WITH toks AS (SELECT doc_id, " + _WS + " AS ws FROM documents), "
-    "big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 "
-    "FROM toks, UNNEST(range(1, array_length(ws))) AS t(i)), "
-    "c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2), "
-    "c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1), "
-    "vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM "
-    "(SELECT unnest(ws) AS tok FROM toks)), "
-    "cost AS (SELECT c2.w1, c2.w2, "
-    "CAST(floor(-1000.0 * ln((c2.c2 + 1)::DOUBLE / "
-    "(c1.c1 + (SELECT v FROM vocab))::DOUBLE)) AS BIGINT) AS cost "
-    "FROM c2 JOIN c1 USING (w1)), "
-    "scored AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, "
-    "SUM(cost) AS nll_milli "
-    "FROM big b JOIN cost c ON b.w1 = c.w1 AND b.w2 = c.w2 "
-    "GROUP BY b.doc_id) "
-    "SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
-    "CAST(coalesce(s.nll_milli, 0) AS BIGINT) AS nll_milli "
-    "FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY doc_id"
-)
+    return e.oracle_sql()["lm_quality_scores"]
 
 
 def _run(texts, ray_session):
@@ -53,7 +33,7 @@ def _run(texts, ray_session):
     )
     con = duckdb.connect()
     con.register("documents", df)
-    want = con.execute(_SQL).df()
+    want = con.execute(_lm_sql() + " ORDER BY doc_id").df()
     return got, want
 
 
@@ -129,7 +109,11 @@ def test_perplexity_tiers_match_sql_ntile(ray_session):
         "dog cat dog cat",
         "the cat ran",  # exact duplicate -> ppl tie, doc_id break
     ]
-    langs = ["en", "en", "fr", "fr", "en", "de", "de", "en", "fr", "en", "de", "fr", "en"]
+    texts.append("null lang row with words here")
+    langs = [
+        "en", "en", "fr", "fr", "en", "de", "de", "en", "fr", "en", "de",
+        "fr", "en", None,  # NULL lang must form its own partition like SQL
+    ]
     df = pd.DataFrame(
         {
             "doc_id": range(len(texts)),
@@ -151,6 +135,39 @@ def test_perplexity_tiers_match_sql_ntile(ray_session):
         e.oracle_sql()["ccnet_perplexity_tiers"] + " ORDER BY doc_id"
     ).df()
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_lm_scores_custom_id_col(ray_session):
+    """Non-default id_col must work end-to-end and name the output id
+    column accordingly (was hard-coded 'doc_id'; round-3 review)."""
+    import ray.data
+
+    from docler_ray.stages.lm import bigram_lm_scores, perplexity_tiers
+
+    df = pd.DataFrame(
+        {
+            "page": [0, 1, 2, 3],
+            "text": pd.array(
+                ["a b c", "a b", "", "c a b"], dtype="string"
+            ),
+            "lang": ["en", "en", "fr", "fr"],
+        }
+    )
+    out = (
+        bigram_lm_scores(ray.data.from_pandas(df), id_col="page")
+        .to_pandas()
+        .sort_values("page")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["page", "n_bigrams", "nll_milli"]
+    assert out["n_bigrams"].tolist() == [2, 1, 0, 2]
+    tiers = (
+        perplexity_tiers(ray.data.from_pandas(df), id_col="page")
+        .to_pandas()
+        .sort_values("page")
+        .reset_index(drop=True)
+    )
+    assert set(tiers["tier"]) <= {1, 2, 3}
 
 
 def test_lm_cost_is_positive_and_scales_with_rarity(ray_session):

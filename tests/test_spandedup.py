@@ -85,7 +85,7 @@ def test_span_cap_raises(ray_session):
     old = spandedup._POS_BASE
     spandedup._POS_BASE = 8
     try:
-        with pytest.raises(Exception, match="span cap"):
+        with pytest.raises(Exception, match="per-doc cap"):
             _run(rows, span_tokens=1)
     finally:
         spandedup._POS_BASE = old

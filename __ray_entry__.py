@@ -1525,31 +1525,32 @@ def _q_lm_quality_scores(sf_dir: str):
     return bigram_lm_scores(ds)
 
 
-# the bigram-LM WITH chain (toks -> big -> c2/c1/vocab -> cost -> scored),
-# shared by _lm_quality_sql and _ppl_tiers_sql so the two oracles cannot
-# drift (same smoothing, same millinat floor, same libm ln — see
-# stages/lm.py for the determinism argument)
-_LM_CHAIN_SQL = (
-    "WITH toks AS (SELECT doc_id, " + _WS_TOKS_SQL + " AS ws FROM documents), "
-    "big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 "
-    "FROM toks, UNNEST(range(1, array_length(ws))) AS t(i)), "
-    "c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2), "
-    "c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1), "
-    "vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM "
-    "(SELECT unnest(ws) AS tok FROM toks)), "
-    "cost AS (SELECT c2.w1, c2.w2, "
-    "CAST(floor(-1000.0 * ln((c2.c2 + 1)::DOUBLE / "
-    "(c1.c1 + (SELECT v FROM vocab))::DOUBLE)) AS BIGINT) AS cost "
-    "FROM c2 JOIN c1 USING (w1)), "
-    "scored AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, "
-    "SUM(cost) AS nll_milli FROM big b "
-    "JOIN cost c ON b.w1 = c.w1 AND b.w2 = c.w2 GROUP BY b.doc_id)"
-)
+def _lm_chain_sql(table: str = "documents") -> str:
+    """The bigram-LM CTE body (toks -> big -> c2/c1/vocab -> cost ->
+    scored; no leading WITH), shared by _lm_quality_sql, _ppl_tiers_sql,
+    and the curation v2 chain so the oracles cannot drift (same smoothing,
+    same millinat floor, same libm ln — see stages/lm.py)."""
+    return (
+        "toks AS (SELECT doc_id, " + _WS_TOKS_SQL + f" AS ws FROM {table}), "
+        "big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 "
+        "FROM toks, UNNEST(range(1, array_length(ws))) AS t(i)), "
+        "c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1), "
+        "vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM "
+        "(SELECT unnest(ws) AS tok FROM toks)), "
+        "cost AS (SELECT c2.w1, c2.w2, "
+        "CAST(floor(-1000.0 * ln((c2.c2 + 1)::DOUBLE / "
+        "(c1.c1 + (SELECT v FROM vocab))::DOUBLE)) AS BIGINT) AS cost "
+        "FROM c2 JOIN c1 USING (w1)), "
+        "scored AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, "
+        "SUM(cost) AS nll_milli FROM big b "
+        "JOIN cost c ON b.w1 = c.w1 AND b.w2 = c.w2 GROUP BY b.doc_id)"
+    )
 
 
 def _lm_quality_sql() -> str:
     return (
-        _LM_CHAIN_SQL
+        "WITH " + _lm_chain_sql()
         + " SELECT d.doc_id, "
         "CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
         "CAST(coalesce(s.nll_milli, 0) AS BIGINT) AS nll_milli "
@@ -1575,7 +1576,7 @@ def _q_ccnet_perplexity_tiers(sf_dir: str):
 
 def _ppl_tiers_sql() -> str:
     return (
-        _LM_CHAIN_SQL
+        "WITH " + _lm_chain_sql()
         + ", allrows AS (SELECT d.doc_id, d.lang, "
         "CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
         "CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0.0 "
@@ -1975,6 +1976,158 @@ def _curation_pipeline_sql() -> str:
         "dedup AS (SELECT MIN(doc_id) AS doc_id FROM cleaned GROUP BY text), "
         "kept AS (SELECT g.doc_id, g.lang FROM gopher_ok g "
         "JOIN dedup d ON g.doc_id = d.doc_id) "
+        "SELECT lang, COUNT(*) AS n FROM kept "
+        "WHERE ((doc_id % 1000003) * 2654435761) // 1048576 % 100 < "
+        f"CASE lang {cases} ELSE 100 END GROUP BY lang"
+    )
+
+
+def _q_curation_pipeline_v2(sf_dir: str):
+    """The MODERN curation composition — v1's chain plus the round-3
+    operators where a 2023-era pipeline puts them: host blocklist ->
+    Gopher quality gate -> C4 line cleaning -> corpus-wide PARAGRAPH
+    dedup (CCNet) on the cleaned text -> bigram-LM perplexity tiers
+    trained ON the surviving corpus, dropping the tail tier -> exact
+    dedup keep-first -> per-lang mixture sampling -> per-lang counts.
+    Every stage is an existing operator; the oracle stitches the SAME
+    generated SQL spellings (gopher_sql, line_filter_sql, the paragraph
+    min-pos chain, _lm_chain_sql) into one WITH-chain, so the whole
+    pipeline is pinned. The narrow post-paragraph-dedup projection is
+    materialized ONCE because the LM stage consumes it twice (model pass
+    + scoring pass) — without it the whole upstream chain would execute
+    twice (the epoch_shuffle tradeoff); everything else streams."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from docler_ray.functions.gopher import GopherFlags
+    from docler_ray.functions.textclean import line_filter
+    from docler_ray.stages.dedup import exact_dedup_keep_first
+    from docler_ray.stages.joins import bloom_semi_join
+    from docler_ray.stages.lm import perplexity_tiers
+    from docler_ray.stages.spandedup import paragraph_dedup
+    from docler_ray.stages.stats import weighted_group_sample
+    from docler_ray.stages.urlops import filter_blocked_hosts
+
+    raw = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "text"],
+    )
+    n_corpus = raw.count()  # parquet metadata; upper-bounds the tier keyspace
+    ds = raw.map_batches(_add_url_batch, batch_format="pyarrow", zero_copy_batch=True)
+    ds = filter_blocked_hosts(ds, _BLOCKED_HOSTS, url_col="url")
+    gf = GopherFlags(text_col="text", id_col="doc_id", cfg=_pipeline_gopher_cfg())
+
+    def gopher_gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(gf(batch).column("keep"))
+
+    ds = ds.map_batches(
+        gopher_gate, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "lang", "text"])
+    cleaned = line_filter(ds, cfg=_line_filter_cfg(), drop_banned_docs=True)
+
+    deduped = paragraph_dedup(cleaned, keep_cols=("lang",))
+
+    def to_text(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # docs the paragraph dedup emptied leave the pipeline here — an
+        # empty doc scores ppl 0.0 and would otherwise flood the head
+        # tiers, pushing every real document into the dropped tail
+        t = batch.filter(pc.greater(batch.column("n_kept"), 0))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "text": t.column("text_dedup"),
+            }
+        )
+
+    pd_docs = deduped.map_batches(
+        to_text, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    tiers = perplexity_tiers(pd_docs, n_rows=n_corpus, keep_cols=("text",))
+
+    def keep_head_mid(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.less_equal(batch.column("tier"), 2))
+
+    # two consumers follow (dedup grouping + the semi-join left side);
+    # materializing the narrow survivor projection once stops the whole
+    # LM+NTILE chain from executing twice
+    lm_ok = (
+        tiers.map_batches(
+            keep_head_mid, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .select_columns(["doc_id", "lang", "text"])
+        .materialize()
+    )
+
+    survivors = exact_dedup_keep_first(lm_ok, "text", "doc_id")
+    kept = bloom_semi_join(
+        lm_ok.select_columns(["doc_id", "lang"]),
+        survivors.select_columns(["doc_id"]),
+        "doc_id",
+        "doc_id",
+    )
+    mix = weighted_group_sample(
+        kept, group_col="lang", id_col="doc_id", rates=_MIX_RATES, default_pct=100
+    )
+    return mix.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _curation_pipeline_v2_sql() -> str:
+    from docler_ray.functions.gopher import gopher_sql
+    from docler_ray.functions.textclean import line_filter_sql
+    from docler_ray.stages.urlops import URL_PATTERN
+
+    hosts = ", ".join(f"'{h}'" for h in _BLOCKED_HOSTS)
+    gsql = gopher_sql(_pipeline_gopher_cfg(), table="blocked_ok")
+    csql = line_filter_sql("text", _line_filter_cfg(), table="gopher_ok")
+    cases = " ".join(f"WHEN '{g}' THEN {p}" for g, p in _MIX_RATES.items())
+    return (
+        f"WITH p AS (SELECT doc_id, lang, text, {_URL_SQL_EXPR} AS url "
+        "FROM documents), "
+        "blocked_ok AS (SELECT doc_id, lang, text FROM p "
+        f"WHERE lower(regexp_extract(url, '{URL_PATTERN}', 2)) "
+        f"NOT IN ({hosts})), "
+        f"gflags AS ({gsql}), "
+        "gopher_ok AS (SELECT b.doc_id, b.lang, b.text FROM blocked_ok b "
+        "JOIN gflags f ON b.doc_id = f.doc_id WHERE f.keep), "
+        f"cleaned AS ({csql}), "
+        # CCNet paragraph dedup over the cleaned text (the same min-pos
+        # spelling as paragraph_dedup_docs)
+        "plines AS (SELECT doc_id, "
+        "list_filter(string_split(coalesce(text, ''), chr(10)), x -> x <> '') "
+        "AS ls FROM cleaned), "
+        "punits AS (SELECT doc_id, i-1 AS idx, ls[i] AS line "
+        "FROM plines, UNNEST(range(1, array_length(ls)+1)) AS t(i)), "
+        "pwin AS (SELECT line, MIN(doc_id * 1048576 + idx) AS pos "
+        "FROM punits GROUP BY line), "
+        "pkept AS (SELECT pos // 1048576 AS doc_id, pos % 1048576 AS idx, "
+        "line FROM pwin), "
+        "pagg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) "
+        "AS text_dedup FROM pkept GROUP BY doc_id), "
+        # dedup-emptied docs leave here (empty docs would flood the head
+        # tiers with ppl 0.0 and push every real doc into the tail)
+        "pd_docs AS (SELECT c.doc_id, g.lang, a.text_dedup AS text "
+        "FROM cleaned c "
+        "JOIN gopher_ok g ON c.doc_id = g.doc_id "
+        "JOIN pagg a ON c.doc_id = a.doc_id), "
+        # bigram LM trained on the deduped corpus + per-lang tercile drop
+        + _lm_chain_sql("pd_docs") + ", "
+        "allrows AS (SELECT d.doc_id, d.lang, d.text, "
+        "CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0.0 "
+        "ELSE CAST(coalesce(s.nll_milli, 0) AS DOUBLE) / s.n_bigrams END "
+        "AS ppl FROM pd_docs d LEFT JOIN scored s USING (doc_id)), "
+        "tiers AS (SELECT doc_id, lang, text, "
+        "NTILE(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS tier "
+        "FROM allrows), "
+        "lm_ok AS (SELECT doc_id, lang, text FROM tiers WHERE tier <= 2), "
+        "ddup AS (SELECT MIN(doc_id) AS doc_id FROM lm_ok GROUP BY text), "
+        "kept AS (SELECT l.doc_id, l.lang FROM lm_ok l "
+        "JOIN ddup d ON l.doc_id = d.doc_id) "
         "SELECT lang, COUNT(*) AS n FROM kept "
         "WHERE ((doc_id % 1000003) * 2654435761) // 1048576 % 100 < "
         f"CASE lang {cases} ELSE 100 END GROUP BY lang"
@@ -2757,6 +2910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_postings": _q_inverted_postings,
         "vocab_unk_rate": _q_vocab_unk_rate,
         "curation_pipeline": _q_curation_pipeline,
+        "curation_pipeline_v2": _q_curation_pipeline_v2,
         "epoch_shuffle": _q_epoch_shuffle,
         "chunk_pack_pipeline": _q_chunk_pack_pipeline,
         "regional_revenue": _q_regional_revenue,
@@ -3130,6 +3284,7 @@ def oracle_sql() -> dict[str, str]:
         # the end-to-end composition: blocklist -> gopher -> C4 -> dedup
         # -> mixture, stitched from the SAME generated stage SQL
         "curation_pipeline": _curation_pipeline_sql(),
+        "curation_pipeline_v2": _curation_pipeline_v2_sql(),
         # shuffle.shuffle_key_sql replays the identical two-multiply
         # arithmetic; ROW_NUMBER pins the whole permutation
         "epoch_shuffle": _epoch_shuffle_sql(),

@@ -238,6 +238,7 @@ def bench_once() -> dict:
         timed("dsir_importance", q["dsir_importance"])
         timed("ccnet_perplexity_tiers", q["ccnet_perplexity_tiers"])
         timed("paragraph_dedup_docs", q["paragraph_dedup_docs"])
+        timed("curation_pipeline_v2", q["curation_pipeline_v2"])
     finally:
         ray.shutdown()
     return results

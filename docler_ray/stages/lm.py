@@ -323,11 +323,13 @@ def perplexity_tiers(
     lang_col: str = "lang",
     buckets: int = 3,
     n_rows: int | None = None,
+    keep_cols: tuple[str, ...] = (),
 ):
     """CCNet's head/middle/tail split (arXiv:1911.00359 §4.3): per
     language, rank documents by per-bigram LM cost and NTILE them into
     ``buckets`` (tier 1 = head = most fluent). Output
-    (doc_id, lang, n_bigrams, ppl_milli, tier).
+    (doc_id, lang, n_bigrams, ppl_milli, tier, *keep_cols) —
+    ``keep_cols`` ride the scoring map and the tier exchange unchanged.
 
     ``ppl_milli`` = nll_milli / n_bigrams as ONE IEEE double division
     (0.0 for bigram-less docs), so DuckDB produces bit-identical values
@@ -342,7 +344,7 @@ def perplexity_tiers(
     from docler_ray.stages.windows import _make_add_coarse, _session_group_count
 
     scored = bigram_lm_scores(
-        ds, text_col=text_col, id_col=id_col, keep_cols=(lang_col,)
+        ds, text_col=text_col, id_col=id_col, keep_cols=(lang_col, *keep_cols)
     )
 
     def add_ppl(batch: pa.Table) -> pa.Table:
@@ -373,6 +375,7 @@ def perplexity_tiers(
                     "n_bigrams": pd.Series([], dtype="int64"),
                     "ppl_milli": pd.Series([], dtype="float64"),
                     "tier": pd.Series([], dtype="int64"),
+                    **{c: pd.Series([], dtype="object") for c in keep_cols},
                 }
             )
         df = df.sort_values([lang_col, "ppl_milli", id_col], kind="mergesort")
@@ -399,6 +402,7 @@ def perplexity_tiers(
                 "n_bigrams": df["n_bigrams"].to_numpy(),
                 "ppl_milli": df["ppl_milli"].to_numpy(),
                 "tier": tier.astype(np.int64),
+                **{c: df[c].to_numpy() for c in keep_cols},
             }
         )
 

@@ -100,6 +100,7 @@ def paragraph_dedup(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ):
     """Corpus-wide keep-first PARAGRAPH dedup (CCNet, arXiv:1911.00359
     §3.2: drop every later occurrence of a paragraph already seen anywhere
@@ -116,10 +117,13 @@ def paragraph_dedup(
         units_of=_lines_of,
         joiner="\n",
         n_col="n_lines",
+        keep_cols=keep_cols,
     )
 
 
-def _keep_first_unit_dedup(ds, *, text_col, id_col, units_of, joiner, n_col):
+def _keep_first_unit_dedup(
+    ds, *, text_col, id_col, units_of, joiner, n_col, keep_cols=()
+):
     from ray.data.aggregate import Min
 
     def emit_spans(batch: pa.Table) -> pa.Table:
@@ -150,14 +154,15 @@ def _keep_first_unit_dedup(ds, *, text_col, id_col, units_of, joiner, n_col):
             len(units_of(t)) for t in batch.column(text_col).to_pylist()
         ]
         n = len(ns)
-        return pa.table(
-            {
-                id_col: batch.column(id_col).cast(pa.int64()),
-                "idx": pa.nulls(n, pa.int64()),
-                "span": pa.nulls(n, pa.string()),
-                n_col: pa.array(ns, pa.int64()),
-            }
-        )
+        cols = {
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "idx": pa.nulls(n, pa.int64()),
+            "span": pa.nulls(n, pa.string()),
+            n_col: pa.array(ns, pa.int64()),
+        }
+        for c in keep_cols:  # ride the per-doc count row
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
     spans = ds.map_batches(
         emit_spans, batch_format="pyarrow", zero_copy_batch=True
@@ -166,14 +171,15 @@ def _keep_first_unit_dedup(ds, *, text_col, id_col, units_of, joiner, n_col):
 
     def decode_winners(batch: pa.Table) -> pa.Table:
         pos = batch.column("pos").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                id_col: pa.array(pos // _POS_BASE, pa.int64()),
-                "idx": pa.array(pos % _POS_BASE, pa.int64()),
-                "span": batch.column("span").cast(pa.string()),
-                n_col: pa.nulls(len(pos), pa.int64()),
-            }
-        )
+        cols = {
+            id_col: pa.array(pos // _POS_BASE, pa.int64()),
+            "idx": pa.array(pos % _POS_BASE, pa.int64()),
+            "span": batch.column("span").cast(pa.string()),
+            n_col: pa.nulls(len(pos), pa.int64()),
+        }
+        for c in keep_cols:  # null-padded on winner rows
+            cols[c] = pa.nulls(len(pos), pa.string())
+        return pa.table(cols)
 
     kept = winners.map_batches(
         decode_winners, batch_format="pyarrow", zero_copy_batch=True
@@ -186,16 +192,20 @@ def _keep_first_unit_dedup(ds, *, text_col, id_col, units_of, joiner, n_col):
         cnt = df[n_col].dropna()
         n_units = int(cnt.iloc[0]) if len(cnt) else 0
         kept_rows = df[df["span"].notna()].sort_values("idx")
-        return pa.table(
-            {
-                id_col: pa.array([int(df[id_col].iloc[0])], pa.int64()),
-                n_col: pa.array([n_units], pa.int64()),
-                "n_kept": pa.array([len(kept_rows)], pa.int64()),
-                "text_dedup": pa.array(
-                    [joiner.join(kept_rows["span"].tolist())], pa.string()
-                ),
-            }
-        )
+        cols = {
+            id_col: pa.array([int(df[id_col].iloc[0])], pa.int64()),
+            n_col: pa.array([n_units], pa.int64()),
+            "n_kept": pa.array([len(kept_rows)], pa.int64()),
+            "text_dedup": pa.array(
+                [joiner.join(kept_rows["span"].tolist())], pa.string()
+            ),
+        }
+        if keep_cols:
+            count_row = df[df[n_col].notna()]
+            for c in keep_cols:
+                val = count_row[c].iloc[0] if len(count_row) else None
+                cols[c] = pa.array([val], pa.string())
+        return pa.table(cols)
 
     return counts.union(kept).groupby(id_col).map_groups(assemble)
 

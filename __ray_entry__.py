@@ -1280,6 +1280,25 @@ def _q_embedding_neardup_survivors(sf_dir: str):
     )
 
 
+def _q_semdedup_survivors(sf_dir: str):
+    """SemDeDup (stages/dedup.py::semdedup, arXiv:2303.09540): embedding
+    dedup restricted to k-means clusters — centroid assignment (broadcast
+    matmul, lowest-id argmax ties), within-cluster candidate pairs, the
+    shared distributed cosine verify + min-label components. EXACT
+    oracle: the SQL replays assignment (ROW_NUMBER tie rule), the
+    cluster-restricted pair set, and the recursive closure."""
+    import ray.data
+
+    from docler_ray.stages.dedup import anti_join_survivors, semdedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n = ds.count()
+    drop = semdedup(ds, threshold=0.98, k=8, corpus_rows=n)
+    return anti_join_survivors(
+        ds.select_columns(["vec_id"]), drop, "vec_id", left_rows=n
+    )
+
+
 def _q_span_dedup_docs(sf_dir: str):
     """Span-level exact dedup (Lee et al. 2021 analog): corpus-wide
     keep-first removal of duplicated non-overlapping 12-token spans, with
@@ -2943,6 +2962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": _q_simhash_fingerprints,
         "simhash_survivors": _q_simhash_survivors,
         "embedding_neardup_survivors": _q_embedding_neardup_survivors,
+        "semdedup_survivors": _q_semdedup_survivors,
         "image_features": _q_image_features,
     }
 
@@ -3512,6 +3532,28 @@ def oracle_sql() -> dict[str, str]:
         # approximate operator needs (validated exact at sf0.01 and sf0.1).
         "minhash_survivors": _exact_survivors_sql(),
         "ngram_jaccard_survivors": _exact_survivors_sql(),
+        "semdedup_survivors": (
+            "WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cemb "
+            "FROM embeddings WHERE vec_id < 8), "
+            "s AS (SELECT e.vec_id, c.cid, "
+            "list_cosine_similarity(c.cemb, e.embedding) AS sim "
+            "FROM embeddings e CROSS JOIN c), "
+            "asg AS (SELECT vec_id, cid AS cluster FROM ("
+            "SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY sim DESC, cid) AS rn FROM s) WHERE rn = 1), "
+            "p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b "
+            "FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id "
+            "JOIN asg ax ON ax.vec_id = x.vec_id "
+            "JOIN asg ay ON ay.vec_id = y.vec_id AND ax.cluster = ay.cluster "
+            "WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.98), "
+            "sym AS (SELECT id_a AS a, id_b AS b FROM p "
+            "        UNION SELECT id_b, id_a FROM p), "
+            "reach(a, b) AS (SELECT a, b FROM sym "
+            "  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a), "
+            "lbl AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a) "
+            "SELECT vec_id FROM embeddings "
+            "WHERE vec_id NOT IN (SELECT id FROM lbl WHERE mn < id)"
+        ),
         "embedding_neardup_survivors": (
             "WITH RECURSIVE p AS ("
             "  SELECT a.vec_id AS id_a, b.vec_id AS id_b "

@@ -239,6 +239,7 @@ def bench_once() -> dict:
         timed("ccnet_perplexity_tiers", q["ccnet_perplexity_tiers"])
         timed("paragraph_dedup_docs", q["paragraph_dedup_docs"])
         timed("curation_pipeline_v2", q["curation_pipeline_v2"])
+        timed("semdedup_survivors", q["semdedup_survivors"])
     finally:
         ray.shutdown()
     return results

@@ -819,6 +819,60 @@ def embedding_neardup(
     pairs, n_pairs = _compact_nonempty(
         _lsh_bucket_pairs(buckets, ["bucket"], id_col, n_rows=corpus_rows)
     )
+    return _cosine_pairs_to_drop(
+        ds, pairs, n_pairs, id_col, emb_col, threshold, corpus_rows
+    )
+
+
+def semdedup(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.98,
+    k: int = 8,
+    corpus_rows: int | None = None,
+):
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup INSIDE
+    k-means clusters — assign every embedding to its nearest centroid
+    (similarity.centroid_assignments: first-k-ids centroids broadcast
+    once, numpy argmax = lowest-id tie rule), generate candidate pairs
+    only WITHIN a cluster, verify by exact cosine, drop all but the
+    minimum id per duplicate component.
+
+    Same verify/cluster/drop machinery as :func:`embedding_neardup`; only
+    the candidate generator differs (cluster buckets instead of random
+    hyperplanes). Candidate recall is cluster-bounded BY DESIGN — the
+    paper's tradeoff: cross-cluster near-dups are not candidates, which
+    is what makes the pair count tractable at 10^9 embeddings. The
+    oracle replays assignment + within-cluster pairs + closure exactly.
+
+    Pair generation is ALL within-cluster pairs (_all_pairs_from_postings
+    — quadratic in cluster size, the paper's own per-cluster pairwise
+    computation; k must keep clusters bounded), NOT _lsh_bucket_pairs'
+    everyone-with-min connectivity sketch: a cluster is mostly
+    NON-duplicates, so the cluster minimum is rarely a duplicate of
+    anything and min-pairing would miss true dup pairs entirely.
+    """
+    from docler_ray.stages.similarity import centroid_assignments
+
+    assign = centroid_assignments(ds, id_col=id_col, emb_col=emb_col, k=k)
+    pairs, n_pairs = _compact_nonempty(
+        _all_pairs_from_postings(assign, id_col, "cluster")
+    )
+    return _cosine_pairs_to_drop(
+        ds, pairs, n_pairs, id_col, emb_col, threshold, corpus_rows
+    )
+
+
+def _cosine_pairs_to_drop(
+    ds, pairs, n_pairs, id_col, emb_col, threshold, corpus_rows
+):
+    """Candidate pair Dataset -> drop-id Dataset via the shared distributed
+    exact-cosine verify (pair payload hash join, coarse-group vectorized
+    verify with a per-group normalization cache) and min-label components."""
+    from docler_ray.stages.similarity import _to_matrix
+
     if not n_pairs:
         return _empty_ids(id_col)
 

@@ -164,6 +164,69 @@ class IVFIndex:
         return knn_brute_force(filtered, qn, id_col=id_col, emb_col=emb_col, k=k)
 
 
+def _centroid_matrix_ref(ds, id_col: str, emb_col: str, k: int):
+    """First-k-ids centroid convention shared by centroid_assign_counts,
+    centroid_assignments and dedup.semdedup: fetch rows with id < k via a
+    distributed filter (k rows land on the driver, never the corpus),
+    normalize, ray.put once."""
+    cent_rows = (
+        ds.map_batches(
+            lambda b: b.filter(
+                pc.less(pc.cast(b.column(id_col), pa.int64()), k)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()  # <= k rows by construction
+        .sort_values(id_col)
+    )
+    if len(cent_rows) != k:
+        raise ValueError(
+            f"centroid selection expects ids 0..{k - 1} present; found "
+            f"{len(cent_rows)} rows with {id_col} < {k} (renumber ids or "
+            "pass centroids explicitly)"
+        )
+    c = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in cent_rows[emb_col]])
+    )
+    return ray.put(c)
+
+
+def centroid_assignments(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+):
+    """(id, cluster) per vector — the assignment projection of
+    centroid_assign_counts (same centroids, same argmax tie rule: numpy
+    argmax takes the FIRST max = lowest centroid id, the rule the kmeans
+    oracle replays with ROW_NUMBER). Zero shuffle; used as SemDeDup's
+    candidate generator."""
+    cref = _centroid_matrix_ref(ds, id_col, emb_col, k)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        emb = _normalize(_to_matrix(batch.column(emb_col)))
+        if not len(emb):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
+        cid = (emb @ cm.T).argmax(axis=1)
+        return pa.table(
+            {
+                id_col: pc.cast(batch.column(id_col), pa.int64()),
+                "cluster": pa.array(cid.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def centroid_assign_counts(
     ds,
     *,
@@ -186,27 +249,7 @@ def centroid_assign_counts(
     """
     from ray.data.aggregate import Sum
 
-    cent_rows = (
-        ds.map_batches(
-            lambda b: b.filter(
-                pc.less(pc.cast(b.column(id_col), pa.int64()), k)
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .to_pandas()  # <= k rows by construction
-        .sort_values(id_col)
-    )
-    if len(cent_rows) != k:
-        raise ValueError(
-            f"centroid selection expects ids 0..{k - 1} present; found "
-            f"{len(cent_rows)} rows with {id_col} < {k} (renumber ids or "
-            "pass centroids explicitly)"
-        )
-    c = _normalize(
-        np.stack([np.asarray(v, dtype=np.float64) for v in cent_rows[emb_col]])
-    )
-    cref = ray.put(c)
+    cref = _centroid_matrix_ref(ds, id_col, emb_col, k)
 
     def partial(batch: pa.Table) -> pa.Table:
         cm = ray.get(cref)

@@ -111,3 +111,65 @@ def test_embedding_neardup(ray_session):
     assert 1 not in drop
     assert {2, 4} <= drop
     assert 3 not in drop
+
+
+def test_semdedup_cluster_restriction(ray_session):
+    """SemDeDup drops within-cluster near-dups but, BY DESIGN, never
+    pairs vectors assigned to different clusters (the paper's recall
+    tradeoff) — unlike embedding_neardup's hyperplane LSH."""
+    import ray.data
+
+    from docler_ray.stages.dedup import drop_id_set, embedding_neardup, semdedup
+
+    rng = np.random.RandomState(7)
+    a = rng.standard_normal(64)
+    b = rng.standard_normal(64)
+    rows = [
+        {"vec_id": 0, "embedding": a.tolist()},            # centroid 0
+        {"vec_id": 1, "embedding": b.tolist()},            # centroid 1
+        {"vec_id": 2, "embedding": (a * 2.0).tolist()},    # cos(a)=1 -> cluster 0, dup of 0
+        {"vec_id": 3, "embedding": (b * 0.5).tolist()},    # dup of 1 in cluster 1
+        {"vec_id": 4, "embedding": (-a).tolist()},         # anti-a: cluster 1 side, dup of nobody
+    ]
+    ds = ray.data.from_items(rows)
+    drop = drop_id_set(semdedup(ds, threshold=0.99, k=2))
+    assert drop == {2, 3}
+    # the same corpus under the LSH generator also finds exactly those
+    assert drop_id_set(embedding_neardup(ds, threshold=0.99)) == {2, 3}
+
+
+def test_semdedup_matches_sql_closure(ray_session):
+    """semdedup survivors == the recursive-CTE oracle on a corpus with a
+    3-vector duplicate chain inside one cluster."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    import __ray_entry__ as e
+    from docler_ray.stages.dedup import anti_join_survivors, semdedup
+
+    rng = np.random.RandomState(3)
+    cents = [rng.standard_normal(32) for _ in range(8)]
+    rows = [{"vec_id": i, "embedding": c.tolist()} for i, c in enumerate(cents)]
+    base = rng.standard_normal(32)
+    for i, scale in enumerate([1.0, 1.001, 0.999, -1.0]):
+        rows.append({"vec_id": 100 + i, "embedding": (base * scale).tolist()})
+    ds = ray.data.from_items(rows)
+    n = len(rows)
+    drop = semdedup(ds, threshold=0.98, k=8, corpus_rows=n)
+    got = sorted(
+        anti_join_survivors(ds.select_columns(["vec_id"]), drop, "vec_id", left_rows=n)
+        .to_pandas()["vec_id"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame({"vec_id": [r["vec_id"] for r in rows],
+                      "embedding": [r["embedding"] for r in rows]}),
+    )
+    want = sorted(
+        x[0] for x in con.execute(e.oracle_sql()["semdedup_survivors"]).fetchall()
+    )
+    assert got == want
+    assert 100 in got and 101 not in got and 102 not in got  # chain collapsed

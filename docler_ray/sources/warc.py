@@ -270,6 +270,8 @@ def parse_warc_pages(data: bytes, path: str = "") -> pa.Table:
             conversions[uri] = (
                 payload.decode("utf-8"),
                 _parse_warc_date(headers.get("warc-date", "")),
+                # Common Crawl WET records carry the detected language here
+                headers.get("warc-identified-content-language", ""),
             )
         # warcinfo / request / metadata records are not page content: skip
     if rows:
@@ -278,19 +280,19 @@ def parse_warc_pages(data: bytes, path: str = "") -> pa.Table:
             raise ValueError(
                 f"conversion record(s) without a response record: {dangling[:3]!r}"
             )
-        for uri, (text, _ts) in conversions.items():
+        for uri, (text, _ts, _lang) in conversions.items():
             rows[uri]["text"] = text
     else:
         # pure WET shard: text-only pages
         order = conv_order
         for uri in conv_order:
-            text, ts = conversions[uri]
+            text, ts, lang = conversions[uri]
             rows[uri] = {
                 "url": uri,
                 "warc_ts": ts,
                 "html": b"",
                 "text": text,
-                "lang": "",
+                "lang": lang,
             }
     cols = {name: [rows[u][name] for u in order] for name in PAGES_SCHEMA.names}
     table = pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)
@@ -318,4 +320,85 @@ def read_warc(paths: list[str]):
 
     return ds.map_batches(
         parse, batch_format="pyarrow", batch_size=1, zero_copy_batch=True
+    )
+
+
+def export_wet(
+    ds,
+    out_dir: str,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    lang_col: str | None = None,
+    gzip_members: bool = True,
+):
+    """WET sink: write a docs/pages Dataset back out as WET-style archives
+    (conversion records only — the text sibling format Common Crawl
+    publishes), one ``.warc.gz`` shard per task. Round-trips through
+    :func:`read_warc`, which ingests a pure-WET shard as text-only pages,
+    so exported corpora re-enter the engine losslessly.
+
+    One shard per map task (output parallelism == pipeline parallelism,
+    the export_jsonl convention; a failed run resumes by shard). Shard
+    names derive from the first url's md5 — deterministic for a
+    deterministic input partitioning, unique across shards for distinct
+    content. Returns the (shard path, n_records) manifest as a Dataset;
+    consuming it drives the streaming write.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_members else ".warc"
+    base_ts = _dt.datetime(2026, 1, 1)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if not n:
+            return pa.table(
+                {"path": pa.array([], pa.string()), "n_records": pa.array([], pa.int64())}
+            )
+        urls = batch.column(url_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        tss = batch.column(ts_col).to_pylist() if ts_col else [base_ts] * n
+        langs = batch.column(lang_col).to_pylist() if lang_col else [""] * n
+        rows = [
+            {
+                "url": u or "",
+                "warc_ts": ts,
+                "html": b"",
+                "text": t or "",
+                "lang": lg or "",
+            }
+            for u, t, ts, lg in zip(urls, texts, tss, langs)
+        ]
+        out = io.BytesIO()
+        for row in rows:
+            hdrs = [
+                ("WARC-Record-ID", _record_id("conversion", row["url"])),
+                ("WARC-Date", _warc_date(row["warc_ts"])),
+                ("WARC-Target-URI", row["url"]),
+                ("Content-Type", "text/plain"),
+            ]
+            if row["lang"]:
+                # the header Common Crawl WET uses for detected language
+                hdrs.append(("WARC-Identified-Content-Language", row["lang"]))
+            rec = _record(
+                "conversion",
+                hdrs,
+                row["text"].encode("utf-8"),
+            )
+            out.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
+        shard = hashlib.md5((rows[0]["url"] + f"|{n}").encode()).hexdigest()[:12]
+        path = os.path.join(out_dir, f"wet-{shard}{ext}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(out.getvalue())
+        os.replace(tmp, path)
+        return pa.table(
+            {"path": pa.array([path]), "n_records": pa.array([n], pa.int64())}
+        )
+
+    return ds.map_batches(
+        write_shard, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )

@@ -237,3 +237,33 @@ def test_pipeline_over_warc_equals_parquet(ray_session, tmp_path):
 
     manifests = os.listdir(f"{out_warc}/manifests")
     assert len([m for m in manifests if m.endswith(".json")]) >= 2
+
+
+def test_export_wet_round_trips_through_read_warc(ray_session, tmp_path):
+    """export_wet -> .warc.gz WET shards -> read_warc re-ingests the same
+    (url, text) set as text-only pages (html=b'', lang preserved when a
+    lang column is exported)."""
+    import ray.data
+
+    from docler_ray.sources.warc import export_wet, read_warc
+
+    docs = [
+        {"url": f"https://h{i % 3}.example/doc-{i}", "text": f"doc body {i}\nline two {i}", "lang": "en" if i % 2 else "fr"}
+        for i in range(40)
+    ]
+    ds = ray.data.from_items(docs)
+    out = str(tmp_path / "wet")
+    manifest = export_wet(ds, out, lang_col="lang").to_pandas()
+    assert manifest["n_records"].sum() == 40
+    assert all(p.endswith(".warc.gz") for p in manifest["path"])
+
+    back = read_warc(sorted(manifest["path"].tolist())).to_pandas()
+    assert len(back) == 40
+    got = back.sort_values("url")[["url", "text", "lang"]].reset_index(drop=True)
+    want = (
+        pd.DataFrame(docs)
+        .sort_values("url")[["url", "text", "lang"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (back["html"].map(len) == 0).all()

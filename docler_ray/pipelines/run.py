@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--shards-per-round", type=int, default=None)
     parser.add_argument(
+        "--wet-out",
+        default=None,
+        help="also export the extracted docs as WET-style .warc.gz shards "
+        "here (Common-Crawl text-archive interchange; re-ingestable by "
+        "the WARC reader)",
+    )
+    parser.add_argument(
         "--chunks-out",
         default=None,
         help="also chunk the extracted docs and write a chunks table here",
@@ -142,6 +149,26 @@ def main(argv: list[str] | None = None) -> int:
             )
             chunks.write_parquet(args.chunks_out)
             totals["chunks_out"] = args.chunks_out
+        if args.wet_out:
+            import ray.data
+
+            from docler_ray.sources.warc import export_wet
+
+            def ok_rows(batch):
+                import pyarrow.compute as pc
+
+                return batch.filter(pc.is_null(batch.column("error")))
+
+            docs = ray.data.read_parquet(
+                os.path.join(args.out, "docs"),
+                columns=["url", "content", "error"],
+            ).map_batches(ok_rows, batch_format="pyarrow", zero_copy_batch=True)
+            manifest = export_wet(
+                docs, args.wet_out, text_col="content"
+            ).to_pandas()
+            totals["wet_out"] = args.wet_out
+            totals["wet_shards"] = int(len(manifest))
+            totals["wet_records"] = int(manifest["n_records"].sum())
         print(json.dumps(totals, sort_keys=True))
         return 0
     finally:

@@ -1645,6 +1645,24 @@ def _paragraph_dedup_sql() -> str:
     )
 
 
+def _q_bpe_merges(sf_dir: str):
+    """BPE vocabulary training (stages/vocab.py::train_bpe, Sennrich
+    1508.07909): distributed word counting (one word-keyed exchange) +
+    bounded top-max_words truncation + the driver merge loop on the
+    compact word-frequency table — production tokenizer-trainer shape.
+    Iterative and data-dependent -> the sanctioned oracle exemption;
+    pinned by brute-force equivalence + determinism tests
+    (tests/test_bpe.py)."""
+    import ray.data
+
+    from docler_ray.stages.vocab import train_bpe
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return train_bpe(ds, n_merges=30)
+
+
 def _q_dsir_importance(sf_dir: str):
     """DSIR data selection (stages/dsir.py, arXiv:2302.03169): per-doc
     importance log-ratio against the doc_id%97 target sample under two
@@ -2917,6 +2935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip_docs": _q_warc_roundtrip_docs,
         "lm_quality_scores": _q_lm_quality_scores,
         "dsir_importance": _q_dsir_importance,
+        "bpe_merges": _q_bpe_merges,
         "ccnet_perplexity_tiers": _q_ccnet_perplexity_tiers,
         "paragraph_dedup_docs": _q_paragraph_dedup_docs,
         "approx_distinct_by_lang": _q_approx_distinct_by_lang,

@@ -240,6 +240,7 @@ def bench_once() -> dict:
         timed("paragraph_dedup_docs", q["paragraph_dedup_docs"])
         timed("curation_pipeline_v2", q["curation_pipeline_v2"])
         timed("semdedup_survivors", q["semdedup_survivors"])
+        timed("bpe_merges", q["bpe_merges"])
     finally:
         ray.shutdown()
     return results

@@ -151,3 +151,115 @@ def unk_stats(ds, *, text_col: str = "text", vocab_k: int = 10):
             "unk_tokens": pa.array([agg["unk_tokens"] or 0], pa.int64()),
         }
     )
+
+
+# --- full BPE training (iterative; oracle-exempt by design) -------------------
+
+def _bpe_merges_from_word_counts(
+    word_counts: "list[tuple[str, int]]", n_merges: int, min_pair_count: int
+) -> "list[tuple[int, str, str, int]]":
+    """Reference BPE merge loop (Sennrich 1508.07909 algorithm 1) over a
+    (word, count) table: words start as character-symbol sequences; each
+    round merges the count-weighted most frequent adjacent symbol pair
+    (ties broken lexicographically on (left, right) — deterministic).
+    Returns [(rank, left, right, pair_count)]. Pure function, also used
+    by the brute-force test oracle."""
+    from collections import Counter
+
+    seqs: list[tuple[list[str], int]] = [
+        (list(w), c) for w, c in word_counts if w
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, c in seqs:
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, left, right, int(cnt)))
+        tgt = left + right
+        new_seqs = []
+        for sym, c in seqs:
+            i, out = 0, []
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(tgt)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_seqs.append((out, c))
+        seqs = new_seqs
+    return merges
+
+
+def train_bpe(
+    ds,
+    *,
+    text_col: str = "text",
+    n_merges: int = 40,
+    max_words: int = 100_000,
+    min_pair_count: int = 2,
+):
+    """Corpus-scale BPE vocabulary training (Sennrich et al. 1508.07909).
+
+    The scale split mirrors how production tokenizer trainers work: the
+    corpus-proportional step is WORD COUNTING — per-batch Counter partials
+    into one word-keyed exchange — and the iterative merge loop runs on
+    the compact (word, count) table, truncated to the ``max_words`` most
+    frequent words (bounded driver state; HF tokenizers / sentencepiece
+    train from exactly this word-frequency representation). Tokens are
+    lowercase [a-z]+ runs (the top_symbol_pairs contract).
+
+    Iterative + data-dependent => genuinely non-SQL-expressible (the
+    sanctioned oracle exemption); correctness is pinned by a brute-force
+    equivalence test and determinism goldens. Returns a Dataset
+    [(rank, left, right, pair_count)] of at most ``n_merges`` merges.
+    """
+    import re as _re
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    word_re = _re.compile(r"[a-z]+")
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            counts.update(word_re.findall((t or "").lower()))
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "cnt": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    wc = (
+        ds.map_batches(word_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    # bounded truncation: top max_words by (count desc, word) — vocabulary
+    # tables are huge at web scale, the trainer's working set must not be
+    top = wc.sort(["cnt", "word"], descending=[True, False]).limit(max_words)
+    rows = top.to_pandas()  # <= max_words rows by construction
+    merges = _bpe_merges_from_word_counts(
+        list(zip(rows["word"], rows["cnt"].astype(int))), n_merges, min_pair_count
+    )
+    table = pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(table)

@@ -1,0 +1,95 @@
+"""BPE vocabulary training (stages/vocab.py::train_bpe): distributed
+word-count + driver merge loop vs a from-first-principles brute force
+over the raw corpus, plus determinism and truncation-bound checks.
+Iterative and data-dependent, so oracle-exempt by the sanctioned rule —
+these tests are its correctness gate."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from docler_ray.stages.vocab import _bpe_merges_from_word_counts, train_bpe
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the thin theme then",
+    "low lower lowest slow slowly",
+    "new newer newest news",
+    "",
+    None,
+    "THE CAT",  # lowercased -> merges with doc 0's words
+    "xyzzy xyzzy xyzzy",
+]
+
+
+def _brute_merges(texts, n_merges, min_pair_count=2):
+    """Independent implementation: count words straight off the corpus,
+    then the textbook merge loop."""
+    wr = re.compile(r"[a-z]+")
+    wc = Counter()
+    for t in texts:
+        wc.update(wr.findall((t or "").lower()))
+    return _bpe_merges_from_word_counts(
+        sorted(wc.items()), n_merges, min_pair_count
+    )
+
+
+def test_train_bpe_matches_brute_force(ray_session):
+    import ray.data
+
+    df = pd.DataFrame(
+        {"doc_id": range(len(TEXTS)), "text": pd.array(TEXTS, dtype="string")}
+    )
+    got = (
+        train_bpe(ray.data.from_pandas(df), n_merges=15)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want = _brute_merges(TEXTS, 15)
+    assert list(zip(got["rank"], got["left"], got["right"], got["pair_count"])) == want
+    # the most frequent pair on this corpus must involve 'th' or 'he'
+    assert got.loc[0, "left"] + got.loc[0, "right"] in {"th", "he"}
+
+
+def test_train_bpe_deterministic(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"text": pd.array(TEXTS, dtype="string")})
+    a = train_bpe(ray.data.from_pandas(df), n_merges=10).to_pandas()
+    b = train_bpe(ray.data.from_pandas(df), n_merges=10).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bpe_merge_loop_tie_break_and_floor():
+    # 'ab' and 'cd' both appear twice: lexicographically smaller pair wins
+    merges = _bpe_merges_from_word_counts([("ab", 2), ("cd", 2)], 5, 2)
+    assert merges[0][1:3] == ("a", "b")
+    # min_pair_count floor stops the loop
+    assert all(m[3] >= 2 for m in merges)
+    # singleton pairs below the floor produce no merges
+    assert _bpe_merges_from_word_counts([("xy", 1)], 5, 2) == []
+
+
+def test_bpe_merges_compose_multichar_symbols():
+    # 'aaaa' x4: first merge (a,a)->'aa', second ('aa','aa') or ('aa','a')
+    merges = _bpe_merges_from_word_counts([("aaaa", 4)], 3, 2)
+    assert merges[0][1:3] == ("a", "a")
+    assert merges[1][1] == "aa"  # second merge consumes the new symbol
+
+
+def test_train_bpe_truncation_bound(ray_session):
+    """max_words truncation keeps the driver table bounded: training on
+    the top-1 word only must ignore rarer words entirely."""
+    import ray.data
+
+    texts = ["zz zz zz zz", "qq"]  # zz dominates
+    df = pd.DataFrame({"text": pd.array(texts, dtype="string")})
+    got = train_bpe(
+        ray.data.from_pandas(df), n_merges=5, max_words=1
+    ).to_pandas()
+    assert set(got["left"] + got["right"]) == {"zz"}

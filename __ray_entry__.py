@@ -1663,6 +1663,23 @@ def _q_bpe_merges(sf_dir: str):
     return train_bpe(ds, n_merges=30)
 
 
+def _q_bpe_encode_stats(sf_dir: str):
+    """Tokenizer lifecycle end-to-end (stages/vocab.py::bpe_encode_stats):
+    train BPE on the corpus, broadcast the merge table once, encode the
+    corpus in one zero-shuffle map pass with a per-batch word cache ->
+    (doc_id, n_words, n_pieces). Model scoring -> rows-only by the
+    sanctioned exemption; brute-force encode equivalence in
+    tests/test_bpe.py."""
+    import ray.data
+
+    from docler_ray.stages.vocab import bpe_encode_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bpe_encode_stats(ds, n_merges=30)
+
+
 def _q_dsir_importance(sf_dir: str):
     """DSIR data selection (stages/dsir.py, arXiv:2302.03169): per-doc
     importance log-ratio against the doc_id%97 target sample under two
@@ -2936,6 +2953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_scores": _q_lm_quality_scores,
         "dsir_importance": _q_dsir_importance,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode_stats": _q_bpe_encode_stats,
         "ccnet_perplexity_tiers": _q_ccnet_perplexity_tiers,
         "paragraph_dedup_docs": _q_paragraph_dedup_docs,
         "approx_distinct_by_lang": _q_approx_distinct_by_lang,

@@ -241,6 +241,7 @@ def bench_once() -> dict:
         timed("curation_pipeline_v2", q["curation_pipeline_v2"])
         timed("semdedup_survivors", q["semdedup_survivors"])
         timed("bpe_merges", q["bpe_merges"])
+        timed("bpe_encode_stats", q["bpe_encode_stats"])
     finally:
         ray.shutdown()
     return results

@@ -263,3 +263,66 @@ def train_bpe(
         }
     )
     return ray.data.from_arrow(table)
+
+
+def _encode_word(word: str, ranks: dict) -> int:
+    """Number of BPE pieces for one word under a trained merge table
+    (apply merges greedily by rank — the standard BPE encode loop)."""
+    sym = list(word)
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return len(sym)
+
+
+def bpe_encode_stats(ds, *, text_col: str = "text", n_merges: int = 30):
+    """Full tokenizer lifecycle at corpus scale: train BPE on the corpus
+    (train_bpe — one word-keyed exchange + bounded driver merge loop),
+    broadcast the merge table once, then encode the corpus in a single
+    zero-shuffle map pass, emitting (doc_id, n_words, n_pieces) per doc.
+    Per-batch word->piece-count cache turns per-occurrence encoding into
+    per-distinct-word encoding (corpora repeat words heavily). Model
+    scoring -> rows-only by the sanctioned exemption; pinned by the
+    brute-force encode test."""
+    import re as _re
+
+    import ray
+
+    word_re = _re.compile(r"[a-z]+")
+    merges = train_bpe(ds, text_col=text_col, n_merges=n_merges).to_pandas()
+    ranks = {
+        (l, r): int(k)
+        for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    ranks_ref = ray.put(ranks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        rk = ray.get(ranks_ref)
+        cache: dict[str, int] = {}
+        n_words_out: list[int] = []
+        n_pieces_out: list[int] = []
+        for t in batch.column(text_col).to_pylist():
+            words = word_re.findall((t or "").lower())
+            total = 0
+            for w in words:
+                p = cache.get(w)
+                if p is None:
+                    p = cache[w] = _encode_word(w, rk)
+                total += p
+            n_words_out.append(len(words))
+            n_pieces_out.append(total)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_words": pa.array(n_words_out, pa.int64()),
+                "n_pieces": pa.array(n_pieces_out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)

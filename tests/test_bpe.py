@@ -93,3 +93,50 @@ def test_train_bpe_truncation_bound(ray_session):
         ray.data.from_pandas(df), n_merges=5, max_words=1
     ).to_pandas()
     assert set(got["left"] + got["right"]) == {"zz"}
+
+
+def test_encode_word_follows_merge_ranks():
+    from docler_ray.stages.vocab import _encode_word
+
+    # merges: (l,o)->lo rank0, (lo,w)->low rank1, (e,r) rank2
+    ranks = {("l", "o"): 0, ("lo", "w"): 1, ("e", "r"): 2}
+    assert _encode_word("lower", ranks) == 2  # low + er
+    assert _encode_word("low", ranks) == 1
+    assert _encode_word("xyz", ranks) == 3  # no merges apply
+    assert _encode_word("o", ranks) == 1
+    # rank order matters: (o,w) never merges because (l,o) fires first
+    assert _encode_word("low", {("o", "w"): 0, ("l", "o"): 1}) == 2  # l + ow
+
+
+def test_bpe_encode_stats_matches_brute_force(ray_session):
+    import ray.data
+
+    from docler_ray.stages.vocab import (
+        _encode_word,
+        bpe_encode_stats,
+        train_bpe,
+    )
+
+    df = pd.DataFrame(
+        {"doc_id": range(len(TEXTS)), "text": pd.array(TEXTS, dtype="string")}
+    )
+    ds = ray.data.from_pandas(df)
+    got = (
+        bpe_encode_stats(ds, n_merges=12)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    merges = train_bpe(ds, n_merges=12).to_pandas()
+    ranks = {
+        (l, r): int(k)
+        for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    wr = re.compile(r"[a-z]+")
+    for i, t in enumerate(TEXTS):
+        words = wr.findall((t or "").lower())
+        assert got.loc[i, "n_words"] == len(words)
+        assert got.loc[i, "n_pieces"] == sum(_encode_word(w, ranks) for w in words)
+    # merges compress: pieces strictly below character count on real docs
+    chars = sum(len(w) for w in wr.findall((TEXTS[0] or "").lower()))
+    assert 0 < got.loc[0, "n_pieces"] < chars

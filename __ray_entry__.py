@@ -1284,15 +1284,21 @@ def _q_semdedup_survivors(sf_dir: str):
     """SemDeDup (stages/dedup.py::semdedup, arXiv:2303.09540): embedding
     dedup restricted to k-means clusters — centroid assignment (broadcast
     matmul, lowest-id argmax ties), within-cluster candidate pairs, the
-    shared distributed cosine verify + min-label components. EXACT
-    oracle: the SQL replays assignment (ROW_NUMBER tie rule), the
-    cluster-restricted pair set, and the recursive closure."""
+    shared distributed cosine verify + min-label components. The SQL
+    replays assignment (ROW_NUMBER tie rule), the cluster-restricted pair
+    set, and the recursive closure; like kmeans_assign_counts, the
+    assignment argmax compares cosines the two engines round differently
+    in the last ulp, so exactness assumes centroids are not
+    ulp-degenerate near-ties (holds by construction on this corpus;
+    threshold comparisons in the verify have the same property)."""
     import ray.data
 
     from docler_ray.stages.dedup import anti_join_survivors, semdedup
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     n = ds.count()
+    # explicit k=8 so the oracle's `vec_id < 8` centroid set matches;
+    # the library default derives k from measured rows (memory bound)
     drop = semdedup(ds, threshold=0.98, k=8, corpus_rows=n)
     return anti_join_survivors(
         ds.select_columns(["vec_id"]), drop, "vec_id", left_rows=n

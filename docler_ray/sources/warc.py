@@ -233,19 +233,25 @@ def parse_warc_pages(data: bytes, path: str = "") -> pa.Table:
     """One WARC archive -> a pages table (+ path lineage column).
 
     response records become rows (html = HTTP entity body, lang =
-    Content-Language or ''); conversion records fill text for the matching
-    WARC-Target-URI, wherever they appear in the archive (the merge is
-    order-independent; rows come out in response-record order). A pure WET
-    shard (conversion records only — how Common Crawl actually ships the
-    text sibling) yields text-only rows (html=b'') in conversion order. A
-    MIXED archive with a conversion record whose response is absent fails
-    loud — that's corruption, not a WET shard. The URI->row merge state is
-    file-bounded (one archive), never corpus-bounded.
+    Content-Language, falling back to the conversion record's
+    WARC-Identified-Content-Language); conversion records fill text for
+    the matching WARC-Target-URI, wherever they appear in the archive
+    (the merge is order-independent; rows come out in response-record
+    order; a response with SEVERAL conversion records keeps the last). A
+    pure WET shard (conversion records only — how Common Crawl actually
+    ships the text sibling) yields text-only rows (html=b'') in record
+    order, one row PER conversion record (duplicate URIs preserved, so
+    export_wet output re-ingests losslessly). A MIXED archive with a
+    conversion record whose response is absent fails loud — that's
+    corruption, not a WET shard. The URI->row merge state is file-bounded
+    (one archive), never corpus-bounded.
     """
     order: list[str] = []
     rows: dict[str, dict] = {}
-    conversions: dict[str, tuple[str, _dt.datetime]] = {}
-    conv_order: list[str] = []
+    # last (text, ts, lang) per URI for the mixed-archive attach
+    conversions: dict[str, tuple[str, _dt.datetime, str]] = {}
+    # every conversion record in order for the pure-WET path
+    conv_rows: list[dict] = []
     for headers, payload in iter_warc_records(data):
         rtype = headers.get("warc-type", "")
         uri = headers.get("warc-target-uri", "")
@@ -265,13 +271,13 @@ def parse_warc_pages(data: bytes, path: str = "") -> pa.Table:
                 "lang": http_headers.get("content-language", ""),
             }
         elif rtype == "conversion":
-            if uri not in conversions:
-                conv_order.append(uri)
-            conversions[uri] = (
-                payload.decode("utf-8"),
-                _parse_warc_date(headers.get("warc-date", "")),
-                # Common Crawl WET records carry the detected language here
-                headers.get("warc-identified-content-language", ""),
+            text = payload.decode("utf-8")
+            ts = _parse_warc_date(headers.get("warc-date", ""))
+            # the header Common Crawl WET uses for detected language
+            lang = headers.get("warc-identified-content-language", "")
+            conversions[uri] = (text, ts, lang)
+            conv_rows.append(
+                {"url": uri, "warc_ts": ts, "html": b"", "text": text, "lang": lang}
             )
         # warcinfo / request / metadata records are not page content: skip
     if rows:
@@ -280,23 +286,19 @@ def parse_warc_pages(data: bytes, path: str = "") -> pa.Table:
             raise ValueError(
                 f"conversion record(s) without a response record: {dangling[:3]!r}"
             )
-        for uri, (text, _ts, _lang) in conversions.items():
+        for uri, (text, _ts, lang) in conversions.items():
             rows[uri]["text"] = text
+            if not rows[uri]["lang"]:
+                rows[uri]["lang"] = lang
+        out_rows = [rows[u] for u in order]
     else:
-        # pure WET shard: text-only pages
-        order = conv_order
-        for uri in conv_order:
-            text, ts, lang = conversions[uri]
-            rows[uri] = {
-                "url": uri,
-                "warc_ts": ts,
-                "html": b"",
-                "text": text,
-                "lang": lang,
-            }
-    cols = {name: [rows[u][name] for u in order] for name in PAGES_SCHEMA.names}
+        # pure WET shard: text-only pages, one row per record
+        out_rows = conv_rows
+    cols = {name: [r[name] for r in out_rows] for name in PAGES_SCHEMA.names}
     table = pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)
-    return table.append_column("path", pa.array([path] * len(order), pa.string()))
+    return table.append_column(
+        "path", pa.array([path] * len(out_rows), pa.string())
+    )
 
 
 def read_warc(paths: list[str]):
@@ -341,10 +343,13 @@ def export_wet(
 
     One shard per map task (output parallelism == pipeline parallelism,
     the export_jsonl convention; a failed run resumes by shard). Shard
-    names derive from the first url's md5 — deterministic for a
-    deterministic input partitioning, unique across shards for distinct
-    content. Returns the (shard path, n_records) manifest as a Dataset;
-    consuming it drives the streaming write.
+    names are the md5 of the shard BYTES — deterministic for a
+    deterministic input partitioning, and distinct content can never
+    collide (identical content overwrites with identical bytes). Two
+    blocks with byte-identical content (duplicate docs pre-dedup)
+    intentionally coalesce to one shard; the returned manifest still
+    lists each block's (path, n_records) row. Returns that manifest as a
+    Dataset; consuming it drives the streaming write.
     """
     import os
 
@@ -365,7 +370,7 @@ def export_wet(
         rows = [
             {
                 "url": u or "",
-                "warc_ts": ts,
+                "warc_ts": ts if ts is not None else base_ts,
                 "html": b"",
                 "text": t or "",
                 "lang": lg or "",
@@ -389,7 +394,10 @@ def export_wet(
                 row["text"].encode("utf-8"),
             )
             out.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
-        shard = hashlib.md5((rows[0]["url"] + f"|{n}").encode()).hexdigest()[:12]
+        # name shards by the CONTENT hash: distinct shard bytes can never
+        # collide (a same-content overwrite rewrites identical bytes), so
+        # duplicate first-urls across blocks cannot silently lose a shard
+        shard = hashlib.md5(out.getvalue()).hexdigest()[:16]
         path = os.path.join(out_dir, f"wet-{shard}{ext}")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:

@@ -824,13 +824,16 @@ def embedding_neardup(
     )
 
 
+_SEMDEDUP_TARGET_CLUSTER = 1024  # target rows per cluster for auto-k
+
+
 def semdedup(
     ds,
     *,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.98,
-    k: int = 8,
+    k: int | None = None,
     corpus_rows: int | None = None,
 ):
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup INSIDE
@@ -849,13 +852,25 @@ def semdedup(
 
     Pair generation is ALL within-cluster pairs (_all_pairs_from_postings
     — quadratic in cluster size, the paper's own per-cluster pairwise
-    computation; k must keep clusters bounded), NOT _lsh_bucket_pairs'
-    everyone-with-min connectivity sketch: a cluster is mostly
-    NON-duplicates, so the cluster minimum is rarely a duplicate of
-    anything and min-pairing would miss true dup pairs entirely.
+    computation), NOT _lsh_bucket_pairs' everyone-with-min connectivity
+    sketch: a cluster is mostly NON-duplicates, so the cluster minimum is
+    rarely a duplicate of anything and min-pairing would miss true dup
+    pairs entirely.
+
+    k BOUNDS per-task memory: one cluster's pairs (~(n/k)^2/2 rows)
+    materialize in one group task, so k must scale with the corpus — the
+    paper uses many clusters for exactly this reason. Default k = None
+    derives max(8, min(n / _SEMDEDUP_TARGET_CLUSTER, 65536)) from the
+    measured row count (~500k pair rows per task at the target); an
+    explicit k is for tests/small corpora and is the caller's memory
+    promise. Centroids are the first-k-ids convention, so ids 0..k-1
+    must exist.
     """
     from docler_ray.stages.similarity import centroid_assignments
 
+    if k is None:
+        n = corpus_rows if corpus_rows is not None else ds.count()
+        k = max(8, min(int(n) // _SEMDEDUP_TARGET_CLUSTER, 65536))
     assign = centroid_assignments(ds, id_col=id_col, emb_col=emb_col, k=k)
     pairs, n_pairs = _compact_nonempty(
         _all_pairs_from_postings(assign, id_col, "cluster")

@@ -30,6 +30,12 @@ import pyarrow.compute as pc
 
 _PAIR_DOMAIN = 256 * 256
 
+# the BPE word contract shared by train_bpe, bpe_encode_stats and their
+# tests: maximal lowercase [a-z]+ runs of the lowercased text
+import re as _re
+
+_BPE_WORD_RE = _re.compile(r"[a-z]+")
+
 
 def pair_counts_batch(texts: list[str]) -> np.ndarray:
     """Dense 256x256 count vector of adjacent lowercase-letter byte pairs
@@ -222,19 +228,15 @@ def train_bpe(
     equivalence test and determinism goldens. Returns a Dataset
     [(rank, left, right, pair_count)] of at most ``n_merges`` merges.
     """
-    import re as _re
-
     import ray.data
     from ray.data.aggregate import Sum
-
-    word_re = _re.compile(r"[a-z]+")
 
     def word_partials(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
         counts: Counter = Counter()
         for t in batch.column(text_col).to_pylist():
-            counts.update(word_re.findall((t or "").lower()))
+            counts.update(_BPE_WORD_RE.findall((t or "").lower()))
         return pa.table(
             {
                 "word": pa.array(list(counts.keys()), pa.string()),
@@ -281,7 +283,9 @@ def _encode_word(word: str, ranks: dict) -> int:
     return len(sym)
 
 
-def bpe_encode_stats(ds, *, text_col: str = "text", n_merges: int = 30):
+def bpe_encode_stats(
+    ds, *, text_col: str = "text", id_col: str = "doc_id", n_merges: int = 30
+):
     """Full tokenizer lifecycle at corpus scale: train BPE on the corpus
     (train_bpe — one word-keyed exchange + bounded driver merge loop),
     broadcast the merge table once, then encode the corpus in a single
@@ -290,11 +294,8 @@ def bpe_encode_stats(ds, *, text_col: str = "text", n_merges: int = 30):
     per-distinct-word encoding (corpora repeat words heavily). Model
     scoring -> rows-only by the sanctioned exemption; pinned by the
     brute-force encode test."""
-    import re as _re
-
     import ray
 
-    word_re = _re.compile(r"[a-z]+")
     merges = train_bpe(ds, text_col=text_col, n_merges=n_merges).to_pandas()
     ranks = {
         (l, r): int(k)
@@ -308,7 +309,7 @@ def bpe_encode_stats(ds, *, text_col: str = "text", n_merges: int = 30):
         n_words_out: list[int] = []
         n_pieces_out: list[int] = []
         for t in batch.column(text_col).to_pylist():
-            words = word_re.findall((t or "").lower())
+            words = _BPE_WORD_RE.findall((t or "").lower())
             total = 0
             for w in words:
                 p = cache.get(w)
@@ -319,7 +320,7 @@ def bpe_encode_stats(ds, *, text_col: str = "text", n_merges: int = 30):
             n_pieces_out.append(total)
         return pa.table(
             {
-                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                id_col: batch.column(id_col),
                 "n_words": pa.array(n_words_out, pa.int64()),
                 "n_pieces": pa.array(n_pieces_out, pa.int64()),
             }

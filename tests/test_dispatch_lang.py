@@ -173,3 +173,25 @@ def test_semdedup_matches_sql_closure(ray_session):
     )
     assert got == want
     assert 100 in got and 101 not in got and 102 not in got  # chain collapsed
+
+
+def test_semdedup_auto_k_from_measured_rows(ray_session):
+    """k=None derives the cluster count from measured rows (memory-bounded
+    quadratic pair tasks) and still finds the duplicates."""
+    import ray.data
+
+    import docler_ray.stages.dedup as dd
+    from docler_ray.stages.dedup import drop_id_set, semdedup
+
+    rng = np.random.RandomState(11)
+    n = 64
+    rows = [
+        {"vec_id": i, "embedding": rng.standard_normal(16).tolist()}
+        for i in range(n)
+    ]
+    rows.append({"vec_id": 900, "embedding": (np.array(rows[20]["embedding"]) * 2).tolist()})
+    ds = ray.data.from_items(rows)
+    # target cluster size 16 -> auto k = 65/16 = 4 (floored at 8 -> 8)
+    drop = drop_id_set(semdedup(ds, threshold=0.99))
+    assert drop == {900}
+    assert dd._SEMDEDUP_TARGET_CLUSTER >= 8  # the constant the default derives from

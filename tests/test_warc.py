@@ -267,3 +267,56 @@ def test_export_wet_round_trips_through_read_warc(ray_session, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     assert (back["html"].map(len) == 0).all()
+
+
+def test_export_wet_duplicate_urls_round_trip(ray_session, tmp_path):
+    """Duplicate urls (pre-dedup docs) must survive the export->re-ingest
+    round trip: one row per conversion record, no dict collapse, and
+    identical-content blocks coalesce to one shard without data loss."""
+    import ray.data
+
+    from docler_ray.sources.warc import export_wet, read_warc
+
+    docs = [
+        {"url": "https://h.example/same", "text": "first copy"},
+        {"url": "https://h.example/same", "text": "second copy"},
+        {"url": "https://h.example/other", "text": "unique"},
+    ]
+    out = str(tmp_path / "wet")
+    manifest = export_wet(ray.data.from_items(docs), out).to_pandas()
+    assert manifest["n_records"].sum() == 3
+    back = read_warc(sorted(set(manifest["path"]))).to_pandas()
+    assert sorted(back["text"]) == ["first copy", "second copy", "unique"]
+
+
+def test_warc_mixed_archive_lang_falls_back_to_wet_header():
+    """Response without Content-Language + conversion carrying
+    WARC-Identified-Content-Language -> lang comes from the WET header."""
+    from docler_ray.sources.warc import _CRLF, _HDR_END, _record, _record_id
+
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n" + _CRLF + b"hi"
+    )
+    recs = _record(
+        "response",
+        [
+            ("WARC-Record-ID", _record_id("response", "u1")),
+            ("WARC-Date", "2026-01-01T00:00:00.000000Z"),
+            ("WARC-Target-URI", "https://x.example/a"),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        http,
+    ) + _record(
+        "conversion",
+        [
+            ("WARC-Record-ID", _record_id("conversion", "u1")),
+            ("WARC-Date", "2026-01-01T00:00:00.000000Z"),
+            ("WARC-Target-URI", "https://x.example/a"),
+            ("Content-Type", "text/plain"),
+            ("WARC-Identified-Content-Language", "deu"),
+        ],
+        b"hallo",
+    )
+    table = parse_warc_pages(recs)
+    assert table.column("lang").to_pylist() == ["deu"]
+    assert table.column("text").to_pylist() == ["hallo"]

@@ -1129,6 +1129,98 @@ def _q_neardup_survivors_exact(sf_dir: str):
     )
 
 
+def _q_dup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster size distribution over the EXACT Jaccard pairs —
+    the dedup audit report (pairs vs boilerplate mega-clusters). Reuses the
+    exact pair join + min-label components; histogram via label-keyed
+    count + size-keyed partial Sum."""
+    import ray.data
+
+    from docler_ray.stages.dedup import (
+        _compact_nonempty,
+        component_size_histogram,
+        jaccard_pairs_exact,
+        min_label_components,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = ds.count()
+    pairs = jaccard_pairs_exact(
+        ds, "text", "doc_id", threshold=0.8, shingle_k=5, corpus_rows=n
+    )
+    edges, n_edges = _compact_nonempty(pairs)
+    if not n_edges:
+        return pa.table(
+            {
+                "cluster_size": pa.array([], pa.int64()),
+                "num_clusters": pa.array([], pa.int64()),
+            }
+        )
+    return component_size_histogram(min_label_components(edges))
+
+
+def _q_events_window_distinct_users(sf_dir: str):
+    """Tumbling 1h COUNT(DISTINCT user) per event type — the distinct
+    variant of events_window_counts (map-side drop_duplicates, one
+    triple-keyed dedup exchange, partial-count + Sum)."""
+    import ray.data
+
+    from docler_ray.stages.windows import tumbling_window_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
+    )
+    return tumbling_window_distinct(
+        ds, "ts", "event_type", "user_id", window_secs=3600
+    )
+
+
+def _q_customer_region_left_join(sf_dir: str):
+    """Broadcast LEFT OUTER hash join: customers against the nation
+    dimension FILTERED to one region, so real misses exist; misses are
+    coalesced to a sentinel and counted. Exercises pyarrow's 'left outer'
+    join type through the same zero-shuffle broadcast plan as the inner
+    joins."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import broadcast_hash_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    nation = nation.filter(pc.equal(nation["n_regionkey"], 2)).select(
+        ["n_nationkey", "n_name"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey"]
+    )
+    joined = broadcast_hash_join(
+        customer,
+        nation,
+        keys="c_nationkey",
+        right_keys="n_nationkey",
+        join_type="left outer",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        name = pc.coalesce(batch["n_name"], pa.scalar("__miss__", pa.string()))
+        t = pa.table({"n_name": name}).group_by("n_name").aggregate(
+            [("n_name", "count")]
+        )
+        return t.rename_columns(["n_name", "partial_n"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     import ray.data
 
@@ -3000,6 +3092,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "neardup_pairs_exact": _q_neardup_pairs_exact,
         "neardup_survivors_exact": _q_neardup_survivors_exact,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
+        "events_window_distinct_users": _q_events_window_distinct_users,
+        "customer_region_left_join": _q_customer_region_left_join,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -3569,6 +3664,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id NOT IN (SELECT id FROM lbl WHERE mn < id)"
         ),
         "neardup_survivors_exact": _exact_survivors_sql(),
+        "dup_cluster_sizes": _dup_cluster_sizes_sql(),
+        "events_window_distinct_users": (
+            "SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) "
+            "AS window_start, COUNT(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "customer_region_left_join": (
+            "SELECT COALESCE(n.n_name, '__miss__') AS n_name, COUNT(*) AS n "
+            "FROM customer c LEFT JOIN "
+            "(SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2) n "
+            "ON c.c_nationkey = n.n_nationkey GROUP BY 1"
+        ),
         # LSH survivor oracles: survivors == exact-Jaccard clustering iff
         # candidate recall is 100% on the corpus — so a recall drop shows up
         # as an oracle mismatch, which is precisely the regression signal an
@@ -3725,6 +3832,23 @@ def _exact_survivors_sql() -> str:
         "lbl AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a) "
         "SELECT doc_id FROM documents "
         "WHERE doc_id NOT IN (SELECT id FROM lbl WHERE mn < id)"
+    )
+
+
+def _dup_cluster_sizes_sql() -> str:
+    """Cluster-size histogram oracle: the SAME exact-pair SQL, symmetric
+    closure, min-label per node (self is reachable through any incident
+    edge, so MIN(b) IS the component minimum — matching the Ray side's
+    self-loop symmetrize), then size per label and count per size."""
+    return (
+        f"WITH RECURSIVE p AS ({_NEARDUP_PAIRS_SQL}), "
+        "sym AS (SELECT id_a AS a, id_b AS b FROM p "
+        "        UNION SELECT id_b, id_a FROM p), "
+        "reach(a, b) AS (SELECT a, b FROM sym "
+        "  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), "
+        "lbl AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a), "
+        "sizes AS (SELECT mn, COUNT(*) AS cluster_size FROM lbl GROUP BY mn) "
+        "SELECT cluster_size, COUNT(*) AS num_clusters FROM sizes GROUP BY 1"
     )
 
 

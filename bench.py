@@ -242,6 +242,9 @@ def bench_once() -> dict:
         timed("semdedup_survivors", q["semdedup_survivors"])
         timed("bpe_merges", q["bpe_merges"])
         timed("bpe_encode_stats", q["bpe_encode_stats"])
+        timed("dup_cluster_sizes", q["dup_cluster_sizes"])
+        timed("events_window_distinct_users", q["events_window_distinct_users"])
+        timed("customer_region_left_join", q["customer_region_left_join"])
     finally:
         ray.shutdown()
     return results

@@ -939,6 +939,32 @@ def drop_from_pairs(pairs, id_col: str):
     return _drop_from_labels(labels, id_col)
 
 
+def component_size_histogram(labels):
+    """(src, label) component Dataset -> (cluster_size, num_clusters).
+
+    The duplicate-cluster size distribution — the standard dedup audit
+    report (how much of the corpus sits in pairs vs giant boilerplate
+    clusters). Plan: one label-keyed exchange counts members per component
+    (exchange sized by labeled nodes, i.e. dup-involved docs only), then
+    per-batch partial counts per size + a Sum over a histogram-sized key
+    space. Nothing corpus-proportional lands on the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    if labels is None:
+        return None
+    sizes = labels.groupby("label").aggregate(Count(alias_name="cluster_size"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("cluster_size").aggregate([("cluster_size", "count")])
+        return t.rename_columns(["cluster_size", "partial_n"])
+
+    return (
+        sizes.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster_size")
+        .aggregate(Sum("partial_n", alias_name="num_clusters"))
+    )
+
+
 _SMALL_DROP = 2_000_000  # broadcast bound for the drop-id set (~16 MB)
 
 

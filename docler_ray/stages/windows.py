@@ -59,6 +59,53 @@ def tumbling_window_counts(ds, ts_col: str, group_col: str, *, window_secs: int 
     )
 
 
+def tumbling_window_distinct(
+    ds,
+    ts_col: str,
+    group_col: str,
+    distinct_col: str,
+    *,
+    window_secs: int = 3600,
+):
+    """COUNT(DISTINCT x) per (group, tumbling window).
+
+    Distinct counting cannot be partial-summed like plain counts, so the
+    plan is the standard two-exchange distinct-aggregate: (1) map-side
+    drop_duplicates shrinks each batch to its unique (group, window,
+    member) triples — the only corpus-sized pass; (2) one groupby over the
+    FULL triple key dedups globally (exchange sized by distinct triples,
+    not events); (3) per-batch partial counts over the now-distinct triples
+    and a final Sum over (group, window)-sized partials. No stage holds
+    more than one batch; nothing corpus-proportional lands on the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        epoch = _epoch_seconds(df[ts_col])
+        df["window_start"] = (epoch // window_secs) * window_secs
+        g = df[[group_col, "window_start", distinct_col]].drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    triples = ds.map_batches(partial_distinct, batch_format="pyarrow")
+    distinct = triples.groupby([group_col, "window_start", distinct_col]).aggregate(
+        Count(alias_name="_c")
+    )
+
+    def recount(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby([group_col, "window_start"], sort=False)
+            .size()
+            .reset_index(name="partial_n")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = distinct.map_batches(recount, batch_format="pyarrow")
+    return partials.groupby([group_col, "window_start"]).aggregate(
+        Sum("partial_n", alias_name="n_distinct")
+    )
+
+
 def hopping_window_counts(
     ds,
     ts_col: str,

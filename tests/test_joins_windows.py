@@ -107,6 +107,98 @@ def test_tumbling_window_counts(ray_session):
     assert out[out.event_type == "b"]["n"].tolist() == [1]
 
 
+def test_tumbling_window_distinct(ray_session):
+    import ray.data
+
+    from docler_ray.stages.windows import tumbling_window_distinct
+
+    base = pd.Timestamp("2024-01-01 00:30:00")
+    rows = [
+        # user 1 twice in the same window: must count once
+        {"ts": base, "event_type": "a", "user_id": 1},
+        {"ts": base + pd.Timedelta(minutes=10), "event_type": "a", "user_id": 1},
+        {"ts": base + pd.Timedelta(minutes=20), "event_type": "a", "user_id": 2},
+        # same user, next window: counts again there
+        {"ts": base + pd.Timedelta(hours=1), "event_type": "a", "user_id": 1},
+        {"ts": base, "event_type": "b", "user_id": 1},
+    ]
+    # two blocks so the same (window, user) spans batches: batch-local
+    # drop_duplicates alone would overcount without the global dedup exchange
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(2)
+    out = tumbling_window_distinct(
+        ds, "ts", "event_type", "user_id", window_secs=3600
+    ).to_pandas()
+    a = out[out.event_type == "a"].sort_values("window_start")
+    assert a["n_distinct"].tolist() == [2, 1]
+    assert out[out.event_type == "b"]["n_distinct"].tolist() == [1]
+
+
+def test_tumbling_window_distinct_matches_pandas(ray_session):
+    import ray.data
+
+    from docler_ray.stages.windows import tumbling_window_distinct
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 6 * 3600, n), unit="s"),
+            "event_type": rng.choice(["x", "y", "z"], n),
+            "user_id": rng.integers(0, 40, n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (
+        tumbling_window_distinct(ds, "ts", "event_type", "user_id", window_secs=3600)
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.assign(
+            window_start=(
+                df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+                // 3600
+            )
+            * 3600
+        )
+        .groupby(["event_type", "window_start"])["user_id"]
+        .nunique()
+        .reset_index(name="n_distinct")
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert out["n_distinct"].tolist() == exp["n_distinct"].tolist()
+    assert out["window_start"].tolist() == exp["window_start"].tolist()
+
+
+def test_broadcast_left_outer_string_coalesce(ray_session):
+    """LEFT OUTER broadcast join with a STRING value column: misses come
+    back null and coalesce cleanly (the round-2 ADVICE empty-right shape,
+    exercised through the outer-join path)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.joins import broadcast_hash_join
+
+    left = ray.data.from_items([{"k": 1}, {"k": 9}, {"k": 9}])
+    right = pa.table({"k": [1], "label": ["one"]})
+    joined = broadcast_hash_join(left, right, keys="k", join_type="left outer")
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        lab = pc.coalesce(batch["label"], pa.scalar("__miss__", pa.string()))
+        return batch.set_column(batch.schema.get_field_index("label"), "label", lab)
+
+    out = (
+        joined.map_batches(coalesce, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["k"])
+        .reset_index(drop=True)
+    )
+    assert out["label"].tolist() == ["one", "__miss__", "__miss__"]
+
+
 def test_broadcast_range_join(ray_session):
     import ray.data
 

@@ -388,6 +388,30 @@ def test_min_label_components_distributed_equals_local(ray_session, monkeypatch)
     assert dist == expected
 
 
+def test_component_size_histogram(ray_session, monkeypatch):
+    """Cluster-size histogram over components: chain of 4 + star of 4 +
+    two pairs -> {4: 2, 2: 2}; identical in both component regimes."""
+    import ray.data
+
+    from docler_ray.stages import dedup
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),
+        (10, 11), (10, 12), (10, 13),
+        (20, 21),
+        (31, 30),
+    ]
+    ds = ray.data.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+
+    def hist():
+        out = dedup.component_size_histogram(dedup.min_label_components(ds))
+        return {r["cluster_size"]: r["num_clusters"] for r in out.take_all()}
+
+    assert hist() == {4: 2, 2: 2}
+    monkeypatch.setattr(dedup, "_SMALL_GRAPH_EDGES", 0)
+    assert hist() == {4: 2, 2: 2}
+
+
 def test_copartition_hash_join(ray_session):
     """Big-big co-partitioned join: inner + left variants against a
     hand-checked table."""

@@ -1221,6 +1221,84 @@ def _q_customer_region_left_join(sf_dir: str):
     )
 
 
+def _q_length_moments_by_lang(sf_dir: str):
+    """Grouped mean + population variance of document char length via
+    mergeable integer moments (n, sum, sum-of-squares) — float accumulation
+    order never matters because the closed form is one IEEE divide over
+    exact integers, identical on both engines."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": pc.cast(
+                    pc.utf8_length(batch.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    with_len = ds.map_batches(add_len, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_moments(with_len, group_col="lang", value_col="n_chars")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["lang", "n_docs", "mean_chars", "var_chars"])
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_incremental_dedup_new_docs(sf_dir: str):
+    """Incremental snapshot ingest: dedup the NEW shard (doc_id % 5 == 0)
+    against the HISTORICAL corpus (doc_id % 5 != 0) by 64-bit text hash.
+    The historical side is reduced to hash keys once; the bloom
+    pass-through certificate streams definite non-members with zero
+    shuffle and only bitmap hits pay the exact left_anti — the daily
+    Common-Crawl-snapshot-vs-archive dedup shape."""
+    import hashlib
+
+    import ray.data
+
+    from docler_ray.stages.joins import bloom_anti_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_h64": pa.array(hs, pa.uint64()),
+            }
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+    def is_new(batch: pa.Table) -> pa.Table:
+        v = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v % 5 == 0))
+
+    def is_old(batch: pa.Table) -> pa.Table:
+        v = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v % 5 != 0)).select(["text_h64"])
+
+    new = hashed.map_batches(is_new, batch_format="pyarrow", zero_copy_batch=True)
+    old = hashed.map_batches(is_old, batch_format="pyarrow", zero_copy_batch=True)
+    survivors = bloom_anti_join(new, old, "text_h64", "text_h64")
+    return survivors.select_columns(["doc_id"])
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     import ray.data
 
@@ -3095,6 +3173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "events_window_distinct_users": _q_events_window_distinct_users,
         "customer_region_left_join": _q_customer_region_left_join,
+        "length_moments_by_lang": _q_length_moments_by_lang,
+        "incremental_dedup_new_docs": _q_incremental_dedup_new_docs,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -3675,6 +3755,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer c LEFT JOIN "
             "(SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2) n "
             "ON c.c_nationkey = n.n_nationkey GROUP BY 1"
+        ),
+        # integer moment sums are exact (HUGEINT), so mean/variance reduce
+        # to the SAME one-divide IEEE expressions the Ray side evaluates —
+        # bit-identical doubles, no var_pop accumulation-order dependence
+        "length_moments_by_lang": (
+            "WITH s AS (SELECT lang, COUNT(*)::HUGEINT AS n, "
+            "SUM(length(text)::BIGINT)::HUGEINT AS s1, "
+            "SUM(length(text)::BIGINT * length(text)::BIGINT)::HUGEINT AS s2 "
+            "FROM documents GROUP BY lang) "
+            "SELECT lang, CAST(n AS BIGINT) AS n_docs, "
+            "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_chars, "
+            "CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE) "
+            "AS var_chars FROM s"
+        ),
+        "incremental_dedup_new_docs": (
+            "SELECT doc_id FROM documents WHERE doc_id % 5 = 0 AND "
+            "('0x' || substr(md5(text), 1, 16))::UBIGINT NOT IN "
+            "(SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT "
+            " FROM documents WHERE doc_id % 5 != 0)"
         ),
         # LSH survivor oracles: survivors == exact-Jaccard clustering iff
         # candidate recall is 100% on the corpus — so a recall drop shows up

@@ -245,6 +245,8 @@ def bench_once() -> dict:
         timed("dup_cluster_sizes", q["dup_cluster_sizes"])
         timed("events_window_distinct_users", q["events_window_distinct_users"])
         timed("customer_region_left_join", q["customer_region_left_join"])
+        timed("length_moments_by_lang", q["length_moments_by_lang"])
+        timed("incremental_dedup_new_docs", q["incremental_dedup_new_docs"])
     finally:
         ray.shutdown()
     return results

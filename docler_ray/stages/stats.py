@@ -250,6 +250,65 @@ def equi_width_histogram(
     )
 
 
+def grouped_moments(ds, *, group_col: str, value_col: str):
+    """Grouped mean + population variance from MERGEABLE integer moments.
+
+    Per batch, each group reduces to (n, sum, sum-of-squares) — all exact
+    int64 — so the shuffle ships O(groups x blocks) partial rows and the
+    combine is plain integer Sum (addition-order independent, unlike
+    accumulating floats). The closed forms are evaluated ONCE per group in
+    arbitrary-precision Python ints, then rounded by a single IEEE divide:
+    ``mean = float(s1)/float(n)``, ``var = float(n*s2 - s1^2)/float(n*n)``
+    — the DuckDB oracle computes the identical expressions from HUGEINT
+    sums, so both engines round the same exact integers through the same
+    one division and the doubles hash-match bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({group_col: batch.column(group_col).to_pandas(), "v": v})
+        df["v2"] = df["v"] * df["v"]
+        g = df.groupby(group_col, sort=False).agg(
+            p_n=("v", "size"), p_s1=("v", "sum"), p_s2=("v2", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(
+            Sum("p_n", alias_name="n_rows"),
+            Sum("p_s1", alias_name="s1"),
+            Sum("p_s2", alias_name="s2"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # group-count-sized rows: exact Python-int closed forms, one IEEE
+        # divide each (matches the oracle's HUGEINT -> DOUBLE arithmetic)
+        n = batch.column("n_rows").to_pylist()
+        s1 = batch.column("s1").to_pylist()
+        s2 = batch.column("s2").to_pylist()
+        mean = [float(a) / float(b) for a, b in zip(s1, n)]
+        var = [
+            float(b * c - a * a) / float(b * b) for a, b, c in zip(s1, n, s2)
+        ]
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n_rows": batch.column("n_rows"),
+                "mean_val": pa.array(mean, pa.float64()),
+                "var_val": pa.array(var, pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def weighted_group_sample(
     ds,
     *,

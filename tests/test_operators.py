@@ -412,7 +412,60 @@ def test_component_size_histogram(ray_session, monkeypatch):
     assert hist() == {4: 2, 2: 2}
 
 
-def test_copartition_hash_join(ray_session):
+def test_grouped_moments_exact(ray_session):
+    """Mergeable integer moments: mean/var match the closed form computed
+    from exact ints, block-split invariant, and agree with numpy."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_moments
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 5000),
+            "v": rng.integers(0, 10000, 5000),
+        }
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = grouped_moments(ds, group_col="g", value_col="v").to_pandas()
+        return out.sort_values("g").reset_index(drop=True)
+
+    out2, out16 = run(2), run(16)
+    # block-split invariance must be EXACT (integer partials)
+    pd.testing.assert_frame_equal(out2, out16)
+    for _, row in out16.iterrows():
+        v = df[df.g == row["g"]]["v"].to_numpy().astype(object)
+        n, s1, s2 = len(v), int(sum(v)), int(sum(x * x for x in v))
+        assert row["n_rows"] == n
+        assert row["mean_val"] == float(s1) / float(n)
+        assert row["var_val"] == float(n * s2 - s1 * s1) / float(n * n)
+        assert abs(row["var_val"] - np.var(df[df.g == row["g"]]["v"])) < 1e-6
+
+
+def test_incremental_dedup_query(ray_session, tmp_path):
+    """New-shard-vs-historical dedup: a new doc whose text already exists
+    in the historical split is dropped; novel new docs survive."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    # doc_id % 5 == 0 -> NEW; others HISTORICAL
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 5, 10, 15],
+            "text": ["alpha", "beta", "gamma", "alpha", "novel one", "beta"],
+            "lang": ["en"] * 6,
+        }
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    out = e.queries()["incremental_dedup_new_docs"](str(tmp_path)).to_pandas()
+    # 5 ("alpha") and 15 ("beta") duplicate historical text; 10 is novel
+    assert sorted(out["doc_id"].tolist()) == [10]
     """Big-big co-partitioned join: inner + left variants against a
     hand-checked table."""
     import ray.data

@@ -1299,6 +1299,79 @@ def _q_incremental_dedup_new_docs(sf_dir: str):
     return survivors.select_columns(["doc_id"])
 
 
+def _q_docs_global_rank(sf_dir: str):
+    """Global ORDER BY rank (ROW_NUMBER over n_chars DESC, doc_id) WITHOUT
+    a global sort: the sort key packs into one unique monotone int64
+    composite — (max_chars - n_chars) * (max_doc + 1) + doc_id — and the
+    rank is the inclusive ordered prefix sum of ones over that key
+    (range-bucket offsets + per-bucket scan; B-row driver state). doc_id
+    and n_chars decode back out of the key, so nothing else is shipped.
+    Composite-key span bounds the reach (span x buckets < 2^62 — guarded
+    in ordered_prefix_sum); beyond that, split the rank into a per-bucket
+    pass over a wider key."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from docler_ray.stages.packing import ordered_prefix_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(
+                    pc.utf8_length(batch.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    with_len = ds.map_batches(add_len, batch_format="pyarrow", zero_copy_batch=True)
+    bounds = with_len.aggregate(
+        Max("doc_id", alias_name="max_doc"), Max("n_chars", alias_name="max_chars")
+    )
+    if bounds["max_doc"] is None:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+    k_mult = int(bounds["max_doc"]) + 1
+    max_chars = int(bounds["max_chars"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        key = (max_chars - nc) * k_mult + did
+        return pa.table(
+            {
+                "sort_key": pa.array(key, pa.int64()),
+                "_one": pa.array(np.ones(len(key), np.int64)),
+            }
+        )
+
+    keyed = with_len.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = ordered_prefix_sum(keyed, "sort_key", "_one")
+
+    def decode(batch: pa.Table) -> pa.Table:
+        key = batch.column("sort_key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(key % k_mult, pa.int64()),
+                "n_chars": pa.array(max_chars - key // k_mult, pa.int64()),
+                "rnk": batch.column("cum"),
+            }
+        )
+
+    return ranked.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     import ray.data
 
@@ -3175,6 +3248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_region_left_join": _q_customer_region_left_join,
         "length_moments_by_lang": _q_length_moments_by_lang,
         "incremental_dedup_new_docs": _q_incremental_dedup_new_docs,
+        "docs_global_rank": _q_docs_global_rank,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -3774,6 +3848,11 @@ def oracle_sql() -> dict[str, str]:
             "('0x' || substr(md5(text), 1, 16))::UBIGINT NOT IN "
             "(SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT "
             " FROM documents WHERE doc_id % 5 != 0)"
+        ),
+        "docs_global_rank": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            "ROW_NUMBER() OVER (ORDER BY length(text) DESC, doc_id) AS rnk "
+            "FROM documents"
         ),
         # LSH survivor oracles: survivors == exact-Jaccard clustering iff
         # candidate recall is 100% on the corpus — so a recall drop shows up

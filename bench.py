@@ -247,6 +247,7 @@ def bench_once() -> dict:
         timed("customer_region_left_join", q["customer_region_left_join"])
         timed("length_moments_by_lang", q["length_moments_by_lang"])
         timed("incremental_dedup_new_docs", q["incremental_dedup_new_docs"])
+        timed("docs_global_rank", q["docs_global_rank"])
     finally:
         ray.shutdown()
     return results

@@ -466,6 +466,33 @@ def test_incremental_dedup_query(ray_session, tmp_path):
     out = e.queries()["incremental_dedup_new_docs"](str(tmp_path)).to_pandas()
     # 5 ("alpha") and 15 ("beta") duplicate historical text; 10 is novel
     assert sorted(out["doc_id"].tolist()) == [10]
+
+
+def test_docs_global_rank_tiebreak(ray_session, tmp_path):
+    """Global ROW_NUMBER without a sort: ties on n_chars break by doc_id
+    ascending, descending length order, dense 1..n ranks."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["aaaa", "bb", "cccc", "d", "ee"],
+            "lang": ["en"] * 5,
+        }
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    out = (
+        e.queries()["docs_global_rank"](str(tmp_path))
+        .to_pandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    # len 4: docs 1,3 (tie -> id order); len 2: docs 2,5; len 1: doc 4
+    assert out["doc_id"].tolist() == [1, 3, 2, 5, 4]
+    assert out["rnk"].tolist() == [1, 2, 3, 4, 5]
+    assert out["n_chars"].tolist() == [4, 4, 2, 2, 1]
     """Big-big co-partitioned join: inner + left variants against a
     hand-checked table."""
     import ray.data

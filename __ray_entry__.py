@@ -1372,6 +1372,30 @@ def _q_docs_global_rank(sf_dir: str):
     return ranked.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_docs_rollup_counts(sf_dir: str):
+    """ROLLUP counts over (lang, 500-char length bucket) — every GROUP BY
+    prefix level in ONE corpus pass (map-side partials per level, one
+    groupby; the grand total costs 1 row per block)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.stats import rollup_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        nc = pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+        bucket = pc.cast(pc.divide(nc, 500), pa.string())
+        return pa.table({"lang": batch.column("lang"), "len_bucket": bucket})
+
+    with_bucket = ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return rollup_counts(with_bucket, ["lang", "len_bucket"])
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     import ray.data
 
@@ -3249,6 +3273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_moments_by_lang": _q_length_moments_by_lang,
         "incremental_dedup_new_docs": _q_incremental_dedup_new_docs,
         "docs_global_rank": _q_docs_global_rank,
+        "docs_rollup_counts": _q_docs_rollup_counts,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -3853,6 +3878,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(text)::BIGINT AS n_chars, "
             "ROW_NUMBER() OVER (ORDER BY length(text) DESC, doc_id) AS rnk "
             "FROM documents"
+        ),
+        "docs_rollup_counts": (
+            "WITH d AS (SELECT lang, "
+            "CAST(length(text)::BIGINT // 500 AS VARCHAR) AS len_bucket "
+            "FROM documents) "
+            "SELECT COALESCE(lang, '__all__') AS lang, "
+            "COALESCE(len_bucket, '__all__') AS len_bucket, COUNT(*) AS n "
+            "FROM d GROUP BY ROLLUP(lang, len_bucket)"
         ),
         # LSH survivor oracles: survivors == exact-Jaccard clustering iff
         # candidate recall is 100% on the corpus — so a recall drop shows up

@@ -248,6 +248,7 @@ def bench_once() -> dict:
         timed("length_moments_by_lang", q["length_moments_by_lang"])
         timed("incremental_dedup_new_docs", q["incremental_dedup_new_docs"])
         timed("docs_global_rank", q["docs_global_rank"])
+        timed("docs_rollup_counts", q["docs_rollup_counts"])
     finally:
         ray.shutdown()
     return results

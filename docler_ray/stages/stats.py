@@ -309,6 +309,55 @@ def grouped_moments(ds, *, group_col: str, value_col: str):
     return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+ROLLUP_ALL = "__all__"  # sentinel for the rolled-up level (columns are non-null)
+
+
+def rollup_counts(ds, cols: list[str]):
+    """ROLLUP counts (every GROUP BY prefix level) in ONE corpus pass.
+
+    Each batch emits its partial counts for all len(cols)+1 rollup levels
+    — (c1..ck), (c1..ck-1), ..., () — with rolled-up columns set to the
+    ``ROLLUP_ALL`` sentinel, then one groupby sums partials. The exchange
+    ships O(levels x groups x blocks) partial rows, never data rows; the
+    grand-total level is 1 row per block. The SQL twin is GROUP BY ROLLUP
+    with the same COALESCE sentinel, so counts hash-match exactly.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    if not cols:
+        raise ValueError("rollup_counts needs at least one column")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        levels = []
+        for k in range(len(cols), -1, -1):
+            if k == 0:
+                lvl = pd.DataFrame(
+                    {c: [ROLLUP_ALL] for c in cols} | {"partial_n": [len(df)]}
+                )
+            else:
+                g = (
+                    df.groupby(cols[:k], sort=False)
+                    .size()
+                    .reset_index(name="partial_n")
+                )
+                for c in cols[k:]:
+                    g[c] = ROLLUP_ALL
+                lvl = g[cols + ["partial_n"]]
+            levels.append(lvl)
+        return pa.Table.from_pandas(
+            pd.concat(levels, ignore_index=True), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(cols)
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+
 def weighted_group_sample(
     ds,
     *,

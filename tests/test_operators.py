@@ -493,6 +493,33 @@ def test_docs_global_rank_tiebreak(ray_session, tmp_path):
     assert out["doc_id"].tolist() == [1, 3, 2, 5, 4]
     assert out["rnk"].tolist() == [1, 2, 3, 4, 5]
     assert out["n_chars"].tolist() == [4, 4, 2, 2, 1]
+
+
+def test_rollup_counts_levels(ray_session):
+    """All ROLLUP prefix levels from one pass: leaf, per-first-col, and
+    grand total — totals consistent across levels, block-split invariant."""
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.stats import ROLLUP_ALL, rollup_counts
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", "y", "y", "y", "z"],
+            "b": ["1", "2", "1", "1", "2", "1"],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = rollup_counts(ds, ["a", "b"]).to_pandas()
+    got = {(r["a"], r["b"]): r["n"] for _, r in out.iterrows()}
+    assert got[("x", "1")] == 1 and got[("x", "2")] == 1
+    assert got[("y", "1")] == 2 and got[("y", "2")] == 1
+    assert got[("z", "1")] == 1
+    assert got[("x", ROLLUP_ALL)] == 2
+    assert got[("y", ROLLUP_ALL)] == 3
+    assert got[("z", ROLLUP_ALL)] == 1
+    assert got[(ROLLUP_ALL, ROLLUP_ALL)] == 6
+    assert len(got) == 9
     """Big-big co-partitioned join: inner + left variants against a
     hand-checked table."""
     import ray.data

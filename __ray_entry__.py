@@ -1396,6 +1396,45 @@ def _q_docs_rollup_counts(sf_dir: str):
     return rollup_counts(with_bucket, ["lang", "len_bucket"])
 
 
+def _q_length_token_cov_by_lang(sf_dir: str):
+    """Grouped population covariance of (char length, ws-token count) via
+    mergeable integer co-moments — grouped_moments' bivariate sibling,
+    same one-IEEE-divide exactness contract."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.functions.tokens import count_whitespace_tokens
+    from docler_ray.stages.stats import grouped_comoments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def add_vals(batch: pa.Table) -> pa.Table:
+        toks = [
+            count_whitespace_tokens(t or "") for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": pc.cast(
+                    pc.utf8_length(batch.column("text")), pa.int64()
+                ),
+                "n_ws_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    with_vals = ds.map_batches(add_vals, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_comoments(
+        with_vals, group_col="lang", x_col="n_chars", y_col="n_ws_tokens"
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["lang", "n_docs", "cov_chars_tokens"])
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     import ray.data
 
@@ -3274,6 +3313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_new_docs": _q_incremental_dedup_new_docs,
         "docs_global_rank": _q_docs_global_rank,
         "docs_rollup_counts": _q_docs_rollup_counts,
+        "length_token_cov_by_lang": _q_length_token_cov_by_lang,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -3886,6 +3926,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(lang, '__all__') AS lang, "
             "COALESCE(len_bucket, '__all__') AS len_bucket, COUNT(*) AS n "
             "FROM d GROUP BY ROLLUP(lang, len_bucket)"
+        ),
+        # integer co-moment sums are exact; cov reduces to the same
+        # one-divide IEEE expression the Ray side evaluates
+        "length_token_cov_by_lang": (
+            "WITH d AS (SELECT lang, length(text)::BIGINT AS x, "
+            f"array_length({_WS_TOKS_SQL})::BIGINT AS y FROM documents), "
+            "s AS (SELECT lang, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx, "
+            "SUM(y)::HUGEINT AS sy, SUM(x * y)::HUGEINT AS sxy "
+            "FROM d GROUP BY lang) "
+            "SELECT lang, CAST(n AS BIGINT) AS n_docs, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) "
+            "AS cov_chars_tokens FROM s"
         ),
         # LSH survivor oracles: survivors == exact-Jaccard clustering iff
         # candidate recall is 100% on the corpus — so a recall drop shows up

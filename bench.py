@@ -249,6 +249,7 @@ def bench_once() -> dict:
         timed("incremental_dedup_new_docs", q["incremental_dedup_new_docs"])
         timed("docs_global_rank", q["docs_global_rank"])
         timed("docs_rollup_counts", q["docs_rollup_counts"])
+        timed("length_token_cov_by_lang", q["length_token_cov_by_lang"])
     finally:
         ray.shutdown()
     return results

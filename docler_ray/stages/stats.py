@@ -309,6 +309,64 @@ def grouped_moments(ds, *, group_col: str, value_col: str):
     return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouped_comoments(ds, *, group_col: str, x_col: str, y_col: str):
+    """Grouped population covariance from mergeable integer co-moments.
+
+    Same exactness contract as :func:`grouped_moments`: per batch each
+    group reduces to (n, sum_x, sum_y, sum_xy) — all exact int64, so the
+    combine is order-independent integer Sum — and
+    ``cov = float(n*sxy - sx*sy) / float(n*n)`` rounds exact Python ints
+    through one IEEE divide, matching the oracle's HUGEINT arithmetic
+    bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {group_col: batch.column(group_col).to_pandas(), "x": x, "y": y}
+        )
+        df["xy"] = df["x"] * df["y"]
+        g = df.groupby(group_col, sort=False).agg(
+            p_n=("x", "size"), p_sx=("x", "sum"), p_sy=("y", "sum"),
+            p_sxy=("xy", "sum"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(
+            Sum("p_n", alias_name="n_rows"),
+            Sum("p_sx", alias_name="sx"),
+            Sum("p_sy", alias_name="sy"),
+            Sum("p_sxy", alias_name="sxy"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_rows").to_pylist()
+        sx = batch.column("sx").to_pylist()
+        sy = batch.column("sy").to_pylist()
+        sxy = batch.column("sxy").to_pylist()
+        cov = [
+            float(b * d - a * c) / float(b * b)
+            for a, b, c, d in zip(sx, n, sy, sxy)
+        ]
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n_rows": batch.column("n_rows"),
+                "cov_val": pa.array(cov, pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 ROLLUP_ALL = "__all__"  # sentinel for the rolled-up level (columns are non-null)
 
 

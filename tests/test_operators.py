@@ -495,6 +495,42 @@ def test_docs_global_rank_tiebreak(ray_session, tmp_path):
     assert out["n_chars"].tolist() == [4, 4, 2, 2, 1]
 
 
+def test_grouped_comoments_exact(ray_session):
+    """Covariance from integer co-moments: block-split invariant and equal
+    to the closed form over exact ints (and numpy's cov within fp noise)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_comoments
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 3000),
+            "x": rng.integers(0, 5000, 3000),
+        }
+    )
+    df["y"] = df["x"] // 7 + rng.integers(0, 50, 3000)
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = grouped_comoments(ds, group_col="g", x_col="x", y_col="y")
+        return out.to_pandas().sort_values("g").reset_index(drop=True)
+
+    out2, out16 = run(2), run(16)
+    pd.testing.assert_frame_equal(out2, out16)
+    for _, row in out16.iterrows():
+        sub = df[df.g == row["g"]]
+        x = sub["x"].to_numpy().astype(object)
+        y = sub["y"].to_numpy().astype(object)
+        n, sx, sy = len(x), int(sum(x)), int(sum(y))
+        sxy = int(sum(a * b for a, b in zip(x, y)))
+        assert row["cov_val"] == float(n * sxy - sx * sy) / float(n * n)
+        np_cov = np.cov(sub["x"], sub["y"], bias=True)[0, 1]
+        assert abs(row["cov_val"] - np_cov) < 1e-4
+
+
 def test_rollup_counts_levels(ray_session):
     """All ROLLUP prefix levels from one pass: leaf, per-first-col, and
     grand total — totals consistent across levels, block-split invariant."""

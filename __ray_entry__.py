@@ -1435,6 +1435,34 @@ def _q_length_token_cov_by_lang(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_modal_length_bucket_by_lang(sf_dir: str):
+    """MODE per group: the most frequent 500-char length bucket per lang
+    (ties to the smallest bucket) — pair-keyed count exchange + per-group
+    argmax merge, all integers."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_mode
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        nc = pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "len_bucket": pc.divide(nc, 500),
+            }
+        )
+
+    with_bucket = ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_mode(with_bucket, group_col="lang", value_col="len_bucket")
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     import ray.data
 
@@ -3314,6 +3342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_global_rank": _q_docs_global_rank,
         "docs_rollup_counts": _q_docs_rollup_counts,
         "length_token_cov_by_lang": _q_length_token_cov_by_lang,
+        "modal_length_bucket_by_lang": _q_modal_length_bucket_by_lang,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -3938,6 +3967,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(n AS BIGINT) AS n_docs, "
             "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) "
             "AS cov_chars_tokens FROM s"
+        ),
+        "modal_length_bucket_by_lang": (
+            "WITH c AS (SELECT lang, length(text)::BIGINT // 500 AS len_bucket, "
+            "COUNT(*) AS n FROM documents GROUP BY 1, 2), "
+            "r AS (SELECT lang, len_bucket, n, ROW_NUMBER() OVER "
+            "(PARTITION BY lang ORDER BY n DESC, len_bucket) AS rk FROM c) "
+            "SELECT lang, len_bucket, n FROM r WHERE rk = 1"
         ),
         # LSH survivor oracles: survivors == exact-Jaccard clustering iff
         # candidate recall is 100% on the corpus — so a recall drop shows up

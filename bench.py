@@ -250,6 +250,7 @@ def bench_once() -> dict:
         timed("docs_global_rank", q["docs_global_rank"])
         timed("docs_rollup_counts", q["docs_rollup_counts"])
         timed("length_token_cov_by_lang", q["length_token_cov_by_lang"])
+        timed("modal_length_bucket_by_lang", q["modal_length_bucket_by_lang"])
     finally:
         ray.shutdown()
     return results

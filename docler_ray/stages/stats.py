@@ -367,6 +367,56 @@ def grouped_comoments(ds, *, group_col: str, x_col: str, y_col: str):
     return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouped_mode(ds, *, group_col: str, value_col: str):
+    """MODE per group (most frequent value; ties break to the SMALLEST
+    value, so the result is deterministic and SQL-replayable).
+
+    Plan: map-side partial counts per (group, value) batch-locally, one
+    groupby over the pair key sums them (exchange sized by distinct
+    pairs), then per-batch argmax partials and one group-keyed merge pick
+    (max n, min value) — the second exchange ships one candidate row per
+    group per block. All integers; no corpus-proportional state anywhere.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, value_col]).to_pandas()
+        g = (
+            df.groupby([group_col, value_col], sort=False)
+            .size()
+            .reset_index(name="partial_n")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, value_col])
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+    def best_local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # (max n, min value) per group within this block
+        df = df.sort_values([group_col, "n", value_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(1), preserve_index=False
+        )
+
+    def best_global(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", value_col], ascending=[False, True],
+                            kind="mergesort")
+        return df.head(1)
+
+    return (
+        counts.map_batches(best_local, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(best_global, batch_format="pandas")
+    )
+
+
 ROLLUP_ALL = "__all__"  # sentinel for the rolled-up level (columns are non-null)
 
 

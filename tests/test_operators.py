@@ -531,6 +531,30 @@ def test_grouped_comoments_exact(ray_session):
         assert abs(row["cov_val"] - np_cov) < 1e-4
 
 
+def test_grouped_mode_tiebreak(ray_session):
+    """MODE per group: most frequent value wins; count ties break to the
+    SMALLEST value; invariant to block split."""
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_mode
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["b"] * 4,
+            "v": [3, 3, 7, 7, 1,    9, 2, 2, 9],  # a: tie 3 vs 7 -> 3; b: tie 2 vs 9 -> 2
+        }
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = grouped_mode(ds, group_col="g", value_col="v").to_pandas()
+        return {r["g"]: (r["v"], r["n"]) for _, r in out.iterrows()}
+
+    assert run(1) == {"a": (3, 2), "b": (2, 2)}
+    assert run(4) == {"a": (3, 2), "b": (2, 2)}
+
+
 def test_rollup_counts_levels(ray_session):
     """All ROLLUP prefix levels from one pass: leaf, per-first-col, and
     grand total — totals consistent across levels, block-split invariant."""

@@ -1344,6 +1344,13 @@ def _q_docs_global_rank(sf_dir: str):
         )
     k_mult = int(bounds["max_doc"]) + 1
     max_chars = int(bounds["max_chars"])
+    # the per-batch int64 key arithmetic must not wrap BEFORE
+    # ordered_prefix_sum's own span*buckets guard can see it
+    if (max_chars + 1) * k_mult >= 2**62:
+        raise ValueError(
+            "composite sort-key span exceeds int64 range bucketing; "
+            "split the rank into per-range passes over a wider key"
+        )
 
     def add_key(batch: pa.Table) -> pa.Table:
         nc = batch.column("n_chars").to_numpy(zero_copy_only=False)

@@ -1470,6 +1470,147 @@ def _q_modal_length_bucket_by_lang(sf_dir: str):
     return grouped_mode(with_bucket, group_col="lang", value_col="len_bucket")
 
 
+def _q_type_token_ratio_by_lang(sf_dir: str):
+    """Vocabulary richness per language: distinct token types / total
+    tokens (type-token ratio). One (lang, token)-keyed exchange of count
+    partials, then lang-sized partial reduction; the ratio is one IEEE
+    divide of exact ints on both engines."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.functions.tokens import ws_tokens
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        langs, toks = [], []
+        for lang, text in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for t in ws_tokens(text or ""):
+                langs.append(lang)
+                toks.append(t)
+        df = pd.DataFrame({"lang": langs, "tok": toks})
+        g = df.groupby(["lang", "tok"], sort=False).size().reset_index(name="p_n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "tok"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = df.groupby("lang", sort=False).agg(
+            p_types=("tok", "size"), p_tokens=("n", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    sums = (
+        counts.map_batches(lang_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("p_types", alias_name="n_types"),
+            Sum("p_tokens", alias_name="n_tokens"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ty = batch.column("n_types").to_pylist()
+        to = batch.column("n_tokens").to_pylist()
+        ttr = [float(a) / float(b) for a, b in zip(ty, to)]
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_types": batch.column("n_types"),
+                "n_tokens": batch.column("n_tokens"),
+                "ttr": pa.array(ttr, pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_snapshot_overlap_stats(sf_dir: str):
+    """Corpus drift between two snapshots: distinct text hashes present in
+    both / only-old / only-new (doc_id % 5 == 0 is the NEW snapshot, the
+    rest OLD — same split as incremental_dedup_new_docs). ONE hash-keyed
+    exchange ORs the side flags per distinct hash; the tail is three
+    integer sums."""
+    import hashlib
+
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def add_sides(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        hs = [
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+            for t in batch.column("text").to_pylist()
+        ]
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        is_new = (did % 5 == 0).astype(np.int64)
+        return pa.table(
+            {
+                "hv": pa.array(hs, pa.uint64()),
+                "in_old": pa.array(1 - is_new, pa.int64()),
+                "in_new": pa.array(is_new, pa.int64()),
+            }
+        )
+
+    sides = (
+        ds.map_batches(add_sides, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hv")
+        .aggregate(
+            Max("in_old", alias_name="o"), Max("in_new", alias_name="w")
+        )
+    )
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        o = batch.column("o").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        both = int(np.sum((o == 1) & (w == 1)))
+        old_only = int(np.sum((o == 1) & (w == 0)))
+        new_only = int(np.sum((o == 0) & (w == 1)))
+        return pa.table(
+            {
+                "p_both": pa.array([both], pa.int64()),
+                "p_old": pa.array([old_only], pa.int64()),
+                "p_new": pa.array([new_only], pa.int64()),
+            }
+        )
+
+    partials = sides.map_batches(
+        bucket_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partials.aggregate(
+        Sum("p_both", alias_name="n_both"),
+        Sum("p_old", alias_name="n_old_only"),
+        Sum("p_new", alias_name="n_new_only"),
+    )
+    return pa.table(
+        {
+            "n_both": pa.array([int(agg["n_both"] or 0)], pa.int64()),
+            "n_old_only": pa.array([int(agg["n_old_only"] or 0)], pa.int64()),
+            "n_new_only": pa.array([int(agg["n_new_only"] or 0)], pa.int64()),
+        }
+    )
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     import ray.data
 
@@ -3350,6 +3491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup_counts": _q_docs_rollup_counts,
         "length_token_cov_by_lang": _q_length_token_cov_by_lang,
         "modal_length_bucket_by_lang": _q_modal_length_bucket_by_lang,
+        "type_token_ratio_by_lang": _q_type_token_ratio_by_lang,
+        "snapshot_overlap_stats": _q_snapshot_overlap_stats,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -3981,6 +4124,26 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT lang, len_bucket, n, ROW_NUMBER() OVER "
             "(PARTITION BY lang ORDER BY n DESC, len_bucket) AS rk FROM c) "
             "SELECT lang, len_bucket, n FROM r WHERE rk = 1"
+        ),
+        "type_token_ratio_by_lang": (
+            "WITH toks AS (SELECT lang, "
+            f"unnest({_WS_TOKS_SQL}) AS tok FROM documents), "
+            "c AS (SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2) "
+            "SELECT lang, COUNT(*)::BIGINT AS n_types, SUM(n)::BIGINT AS n_tokens, "
+            "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ttr "
+            "FROM c GROUP BY lang"
+        ),
+        "snapshot_overlap_stats": (
+            "WITH h AS (SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT AS hv, "
+            "CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS is_new FROM documents), "
+            "b AS (SELECT hv, MAX(1 - is_new) AS o, MAX(is_new) AS w "
+            "FROM h GROUP BY hv) "
+            "SELECT SUM(CASE WHEN o = 1 AND w = 1 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_both, "
+            "SUM(CASE WHEN o = 1 AND w = 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_old_only, "
+            "SUM(CASE WHEN o = 0 AND w = 1 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_new_only FROM b"
         ),
         # LSH survivor oracles: survivors == exact-Jaccard clustering iff
         # candidate recall is 100% on the corpus — so a recall drop shows up

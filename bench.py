@@ -251,6 +251,8 @@ def bench_once() -> dict:
         timed("docs_rollup_counts", q["docs_rollup_counts"])
         timed("length_token_cov_by_lang", q["length_token_cov_by_lang"])
         timed("modal_length_bucket_by_lang", q["modal_length_bucket_by_lang"])
+        timed("type_token_ratio_by_lang", q["type_token_ratio_by_lang"])
+        timed("snapshot_overlap_stats", q["snapshot_overlap_stats"])
     finally:
         ray.shutdown()
     return results

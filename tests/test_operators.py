@@ -555,6 +555,51 @@ def test_grouped_mode_tiebreak(ray_session):
     assert run(4) == {"a": (3, 2), "b": (2, 2)}
 
 
+def test_type_token_ratio_query(ray_session, tmp_path):
+    """TTR: distinct types / total tokens per lang; cross-batch repeated
+    tokens must collapse into one type."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b a", "a c", "x x x"],
+            "lang": ["en", "en", "de"],
+        }
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    out = e.queries()["type_token_ratio_by_lang"](str(tmp_path)).to_pandas()
+    got = {r["lang"]: (r["n_types"], r["n_tokens"], r["ttr"]) for _, r in out.iterrows()}
+    # en: tokens a,b,a,a,c -> 3 types / 5 tokens; de: x,x,x -> 1 / 3
+    assert got["en"] == (3, 5, 3.0 / 5.0)
+    assert got["de"] == (1, 3, 1.0 / 3.0)
+
+
+def test_snapshot_overlap_query(ray_session, tmp_path):
+    """Overlap counts on distinct hashes: shared text counts once in
+    n_both even when duplicated within a side."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    # NEW: ids 5, 10; OLD: 1, 2, 3.  "alpha" in both; "beta" old-only
+    # (twice -> one distinct hash); "novel" new-only.
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 5, 10],
+            "text": ["alpha", "beta", "beta", "alpha", "novel"],
+            "lang": ["en"] * 5,
+        }
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    out = e.queries()["snapshot_overlap_stats"](str(tmp_path)).to_pandas()
+    assert out.iloc[0]["n_both"] == 1
+    assert out.iloc[0]["n_old_only"] == 1
+    assert out.iloc[0]["n_new_only"] == 1
+
+
 def test_rollup_counts_levels(ray_session):
     """All ROLLUP prefix levels from one pass: leaf, per-first-col, and
     grand total — totals consistent across levels, block-split invariant."""

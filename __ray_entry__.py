@@ -1611,6 +1611,59 @@ def _q_snapshot_overlap_stats(sf_dir: str):
     )
 
 
+def _q_events_hopping_distinct_users(sf_dir: str):
+    """Sliding 2h/1h COUNT(DISTINCT user) per event type — hopping fan-out
+    composed with the distinct-aggregate plan."""
+    import ray.data
+
+    from docler_ray.stages.windows import hopping_window_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
+    )
+    return hopping_window_distinct(
+        ds, "ts", "event_type", "user_id", window_secs=7200, hop_secs=3600
+    )
+
+
+def _q_clickers_no_purchase(sf_dir: str):
+    """Audience set difference: distinct users who clicked but never
+    purchased. Map-side type filters + per-batch dedup, one user-keyed
+    distinct exchange for the clickers, purchasers reduced to keys, and
+    the bloom pass-through anti join removes the intersection exactly —
+    the EXCEPT DISTINCT plan without shipping event rows."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from docler_ray.stages.joins import bloom_anti_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def side(evt: str):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.equal(batch["event_type"], evt))
+            return t.select(["user_id"]).group_by("user_id").aggregate([])
+
+        return f
+
+    clickers = (
+        ds.map_batches(side("click"), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["user_id"])
+    )
+    purchasers = ds.map_batches(
+        side("purchase"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    survivors = bloom_anti_join(clickers, purchasers, "user_id", "user_id")
+    n = survivors.count()
+    return pa.table({"n_users": pa.array([int(n)], pa.int64())})
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     import ray.data
 
@@ -3493,6 +3546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modal_length_bucket_by_lang": _q_modal_length_bucket_by_lang,
         "type_token_ratio_by_lang": _q_type_token_ratio_by_lang,
         "snapshot_overlap_stats": _q_snapshot_overlap_stats,
+        "events_hopping_distinct_users": _q_events_hopping_distinct_users,
+        "clickers_no_purchase": _q_clickers_no_purchase,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -4144,6 +4199,21 @@ def oracle_sql() -> dict[str, str]:
             "AS n_old_only, "
             "SUM(CASE WHEN o = 0 AND w = 1 THEN 1 ELSE 0 END)::BIGINT "
             "AS n_new_only FROM b"
+        ),
+        "events_hopping_distinct_users": (
+            "WITH m AS (SELECT event_type, "
+            "CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w0, user_id "
+            "FROM events), "
+            "f AS (SELECT event_type, w0 AS window_start, user_id FROM m "
+            "UNION ALL SELECT event_type, w0 - 3600, user_id FROM m) "
+            "SELECT event_type, window_start, COUNT(DISTINCT user_id) "
+            "AS n_distinct FROM f GROUP BY 1, 2"
+        ),
+        "clickers_no_purchase": (
+            "SELECT COUNT(*)::BIGINT AS n_users FROM "
+            "(SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+            "AND user_id NOT IN (SELECT user_id FROM events "
+            "WHERE event_type = 'purchase'))"
         ),
         # LSH survivor oracles: survivors == exact-Jaccard clustering iff
         # candidate recall is 100% on the corpus — so a recall drop shows up

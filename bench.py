@@ -253,6 +253,8 @@ def bench_once() -> dict:
         timed("modal_length_bucket_by_lang", q["modal_length_bucket_by_lang"])
         timed("type_token_ratio_by_lang", q["type_token_ratio_by_lang"])
         timed("snapshot_overlap_stats", q["snapshot_overlap_stats"])
+        timed("events_hopping_distinct_users", q["events_hopping_distinct_users"])
+        timed("clickers_no_purchase", q["clickers_no_purchase"])
     finally:
         ray.shutdown()
     return results

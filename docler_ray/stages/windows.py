@@ -106,6 +106,63 @@ def tumbling_window_distinct(
     )
 
 
+def hopping_window_distinct(
+    ds,
+    ts_col: str,
+    group_col: str,
+    distinct_col: str,
+    *,
+    window_secs: int = 7200,
+    hop_secs: int = 3600,
+):
+    """COUNT(DISTINCT x) per (group, hopping window): each event fans out
+    to its window_secs/hop_secs covering windows map-side (bounded
+    fan-out, like hopping_window_counts), then the tumbling-distinct plan
+    applies — drop_duplicates per batch, one (group, window, member)
+    dedup exchange, partial-count + Sum."""
+    from ray.data.aggregate import Count, Sum
+
+    if window_secs % hop_secs != 0:
+        raise ValueError("window_secs must be a multiple of hop_secs")
+    fanout = window_secs // hop_secs
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        epoch = _epoch_seconds(df[ts_col])
+        w0 = (epoch // hop_secs) * hop_secs
+        frames = []
+        for k in range(fanout):
+            f = pd.DataFrame(
+                {
+                    group_col: df[group_col],
+                    "window_start": w0 - k * hop_secs,
+                    distinct_col: df[distinct_col],
+                }
+            )
+            frames.append(f)
+        out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    triples = ds.map_batches(partial_distinct, batch_format="pyarrow")
+    distinct = triples.groupby([group_col, "window_start", distinct_col]).aggregate(
+        Count(alias_name="_c")
+    )
+
+    def recount(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby([group_col, "window_start"], sort=False)
+            .size()
+            .reset_index(name="partial_n")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = distinct.map_batches(recount, batch_format="pyarrow")
+    return partials.groupby([group_col, "window_start"]).aggregate(
+        Sum("partial_n", alias_name="n_distinct")
+    )
+
+
 def hopping_window_counts(
     ds,
     ts_col: str,

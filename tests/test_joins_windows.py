@@ -173,6 +173,33 @@ def test_tumbling_window_distinct_matches_pandas(ray_session):
     assert out["window_start"].tolist() == exp["window_start"].tolist()
 
 
+def test_hopping_window_distinct(ray_session):
+    """2h/1h sliding distinct: a user appearing in two covered hops counts
+    once per covering window; cross-batch duplicates collapse."""
+    import ray.data
+
+    from docler_ray.stages.windows import hopping_window_distinct
+
+    base = pd.Timestamp("2024-01-01 00:30:00")
+    rows = [
+        # user 1 at 00:30 and 01:30: windows starting 23:00/00:00 (hop 0/1)
+        # for the first, 00:00/01:00 for the second -> window 00:00 sees
+        # user 1 twice, must count once
+        {"ts": base, "event_type": "a", "user_id": 1},
+        {"ts": base + pd.Timedelta(hours=1), "event_type": "a", "user_id": 1},
+        {"ts": base + pd.Timedelta(hours=1), "event_type": "a", "user_id": 2},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(2)
+    out = hopping_window_distinct(
+        ds, "ts", "event_type", "user_id", window_secs=7200, hop_secs=3600
+    ).to_pandas()
+    w = {int(r["window_start"]): int(r["n_distinct"]) for _, r in out.iterrows()}
+    epoch0 = int(pd.Timestamp("2024-01-01 00:00:00").timestamp())
+    assert w[epoch0] == 2            # users 1 (deduped) and 2
+    assert w[epoch0 - 3600] == 1     # only the 00:30 event's user
+    assert w[epoch0 + 3600] == 2     # the 01:30 events
+
+
 def test_broadcast_left_outer_string_coalesce(ray_session):
     """LEFT OUTER broadcast join with a STRING value column: misses come
     back null and coalesce cleanly (the round-2 ADVICE empty-right shape,

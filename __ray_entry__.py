@@ -746,34 +746,21 @@ def _q_text_metrics(sf_dir: str):
     text-analysis family; lang-ID/fingerprints stay rows-only)."""
     import ray.data
 
-    from docler_ray.functions.analysis import quality_signals
-    from docler_ray.functions.tokens import count_whitespace_tokens
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
     def metrics(batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch.column("text").to_pylist()]
-        cols: dict[str, list] = {k: [] for k in (
-            "n_chars", "n_words", "n_ws_tokens", "sentence_count",
-            "mean_word_len", "stopword_ratio", "punct_ratio", "digit_ratio",
-        )}
-        for t in texts:
-            q = quality_signals(t)
-            cols["n_chars"].append(int(q["n_chars"]))
-            cols["n_words"].append(int(q["n_words"]))
-            cols["n_ws_tokens"].append(count_whitespace_tokens(t))
-            cols["sentence_count"].append(int(q["sentence_count"]))
-            cols["mean_word_len"].append(q["mean_word_len"])
-            cols["stopword_ratio"].append(q["stopword_ratio"])
-            cols["punct_ratio"].append(q["punct_ratio"])
-            cols["digit_ratio"].append(q["digit_ratio"])
+        # vectorized batch kernels, bit-identical to per-row
+        # quality_signals (round-4; property-pinned equality)
+        from docler_ray.functions.analysis import batch_text_stats
+
+        stats = batch_text_stats(batch.column("text"))
         out = {"doc_id": batch.column("doc_id")}
         for k in ("n_chars", "n_words", "n_ws_tokens", "sentence_count"):
-            out[k] = pa.array(cols[k], pa.int64())
+            out[k] = pa.array(stats[k], pa.int64())
         for k in ("mean_word_len", "stopword_ratio", "punct_ratio", "digit_ratio"):
-            out[k] = pa.array(cols[k], pa.float64())
+            out[k] = pa.array(stats[k], pa.float64())
         return pa.table(out)
 
     return ds.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True)

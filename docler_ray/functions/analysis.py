@@ -174,12 +174,12 @@ def _window_hashes_vec(text: str, window: int) -> "object":
     codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
         np.uint64
     )
-    win = np.lib.stride_tricks.sliding_window_view(codes, window)
+    nwin = codes.shape[0] - window + 1
     M = np.uint64(_MOD)
     B = np.uint64(_BASE)
     low41 = np.uint64((1 << 41) - 1)
     low20 = np.uint64((1 << 20) - 1)
-    acc = np.zeros(win.shape[0], dtype=np.uint64)
+    acc = np.zeros(nwin, dtype=np.uint64)
     for k in range(window):
         # acc = (acc * B) % M, overflow-free
         a1 = acc >> np.uint64(41)
@@ -190,8 +190,8 @@ def _window_hashes_vec(text: str, window: int) -> "object":
         r = (r >> np.uint64(61)) + (r & M)
         r = (r >> np.uint64(61)) + (r & M)
         acc = np.where(r >= M, r - M, r)
-        # acc = (acc + code) % M
-        acc = acc + win[:, k]
+        # acc = (acc + code) % M; contiguous slice == window column k
+        acc = acc + codes[k : k + nwin]
         acc = np.where(acc >= M, acc - M, acc)
     return acc
 
@@ -256,12 +256,11 @@ def batch_fingerprints(texts: list, window: int = 8) -> "object":
     codes = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.uint64)
     doc_len = np.array(lens, dtype=np.int64)
     starts = np.concatenate([[0], np.cumsum(doc_len)[:-1]])
-    win = np.lib.stride_tricks.sliding_window_view(codes, window)
     M = np.uint64(_MOD)
     B = np.uint64(_BASE)
     low41 = np.uint64((1 << 41) - 1)
     low20 = np.uint64((1 << 20) - 1)
-    nwin = win.shape[0]
+    nwin = codes.shape[0] - window + 1
     # in-place modular Horner (2 scratch buffers, zero per-step allocation
     # — the allocating formulation measured SLOWER than the scalar loop;
     # this one is ~2x faster at the sf corpus's ~300-char docs)
@@ -285,7 +284,10 @@ def batch_fingerprints(texts: list, window: int = 8) -> "object":
         np.bitwise_and(acc, M, out=acc)
         acc += t1
         acc[acc >= M] -= M  # fold lands in [0, M]; acc==M -> 0 (M = 0 mod M)
-        acc += win[:, k]
+        # codes[k:k+nwin] IS window column k, but as a CONTIGUOUS slice —
+        # the sliding_window_view column was a stride-8w gather and
+        # measured as the whole stage's bandwidth hotspot (round-4)
+        acc += codes[k : k + nwin]
         acc[acc >= M] -= M
     # mask windows that straddle a document boundary to the max value so
     # they never win a min; window at char-position p belongs to the doc
@@ -299,3 +301,149 @@ def batch_fingerprints(texts: list, window: int = 8) -> "object":
     mins = np.minimum.reduceat(acc, red_starts)
     out[np.array(long_idx, dtype=np.int64)] = mins
     return out
+
+
+# --- vectorized whole-batch text stats (round-4: TextAnalyzer kernels) --------
+
+# RE2 spellings of the Python `re` character classes above, verified
+# EQUAL per-codepoint over the whole non-surrogate BMP (65k chars) in
+# tests/test_functions.py::test_re2_class_equivalence: Python unicode \w
+# == [\p{L}\p{N}_] (no combining marks — Python's \w excludes Mn/Mc),
+# Python unicode \s == the explicit codepoint list, Python \d == \p{Nd}.
+_RE2_WS = (
+    " \\t\\n\\r\\f\\v\\x{1c}\\x{1d}\\x{1e}\\x{1f}\\x{85}\\x{a0}\\x{1680}"
+    "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}"
+)
+_RE2_PUNCT = f"[^\\p{{L}}\\p{{N}}_{_RE2_WS}]"
+_RE2_DIGIT = "\\p{Nd}"
+_RE2_SENT = "[.!?。！？]"
+_RE2_CJK = "[一-鿿㐀-䶿]"
+_RE2_NONWORD_SPLIT = "[^a-zA-ZÀ-ɏ]+"
+_ASCII_WS_SPLIT = "[ \t\n\r\f\v]+"
+
+_LANG_ORDER = ("en", "de", "fr", "es")  # dict order of _STOPWORDS = tie order
+
+
+def _flat_nonempty(split_list_array, n_rows: int):
+    """ListArray of split tokens -> (flat nonempty tokens, parent row
+    index per token). Shared by the word and ws-token kernels."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    la = (
+        split_list_array.combine_chunks()
+        if isinstance(split_list_array, pa.ChunkedArray)
+        else split_list_array
+    )
+    flat = la.flatten()
+    parent = la.value_parent_indices().to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(keep)), parent[keep]
+
+
+def batch_text_stats(texts) -> dict:
+    """Every per-document statistic of :func:`quality_signals`,
+    :func:`detect_language` and ``count_whitespace_tokens`` for a WHOLE
+    Arrow string column in vectorized kernels — bit-identical to the
+    per-row functions (same IEEE division order, same sequential score
+    subtractions, same first-max language tie rule; equality
+    property-pinned in tests). The per-row Python loop was the round-3
+    verdict's TextAnalyzer finding (stage cost dominated by per-doc regex
+    calls). Returns a dict of numpy arrays keyed like quality_signals
+    plus ``lang`` (list[str]) and ``n_ws_tokens``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    s = pc.fill_null(s, "")
+    n = len(s)
+
+    def _count(pattern: str, arr) -> "np.ndarray":
+        return (
+            pc.count_substring_regex(arr, pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+    n_chars = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+    puncts = _count(_RE2_PUNCT, s)
+    digits = _count(_RE2_DIGIT, s)
+    sents = _count(_RE2_SENT, s)
+
+    # full-text words (quality signals)
+    flat_w, parent_w = _flat_nonempty(
+        pc.split_pattern_regex(s, _RE2_NONWORD_SPLIT), n
+    )
+    n_words = np.bincount(parent_w, minlength=n).astype(np.int64)
+    wlens = pc.utf8_length(flat_w).to_numpy(zero_copy_only=False)
+    sum_wlen = np.bincount(parent_w, weights=wlens, minlength=n).astype(np.int64)
+    low_w = pc.utf8_lower(flat_w)
+    all_stops = pa.array(sorted(frozenset().union(*_STOPWORDS.values())))
+    stop_mask = pc.is_in(low_w, value_set=all_stops).to_numpy(
+        zero_copy_only=False
+    )
+    stop_hits = np.bincount(parent_w[stop_mask], minlength=n).astype(np.int64)
+
+    # ws tokens (ASCII contract)
+    _, parent_t = _flat_nonempty(pc.split_pattern_regex(s, _ASCII_WS_SPLIT), n)
+    n_ws = np.bincount(parent_t, minlength=n).astype(np.int64)
+
+    # language ID over the 2000-codepoint sample (detect_language's slice)
+    sample = pc.utf8_slice_codeunits(s, 0, 2000)
+    sample_len = pc.utf8_length(sample).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    cjk = _count(_RE2_CJK, sample)
+    flat_s, parent_s = _flat_nonempty(
+        pc.split_pattern_regex(sample, _RE2_NONWORD_SPLIT), n
+    )
+    low_s = pc.utf8_lower(flat_s)
+    sample_words = np.bincount(parent_s, minlength=n).astype(np.int64)
+    scores = np.full((len(_LANG_ORDER), n), -1.0)
+    for li, lang in enumerate(_LANG_ORDER):
+        vs = pa.array(sorted(_STOPWORDS[lang]))
+        m = pc.is_in(low_s, value_set=vs).to_numpy(zero_copy_only=False)
+        hits = np.bincount(parent_s[m], minlength=n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scores[li] = np.where(sample_words > 0, hits / np.maximum(sample_words, 1), -1.0)
+    # strict > while scanning dict order == np.argmax first-max
+    best = np.argmax(scores, axis=0)
+    langs = np.array(_LANG_ORDER, dtype=object)[best]
+    langs[sample_words == 0] = "en"
+    is_zh = (cjk > 0) & (cjk / np.maximum(sample_len, 1) > 0.05)
+    langs[is_zh] = "zh"
+    langs[sample_len == 0] = "en"
+
+    # quality signals with the SAME IEEE ops and subtraction order as the
+    # scalar quality_signals (bit-identical floats)
+    zero = (n_chars == 0) | (n_words == 0)
+    safe_words = np.maximum(n_words, 1)
+    safe_chars = np.maximum(n_chars, 1)
+    mean_word_len = np.where(zero, 0.0, sum_wlen / safe_words)
+    stop_ratio = np.where(zero, 0.0, stop_hits / safe_words)
+    punct_ratio = np.where(zero, 0.0, puncts / safe_chars)
+    digit_ratio = np.where(zero, 0.0, digits / safe_chars)
+    score = np.full(n, 1.0)
+    score = np.where((mean_word_len < 3.0) | (mean_word_len > 10.0), score - 0.3, score)
+    score = np.where(stop_ratio < 0.05, score - 0.3, score)
+    score = np.where(punct_ratio > 0.2, score - 0.2, score)
+    score = np.where(digit_ratio > 0.2, score - 0.2, score)
+    score = np.where(sents == 0, score - 0.2, score)
+    score = np.minimum(np.maximum(score, 0.0), 1.0)
+    score = np.where(zero, 0.0, score)
+    return {
+        "lang": langs.tolist(),
+        "n_chars": n_chars,
+        "n_words": np.where(zero, 0, n_words).astype(np.int64),
+        "mean_word_len": mean_word_len,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "sentence_count": np.where(zero, 0, sents).astype(np.int64),
+        "quality_score": score,
+        "n_ws_tokens": n_ws,
+    }

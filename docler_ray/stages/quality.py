@@ -9,15 +9,17 @@ docler_ray.functions.analysis / tokens.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from docler_ray.functions.analysis import (
     batch_fingerprints,
+    batch_text_stats,
     content_hash,
     detect_language,
     quality_signals,
 )
-from docler_ray.functions.tokens import count_tokens, count_whitespace_tokens
+from docler_ray.functions.tokens import count_tokens
 
 
 class TextAnalyzer:
@@ -25,6 +27,13 @@ class TextAnalyzer:
 
     Emits: lang_detected, quality_score, stopword_ratio, punct_ratio,
     n_words, n_tokens (BPE-ish), n_ws_tokens, fingerprint, text_hash64.
+
+    Round-4 (verdict finding 4): lang/quality/ws-token stats run through
+    the vectorized ``batch_text_stats`` Arrow kernels (bit-identical to
+    the per-row functions, equality property-pinned). The remaining
+    per-row work is C-speed already: the BPE-ish ``count_tokens`` regex
+    (Python-re lookahead — not expressible in RE2), ``content_hash``
+    (zlib crc32) and the fused-numpy ``batch_fingerprints``.
     """
 
     def __init__(self, text_col: str = "text") -> None:
@@ -34,33 +43,26 @@ class TextAnalyzer:
         quality_signals("warm up")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
-        langs, scores, stop_r, punct_r, n_words = [], [], [], [], []
-        n_tok, n_ws, hashes = [], [], []
-        for t in texts:
-            langs.append(detect_language(t))
-            q = quality_signals(t)
-            scores.append(q["quality_score"])
-            stop_r.append(q["stopword_ratio"])
-            punct_r.append(q["punct_ratio"])
-            n_words.append(int(q["n_words"]))
-            n_tok.append(count_tokens(t))
-            n_ws.append(count_whitespace_tokens(t))
-            hashes.append(content_hash(t))
-        # one fused numpy pass for the whole batch (bit-identical to the
-        # per-doc fingerprint(); ~2x the scalar loop on short web docs)
-        fps = [int(f) for f in batch_fingerprints(texts)]
+        col = batch.column(self.text_col)
+        stats = batch_text_stats(col)
+        texts = [t or "" for t in col.to_pylist()]
+        n_tok = [count_tokens(t) for t in texts]
+        hashes = [content_hash(t) & 0x7FFFFFFFFFFFFFFF for t in texts]
+        fps = (
+            np.asarray(batch_fingerprints(texts), dtype=np.uint64)
+            & np.uint64(0x7FFFFFFFFFFFFFFF)
+        ).astype(np.int64)
         out = batch
         for name, vals, typ in (
-            ("lang_detected", langs, pa.string()),
-            ("quality_score", scores, pa.float64()),
-            ("stopword_ratio", stop_r, pa.float64()),
-            ("punct_ratio", punct_r, pa.float64()),
-            ("n_words", n_words, pa.int64()),
+            ("lang_detected", stats["lang"], pa.string()),
+            ("quality_score", stats["quality_score"], pa.float64()),
+            ("stopword_ratio", stats["stopword_ratio"], pa.float64()),
+            ("punct_ratio", stats["punct_ratio"], pa.float64()),
+            ("n_words", stats["n_words"], pa.int64()),
             ("n_tokens", n_tok, pa.int64()),
-            ("n_ws_tokens", n_ws, pa.int64()),
-            ("fingerprint", [f & 0x7FFFFFFFFFFFFFFF for f in fps], pa.int64()),
-            ("text_hash64", [h & 0x7FFFFFFFFFFFFFFF for h in hashes], pa.int64()),
+            ("n_ws_tokens", stats["n_ws_tokens"], pa.int64()),
+            ("fingerprint", fps, pa.int64()),
+            ("text_hash64", hashes, pa.int64()),
         ):
             out = out.append_column(name, pa.array(vals, type=typ))
         return out

@@ -25,11 +25,37 @@ SURVEY.md §2.7); sibling of the kNN operators in ``stages/similarity.py``.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
-
-from docler_ray.functions.tokens import ws_tokens
+import pyarrow.compute as pc
 
 _IDF_SCALE = 1_000_000
+
+# the ws_tokens ASCII whitespace contract (functions/tokens._ASCII_WS_RE)
+# as an RE2 class for the vectorized Arrow split
+_WS_SPLIT_PATTERN = "[ \t\n\r\f\v]+"
+
+
+def _flat_ws_token_ids(batch: pa.Table, text_col: str, terms_arr: pa.Array):
+    """Vectorized ws_tokens + query-term matching over a whole batch:
+    split on the ASCII-ws contract, keep (parent_row, term_index) for
+    every token equal to a query term. Zero Python per token (round-3
+    verdict finding 3: the per-row scoring loop; same kernels as
+    frequent.top_tokens)."""
+    s = pc.fill_null(batch.column(text_col), "")
+    toks = pc.split_pattern_regex(s, _WS_SPLIT_PATTERN)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    parent = toks.value_parent_indices().to_numpy(zero_copy_only=False)
+    tidx = (
+        pc.fill_null(pc.index_in(flat, value_set=terms_arr), -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    # empties from edge separators can never equal a (non-empty) term
+    mask = tidx >= 0
+    return parent[mask].astype(np.int64), tidx[mask]
 
 
 def tfidf_topk(
@@ -54,20 +80,20 @@ def tfidf_topk(
     terms = list(dict.fromkeys(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    term_set = set(terms)
     if n_docs is None:
         n_docs = ds.count()
+    terms_arr = pa.array(terms, pa.string())
+    n_terms = len(terms)
 
     def partial_df(batch: pa.Table) -> pa.Table:
-        counts = dict.fromkeys(terms, 0)
-        for t in batch.column(text_col).to_pylist():
-            present = term_set.intersection(ws_tokens(t))
-            for term in present:
-                counts[term] += 1
+        parent, tidx = _flat_ws_token_ids(batch, text_col, terms_arr)
+        # presence per (doc, term): distinct pairs, then a term histogram
+        uniq = np.unique(parent * n_terms + tidx)
+        pdf = np.bincount(uniq % n_terms, minlength=n_terms).astype(np.int64)
         return pa.table(
             {
-                "term": pa.array(terms, pa.string()),
-                "pdf": pa.array([counts[t] for t in terms], pa.int64()),
+                "term": terms_arr,
+                "pdf": pa.array(pdf, pa.int64()),
             }
         )
 
@@ -91,23 +117,26 @@ def tfidf_topk(
             }
         )
 
+    # per-term int64 weight vector indexed by term position (0 = the term
+    # never occurs, contributing nothing — matches the old dict .get)
+    w_arr = np.array([weights.get(t, 0) for t in terms], dtype=np.int64)
+
     def score(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        out_ids: list[int] = []
-        out_scores: list[int] = []
-        for doc_id, t in zip(ids, batch.column(text_col).to_pylist()):
-            s = 0
-            for tok in ws_tokens(t):
-                w = weights.get(tok)
-                if w:
-                    s += w
-            if s:
-                out_ids.append(int(doc_id))
-                out_scores.append(s)
+        parent, tidx = _flat_ws_token_ids(batch, text_col, terms_arr)
+        scores = np.zeros(batch.num_rows, dtype=np.int64)
+        # int64 accumulate (np.bincount's float weights would round past
+        # 2**53 — idf weights reach 1e6 * n_docs)
+        np.add.at(scores, parent, w_arr[tidx])
+        keep = scores > 0
+        ids = (
+            pc.cast(batch.column(id_col), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         return pa.table(
             {
-                id_col: pa.array(out_ids, pa.int64()),
-                "score": pa.array(out_scores, pa.int64()),
+                id_col: pa.array(ids[keep], pa.int64()),
+                "score": pa.array(scores[keep], pa.int64()),
             }
         )
 

@@ -205,3 +205,88 @@ def test_short_ascii_magics_validated():
     assert sniff_mime(bmp) == "image/bmp"
     id3 = b"ID3\x04\x00\x00\x00\x00\x02\x01rest"
     assert sniff_mime(id3) == "audio/mpeg"
+
+
+ADVERSARIAL_TEXTS = [
+    "",
+    None,
+    "the quick brown fox jumps over the lazy dog and the cat. Again!",
+    "der schnelle braune Fuchs springt über den faulen Hund und die Katze",
+    "le renard brun rapide saute par dessus le chien paresseux où ça?",
+    "el rápido zorro marrón salta sobre el perro perezoso y los gatos",
+    "快速的棕色狐狸跳过了懒狗然后跑进了森林里面去了",
+    "mixed 中文 and english the of and to in is was for that with",
+    "1 2 3 4 5 6 7 8 9 0 !!! ??? ...",
+    "٣٤٥ arabic-indic digits ٦٧",  # Nd outside ASCII
+    "combining m̀árks and nbsp line sep",
+    "   \t\n\v\f\r   ",
+    "x",
+    "supercalifragilisticexpialidocious " * 80,  # >2000-char sample edge
+    "word. word! word? 。！？ tail",
+    "_underscores_ and_mixed_words_ the the the",
+]
+
+
+def test_batch_text_stats_matches_scalar_functions():
+    """The vectorized Arrow kernels must be bit-identical to the per-row
+    quality_signals / detect_language / count_whitespace_tokens on
+    adversarial unicode (round-4 TextAnalyzer vectorization)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from docler_ray.functions.analysis import batch_text_stats
+    from docler_ray.functions.tokens import count_whitespace_tokens
+
+    texts = ADVERSARIAL_TEXTS
+    stats = batch_text_stats(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        t = t or ""
+        q = quality_signals(t)
+        assert stats["lang"][i] == detect_language(t), (i, t[:40])
+        assert stats["n_chars"][i] == int(q["n_chars"])
+        assert stats["n_words"][i] == int(q["n_words"])
+        assert stats["sentence_count"][i] == int(q["sentence_count"])
+        assert stats["n_ws_tokens"][i] == count_whitespace_tokens(t)
+        for k in (
+            "mean_word_len",
+            "stopword_ratio",
+            "punct_ratio",
+            "digit_ratio",
+            "quality_score",
+        ):
+            got, want = float(stats[k][i]), float(q[k])
+            assert got == want, (k, i, got, want)  # bit-identical, no approx
+
+
+def test_re2_class_equivalence_over_bmp():
+    """The RE2 character-class spellings behind batch_text_stats equal
+    the Python `re` classes per-codepoint over the whole non-surrogate
+    BMP (the proof the vectorization preserves semantics)."""
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from docler_ray.functions.analysis import (
+        _RE2_CJK,
+        _RE2_DIGIT,
+        _RE2_PUNCT,
+        _RE2_SENT,
+    )
+
+    chars = [chr(c) for c in range(32, 0x10000) if not (0xD800 <= c <= 0xDFFF)]
+    arr = pa.array(chars)
+    for re2_pat, py_pat in (
+        (_RE2_PUNCT, r"[^\w\s]"),
+        (_RE2_DIGIT, r"\d"),
+        (_RE2_SENT, r"[.!?。！？]"),
+        (_RE2_CJK, r"[一-鿿㐀-䶿]"),
+    ):
+        py = _re.compile(py_pat, _re.UNICODE)
+        got = pc.count_substring_regex(arr, re2_pat).to_pylist()
+        bad = [
+            hex(ord(ch))
+            for ch, g in zip(chars, got)
+            if g != (1 if py.match(ch) else 0)
+        ]
+        assert not bad, (py_pat, bad[:10])

@@ -20,6 +20,7 @@ from docler_ray.mime_types import (
     DOCX_MIME,
     HTML_MIME,
     MARKDOWN_MIME,
+    PDF_MIME,
     PDFISH_MIME,
     PPTX_MIME,
     TEXT_MIME,
@@ -29,6 +30,7 @@ from docler_ray.mime_types import (
 )
 from docler_ray.office.ooxml import extract_docx, extract_pptx, extract_xlsx
 from docler_ray.pdfish.extract import extract_pdfish
+from docler_ray.pdfish.realpdf import extract_real_pdf
 
 # An extractor: (payload, text_fallback, options) -> ExtractionResult
 ExtractorFn = Callable[[bytes, str, dict], ExtractionResult]
@@ -48,6 +50,12 @@ def _pdfish_extractor(payload: bytes, text: str, options: dict) -> ExtractionRes
         password=options.get("pdf_password"),
         page_range=options.get("page_range"),
     )
+
+
+def _realpdf_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
+    # real %PDF bytes (stdlib Flate+Tj/TJ subset; pdfish/realpdf.py —
+    # the reference's pypdf path, src/docler/pdf_utils.py:90-256)
+    return extract_real_pdf(payload, page_range=options.get("page_range"))
 
 
 def _text_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
@@ -70,6 +78,7 @@ def _xlsx_extractor(payload: bytes, text: str, options: dict) -> ExtractionResul
 EXTRACTORS: dict[str, ExtractorFn] = {
     "html_extract": _html_extractor,
     "pdf_extract": _pdfish_extractor,
+    "realpdf_extract": _realpdf_extractor,
     "text_passthrough": _text_extractor,
     "docx_extract": _docx_extractor,
     "pptx_extract": _pptx_extractor,
@@ -87,6 +96,7 @@ EXTRACTORS: dict[str, ExtractorFn] = {
 DEFAULT_PREFERENCES: dict[str, str] = {
     HTML_MIME: "html_extract",
     PDFISH_MIME: "pdf_extract",
+    PDF_MIME: "realpdf_extract",
     TEXT_MIME: "text_passthrough",
     MARKDOWN_MIME: "text_passthrough",
     XML_MIME: "text_passthrough",

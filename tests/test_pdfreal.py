@@ -1,0 +1,163 @@
+"""Real %PDF extraction (docler_ray/pdfish/realpdf.py): writer round
+trips, hand-built operator edge cases (TJ kern arrays, hex strings,
+comments, uncompressed streams), dispatch routing, guards, and the
+committed binary fixture golden — the stdlib stand-in for the
+reference's pypdf path (src/docler/pdf_utils.py:90-256)."""
+
+from __future__ import annotations
+
+import pathlib
+import zlib
+
+import pytest
+
+from docler_ray.markers import join_pages
+from docler_ray.pdfish.realpdf import (
+    build_simple_pdf,
+    extract_real_pdf,
+)
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
+
+
+def test_writer_round_trip_multi_page():
+    pages = [
+        "Hello world\nSecond line with (parens) and \\ backslash",
+        "Page two text\nàccénts tøo",
+        "",
+    ]
+    out = extract_real_pdf(build_simple_pdf(pages))
+    assert out.content == join_pages(pages)
+    assert out.metadata["parser"] == "realpdf"
+
+
+def test_committed_fixture_golden():
+    pdf = (GOLDEN_DIR / "realpdf_fixture.pdf").read_bytes()
+    want = (GOLDEN_DIR / "realpdf_fixture.md").read_text(encoding="utf-8")
+    assert extract_real_pdf(pdf).content == want
+
+
+def test_round_trip_sweep_over_flate_pathologies():
+    """Flate output sometimes embeds byte runs that look like 'N 0 obj' or
+    'endstream' — the sequential /Length-driven scan must not split there
+    (found live at sf0.01, docs ≡ 6 mod 9)."""
+    for d in (15, 24, 33, 42, 51, 60):
+        pages = [
+            f"Real PDF doc {d} page {s}.\nSecond line {s} of doc {d}."
+            for s in range(1 + d % 3)
+        ]
+        out = extract_real_pdf(build_simple_pdf(pages))
+        assert out.content == join_pages(pages), d
+        assert "skipped_streams" not in out.metadata
+
+
+def _wrap_single_stream_pdf(ops: bytes, *, compress: bool = False) -> bytes:
+    """Minimal one-page PDF around a hand-written content stream."""
+    if compress:
+        data = zlib.compress(ops)
+        head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+    else:
+        data = ops
+        head = f"<< /Length {len(data)} >>".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        head + b"\nstream\n" + data + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\n"
+        f"startxref\n{xref}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def test_tj_kern_arrays_hex_strings_and_comments():
+    ops = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(Kerned ) -250 (text) 120 ( parts)] TJ "
+        b"% a comment with (misleading) parens\n"
+        b"0 -14 Td <48657821> Tj "
+        b"T* (after T-star) Tj "
+        b"ET"
+    )
+    out = extract_real_pdf(_wrap_single_stream_pdf(ops, compress=True))
+    assert out.content == join_pages(["Kerned text parts\nHex!\nafter T-star"])
+
+
+def test_uncompressed_stream_and_octal_escapes():
+    ops = b"BT (Octal \\101\\102 end) Tj ET"
+    out = extract_real_pdf(_wrap_single_stream_pdf(ops))
+    assert out.content == join_pages(["Octal AB end"])
+
+
+def test_quote_operators_break_lines():
+    ops = b"BT (first) ' (second) ' ET"
+    out = extract_real_pdf(_wrap_single_stream_pdf(ops, compress=True))
+    assert out.content == join_pages(["first\nsecond"])
+
+
+def test_unsupported_filter_counts_skipped():
+    data = b"\x00\x01\x02"
+    head = f"<< /Length {len(data)} /Filter /LZWDecode >>".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        head + b"\nstream\n" + data + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for num, body in enumerate(objs, start=1):
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    res = extract_real_pdf(bytes(out))
+    assert res.metadata.get("skipped_streams") == 1
+    assert res.content == join_pages([""])
+
+
+def test_guards():
+    with pytest.raises(ValueError, match="not a %PDF"):
+        extract_real_pdf(b"GIF89a")
+    pdf = build_simple_pdf(["x"])
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_real_pdf(pdf + b"/Encrypt 9 0 R")
+
+
+def test_page_range_selection():
+    pages = [f"page {i}" for i in range(1, 6)]
+    pdf = build_simple_pdf(pages)
+    out = extract_real_pdf(pdf, page_range="2-3,5")
+    assert out.content == join_pages(["page 2", "page 3", "page 5"])
+
+
+def test_dispatch_routes_pdf_magic_to_realpdf(ray_session):
+    """%PDF payloads sniff application/pdf and flow through the new
+    realpdf_extract entry of the dispatch table inside ExtractDocs."""
+    import pyarrow as pa
+
+    from docler_ray.stages.classify import classify_batch
+    from docler_ray.stages.extract import ExtractDocs
+
+    pdf = build_simple_pdf(["dispatch me"])
+    batch = pa.table(
+        {
+            "url": pa.array(["u"]),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([pdf], pa.binary()),
+            "text": pa.array([""]),
+            "lang": pa.array(["en"]),
+        }
+    )
+    out = ExtractDocs()(classify_batch(batch))
+    assert out.column("mime_type").to_pylist() == ["application/pdf"]
+    assert out.column("error").to_pylist() == [None]
+    assert out.column("content").to_pylist()[0] == join_pages(["dispatch me"])

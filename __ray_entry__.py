@@ -2445,6 +2445,139 @@ def _q_bpe_encode_stats(sf_dir: str):
     return bpe_encode_stats(ds, n_merges=30)
 
 
+_CHUNK_BPE = {"B": 60, "BL": 4, "OV": 1, "JP": 2, "NM": 30, "WPL": 5}
+
+
+def _q_chunk_by_bpe_tokens(sf_dir: str):
+    """Token chunker under a REAL trained tokenizer (round-4, closing the
+    reference-parity gap at token_chunker/chunker.py:21-36 — the reference
+    budgets chunks with tokonomics counts; this engine budgets with its own
+    corpus-trained BPE): train_bpe on the corpus, broadcast the merge
+    table, re-wrap each doc into 5-ws-token lines (the corpus is
+    single-line; the wrap is SQL-reproducible), then the line-window
+    chunker (functions/chunkers.chunk_by_bpe_tokens) emits
+    (doc_id, chunk_index, start_line, end_line, token_count) — all chunk
+    boundaries pinned by a DuckDB replay that chains the BPE training
+    recursion, the per-word encode recursion, per-line piece costs, and a
+    recursive chunk scan."""
+    import ray
+    import ray.data
+
+    from docler_ray.functions.chunkers import chunk_by_bpe_tokens
+    from docler_ray.functions.tokens import ws_tokens
+    from docler_ray.stages.joins import _get_broadcast
+    from docler_ray.stages.vocab import train_bpe
+
+    p = _CHUNK_BPE
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = train_bpe(ds, n_merges=p["NM"]).to_pandas()
+    ranks = {
+        (l, r): int(k)
+        for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    ranks_ref = ray.put(ranks)
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        rk = _get_broadcast(ranks_ref)
+        ids, cis, s_lines, e_lines, tcs = [], [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = ws_tokens(t)
+            lines = [
+                " ".join(toks[i : i + p["WPL"]])
+                for i in range(0, len(toks), p["WPL"])
+            ]
+            for ch in chunk_by_bpe_tokens(
+                "\n".join(lines),
+                rk,
+                max_tokens_per_chunk=p["B"],
+                base_lines=p["BL"],
+                overlap_lines=p["OV"],
+                jump_lines=p["JP"],
+            ):
+                ids.append(int(d))
+                cis.append(ch["chunk_index"])
+                s_lines.append(ch["start_line"])
+                e_lines.append(ch["end_line"])
+                tcs.append(ch["token_count"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_index": pa.array(cis, pa.int64()),
+                "start_line": pa.array(s_lines, pa.int64()),
+                "end_line": pa.array(e_lines, pa.int64()),
+                "token_count": pa.array(tcs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _chunk_bpe_sql() -> str:
+    """Oracle for chunk_by_bpe_tokens: BPE training recursion + per-word
+    encode recursion + per-line piece costs/prefix sums + a recursive
+    chunk scan replaying the grow/overlap/stuck-jump loop exactly
+    (prototype-verified row-for-row at sf0.001)."""
+    from docler_ray.functions.tokens import ws_tokens_sql
+
+    p = _CHUNK_BPE
+    ws = ws_tokens_sql("text")
+    return f"""
+WITH RECURSIVE {_bpe_train_chain_sql(p["NM"])},
+ranks AS (SELECT DISTINCT ml AS l, mr AS r, (iter - 1)::BIGINT AS rank FROM st WHERE iter > 0),
+tok AS (SELECT s.doc_id, s.toks[g.i] AS tok, g.i AS ord
+       FROM (SELECT doc_id, {ws} AS toks FROM documents) s,
+            LATERAL (SELECT unnest(range(1, len(s.toks) + 1)) AS i) g),
+lines AS (SELECT doc_id, CAST((ord - 1) // {p["WPL"]} AS BIGINT) + 1 AS line_no,
+                 string_agg(tok, ' ' ORDER BY ord) AS line
+          FROM tok GROUP BY doc_id, (ord - 1) // {p["WPL"]}),
+lw AS (SELECT doc_id, line_no, unnest(regexp_extract_all(lower(line), '[a-z]+')) AS w FROM lines),
+dwords AS (SELECT DISTINCT w AS word FROM lw),
+enc(step, word, syms) AS (
+  SELECT 0, word, string_split(word, '') FROM dwords
+  UNION ALL
+  SELECT step + 1, word, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:len(syms)]
+  FROM (SELECT e2.step, e2.word, e2.syms,
+          (SELECT i FROM (SELECT unnest(range(1, len(e2.syms))) AS i) g
+            JOIN ranks ON ranks.l = e2.syms[i] AND ranks.r = e2.syms[i+1]
+            ORDER BY ranks.rank, i LIMIT 1) AS bi
+        FROM enc e2) WHERE bi IS NOT NULL),
+pieces AS (SELECT word, len(syms)::BIGINT AS n_pieces FROM enc
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY word ORDER BY step DESC) = 1),
+lc AS (SELECT l.doc_id, l.line_no, COALESCE(SUM(p.n_pieces), 0)::BIGINT AS cost
+       FROM lines l LEFT JOIN lw ON lw.doc_id = l.doc_id AND lw.line_no = l.line_no
+       LEFT JOIN pieces p ON lw.w = p.word
+       GROUP BY l.doc_id, l.line_no),
+pre AS (SELECT doc_id, line_no, SUM(cost) OVER (PARTITION BY doc_id ORDER BY line_no)::BIGINT AS cum FROM lc),
+nl AS (SELECT doc_id, MAX(line_no)::BIGINT AS n FROM lines GROUP BY doc_id),
+ch(doc_id, ci, s0, e0, tc, nxt) AS (
+  SELECT doc_id, CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM nl
+  UNION ALL
+  SELECT q.doc_id, q.ci + 1, q.s0, q.e0,
+         (SELECT cum FROM pre WHERE pre.doc_id = q.doc_id AND pre.line_no = q.e0) - q.cum_s0,
+         CASE WHEN q.e0 - {p["OV"]} <= q.s0 THEN q.s0 + 1 + {p["JP"]} ELSE q.e0 - {p["OV"]} END
+  FROM (
+    SELECT c.doc_id, c.ci, c.nxt AS s0, nl.n,
+           COALESCE((SELECT cum FROM pre WHERE pre.doc_id = c.doc_id AND pre.line_no = c.nxt), 0) AS cum_s0,
+           COALESCE((SELECT MIN(pr.line_no) FROM pre pr
+                     JOIN lc c2 ON c2.doc_id = pr.doc_id AND c2.line_no = pr.line_no + 1
+                     WHERE pr.doc_id = c.doc_id
+                       AND pr.line_no >= LEAST(c.nxt + {p["BL"]}, nl.n)
+                       AND pr.line_no <= nl.n - 1
+                       AND pr.cum - COALESCE((SELECT cum FROM pre WHERE pre.doc_id = c.doc_id AND pre.line_no = c.nxt), 0) >= {p["B"]} - c2.cost),
+                    nl.n) AS e0
+    FROM ch c JOIN nl ON nl.doc_id = c.doc_id
+    WHERE c.nxt < nl.n
+  ) q
+)
+SELECT doc_id, ci AS chunk_index, s0 + 1 AS start_line, e0 AS end_line, tc AS token_count
+FROM ch WHERE ci >= 0
+"""
+
+
 def _q_dsir_importance(sf_dir: str):
     """DSIR data selection (stages/dsir.py, arXiv:2302.03169): per-doc
     importance log-ratio against the doc_id%97 target sample under two
@@ -3720,6 +3853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance": _q_dsir_importance,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_stats": _q_bpe_encode_stats,
+        "chunk_by_bpe_tokens": _q_chunk_by_bpe_tokens,
         "ccnet_perplexity_tiers": _q_ccnet_perplexity_tiers,
         "paragraph_dedup_docs": _q_paragraph_dedup_docs,
         "approx_distinct_by_lang": _q_approx_distinct_by_lang,
@@ -4057,6 +4191,7 @@ def oracle_sql() -> dict[str, str]:
         # two err:no_oracle rows, now full-value oracles
         "bpe_merges": _bpe_merges_sql(30),
         "bpe_encode_stats": _bpe_encode_sql(30),
+        "chunk_by_bpe_tokens": _chunk_bpe_sql(),
         "paragraph_dedup_docs": _paragraph_dedup_sql(),
         # the Ray side round-trips these fields through the WARC codec;
         # the oracle computes them directly, pinning codec == identity

@@ -238,6 +238,7 @@ def bench_once() -> dict:
         timed("lm_quality_scores", q["lm_quality_scores"])
         timed("dsir_importance", q["dsir_importance"])
         timed("ccnet_perplexity_tiers", q["ccnet_perplexity_tiers"])
+        timed("chunk_by_bpe_tokens", q["chunk_by_bpe_tokens"])
         timed("paragraph_dedup_docs", q["paragraph_dedup_docs"])
         timed("curation_pipeline_v2", q["curation_pipeline_v2"])
         timed("semdedup_survivors", q["semdedup_survivors"])

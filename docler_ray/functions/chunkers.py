@@ -208,3 +208,70 @@ def chunk_by_tokens(
         if start_idx >= len(lines):
             break
     return chunks
+
+
+def chunk_by_bpe_tokens(
+    content: str,
+    ranks: dict,
+    *,
+    max_tokens_per_chunk: int = 4000,
+    base_lines: int = 100,
+    overlap_lines: int = 20,
+    jump_lines: int = 50,
+) -> list[dict]:
+    """Token-budget line-window chunking under a TRAINED BPE tokenizer —
+    reference parity for the token chunker's REAL-tokenizer budget
+    (token_chunker/chunker.py:21-36 counts with tokonomics; here the
+    budget is trained-BPE pieces of the lowercase [a-z]+ word stream,
+    the exact counting contract of stages/vocab.bpe_encode_stats, so the
+    whole chunker is SQL-replayable through the BPE encode recursion).
+
+    Same loop shape as :func:`chunk_by_tokens` (grow-from-base window,
+    line overlap, stuck-jump) — but BPE word pieces can never span a
+    line boundary, so per-line costs + prefix sums make the grow loop
+    exact and linear with no boundary-delta machinery."""
+    from docler_ray.stages.vocab import _BPE_WORD_RE, _encode_word
+
+    lines = content.splitlines()
+    cache: dict[str, int] = {}
+
+    def line_cost(line: str) -> int:
+        total = 0
+        for w in _BPE_WORD_RE.findall(line.lower()):
+            p = cache.get(w)
+            if p is None:
+                p = cache[w] = _encode_word(w, ranks)
+            total += p
+        return total
+
+    costs = [line_cost(ln) for ln in lines]
+    pre = [0]
+    for c in costs:
+        pre.append(pre[-1] + c)
+    chunks: list[dict] = []
+    start = 0
+    ci = 0
+    while start < len(lines):
+        end = min(start + base_lines, len(lines))
+        tc = pre[end] - pre[start]
+        while end < len(lines) and tc < max_tokens_per_chunk - costs[end]:
+            tc += costs[end]
+            end += 1
+        chunks.append(
+            {
+                "chunk_index": ci,
+                "start_line": start + 1,
+                "end_line": end,
+                "token_count": tc,
+                "content": "\n".join(lines[start:end]),
+            }
+        )
+        ci += 1
+        prev_start = start
+        start = end - overlap_lines
+        if start <= prev_start:
+            # chunk_by_tokens' stuck-jump quirk: 1-based prev start + jump
+            start = prev_start + 1 + jump_lines
+        if start >= len(lines):
+            break
+    return chunks

@@ -191,3 +191,61 @@ def test_chunk_by_tokens_long_doc_linear_speed():
     elapsed = time.time() - t0
     assert len(chunks) > 20
     assert elapsed < 5.0, f"token chunking took {elapsed:.1f}s — not linear"
+
+
+def test_chunk_by_bpe_tokens_boundaries_and_stuck_jump():
+    """The trained-tokenizer line-window chunker: budget growth, overlap,
+    and the stuck-jump quirk (start <= prev start -> prev_start+1+jump),
+    with piece counts from an explicit merge table."""
+    from docler_ray.functions.chunkers import chunk_by_bpe_tokens
+
+    ranks = {("a", "b"): 0, ("ab", "c"): 1}
+    # line costs: 'abc abc'=2, 'ab'=1, 'zz'=2(z,z? no merges->2), ''=0
+    content = "abc abc\nab\nzz\nabc\n\nab ab"
+    chunks = chunk_by_bpe_tokens(
+        content, ranks, max_tokens_per_chunk=4, base_lines=1,
+        overlap_lines=1, jump_lines=1,
+    )
+    # overlap >= window width forces the stuck-jump path every time
+    starts = [c["start_line"] for c in chunks]
+    assert starts == sorted(set(starts))  # strictly advancing
+    assert all(c["token_count"] <= 6 for c in chunks)
+    # piece counting: 'abc abc' = 2 pieces under the merges
+    assert chunks[0]["token_count"] >= 2
+    # brute-force equality: replay the loop naively
+    from docler_ray.stages.vocab import _BPE_WORD_RE, _encode_word
+
+    lines = content.splitlines()
+    costs = [
+        sum(_encode_word(w, ranks) for w in _BPE_WORD_RE.findall(l.lower()))
+        for l in lines
+    ]
+    naive = []
+    start, ci = 0, 0
+    while start < len(lines):
+        end = min(start + 1, len(lines))
+        tc = sum(costs[start:end])
+        while end < len(lines) and tc < 4 - costs[end]:
+            tc += costs[end]
+            end += 1
+        naive.append((ci, start + 1, end, tc))
+        ci += 1
+        prev = start
+        start = end - 1
+        if start <= prev:
+            start = prev + 2
+        if start >= len(lines):
+            break
+    got = [
+        (c["chunk_index"], c["start_line"], c["end_line"], c["token_count"])
+        for c in chunks
+    ]
+    assert got == naive
+
+
+def test_chunk_by_bpe_tokens_empty_and_single_line():
+    from docler_ray.functions.chunkers import chunk_by_bpe_tokens
+
+    assert chunk_by_bpe_tokens("", {}) == []
+    out = chunk_by_bpe_tokens("one single line", {})
+    assert len(out) == 1 and out[0]["end_line"] == 1

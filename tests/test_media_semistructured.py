@@ -89,3 +89,71 @@ def test_json_field_counts(ray_session):
 
     null_n = [n for k, n in got.items() if k is None or (isinstance(k, float) and math.isnan(k))]
     assert sum(null_n) == 3
+
+
+def test_png_codec_round_trips_all_filters():
+    """Stdlib PNG codec (functions/png.py): encode/decode round trips for
+    1/2/3/4 channels under filter types 0/1/2, plus hand-built
+    Average/Paeth scanlines (the foreign-PNG decode paths)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from docler_ray.functions.png import (
+        _PNG_MAGIC,
+        _chunk,
+        decode_png,
+        encode_png,
+        png_transform,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(0)
+    for ch in (1, 2, 3, 4):
+        a = rng.randint(0, 256, (13, 9, ch), dtype=np.uint8)
+        for ft in (0, 1, 2):
+            b, info = decode_png(encode_png(a, filter_type=ft))
+            assert np.array_equal(a, b), (ch, ft)
+            assert (info["width"], info["height"]) == (9, 13)
+
+    # Average (3) / Paeth (4) rows, filtered by hand from known recon
+    recon = np.array([[10, 20, 30], [40, 60, 90]], dtype=np.uint8)
+    r0 = []
+    for x in range(3):
+        left = int(recon[0, x - 1]) if x else 0
+        r0.append((int(recon[0, x]) - (left + 0) // 2) & 0xFF)
+    r1 = []
+    for x in range(3):
+        a_ = int(recon[1, x - 1]) if x else 0
+        b_ = int(recon[0, x])
+        c_ = int(recon[0, x - 1]) if x else 0
+        p = a_ + b_ - c_
+        pa_, pb_, pc_ = abs(p - a_), abs(p - b_), abs(p - c_)
+        pred = a_ if (pa_ <= pb_ and pa_ <= pc_) else (b_ if pb_ <= pc_ else c_)
+        r1.append((int(recon[1, x]) - pred) & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    idat = zlib.compress(bytes([3]) + bytes(r0) + bytes([4]) + bytes(r1))
+    png = (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+    dec, _ = decode_png(png)
+    assert np.array_equal(dec[:, :, 0], recon)
+
+    # transform semantics: long side capped, index math integer
+    big = rng.randint(0, 256, (30, 20, 3), dtype=np.uint8)
+    arr, info = decode_png(png_transform(encode_png(big), max_dim=10))
+    assert (info["width"], info["height"]) == (6, 10)
+    assert np.array_equal(arr, resize_nearest(big, 6, 10))
+
+
+def test_png_codec_guards():
+    import pytest as _pytest
+
+    from docler_ray.functions.png import decode_png
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF")

@@ -326,6 +326,11 @@ _NULL_LANG = "\x00<null-lang>"
 # not see a driver monkeypatch)
 _SCAN_GROUP_ROWS_CAP: int | None = None
 
+# refinement: split any (lang, bucket) holding more than FACTOR x
+# packing._TARGET_ROWS rows, for at most ROUNDS driver-triggered passes
+_TIER_REFINE_FACTOR = 4
+_TIER_REFINE_ROUNDS = 2
+
 
 def perplexity_tiers(
     ds,
@@ -366,10 +371,17 @@ def perplexity_tiers(
        within-lang rank = offset + local index, NTILE by the SQL-standard
        fill formula. Each task holds ONE ~TARGET_ROWS bucket.
 
-    Residual limit: a corpus where one (lang, ppl) value carries ~all rows
-    (e.g. every doc bigram-less) collapses step 2 into one bucket — ties
-    are unsplittable by a ppl-ordered key; such a bucket would need a
-    doc_id-range sub-split (constant-ppl rows order purely by id)."""
+    5. refinement (up to 2 rounds, driver-triggered only when a
+       (lang, bucket) exceeds ``_TIER_REFINE_FACTOR x TARGET`` rows): an
+       oversized bucket with ppl SPREAD re-ranges on its own narrower
+       bit span (resolution x B per round); an oversized bucket of pure
+       TIES (min ppl == max ppl — e.g. every doc bigram-less) splits by
+       doc_id range, which is order-preserving exactly because tied rows
+       order purely by id. Refined buckets get fresh ids in a disjoint
+       namespace and sort as (parent, sub) when offsets are assigned, so
+       rank order is preserved. This closes the round-4 first-cut's
+       residual limit — no corpus shape can hand one task a whole
+       language (or a whole tie-mass) anymore."""
     import numpy as np
     import pandas as pd
     import ray
@@ -410,7 +422,10 @@ def perplexity_tiers(
             cols[c] = pa.array([], types[c])
         return ray.data.from_arrow(pa.table(cols))
 
+    import docler_ray.stages.packing as _packing
+
     n_buckets = _bucket_count(n_total)
+    target_rows = int(_packing._TARGET_ROWS)
     bounds = with_ppl.aggregate(
         Min("ppl_milli", alias_name="lo"), Max("ppl_milli", alias_name="hi")
     )
@@ -421,76 +436,191 @@ def perplexity_tiers(
     # monotone, so equal bits share a bucket and bucket order == ppl order
     scale = float(n_buckets) / float(span)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        ppl = np.ascontiguousarray(
-            batch.column("ppl_milli").to_numpy(), dtype=np.float64
-        )
-        bits = ppl.view(np.int64)
-        rb = np.minimum(
-            ((bits - lo_bits) * scale).astype(np.int64), n_buckets - 1
-        )
-        lang_key = pc.fill_null(
+    def _lang_key(batch: pa.Table):
+        return pc.fill_null(
             pc.cast(batch.column(lang_col), pa.string()), _NULL_LANG
         )
-        batch = batch.append_column("rbucket", pa.array(rb, pa.int64()))
-        return batch.append_column("lang_key", lang_key)
 
-    bucketed = with_ppl.map_batches(
-        add_bucket, batch_format="pyarrow", zero_copy_batch=True
-    )
+    def make_rb(levels: tuple):
+        """Bucket id as a pure function of (ppl bits, doc id) under the
+        given refinement levels; each level rewrites oversized parent ids
+        to ``start + sub`` where sub is a monotone re-range on the
+        parent's own bit span (spread) or id span (pure ties)."""
 
-    # pass 1: per-(lang, bucket) counts — Arrow group_by partials map-side,
-    # one tiny exchange, |langs| x B rows on the driver (rows, not corpus)
-    def count_partial(batch: pa.Table) -> pa.Table:
-        g = (
-            pa.table(
+        def rb_of(batch: pa.Table) -> np.ndarray:
+            ppl = np.ascontiguousarray(
+                batch.column("ppl_milli").to_numpy(), dtype=np.float64
+            )
+            bits = ppl.view(np.int64)
+            rb = np.minimum(
+                ((bits - lo_bits) * scale).astype(np.int64), n_buckets - 1
+            )
+            ids = (
+                pc.cast(batch.column(id_col), pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            for parents, starts, modes, los, spans, sizes in levels:
+                pos = np.searchsorted(parents, rb)
+                mask = (pos < len(parents)) & (
+                    parents[np.minimum(pos, len(parents) - 1)] == rb
+                )
+                if not mask.any():
+                    continue
+                p = pos[mask]
+                key = np.where(modes[p] == 0, bits[mask], ids[mask])
+                # float multiply by each parent's own positive scale is
+                # monotone; identical keys share a sub-bucket
+                sub = (
+                    (key - los[p]).astype(np.float64)
+                    * (sizes[p].astype(np.float64) / spans[p].astype(np.float64))
+                ).astype(np.int64)
+                rb[mask] = starts[p] + np.clip(sub, 0, sizes[p] - 1)
+            return rb
+
+        return rb_of
+
+    def measure_counts(levels: tuple):
+        """(lang_key, rb) -> rows, ppl min/max, id min/max — Arrow group_by
+        partials map-side, one tiny exchange, never corpus rows."""
+        rb_of = make_rb(levels)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            g = (
+                pa.table(
+                    {
+                        "lang_key": _lang_key(batch),
+                        "rb": pa.array(rb_of(batch), pa.int64()),
+                        "ppl": batch.column("ppl_milli"),
+                        "id": pc.cast(batch.column(id_col), pa.int64()),
+                    }
+                )
+                .group_by(["lang_key", "rb"])
+                .aggregate(
+                    [
+                        ([], "count_all"),
+                        ("ppl", "min"),
+                        ("ppl", "max"),
+                        ("id", "min"),
+                        ("id", "max"),
+                    ]
+                )
+            )
+            return pa.table(
                 {
-                    "lang_key": batch.column("lang_key"),
-                    "rbucket": batch.column("rbucket"),
+                    "lang_key": g.column("lang_key"),
+                    "rb": g.column("rb"),
+                    "pn": pc.cast(g.column("count_all"), pa.int64()),
+                    "pmin": g.column("ppl_min"),
+                    "pmax": g.column("ppl_max"),
+                    "imin": g.column("id_min"),
+                    "imax": g.column("id_max"),
                 }
             )
-            .group_by(["lang_key", "rbucket"])
-            .aggregate([([], "count_all")])
-        )
-        return pa.table(
-            {
-                "lang_key": g.column("lang_key"),
-                "rbucket": g.column("rbucket"),
-                "partial_n": pc.cast(g.column("count_all"), pa.int64()),
-            }
+
+        return (
+            with_ppl.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby(["lang_key", "rb"])
+            .aggregate(
+                Sum("pn", alias_name="n"),
+                Min("pmin", alias_name="pmin"),
+                Max("pmax", alias_name="pmax"),
+                Min("imin", alias_name="imin"),
+                Max("imax", alias_name="imax"),
+            )
+            .to_pandas()
         )
 
-    counts = (
-        bucketed.map_batches(
-            count_partial, batch_format="pyarrow", zero_copy_batch=True
+    # refinement loop: re-measure, split any (lang, bucket) that exceeds
+    # the factor x TARGET bound — spread buckets re-range on their own
+    # narrower bit span, pure-tie buckets split by doc_id range (their
+    # rank order is purely id). Triggered only when needed; each round is
+    # one pass over the materialized narrow table.
+    levels: list[tuple] = []
+    order_key: dict[int, tuple] = {}  # refined rb -> (parent-chain) sort key
+    next_base = 1 << 40
+    refine_cap = _TIER_REFINE_FACTOR * target_rows
+    for _ in range(_TIER_REFINE_ROUNDS + 1):
+        counts = measure_counts(tuple(levels))
+        big = counts[counts["n"] > refine_cap]
+        if big.empty or len(levels) >= _TIER_REFINE_ROUNDS:
+            break
+        # per-rb aggregates across langs: the split must be a pure
+        # function of the row, identical for every language in the bucket
+        agg = (
+            big.groupby("rb")
+            .agg(
+                n=("n", "sum"),
+                pmin=("pmin", "min"),
+                pmax=("pmax", "max"),
+                imin=("imin", "min"),
+                imax=("imax", "max"),
+            )
+            .sort_index()
         )
-        .groupby(["lang_key", "rbucket"])
-        .aggregate(Sum("partial_n", alias_name="n"))
-        .to_pandas()
-        .sort_values(["lang_key", "rbucket"], kind="mergesort")
+        parents = agg.index.to_numpy().astype(np.int64)
+        sizes = np.minimum(
+            np.maximum(agg["n"].to_numpy() // target_rows, 2), 65536
+        ).astype(np.int64)
+        pmin_b = (
+            np.ascontiguousarray(agg["pmin"].to_numpy(), dtype=np.float64)
+            .view(np.int64)
+        )
+        pmax_b = (
+            np.ascontiguousarray(agg["pmax"].to_numpy(), dtype=np.float64)
+            .view(np.int64)
+        )
+        ties = pmin_b == pmax_b
+        modes = np.where(ties, 1, 0).astype(np.int64)
+        los = np.where(ties, agg["imin"].to_numpy(), pmin_b).astype(np.int64)
+        spans = np.maximum(
+            np.where(ties, agg["imax"].to_numpy() - agg["imin"].to_numpy(), pmax_b - pmin_b),
+            1,
+        ).astype(np.int64)
+        starts = next_base + np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        next_base += int(sizes.sum()) + 1
+        for i, parent in enumerate(parents):
+            pkey = order_key.get(int(parent), (int(parent),))
+            for s in range(int(sizes[i])):
+                order_key[int(starts[i] + s)] = (*pkey, s)
+        levels.append((parents, starts, modes, los, spans, sizes))
+
+    # offsets: per lang, exclusive cumsum over buckets in PPL order —
+    # refined ids sort by their parent-chain key, not their numeric id
+    maxlen = max((len(v) for v in order_key.values()), default=1)
+
+    def _okey(rb_val: int) -> tuple:
+        k = order_key.get(int(rb_val), (int(rb_val),))
+        return k + (-1,) * (maxlen - len(k))
+
+    counts = counts.assign(_ord=[_okey(v) for v in counts["rb"]]).sort_values(
+        ["lang_key", "_ord"], kind="mergesort"
     )
     langs = counts["lang_key"].drop_duplicates().tolist()
     lang_id = {k: i for i, k in enumerate(langs)}
     offmap: dict[int, tuple[int, int]] = {}
     for lk, grp in counts.groupby("lang_key", sort=False):
         ns = grp["n"].to_numpy().astype(np.int64)
-        starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+        starts0 = np.concatenate(([0], np.cumsum(ns)[:-1]))
         nl = int(ns.sum())
-        base = lang_id[lk] * n_buckets
-        for rb_val, st in zip(grp["rbucket"].to_numpy(), starts):
+        base = lang_id[lk] * (1 << 42)
+        for rb_val, st in zip(grp["rb"].to_numpy(), starts0):
             offmap[base + int(rb_val)] = (int(st), nl)
     off_ref = ray.put(offmap)
     langs_arr = pa.array(langs, pa.string())
+    final_rb = make_rb(tuple(levels))
 
     def add_gkey(batch: pa.Table) -> pa.Table:
         lid = (
-            pc.index_in(batch.column("lang_key"), value_set=langs_arr)
+            pc.index_in(_lang_key(batch), value_set=langs_arr)
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        rb = batch.column("rbucket").to_numpy()
+        rb = final_rb(batch)
         return batch.append_column(
-            "gkey", pa.array(lid * n_buckets + rb, pa.int64())
+            "gkey", pa.array(lid * (1 << 42) + rb, pa.int64())
         )
 
     rows_cap = _SCAN_GROUP_ROWS_CAP
@@ -532,7 +662,7 @@ def perplexity_tiers(
         )
 
     return (
-        bucketed.map_batches(add_gkey, batch_format="pyarrow", zero_copy_batch=True)
+        with_ppl.map_batches(add_gkey, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("gkey")
         .map_groups(scan, batch_format="pandas")
     )

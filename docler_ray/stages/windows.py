@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _SESSION_COARSE = 64  # FLOOR for the session co-location keyspace
 _SESSION_TARGET_ROWS = 65536  # target event rows per coarse session group
@@ -37,21 +38,42 @@ def _epoch_seconds(ts: pd.Series) -> np.ndarray:
     return ts.to_numpy().astype("datetime64[s]").astype(np.int64)
 
 
+def _epoch_seconds_arrow(col) -> np.ndarray:
+    """Arrow timestamp column -> int64 epoch seconds (the _epoch_seconds
+    contract without the pandas detour)."""
+    return col.to_numpy(zero_copy_only=False).astype("datetime64[s]").astype(
+        np.int64
+    )
+
+
+def _group_count(tbl: pa.Table, keys: list[str], out: str) -> pa.Table:
+    """Arrow group_by count — the map-side partial kernel (round-4: the
+    pandas to/from round trip per batch was the window partials' only
+    remaining copy; Arrow group_by also keeps NULL keys like SQL)."""
+    g = tbl.group_by(keys).aggregate([([], "count_all")])
+    cols = {k: g.column(k) for k in keys}
+    cols[out] = pc.cast(g.column("count_all"), pa.int64())
+    return pa.table(cols)
+
+
 def tumbling_window_counts(ds, ts_col: str, group_col: str, *, window_secs: int = 3600):
     """Counts per (group, tumbling window): map-side partial combine inside
     map_batches, then a small groupby over the partials (SURVEY.md §4.2)."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        epoch = _epoch_seconds(df[ts_col])
-        df["window_start"] = (epoch // window_secs) * window_secs
-        g = (
-            df.groupby([group_col, "window_start"], sort=False)
-            .size()
-            .reset_index(name="partial_n")
+        epoch = _epoch_seconds_arrow(batch.column(ts_col))
+        ws = (epoch // window_secs) * window_secs
+        return _group_count(
+            pa.table(
+                {
+                    group_col: batch.column(group_col),
+                    "window_start": pa.array(ws, pa.int64()),
+                }
+            ),
+            [group_col, "window_start"],
+            "partial_n",
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby([group_col, "window_start"]).aggregate(
@@ -80,11 +102,15 @@ def tumbling_window_distinct(
     from ray.data.aggregate import Count, Sum
 
     def partial_distinct(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        epoch = _epoch_seconds(df[ts_col])
-        df["window_start"] = (epoch // window_secs) * window_secs
-        g = df[[group_col, "window_start", distinct_col]].drop_duplicates()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        epoch = _epoch_seconds_arrow(batch.column(ts_col))
+        ws = (epoch // window_secs) * window_secs
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "window_start": pa.array(ws, pa.int64()),
+                distinct_col: batch.column(distinct_col),
+            }
+        ).group_by([group_col, "window_start", distinct_col]).aggregate([])
 
     triples = ds.map_batches(partial_distinct, batch_format="pyarrow")
     distinct = triples.groupby([group_col, "window_start", distinct_col]).aggregate(
@@ -92,13 +118,11 @@ def tumbling_window_distinct(
     )
 
     def recount(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = (
-            df.groupby([group_col, "window_start"], sort=False)
-            .size()
-            .reset_index(name="partial_n")
+        return _group_count(
+            batch.select([group_col, "window_start"]),
+            [group_col, "window_start"],
+            "partial_n",
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = distinct.map_batches(recount, batch_format="pyarrow")
     return partials.groupby([group_col, "window_start"]).aggregate(
@@ -127,21 +151,23 @@ def hopping_window_distinct(
     fanout = window_secs // hop_secs
 
     def partial_distinct(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        epoch = _epoch_seconds(df[ts_col])
+        epoch = _epoch_seconds_arrow(batch.column(ts_col))
         w0 = (epoch // hop_secs) * hop_secs
-        frames = []
-        for k in range(fanout):
-            f = pd.DataFrame(
+        parts = [
+            pa.table(
                 {
-                    group_col: df[group_col],
-                    "window_start": w0 - k * hop_secs,
-                    distinct_col: df[distinct_col],
+                    group_col: batch.column(group_col),
+                    "window_start": pa.array(w0 - k * hop_secs, pa.int64()),
+                    distinct_col: batch.column(distinct_col),
                 }
             )
-            frames.append(f)
-        out = pd.concat(frames, ignore_index=True).drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False)
+            for k in range(fanout)
+        ]
+        return (
+            pa.concat_tables(parts)
+            .group_by([group_col, "window_start", distinct_col])
+            .aggregate([])
+        )
 
     triples = ds.map_batches(partial_distinct, batch_format="pyarrow")
     distinct = triples.groupby([group_col, "window_start", distinct_col]).aggregate(
@@ -149,13 +175,11 @@ def hopping_window_distinct(
     )
 
     def recount(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = (
-            df.groupby([group_col, "window_start"], sort=False)
-            .size()
-            .reset_index(name="partial_n")
+        return _group_count(
+            batch.select([group_col, "window_start"]),
+            [group_col, "window_start"],
+            "partial_n",
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = distinct.map_batches(recount, batch_format="pyarrow")
     return partials.groupby([group_col, "window_start"]).aggregate(
@@ -185,20 +209,20 @@ def hopping_window_counts(
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        epoch = _epoch_seconds(df[ts_col])
-        frames = []
+        epoch = _epoch_seconds_arrow(batch.column(ts_col))
         base = (epoch // hop_secs) * hop_secs
-        for i in range(fanout):
-            w = base - i * hop_secs
-            g = (
-                pd.DataFrame({group_col: df[group_col], "window_start": w})
-                .groupby([group_col, "window_start"], sort=False)
-                .size()
-                .reset_index(name="partial_n")
+        parts = [
+            pa.table(
+                {
+                    group_col: batch.column(group_col),
+                    "window_start": pa.array(base - i * hop_secs, pa.int64()),
+                }
             )
-            frames.append(g)
-        return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
+            for i in range(fanout)
+        ]
+        return _group_count(
+            pa.concat_tables(parts), [group_col, "window_start"], "partial_n"
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby([group_col, "window_start"]).aggregate(

@@ -707,6 +707,76 @@ def _q_pdf_real_extract(sf_dir: str):
     return docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_pdf_decrypt_extract(sf_dir: str):
+    """Encrypted-PDF extraction at scale (round-4; the reference's
+    decrypt path, src/docler/pdf_utils.py:90-137, for the RC4
+    standard-handler case): every documents row becomes an RC4-128
+    encrypted PDF (deterministic /ID), the pipeline decrypts via the
+    ExtractDocs ``pdf_password`` option, and the SQL oracle rebuilds the
+    exact extracted markdown — a wrong key or a broken handler fails
+    CORRECTNESS, not just a unit test."""
+    import ray.data
+
+    from docler_ray.pdfish.realpdf import build_simple_pdf
+    from docler_ray.stages.classify import classify_batch
+    from docler_ray.stages.extract import ExtractDocs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_pdf(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [
+            build_simple_pdf(
+                [f"Classified doc {d}.\nOnly for keyholders {d}."],
+                user_password="sesame",
+            )
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "url": pa.array([str(d) for d in ids], pa.string()),
+                "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+                "html": pa.array(payloads, pa.binary()),
+                "text": pa.array([""] * len(ids), pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+            }
+        )
+
+    docs = (
+        ds.map_batches(to_pdf, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(classify_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            ExtractDocs,
+            fn_constructor_kwargs={"options": {"pdf_password": "sesame"}},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            batch_size=128,
+            zero_copy_batch=True,
+        )
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("url").cast(pa.int64()),
+                "mime_type": batch.column("mime_type"),
+                "content": batch.column("content"),
+            }
+        )
+
+    return docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pdf_decrypt_sql() -> str:
+    marker1 = """'<!-- docler:page_break {"next_page":1} -->'"""
+    return (
+        "SELECT doc_id, 'application/pdf' AS mime_type, "
+        f"{marker1} || repeat(chr(10), 3) || 'Classified doc ' || doc_id || "
+        "'.' || chr(10) || 'Only for keyholders ' || doc_id || '.' AS content "
+        "FROM documents"
+    )
+
+
 def _pdf_real_sql() -> str:
     """Oracle for pdf_real_extract: rebuilds the EXACT extracted markdown
     (markers included) in SQL from the same per-doc template
@@ -3918,6 +3988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs_summary": _q_extract_docs_summary,
         "office_extract_docs": _q_office_extract_docs,
         "pdf_real_extract": _q_pdf_real_extract,
+        "pdf_decrypt_extract": _q_pdf_decrypt_extract,
         "mime_dispatch_counts": _q_mime_dispatch_counts,
         "pdf_page_metadata": _q_pdf_page_metadata,
         "audio_probe_features": _q_audio_probe_features,
@@ -4553,6 +4624,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_docs_grouped_by_lang": _DOCS_SUMMARY_SQL,
         "office_extract_docs": _office_docs_sql(),
         "pdf_real_extract": _pdf_real_sql(),
+        "pdf_decrypt_extract": _pdf_decrypt_sql(),
         "simhash_fingerprints": _simhash_sql(),
         "simhash_survivors": (
             "WITH RECURSIVE "

@@ -188,6 +188,7 @@ def bench_once() -> dict:
         timed("mime_dispatch_counts", q["mime_dispatch_counts"])
         timed("office_extract_docs", q["office_extract_docs"])
         timed("pdf_real_extract", q["pdf_real_extract"])
+        timed("pdf_decrypt_extract", q["pdf_decrypt_extract"])
         timed("image_pixel_stats", q["image_pixel_stats"])
         timed("pdf_page_metadata", q["pdf_page_metadata"])
         timed("lineitem_order_status_counts", q["lineitem_order_status_counts"])

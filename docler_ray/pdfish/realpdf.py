@@ -21,8 +21,12 @@ Honesty notes (documented limits, all raise or degrade loudly):
 - encodings: strings decode as latin-1 (≈ PDFDocEncoding for the Latin
   range); no /ToUnicode CMaps, so embedded-subset-font PDFs come out
   garbled rather than decoded.
-- encryption: PDFs whose trailer carries /Encrypt raise ValueError (the
-  reference's decrypt path is pypdf's RC4/AES, out of stdlib reach).
+- encryption: the STANDARD security handler with RC4 (V1/V2, R2/R3) is
+  implemented from the spec (ISO 32000-1 §7.6.3: MD5 key derivation,
+  /U-entry password verification, per-object keys) — hashlib covers it;
+  AES (V4+/AESV2) raises naming the missing cipher (stdlib has no AES;
+  the reference leans on pypdf's crypt providers,
+  src/docler/pdf_utils.py:90-137).
 - filters: FlateDecode only; a content stream with another filter is
   skipped and counted in metadata["skipped_streams"].
 
@@ -47,11 +51,143 @@ _REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R")
 _NAME_INT_RE = rb"\s+(\d+)"
 
 
+# ---- standard security handler (ISO 32000-1 §7.6.3, RC4 / V1-V2 R2-R3) -------
+
+_ENC_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+_ENC_P = -3904  # standard permission bits (print/copy allowed)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _std_key(
+    password: bytes, o_entry: bytes, p: int, file_id: bytes, r: int, klen: int
+) -> bytes:
+    import hashlib
+
+    h = hashlib.md5()
+    h.update((password + _ENC_PAD)[:32])
+    h.update(o_entry[:32])
+    h.update(p.to_bytes(4, "little", signed=True))
+    h.update(file_id)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:klen]).digest()
+    return key[:klen]
+
+
+def _compute_o(owner_pw: bytes, user_pw: bytes, r: int, klen: int) -> bytes:
+    import hashlib
+
+    key = hashlib.md5((owner_pw + _ENC_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()
+    key = key[:klen]
+    o = _rc4(key, (user_pw + _ENC_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _compute_u(key: bytes, file_id: bytes, r: int) -> bytes:
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _ENC_PAD)
+    u = _rc4(key, hashlib.md5(_ENC_PAD + file_id).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def _object_key(key: bytes, num: int, gen: int) -> bytes:
+    import hashlib
+
+    h = hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
+
+def _parse_enc_string(head: bytes, name: bytes) -> bytes:
+    """/O or /U value: hex string (our writer) or literal string."""
+    m = re.search(re.escape(name) + rb"\s*<([0-9A-Fa-f\s]+)>", head)
+    if m:
+        return bytes.fromhex(m.group(1).replace(b" ", b"").decode("ascii"))
+    m = re.search(re.escape(name) + rb"\s*\(", head)
+    if m:
+        s, _ = _read_literal_string(head, m.end() - 1)
+        return s.encode("latin-1")
+    raise ValueError(f"encrypted PDF: cannot parse {name.decode()} entry")
+
+
+def _build_decryptor(objects: dict, payload: bytes, password: str | None):
+    """Trailer /Encrypt -> file-key derivation + /U password verification.
+    Returns the file key (bytes) or None for unencrypted PDFs."""
+    m = None
+    for m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", payload):
+        pass
+    if m is None:
+        return None
+    obj = objects.get(int(m.group(1)))
+    if obj is None:
+        raise ValueError("encrypted PDF: /Encrypt dictionary not found")
+    head = obj[0]
+    if b"/Standard" not in head:
+        raise ValueError("encrypted PDF: only the Standard handler is supported")
+    vm = re.search(rb"/V\s+(\d+)", head)
+    v = int(vm.group(1)) if vm else 0
+    if v > 2:
+        raise ValueError(
+            "AES-encrypted PDF (V>=4): stdlib has no AES (reference uses "
+            "pypdf's crypt providers, src/docler/pdf_utils.py:90-137)"
+        )
+    rm = re.search(rb"/R\s+(\d+)", head)
+    r = int(rm.group(1)) if rm else 2
+    lm = re.search(rb"/Length\s+(\d+)", head)
+    klen = (int(lm.group(1)) if lm else 40) // 8
+    pm = re.search(rb"/P\s+(-?\d+)", head)
+    p = int(pm.group(1)) if pm else _ENC_P
+    o_entry = _parse_enc_string(head, b"/O")
+    u_entry = _parse_enc_string(head, b"/U")
+    idm = None
+    for idm in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", payload):
+        pass
+    file_id = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+    key = _std_key((password or "").encode("latin-1"), o_entry, p, file_id, r, klen)
+    if _compute_u(key, file_id, r)[:16] != u_entry[:16]:
+        raise ValueError("encrypted PDF: wrong or missing password")
+    return key
+
+
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 
 
-def _find_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
-    """Scan ``N G obj … endobj`` -> {N: (dict/body bytes, stream)}.
+def _find_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None, int]]:
+    """Scan ``N G obj … endobj`` -> {N: (dict/body bytes, stream, gen)}.
 
     The scan is a SEQUENTIAL cursor, not a global finditer: compressed
     stream bytes routinely contain sequences that look like ``N 0 obj`` or
@@ -88,13 +224,13 @@ def _find_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
                     stream = stream[:-2]
                 elif stream.endswith(b"\n") or stream.endswith(b"\r"):
                     stream = stream[:-1]
-            objects[num] = (head, stream)
+            objects[num] = (head, stream, int(m.group(2)))
             eo = payload.find(b"endobj", data_end)
             pos = n if eo < 0 else eo + len(b"endobj")
         else:
             if eo < 0:
                 eo = n
-            objects[num] = (payload[start:eo], None)
+            objects[num] = (payload[start:eo], None, int(m.group(2)))
             pos = eo + len(b"endobj")
     return objects
 
@@ -296,26 +432,31 @@ def extract_real_pdf(
 
     Mirrors ``extract_pdfish``'s contract (same marker assembly, same
     1-based ``page_range`` semantics from
-    /root/reference/src/docler/pdf_utils.py:138-179)."""
+    /root/reference/src/docler/pdf_utils.py:138-179). ``password``
+    decrypts standard-handler RC4 PDFs (wrong password raises)."""
     if not payload.startswith(b"%PDF"):
         raise ValueError("not a %PDF payload")
-    if b"/Encrypt" in payload:
-        raise ValueError(
-            "encrypted PDF: stdlib build has no RC4/AES (reference uses "
-            "pypdf, src/docler/pdf_utils.py:90-137)"
-        )
     objects = _find_objects(payload)
+    file_key = _build_decryptor(objects, payload, password)
     skipped = 0
+
+    def stream_data(num: int) -> bytes | None:
+        head, stream, gen = objects[num]
+        if stream is None:
+            return None
+        if file_key is not None:
+            stream = _rc4(_object_key(file_key, num, gen), stream)
+        return _decode_stream(head, stream)
+
     page_ids = _page_stream_ids(objects, payload)
     page_texts: list[str] = []
     if page_ids is not None:
         for refs in page_ids:
             chunks: list[str] = []
             for ref in refs:
-                obj = objects.get(ref)
-                if obj is None or obj[1] is None:
+                if ref not in objects or objects[ref][1] is None:
                     continue
-                data = _decode_stream(obj[0], obj[1])
+                data = stream_data(ref)
                 if data is None:
                     skipped += 1
                     continue
@@ -325,10 +466,9 @@ def extract_real_pdf(
         # fallback: every decodable stream containing a BT text block, in
         # object order, one pseudo-page per stream
         for num in sorted(objects):
-            head, stream = objects[num]
-            if stream is None:
+            if objects[num][1] is None:
                 continue
-            data = _decode_stream(head, stream)
+            data = stream_data(num)
             if data is None:
                 skipped += 1
                 continue
@@ -340,6 +480,8 @@ def extract_real_pdf(
             p for i, p in enumerate(page_texts, start=1) if i in wanted
         ]
     metadata: dict = {"parser": "realpdf", "n_objects": len(objects)}
+    if file_key is not None:
+        metadata["decrypted"] = True
     if skipped:
         metadata["skipped_streams"] = skipped
     return ExtractionResult(
@@ -356,12 +498,45 @@ def _escape_pdf_text(line: str) -> str:
     )
 
 
-def build_simple_pdf(pages: list[str]) -> bytes:
+def build_simple_pdf(
+    pages: list[str],
+    *,
+    user_password: str | None = None,
+    owner_password: str | None = None,
+) -> bytes:
     """Real, spec-valid PDF: one Helvetica font, one Flate content stream
     per page, correct xref offsets. Text round-trips through
-    ``extract_real_pdf`` line-for-line (Latin-1 repertoire)."""
+    ``extract_real_pdf`` line-for-line (Latin-1 repertoire).
+
+    With ``user_password`` the document is encrypted with the standard
+    security handler (V2/R3, RC4-128, deterministic /ID from the page
+    text) — the fixture generator for the decrypt path."""
+    import hashlib
+
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
+    file_key = None
+    enc_dict = b""
+    if user_password is not None:
+        klen = 16
+        file_id = hashlib.md5(
+            b"docler-ray-pdf\x00" + "\x00".join(pages).encode("utf-8", "replace")
+        ).digest()
+        o_entry = _compute_o(
+            (owner_password or user_password).encode("latin-1"),
+            user_password.encode("latin-1"),
+            3,
+            klen,
+        )
+        file_key = _std_key(
+            user_password.encode("latin-1"), o_entry, _ENC_P, file_id, 3, klen
+        )
+        u_entry = _compute_u(file_key, file_id, 3)
+        enc_dict = (
+            f"<< /Filter /Standard /V 2 /R 3 /Length 128 /P {_ENC_P} "
+            f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> >>"
+        ).encode("ascii")
+
     objs: list[bytes] = []
     # 1: catalog, 2: pages root
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
@@ -386,6 +561,8 @@ def build_simple_pdf(pages: list[str]) -> bytes:
             ops.append(f"({_escape_pdf_text(line)}) Tj")
         ops.append("ET")
         data = zlib.compress(" ".join(ops).encode("latin-1"), 9)
+        if file_key is not None:
+            data = _rc4(_object_key(file_key, content_num, 0), data)
         objs.append(
             f"<< /Length {len(data)} /Filter /FlateDecode >>\nstream\n".encode(
                 "ascii"
@@ -396,6 +573,12 @@ def build_simple_pdf(pages: list[str]) -> bytes:
     objs.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    trailer_extra = ""
+    if file_key is not None:
+        objs.append(enc_dict)
+        trailer_extra = (
+            f" /Encrypt {len(objs)} 0 R /ID [<{file_id.hex()}> <{file_id.hex()}>]"
+        )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -408,7 +591,7 @@ def build_simple_pdf(pages: list[str]) -> bytes:
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode("ascii")
     out += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R{trailer_extra} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode("ascii")
     return bytes(out)

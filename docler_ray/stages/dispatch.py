@@ -53,9 +53,14 @@ def _pdfish_extractor(payload: bytes, text: str, options: dict) -> ExtractionRes
 
 
 def _realpdf_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
-    # real %PDF bytes (stdlib Flate+Tj/TJ subset; pdfish/realpdf.py —
-    # the reference's pypdf path, src/docler/pdf_utils.py:90-256)
-    return extract_real_pdf(payload, page_range=options.get("page_range"))
+    # real %PDF bytes (stdlib Flate+Tj/TJ subset incl. RC4 standard-handler
+    # decryption; pdfish/realpdf.py — the reference's pypdf path,
+    # src/docler/pdf_utils.py:90-256)
+    return extract_real_pdf(
+        payload,
+        password=options.get("pdf_password"),
+        page_range=options.get("page_range"),
+    )
 
 
 def _text_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:

@@ -161,3 +161,48 @@ def test_dispatch_routes_pdf_magic_to_realpdf(ray_session):
     assert out.column("mime_type").to_pylist() == ["application/pdf"]
     assert out.column("error").to_pylist() == [None]
     assert out.column("content").to_pylist()[0] == join_pages(["dispatch me"])
+
+
+def test_encrypted_pdf_round_trip_and_guards():
+    """Standard-handler RC4 decryption (ISO 32000-1 §7.6.3, closing the
+    reference parity at pdf_utils.py:90-137 for the non-AES case): right
+    password round-trips, wrong/missing password raises, AES names the
+    missing cipher, owner-password variant verifies via /U."""
+    pages = ["Secret line one\nSecond (secret)", "Page 2 classified"]
+    pdf = build_simple_pdf(pages, user_password="hunter2", owner_password="boss")
+    out = extract_real_pdf(pdf, password="hunter2")
+    assert out.content == join_pages(pages)
+    assert out.metadata.get("decrypted") is True
+    with pytest.raises(ValueError, match="wrong or missing password"):
+        extract_real_pdf(pdf, password="nope")
+    with pytest.raises(ValueError, match="wrong or missing password"):
+        extract_real_pdf(pdf)
+    with pytest.raises(ValueError, match="AES"):
+        extract_real_pdf(
+            pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4"), password="hunter2"
+        )
+
+
+def test_encrypted_pdf_through_dispatch(ray_session):
+    """pdf_password flows ExtractDocs options -> realpdf_extract."""
+    import pyarrow as pa
+
+    from docler_ray.stages.classify import classify_batch
+    from docler_ray.stages.extract import ExtractDocs
+
+    pdf = build_simple_pdf(["locked content"], user_password="sesame")
+    batch = pa.table(
+        {
+            "url": pa.array(["u"]),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([pdf], pa.binary()),
+            "text": pa.array([""]),
+            "lang": pa.array(["en"]),
+        }
+    )
+    ok = ExtractDocs(options={"pdf_password": "sesame"})(classify_batch(batch))
+    assert ok.column("error").to_pylist() == [None]
+    assert ok.column("content").to_pylist()[0] == join_pages(["locked content"])
+    # without the password the row carries a per-row error, not a crash
+    bad = ExtractDocs()(classify_batch(batch))
+    assert bad.column("error").to_pylist()[0] is not None

@@ -600,15 +600,28 @@ def perplexity_tiers(
     )
     langs = counts["lang_key"].drop_duplicates().tolist()
     lang_id = {k: i for i, k in enumerate(langs)}
-    offmap: dict[int, tuple[int, int]] = {}
+    # offset table as SORTED ARRAYS, not a dict: langs x B entries reach
+    # ~n/TARGET rows at extreme corpus sizes, where a Python dict costs
+    # ~100 B/entry in every worker heap; three int64 arrays + searchsorted
+    # keep the broadcast at 24 B/entry and the lookup vectorizable
+    gkeys_l, starts_l, nlang_l = [], [], []
     for lk, grp in counts.groupby("lang_key", sort=False):
         ns = grp["n"].to_numpy().astype(np.int64)
         starts0 = np.concatenate(([0], np.cumsum(ns)[:-1]))
         nl = int(ns.sum())
         base = lang_id[lk] * (1 << 42)
-        for rb_val, st in zip(grp["rb"].to_numpy(), starts0):
-            offmap[base + int(rb_val)] = (int(st), nl)
-    off_ref = ray.put(offmap)
+        gkeys_l.append(base + grp["rb"].to_numpy().astype(np.int64))
+        starts_l.append(starts0)
+        nlang_l.append(np.full(len(ns), nl, dtype=np.int64))
+    gkeys_arr = np.concatenate(gkeys_l)
+    order0 = np.argsort(gkeys_arr, kind="stable")
+    off_ref = ray.put(
+        (
+            gkeys_arr[order0],
+            np.concatenate(starts_l)[order0],
+            np.concatenate(nlang_l)[order0],
+        )
+    )
     langs_arr = pa.array(langs, pa.string())
     final_rb = make_rb(tuple(levels))
 
@@ -641,7 +654,9 @@ def perplexity_tiers(
             raise AssertionError(
                 f"tier scan group holds {len(df)} rows > cap {rows_cap}"
             )
-        start, nl = _get_broadcast(off_ref)[int(df["gkey"].iloc[0])]
+        gk_arr, st_arr, nl_arr = _get_broadcast(off_ref)
+        pos = int(np.searchsorted(gk_arr, int(df["gkey"].iloc[0])))
+        start, nl = int(st_arr[pos]), int(nl_arr[pos])
         df = df.sort_values(["ppl_milli", id_col], kind="mergesort")
         i0 = start + np.arange(len(df), dtype=np.int64)
         q, r = nl // b, nl % b

@@ -112,3 +112,39 @@ def test_batch_fingerprints_bit_identical(texts):
         [fingerprint(t) & 0xFFFFFFFFFFFFFFFF for t in texts], dtype=np.uint64
     )
     assert (got == exp).all()
+
+
+# latin-1 page text incl. parens/backslashes/CR/controls the PDF literal
+# string grammar must escape or carry faithfully
+_pdf_line = st.text(
+    alphabet=st.characters(min_codepoint=9, max_codepoint=255),
+    max_size=40,
+)
+_pdf_pages = st.lists(
+    st.lists(_pdf_line, max_size=4).map("\n".join), min_size=1, max_size=3
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_pdf_pages)
+def test_realpdf_writer_reader_round_trip(pages: list[str]) -> None:
+    """build_simple_pdf -> extract_real_pdf is the identity on the
+    latin-1 repertoire modulo join_pages' page assembly (the same
+    assembly applied to the source pages) — including parens nesting,
+    backslashes, raw CR/LF and every escape path of the literal-string
+    grammar."""
+    from docler_ray.markers import join_pages
+    from docler_ray.pdfish.realpdf import build_simple_pdf, extract_real_pdf
+
+    # the writer splits pages on \n; normalize the comparison the same way
+    assert extract_real_pdf(build_simple_pdf(pages)).content == join_pages(pages)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_pdf_pages)
+def test_realpdf_encrypted_round_trip(pages: list[str]) -> None:
+    from docler_ray.markers import join_pages
+    from docler_ray.pdfish.realpdf import build_simple_pdf, extract_real_pdf
+
+    pdf = build_simple_pdf(pages, user_password="pw")
+    assert extract_real_pdf(pdf, password="pw").content == join_pages(pages)

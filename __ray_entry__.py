@@ -3475,6 +3475,45 @@ def _q_kmeans_assign_counts(sf_dir: str):
     return centroid_assign_counts(ds, k=8)
 
 
+def _q_kmeans_update_centroids(sf_dir: str):
+    """Distributed k-means M-STEP (stages/similarity.py::centroid_update,
+    round-4 — completes the Lloyd iteration next to the E-step): assign
+    every embedding to its nearest of 8 broadcast centroids, then emit
+    each cluster's component-wise mean of the RAW embeddings as k x d
+    rows. Sums run over floor(e * 2^20) int64 components — a power-of-two
+    multiply is exact, so partial order can't change the result and the
+    oracle reproduces the mean's every bit with ONE IEEE divide."""
+    import ray.data
+
+    from docler_ray.stages.similarity import centroid_update
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return centroid_update(ds, k=8)
+
+
+def _kmeans_update_sql() -> str:
+    return (
+        "WITH c AS (SELECT vec_id AS cid, embedding AS cemb "
+        "FROM embeddings WHERE vec_id < 8), "
+        "s AS (SELECT e.vec_id, c.cid, "
+        "list_cosine_similarity(c.cemb, e.embedding) AS sim "
+        "FROM embeddings e CROSS JOIN c), "
+        "r AS (SELECT vec_id, cid, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s), "
+        "a AS (SELECT vec_id, cid FROM r WHERE rn = 1), "
+        "q AS (SELECT a.cid AS centroid_id, CAST(g.i - 1 AS BIGINT) AS dim, "
+        "CAST(FLOOR(e.embedding[g.i] * 1048576.0) AS BIGINT) AS qv "
+        "FROM a JOIN embeddings e USING (vec_id), "
+        "LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) g) "
+        "SELECT centroid_id, dim, COUNT(*)::BIGINT AS n, "
+        "SUM(qv)::BIGINT AS sum_q, "
+        "CAST(SUM(qv) AS DOUBLE) / (COUNT(*) * 1048576) AS mean "
+        "FROM q GROUP BY centroid_id, dim"
+    )
+
+
 def _q_retention_cohorts(sf_dir: str):
     """Retention triangle (stages/retention.py): cohort day = user's first
     event day; counts distinct cohort users active per day. Map-side
@@ -4027,6 +4066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_pack_pipeline": _q_chunk_pack_pipeline,
         "regional_revenue": _q_regional_revenue,
         "kmeans_assign_counts": _q_kmeans_assign_counts,
+        "kmeans_update_centroids": _q_kmeans_update_centroids,
         "retention_cohorts": _q_retention_cohorts,
         "lang_confusion": _q_lang_confusion,
         "funnel_counts": _q_funnel_counts,
@@ -4456,6 +4496,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # lang-ID heuristic replayed whole: same sample/word/CJK regexes,
         # integer hit-count argmax with en-wins-ties
+        "kmeans_update_centroids": _kmeans_update_sql(),
         "lang_confusion": _lang_confusion_sql(),
         # mirrors funnel.funnel_counts: greedy-earliest stage chain with
         # strictly-increasing timestamps

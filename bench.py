@@ -233,6 +233,7 @@ def bench_once() -> dict:
         timed("chunk_pack_pipeline", q["chunk_pack_pipeline"])
         timed("regional_revenue", q["regional_revenue"])
         timed("kmeans_assign_counts", q["kmeans_assign_counts"])
+        timed("kmeans_update_centroids", q["kmeans_update_centroids"])
         timed("retention_cohorts", q["retention_cohorts"])
         timed("lang_confusion", q["lang_confusion"])
         timed("funnel_counts", q["funnel_counts"])

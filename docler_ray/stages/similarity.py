@@ -508,3 +508,86 @@ def bounded_centroid_assignments(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# quantization for exact distributed vector sums: multiplying a double by a
+# power of two is EXACT (exponent shift, no rounding), so floor(e * 2^20)
+# is bit-identical across engines and int64 partial sums are
+# addition-order independent (the stats.py integer-moments pattern)
+_MSTEP_QUANT_BITS = 20
+
+
+def centroid_update(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+):
+    """Distributed Lloyd M-STEP — the other half of the k-means iteration
+    (centroid_assign_counts is the E-step): assign every vector to its
+    nearest centroid (same first-k-ids centroids, same lowest-id argmax
+    tie rule), then compute each cluster's component-wise mean of the RAW
+    embeddings. One (k x d)-keyed exchange of int64 partials; the mean is
+    ONE IEEE divide of the quantized sum by ``n << _MSTEP_QUANT_BITS``,
+    so the SQL oracle reproduces every float bit-for-bit.
+
+    Returns a Dataset of (centroid_id, dim, n, sum_q, mean) — k x d rows.
+    Empty clusters emit no rows (their centroid keeps its old position in
+    a full Lloyd loop, matching the standard convention)."""
+    from ray.data.aggregate import Sum
+
+    cref = _centroid_matrix_ref(ds, id_col, emb_col, k)
+    scale = float(1 << _MSTEP_QUANT_BITS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        raw = _to_matrix(batch.column(emb_col))
+        if not len(raw):
+            return pa.table(
+                {
+                    "centroid_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "psum": pa.array([], pa.int64()),
+                    "pn": pa.array([], pa.int64()),
+                }
+            )
+        cm = ray.get(cref)
+        cid = (_normalize(raw) @ cm.T).argmax(axis=1)
+        q = np.floor(raw * scale).astype(np.int64)
+        d = raw.shape[1]
+        # accumulate only over clusters PRESENT in the batch (<= batch
+        # rows), never a k x d scratch matrix — k scales with the corpus
+        uk, inv = np.unique(cid, return_inverse=True)
+        sums = np.zeros((len(uk), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "centroid_id": pa.array(np.repeat(uk, d).astype(np.int64)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uk))),
+                "psum": pa.array(sums.ravel(), pa.int64()),
+                "pn": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["centroid_id", "dim"])
+        .aggregate(Sum("psum", alias_name="sum_q"), Sum("pn", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sum_q = batch.column("sum_q").to_numpy()
+        n = batch.column("n").to_numpy()
+        mean = sum_q / (n << _MSTEP_QUANT_BITS)
+        return pa.table(
+            {
+                "centroid_id": batch.column("centroid_id"),
+                "dim": batch.column("dim"),
+                "n": batch.column("n"),
+                "sum_q": batch.column("sum_q"),
+                "mean": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

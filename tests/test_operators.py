@@ -1185,3 +1185,43 @@ def test_grouped_approx_distinct_accuracy(ray_session):
     got = dict(zip(out.g, out.n_distinct_est))
     for g, n in true.items():
         assert abs(got[g] - n) <= max(1, 0.05 * n), (g, got[g], n)
+
+
+def test_centroid_update_matches_numpy_lloyd_mstep(ray_session):
+    """centroid_update == the single-process Lloyd M-step: same first-k-ids
+    centroids, same argmax tie rule, quantized component sums exact."""
+    import numpy as np
+    import ray.data
+
+    from docler_ray.stages.similarity import (
+        _MSTEP_QUANT_BITS,
+        _normalize,
+        centroid_update,
+    )
+
+    rng = np.random.RandomState(21)
+    emb = rng.standard_normal((60, 6))
+    rows = [
+        {"vec_id": i, "embedding": emb[i].tolist()} for i in range(len(emb))
+    ]
+    ds = ray.data.from_items(rows)
+    got = (
+        centroid_update(ds, k=4)
+        .to_pandas()
+        .sort_values(["centroid_id", "dim"])
+        .reset_index(drop=True)
+    )
+    cm = _normalize(emb[:4])
+    cid = (_normalize(emb) @ cm.T).argmax(axis=1)
+    q = np.floor(emb * float(1 << _MSTEP_QUANT_BITS)).astype(np.int64)
+    for c in sorted(set(cid)):
+        members = q[cid == c]
+        sub = got[got["centroid_id"] == c]
+        assert sub["n"].tolist() == [len(members)] * emb.shape[1]
+        assert sub["sum_q"].tolist() == members.sum(axis=0).tolist()
+        want_mean = members.sum(axis=0) / (
+            len(members) << _MSTEP_QUANT_BITS
+        )
+        assert sub["mean"].tolist() == want_mean.tolist()  # bit-identical
+    # k x d rows for the non-empty clusters only
+    assert len(got) == len(set(cid)) * emb.shape[1]

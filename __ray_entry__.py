@@ -3514,6 +3514,65 @@ def _kmeans_update_sql() -> str:
     )
 
 
+def _q_kmeans_lloyd_means(sf_dir: str):
+    """FULL distributed Lloyd loop (stages/similarity.py
+    ::lloyd_centroid_means, round-4): two chained E+M passes — iteration
+    1 assigns against the first-8-ids centroids, iteration 2 against the
+    quantized means of iteration 1 (exact doubles both engines
+    reproduce; empty clusters keep their previous centroid). The oracle
+    unrolls the same two iterations in SQL, so an iterative distributed
+    ML loop is value-pinned end-to-end."""
+    import ray.data
+
+    from docler_ray.stages.similarity import lloyd_centroid_means
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return lloyd_centroid_means(ds, k=8, n_iter=2)
+
+
+def _lloyd_sql(k: int = 8, n_iter: int = 2) -> str:
+    """Unrolled Lloyd iterations: assignment (cosine ROW_NUMBER, lowest-id
+    ties), quantized component means as the next centroid lists
+    (array_agg ORDER BY dim), empty clusters keeping the previous
+    centroid via the NOT-IN union."""
+    sc = 1 << 20
+    parts = [
+        f"c0 AS (SELECT vec_id AS cid, embedding AS cemb "
+        f"FROM embeddings WHERE vec_id < {k})"
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, cid FROM ("
+            f"SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY list_cosine_similarity(c.cemb, e.embedding) DESC, c.cid) "
+            f"AS rn FROM embeddings e CROSS JOIN c{t} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT a{t}.cid, g.i AS i, "
+            f"SUM(CAST(FLOOR(e.embedding[g.i] * {sc}.0) AS BIGINT)) AS s, "
+            f"COUNT(*) AS n FROM a{t} JOIN embeddings e USING (vec_id), "
+            f"LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) g "
+            f"GROUP BY a{t}.cid, g.i)"
+        )
+        if t < n_iter - 1:
+            parts.append(
+                f"c{t + 1} AS ("
+                f"SELECT cid, array_agg(CAST(s AS DOUBLE) / (n * {sc}) "
+                f"ORDER BY i) AS cemb FROM m{t} GROUP BY cid "
+                f"UNION ALL SELECT cid, cemb FROM c{t} "
+                f"WHERE cid NOT IN (SELECT cid FROM m{t}))"
+            )
+    last = n_iter - 1
+    return (
+        "WITH " + ", ".join(parts) + " "
+        f"SELECT cid AS centroid_id, CAST(i - 1 AS BIGINT) AS dim, "
+        f"n::BIGINT AS n, s::BIGINT AS sum_q, "
+        f"CAST(s AS DOUBLE) / (n * {sc}) AS mean FROM m{last}"
+    )
+
+
 def _q_retention_cohorts(sf_dir: str):
     """Retention triangle (stages/retention.py): cohort day = user's first
     event day; counts distinct cohort users active per day. Map-side
@@ -4067,6 +4126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": _q_regional_revenue,
         "kmeans_assign_counts": _q_kmeans_assign_counts,
         "kmeans_update_centroids": _q_kmeans_update_centroids,
+        "kmeans_lloyd_means": _q_kmeans_lloyd_means,
         "retention_cohorts": _q_retention_cohorts,
         "lang_confusion": _q_lang_confusion,
         "funnel_counts": _q_funnel_counts,
@@ -4497,6 +4557,7 @@ def oracle_sql() -> dict[str, str]:
         # lang-ID heuristic replayed whole: same sample/word/CJK regexes,
         # integer hit-count argmax with en-wins-ties
         "kmeans_update_centroids": _kmeans_update_sql(),
+        "kmeans_lloyd_means": _lloyd_sql(8, 2),
         "lang_confusion": _lang_confusion_sql(),
         # mirrors funnel.funnel_counts: greedy-earliest stage chain with
         # strictly-increasing timestamps

@@ -234,6 +234,7 @@ def bench_once() -> dict:
         timed("regional_revenue", q["regional_revenue"])
         timed("kmeans_assign_counts", q["kmeans_assign_counts"])
         timed("kmeans_update_centroids", q["kmeans_update_centroids"])
+        timed("kmeans_lloyd_means", q["kmeans_lloyd_means"])
         timed("retention_cohorts", q["retention_cohorts"])
         timed("lang_confusion", q["lang_confusion"])
         timed("funnel_counts", q["funnel_counts"])

@@ -591,3 +591,119 @@ def centroid_update(
         )
 
     return totals.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _mstep_totals(ds, cm_ref, emb_col: str):
+    """One E+M pass against the given centroid matrix ref: Dataset of
+    (centroid_id, dim, sum_q, n) int64 rows (quantized component sums;
+    the centroid_update kernel, factored out for the Lloyd loop)."""
+    from ray.data.aggregate import Sum
+
+    scale = float(1 << _MSTEP_QUANT_BITS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        raw = _to_matrix(batch.column(emb_col))
+        if not len(raw):
+            return pa.table(
+                {
+                    "centroid_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "psum": pa.array([], pa.int64()),
+                    "pn": pa.array([], pa.int64()),
+                }
+            )
+        cm = ray.get(cm_ref)
+        cid = (_normalize(raw) @ cm.T).argmax(axis=1)
+        q = np.floor(raw * scale).astype(np.int64)
+        d = raw.shape[1]
+        uk, inv = np.unique(cid, return_inverse=True)
+        sums = np.zeros((len(uk), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "centroid_id": pa.array(np.repeat(uk, d).astype(np.int64)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uk))),
+                "psum": pa.array(sums.ravel(), pa.int64()),
+                "pn": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["centroid_id", "dim"])
+        .aggregate(Sum("psum", alias_name="sum_q"), Sum("pn", alias_name="n"))
+    )
+
+
+def lloyd_centroid_means(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+) -> pa.Table:
+    """The FULL distributed Lloyd loop: ``n_iter`` chained E+M passes.
+    Iteration 0 assigns against the first-k-ids centroids; every later
+    iteration assigns against the previous iteration's quantized means
+    (sum_q / (n << _MSTEP_QUANT_BITS) — exact doubles both engines
+    reproduce), with empty clusters keeping their previous centroid (the
+    standard convention). Between iterations only the k x d mean table
+    touches the driver; each pass is one (k x d)-keyed exchange of int64
+    partials. Returns the final iteration's (centroid_id, dim, n, sum_q,
+    mean) Arrow table — the oracle unrolls the same iterations in SQL."""
+    cm_ref = _centroid_matrix_ref(ds, id_col, emb_col, k)
+    # raw centroid rows for the empty-cluster fallback: SQL's fallback
+    # carries the previous RAW vectors, so the numpy side must too (the
+    # next cosine is computed from the same raw values on both engines)
+    raw_prev = None  # first-k raw rows fetched below only if ever needed
+    tbl = None
+    for it in range(max(1, int(n_iter))):
+        totals = _mstep_totals(ds, cm_ref, emb_col).to_pandas()  # k x d rows
+        totals = totals.sort_values(["centroid_id", "dim"])
+        if it == max(1, int(n_iter)) - 1:
+            tbl = totals
+            break
+        d = int(totals["dim"].max()) + 1
+        means = (
+            totals["sum_q"].to_numpy()
+            / (totals["n"].to_numpy().astype(np.int64) << _MSTEP_QUANT_BITS)
+        ).reshape(-1, d)
+        present = totals["centroid_id"].drop_duplicates().to_numpy()
+        if len(present) < k:
+            if raw_prev is None:
+                cent = (
+                    ds.map_batches(
+                        lambda b: b.filter(
+                            pc.less(pc.cast(b.column(id_col), pa.int64()), k)
+                        ),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    )
+                    .to_pandas()
+                    .sort_values(id_col)
+                )
+                raw_prev = np.stack(
+                    [np.asarray(v, np.float64) for v in cent[emb_col]]
+                )
+            full = raw_prev.copy()
+            full[present] = means
+            means = full
+        raw_prev = means
+        cm_ref = ray.put(_normalize(means))
+    n_arr = tbl["n"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "centroid_id": pa.array(
+                tbl["centroid_id"].to_numpy().astype(np.int64)
+            ),
+            "dim": pa.array(tbl["dim"].to_numpy().astype(np.int64)),
+            "n": pa.array(n_arr, pa.int64()),
+            "sum_q": pa.array(tbl["sum_q"].to_numpy().astype(np.int64)),
+            "mean": pa.array(
+                tbl["sum_q"].to_numpy() / (n_arr << _MSTEP_QUANT_BITS),
+                pa.float64(),
+            ),
+        }
+    )

@@ -1225,3 +1225,51 @@ def test_centroid_update_matches_numpy_lloyd_mstep(ray_session):
         assert sub["mean"].tolist() == want_mean.tolist()  # bit-identical
     # k x d rows for the non-empty clusters only
     assert len(got) == len(set(cid)) * emb.shape[1]
+
+
+def test_lloyd_loop_matches_numpy_iterations(ray_session):
+    """lloyd_centroid_means == n_iter chained single-process Lloyd passes
+    with quantized means and empty-cluster carry-over."""
+    import numpy as np
+    import ray.data
+
+    from docler_ray.stages.similarity import (
+        _MSTEP_QUANT_BITS,
+        _normalize,
+        lloyd_centroid_means,
+    )
+
+    rng = np.random.RandomState(3)
+    emb = rng.standard_normal((80, 5))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(len(emb))]
+    )
+    got = (
+        lloyd_centroid_means(ds, k=4, n_iter=3)
+        .to_pandas()
+        .sort_values(["centroid_id", "dim"])
+        .reset_index(drop=True)
+    )
+
+    q = np.floor(emb * float(1 << _MSTEP_QUANT_BITS)).astype(np.int64)
+    cents = emb[:4].copy()
+    for _ in range(3):
+        cid = (_normalize(emb) @ _normalize(cents).T).argmax(axis=1)
+        newc = cents.copy()
+        for c in range(4):
+            m = q[cid == c]
+            if len(m):
+                newc[c] = m.sum(axis=0) / (len(m) << _MSTEP_QUANT_BITS)
+        cents = newc
+    rows = []
+    for c in sorted(set(cid)):
+        m = q[cid == c]
+        s = m.sum(axis=0)
+        for d in range(emb.shape[1]):
+            rows.append((c, d, len(m), int(s[d]), s[d] / (len(m) << _MSTEP_QUANT_BITS)))
+    import pandas as pd
+
+    want = pd.DataFrame(
+        rows, columns=["centroid_id", "dim", "n", "sum_q", "mean"]
+    )
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))

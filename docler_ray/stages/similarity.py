@@ -535,46 +535,8 @@ def centroid_update(
     Returns a Dataset of (centroid_id, dim, n, sum_q, mean) — k x d rows.
     Empty clusters emit no rows (their centroid keeps its old position in
     a full Lloyd loop, matching the standard convention)."""
-    from ray.data.aggregate import Sum
-
     cref = _centroid_matrix_ref(ds, id_col, emb_col, k)
-    scale = float(1 << _MSTEP_QUANT_BITS)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        raw = _to_matrix(batch.column(emb_col))
-        if not len(raw):
-            return pa.table(
-                {
-                    "centroid_id": pa.array([], pa.int64()),
-                    "dim": pa.array([], pa.int64()),
-                    "psum": pa.array([], pa.int64()),
-                    "pn": pa.array([], pa.int64()),
-                }
-            )
-        cm = ray.get(cref)
-        cid = (_normalize(raw) @ cm.T).argmax(axis=1)
-        q = np.floor(raw * scale).astype(np.int64)
-        d = raw.shape[1]
-        # accumulate only over clusters PRESENT in the batch (<= batch
-        # rows), never a k x d scratch matrix — k scales with the corpus
-        uk, inv = np.unique(cid, return_inverse=True)
-        sums = np.zeros((len(uk), d), dtype=np.int64)
-        np.add.at(sums, inv, q)
-        counts = np.bincount(inv, minlength=len(uk)).astype(np.int64)
-        return pa.table(
-            {
-                "centroid_id": pa.array(np.repeat(uk, d).astype(np.int64)),
-                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uk))),
-                "psum": pa.array(sums.ravel(), pa.int64()),
-                "pn": pa.array(np.repeat(counts, d), pa.int64()),
-            }
-        )
-
-    totals = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["centroid_id", "dim"])
-        .aggregate(Sum("psum", alias_name="sum_q"), Sum("pn", alias_name="n"))
-    )
+    totals = _mstep_totals(ds, cref, emb_col)
 
     def finish(batch: pa.Table) -> pa.Table:
         sum_q = batch.column("sum_q").to_numpy()

@@ -1992,6 +1992,43 @@ def _q_knn_ivf_top5(sf_dir: str):
     )
 
 
+def _q_knn_sq8_top5(sf_dir: str):
+    """SQ8 scalar-quantized ANN with MACHINE-CHECKED recall (round-4; the
+    4-8x memory-reduction path for corpus-scale vector search): run the
+    quantized top-5 (stages/similarity.py::knn_scalar_quantized — global
+    per-dim min/max, dequantized cosine) AND the exact brute force over
+    the same 3-query workload, emit recall_ok pinned TRUE by the oracle
+    (the knn_ivf_top5 accuracy-pin pattern)."""
+    import ray.data
+
+    from docler_ray.stages.similarity import knn_brute_force, knn_scalar_quantized
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q_ids, queries = _query_vectors(ds)
+    sq = knn_scalar_quantized(ds, queries, k=5).to_pandas()
+    brute = knn_brute_force(ds, queries, k=5).to_pandas()
+    sq_sets = sq.groupby("query_idx")["vec_id"].apply(set).to_dict()
+    brute_sets = brute.groupby("query_idx")["vec_id"].apply(set).to_dict()
+    rows = []
+    for qi, want in sorted(brute_sets.items()):
+        got = sq_sets.get(qi, set())
+        recall = len(got & want) / len(want) if want else 1.0
+        rows.append(
+            {
+                "query_vec_id": int(q_ids[qi]),
+                "n_results": len(got),
+                "recall_ok": recall >= _IVF_RECALL_FLOOR,
+            }
+        )
+    return pa.table(
+        {
+            "query_vec_id": pa.array([r["query_vec_id"] for r in rows], pa.int64()),
+            "n_results": pa.array([r["n_results"] for r in rows], pa.int64()),
+            "recall_ok": pa.array([r["recall_ok"] for r in rows], pa.bool_()),
+        }
+    )
+
+
 def _q_embedding_neardup_survivors(sf_dir: str):
     import ray.data
 
@@ -4092,6 +4129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_probe_features": _q_audio_probe_features,
         "video_frame_schedule": _q_video_frame_schedule,
         "knn_ivf_top5": _q_knn_ivf_top5,  # oracle pins the recall check
+        "knn_sq8_top5": _q_knn_sq8_top5,  # same accuracy-pin pattern
         "span_dedup_docs": _q_span_dedup_docs,
         "repetition_signals": _q_repetition_signals,
         "events_user_seq": _q_events_user_seq,
@@ -4262,6 +4300,10 @@ def oracle_sql() -> dict[str, str]:
         # and recall@5 above the floor for the 3 smallest vec_ids — an ANN
         # recall regression becomes a CORRECTNESS failure
         "knn_ivf_top5": (
+            "SELECT vec_id AS query_vec_id, CAST(5 AS BIGINT) AS n_results, "
+            "TRUE AS recall_ok FROM embeddings ORDER BY vec_id LIMIT 3"
+        ),
+        "knn_sq8_top5": (
             "SELECT vec_id AS query_vec_id, CAST(5 AS BIGINT) AS n_results, "
             "TRUE AS recall_ok FROM embeddings ORDER BY vec_id LIMIT 3"
         ),

@@ -181,6 +181,7 @@ def bench_once() -> dict:
         timed("sample_docs_pct10", q["sample_docs_pct10"])
         timed("orders_price_band_counts", q["orders_price_band_counts"])
         timed("knn_ivf_top5", q["knn_ivf_top5"])
+        timed("knn_sq8_top5", q["knn_sq8_top5"])
         timed("embedding_neardup_survivors", q["embedding_neardup_survivors"])
         timed("approx_distinct_texts", q["approx_distinct_texts"])
         timed("neardup_pairs_exact", q["neardup_pairs_exact"])

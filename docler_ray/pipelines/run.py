@@ -44,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
         help="also chunk the extracted docs and write a chunks table here",
     )
     parser.add_argument(
-        "--chunker", default="markdown", choices=["markdown", "token"]
+        "--chunker", default="markdown", choices=["markdown", "token", "bpe"]
     )
     parser.add_argument(
         "--config",
@@ -140,6 +140,21 @@ def main(argv: list[str] | None = None) -> int:
                 from docler_ray.config import get_chunker
 
                 chunk_fn = get_chunker(job.chunker)
+            elif args.chunker == "bpe":
+                # train the tokenizer ON the extracted corpus (the
+                # reference's real-tokenizer budget, done corpus-scale)
+                from docler_ray.stages.vocab import train_bpe
+
+                merges = train_bpe(
+                    docs, text_col="content", n_merges=40
+                ).to_pandas()
+                ranks = {
+                    (l, r): int(k)
+                    for k, l, r in zip(
+                        merges["rank"], merges["left"], merges["right"]
+                    )
+                }
+                chunk_fn = make_chunker("bpe", ranks=ranks)
             else:
                 chunk_fn = make_chunker(args.chunker)
             chunks = docs.map_batches(

@@ -11,7 +11,11 @@ import json
 
 import pyarrow as pa
 
-from docler_ray.functions.chunkers import chunk_by_tokens, chunk_markdown
+from docler_ray.functions.chunkers import (
+    chunk_by_bpe_tokens,
+    chunk_by_tokens,
+    chunk_markdown,
+)
 from docler_ray.models import CHUNKS_SCHEMA
 
 
@@ -22,14 +26,21 @@ def make_chunker(
     chunk_overlap: int = 50,
     max_tokens_per_chunk: int = 4000,
     chunk_overlap_lines: int = 20,
+    ranks: dict | None = None,
 ):
     """Build a picklable chunk-explode fn for ``map_batches``.
 
-    kind: "markdown" (header split, reference defaults) or "token"
-    (line-window token budget).
-    """
-    if kind not in ("markdown", "token"):
+    kind: "markdown" (header split, reference defaults), "token"
+    (line-window regex-token budget), or "bpe" (line-window budget under
+    a TRAINED BPE merge table — pass ``ranks`` from
+    ``stages.vocab.train_bpe``; the pipeline CLI trains it on the
+    extracted corpus, the real-tokenizer analog of the reference's
+    tokonomics budget)."""
+    if kind not in ("markdown", "token", "bpe"):
         msg = f"Unknown chunker kind: {kind!r}"
+        raise ValueError(msg)
+    if kind == "bpe" and ranks is None:
+        msg = "bpe chunker needs a trained merge table (ranks=)"
         raise ValueError(msg)
 
     def chunk_batch(batch: pa.Table) -> pa.Table:
@@ -66,7 +77,7 @@ def make_chunker(
                     max_chunk_size=max_chunk_size,
                     chunk_overlap=chunk_overlap,
                 )
-            else:
+            elif kind == "token":
                 chunks = chunk_by_tokens(
                     content,
                     images,
@@ -74,6 +85,31 @@ def make_chunker(
                     max_tokens_per_chunk=max_tokens_per_chunk,
                     chunk_overlap_lines=chunk_overlap_lines,
                 )
+            else:  # bpe: adapt to the explode schema (same image rule
+                # as the token chunker: filename substring match)
+                chunks = [
+                    {
+                        "chunk_index": c["chunk_index"],
+                        "content": c["content"],
+                        "images": [
+                            img
+                            for img in images
+                            if img.get("filename")
+                            and img["filename"] in c["content"]
+                        ],
+                        "metadata": {
+                            "token_count": c["token_count"],
+                            "start_line": c["start_line"],
+                            "end_line": c["end_line"],
+                        },
+                    }
+                    for c in chunk_by_bpe_tokens(
+                        content,
+                        ranks,
+                        max_tokens_per_chunk=max_tokens_per_chunk,
+                        overlap_lines=chunk_overlap_lines,
+                    )
+                ]
             for c in chunks:
                 out_url.append(url)
                 out_idx.append(c["chunk_index"])

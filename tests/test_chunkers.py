@@ -249,3 +249,47 @@ def test_chunk_by_bpe_tokens_empty_and_single_line():
     assert chunk_by_bpe_tokens("", {}) == []
     out = chunk_by_bpe_tokens("one single line", {})
     assert len(out) == 1 and out[0]["end_line"] == 1
+
+
+def test_make_chunker_bpe_explodes_with_metadata():
+    """The 'bpe' explode kind: trained-merge budget, CHUNKS_SCHEMA output,
+    token_count/line-range metadata, image assignment by filename."""
+    import json
+
+    import pyarrow as pa
+
+    from docler_ray.stages.chunk import make_chunker
+
+    ranks = {("t", "h"): 0, ("th", "e"): 1}
+    # > base_lines (100) lines so the budget actually splits (the token
+    # chunker's base window is unconditional, reference semantics)
+    content = "\n".join(f"the w{i}" for i in range(250))
+    content += "\n![i](img.png)"
+    batch = pa.table(
+        {
+            "url": pa.array(["u1", "u2"]),
+            "content": pa.array([content, None]),
+            "error": pa.array([None, "boom"]),
+            "images": pa.array(
+                [[{"id": "i", "filename": "img.png"}], []],
+                pa.list_(
+                    pa.struct([("id", pa.string()), ("filename", pa.string())])
+                ),
+            ),
+        }
+    )
+    fn = make_chunker(
+        "bpe", ranks=ranks, max_tokens_per_chunk=50, chunk_overlap_lines=0
+    )
+    out = fn(batch)
+    assert out.num_rows >= 2  # 251 lines over 100-line base windows
+    assert set(out.column("url").to_pylist()) == {"u1"}  # error row skipped
+    metas = [json.loads(m) for m in out.column("metadata").to_pylist()]
+    assert all({"token_count", "start_line", "end_line"} <= set(m) for m in metas)
+    # the image rides the chunk containing its filename
+    img_rows = [ids for ids in out.column("image_ids").to_pylist() if ids]
+    assert img_rows == [["i"]]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ranks"):
+        make_chunker("bpe")

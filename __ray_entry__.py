@@ -4095,62 +4095,10 @@ def _redact_sql() -> str:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # SQL-checkable
-        "per_lang_counts": _q_per_lang_counts,
-        "length_stats_by_lang": _q_length_stats_by_lang,
-        "exact_dedup_first": _q_exact_dedup_first,
-        "dedup_unique_by_lang": _q_dedup_unique_by_lang,
-        "ws_token_counts": _q_ws_token_counts,
-        "chunk_counts": _q_chunk_counts,
-        "events_window_counts": _q_events_window_counts,
-        "events_hopping_counts": _q_events_hopping_counts,
-        "price_quantiles_sampled": _q_price_quantiles_sampled,
-        "events_sessionize": _q_events_sessionize,
-        "orders_by_mktsegment": _q_orders_by_mktsegment,
-        "lineitem_order_status_counts": _q_lineitem_order_status_counts,
-        "events_last_order_asof": _q_events_last_order_asof,
-        "knn_self_top5": _q_knn_self_top5,
-        "q1_qty_by_flag": _q_q1_qty_by_flag,
-        "orders_count_by_status": _q_orders_count_by_status,
-        "top_orders_by_price": _q_top_orders_by_price,
-        "events_props_k_counts": _q_events_props_k_counts,
-        "median_chars_by_lang": _q_median_chars_by_lang,
-        "sample_docs_pct10": _q_sample_docs_pct10,
-        "top_tokens": _q_top_tokens,
-        "stratified_sample_by_lang": _q_stratified_sample_by_lang,
-        "orders_price_band_counts": _q_orders_price_band_counts,
-        "text_metrics": _q_text_metrics,
-        "extract_docs_summary": _q_extract_docs_summary,
-        "office_extract_docs": _q_office_extract_docs,
-        "pdf_real_extract": _q_pdf_real_extract,
-        "pdf_decrypt_extract": _q_pdf_decrypt_extract,
-        "mime_dispatch_counts": _q_mime_dispatch_counts,
-        "pdf_page_metadata": _q_pdf_page_metadata,
-        "audio_probe_features": _q_audio_probe_features,
-        "video_frame_schedule": _q_video_frame_schedule,
-        "knn_ivf_top5": _q_knn_ivf_top5,  # oracle pins the recall check
-        "knn_sq8_top5": _q_knn_sq8_top5,  # same accuracy-pin pattern
-        "span_dedup_docs": _q_span_dedup_docs,
-        "repetition_signals": _q_repetition_signals,
-        "events_user_seq": _q_events_user_seq,
-        "decontaminate_docs": _q_decontaminate_docs,
-        "tfidf_top15": _q_tfidf_top15,
-        "top_docs_per_lang": _q_top_docs_per_lang,
-        "lineitem_f_order_counts": _q_lineitem_f_order_counts,
-        "price_histogram": _q_price_histogram,
-        "redact_pii": _q_redact_pii,
-        "warc_roundtrip_docs": _q_warc_roundtrip_docs,
-        "lm_quality_scores": _q_lm_quality_scores,
-        "dsir_importance": _q_dsir_importance,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_encode_stats": _q_bpe_encode_stats,
-        "chunk_by_bpe_tokens": _q_chunk_by_bpe_tokens,
-        "image_pixel_stats": _q_image_pixel_stats,
-        "ccnet_perplexity_tiers": _q_ccnet_perplexity_tiers,
-        "paragraph_dedup_docs": _q_paragraph_dedup_docs,
-        "approx_distinct_by_lang": _q_approx_distinct_by_lang,
-        "url_host_profile": _q_url_host_profile,
-        "url_blocklist_survivors": _q_url_blocklist_survivors,
+        # Order matters: the driver samples the FIRST 50 entries for its
+        # CORRECTNESS check. Round 5 front-loads the 43 queries that had
+        # never received a driver row (r01-r04 sampled a stale prefix),
+        # plus 7 long-green anchors for continuity.
         "canonical_doc_per_host": _q_canonical_doc_per_host,
         "doc_rule_tags": _q_doc_rule_tags,
         "top_char_pairs": _q_top_char_pairs,
@@ -4179,15 +4127,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_p90_len": _q_docs_above_p90_len,
         "pack_sequences": _q_pack_sequences,
         "gopher_quality_flags": _q_gopher_quality_flags,
-        "approx_distinct_texts": _q_approx_distinct_texts,
-        # rows-only (non-SQL-expressible)
-        "extract_docs": _q_extract_docs,
-        "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
-        "extract_chunks": _q_extract_chunks,
-        "text_analysis": _q_text_analysis,
-        "doc_keywords": _q_doc_keywords,
-        "neardup_pairs_exact": _q_neardup_pairs_exact,
-        "neardup_survivors_exact": _q_neardup_survivors_exact,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "events_window_distinct_users": _q_events_window_distinct_users,
         "customer_region_left_join": _q_customer_region_left_join,
@@ -4202,12 +4141,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_distinct_users": _q_events_hopping_distinct_users,
         "clickers_no_purchase": _q_clickers_no_purchase,
         "corpus_checksum_by_lang": _q_corpus_checksum_by_lang,
+        "semdedup_survivors": _q_semdedup_survivors,
+        "per_lang_counts": _q_per_lang_counts,
+        "exact_dedup_first": _q_exact_dedup_first,
+        "q1_qty_by_flag": _q_q1_qty_by_flag,
+        "events_sessionize": _q_events_sessionize,
+        "pdf_real_extract": _q_pdf_real_extract,
+        "bpe_merges": _q_bpe_merges,
+        "tfidf_top15": _q_tfidf_top15,
+        # --- beyond the driver's 50-query sample (all driver-green in r01-r04
+        # or swept by tools/check_oracles.py) ---
+        "length_stats_by_lang": _q_length_stats_by_lang,
+        "dedup_unique_by_lang": _q_dedup_unique_by_lang,
+        "ws_token_counts": _q_ws_token_counts,
+        "chunk_counts": _q_chunk_counts,
+        "events_window_counts": _q_events_window_counts,
+        "events_hopping_counts": _q_events_hopping_counts,
+        "price_quantiles_sampled": _q_price_quantiles_sampled,
+        "orders_by_mktsegment": _q_orders_by_mktsegment,
+        "lineitem_order_status_counts": _q_lineitem_order_status_counts,
+        "events_last_order_asof": _q_events_last_order_asof,
+        "knn_self_top5": _q_knn_self_top5,
+        "orders_count_by_status": _q_orders_count_by_status,
+        "top_orders_by_price": _q_top_orders_by_price,
+        "events_props_k_counts": _q_events_props_k_counts,
+        "median_chars_by_lang": _q_median_chars_by_lang,
+        "sample_docs_pct10": _q_sample_docs_pct10,
+        "top_tokens": _q_top_tokens,
+        "stratified_sample_by_lang": _q_stratified_sample_by_lang,
+        "orders_price_band_counts": _q_orders_price_band_counts,
+        "text_metrics": _q_text_metrics,
+        "extract_docs_summary": _q_extract_docs_summary,
+        "office_extract_docs": _q_office_extract_docs,
+        "pdf_decrypt_extract": _q_pdf_decrypt_extract,
+        "mime_dispatch_counts": _q_mime_dispatch_counts,
+        "pdf_page_metadata": _q_pdf_page_metadata,
+        "audio_probe_features": _q_audio_probe_features,
+        "video_frame_schedule": _q_video_frame_schedule,
+        "knn_ivf_top5": _q_knn_ivf_top5,
+        "knn_sq8_top5": _q_knn_sq8_top5,
+        "span_dedup_docs": _q_span_dedup_docs,
+        "repetition_signals": _q_repetition_signals,
+        "events_user_seq": _q_events_user_seq,
+        "decontaminate_docs": _q_decontaminate_docs,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "lineitem_f_order_counts": _q_lineitem_f_order_counts,
+        "price_histogram": _q_price_histogram,
+        "redact_pii": _q_redact_pii,
+        "warc_roundtrip_docs": _q_warc_roundtrip_docs,
+        "lm_quality_scores": _q_lm_quality_scores,
+        "dsir_importance": _q_dsir_importance,
+        "bpe_encode_stats": _q_bpe_encode_stats,
+        "chunk_by_bpe_tokens": _q_chunk_by_bpe_tokens,
+        "image_pixel_stats": _q_image_pixel_stats,
+        "ccnet_perplexity_tiers": _q_ccnet_perplexity_tiers,
+        "paragraph_dedup_docs": _q_paragraph_dedup_docs,
+        "approx_distinct_by_lang": _q_approx_distinct_by_lang,
+        "url_host_profile": _q_url_host_profile,
+        "url_blocklist_survivors": _q_url_blocklist_survivors,
+        "approx_distinct_texts": _q_approx_distinct_texts,
+        "extract_docs": _q_extract_docs,
+        "extract_docs_grouped_by_lang": _q_extract_docs_grouped_by_lang,
+        "extract_chunks": _q_extract_chunks,
+        "text_analysis": _q_text_analysis,
+        "doc_keywords": _q_doc_keywords,
+        "neardup_pairs_exact": _q_neardup_pairs_exact,
+        "neardup_survivors_exact": _q_neardup_survivors_exact,
         "minhash_survivors": _q_minhash_survivors,
         "ngram_jaccard_survivors": _q_ngram_jaccard_survivors,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "simhash_survivors": _q_simhash_survivors,
         "embedding_neardup_survivors": _q_embedding_neardup_survivors,
-        "semdedup_survivors": _q_semdedup_survivors,
         "image_features": _q_image_features,
     }
 

@@ -186,5 +186,9 @@ def png_transform(data: bytes, max_dim: int = 1080) -> bytes:
     w, h = info["width"], info["height"]
     if max(w, h) > max_dim:
         ratio = max_dim / max(w, h)
-        arr = resize_nearest(arr, int(w * ratio), int(h * ratio))
+        # extreme aspect ratios truncate the short side to 0 (w=1,h=10000
+        # -> int(0.108)=0) — clamp both dims to >=1 so output stays valid
+        arr = resize_nearest(
+            arr, max(1, int(w * ratio)), max(1, int(h * ratio))
+        )
     return encode_png(arr)

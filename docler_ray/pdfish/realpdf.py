@@ -183,7 +183,12 @@ def _build_decryptor(objects: dict, payload: bytes, password: str | None):
     return key
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# \b kills the backtracked digit-prefix match: for "/Length 10 0 R" the
+# lookahead rejects "10", and without \b the engine would retry the prefix
+# "1" (lookahead then sees "0 0 R" -> fails -> "1" matches as a bogus direct
+# length). \b cannot sit between two digits, so the prefix retry dies too.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
 
 
 def _find_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None, int]]:
@@ -196,6 +201,8 @@ def _find_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None, int]]:
     ``/Length`` when present, and only then does the scan resume. The
     endstream search remains the fallback for indirect /Length refs."""
     objects: dict[int, tuple[bytes, bytes | None]] = {}
+    # streams whose /Length is an indirect ref: (obj num, data_start, ref num)
+    pending_indirect: list[tuple[int, int, int]] = []
     pos = 0
     n = len(payload)
     while pos < n:
@@ -215,6 +222,9 @@ def _find_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None, int]]:
                 data_end = data_start + int(lm.group(1))
                 stream = payload[data_start:data_end]
             else:
+                rm = _LENGTH_REF_RE.search(head)
+                if rm is not None:
+                    pending_indirect.append((num, data_start, int(rm.group(1))))
                 data_end = payload.find(b"endstream", data_start)
                 if data_end < 0:
                     data_end = n
@@ -232,6 +242,19 @@ def _find_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None, int]]:
                 eo = n
             objects[num] = (payload[start:eo], None, int(m.group(2)))
             pos = eo + len(b"endobj")
+    # Second pass: resolve indirect /Length refs (length lives in a later
+    # integer object) and re-slice the stream exactly — the endstream
+    # fallback above mis-slices when Flate bytes embed "endstream".
+    for num, data_start, ref in pending_indirect:
+        target = objects.get(ref)
+        if target is None or num not in objects:
+            continue
+        lm = re.match(rb"\s*(\d+)", target[0])
+        if lm is None:
+            continue
+        length = int(lm.group(1))
+        head, _, gen = objects[num]
+        objects[num] = (head, payload[data_start : data_start + length], gen)
     return objects
 
 

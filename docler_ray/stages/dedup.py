@@ -827,6 +827,22 @@ def embedding_neardup(
 _SEMDEDUP_TARGET_CLUSTER = 1024  # target rows per cluster for auto-k
 
 
+def _emb_dim(ds, emb_col: str) -> int:
+    """Embedding dimension from the schema when it's a fixed-size list —
+    zero extra plan executions — falling back to a single-row take for
+    variable list<float> schemas (the testdata shape)."""
+    try:
+        typ = ds.schema().field(emb_col).type
+        if pa.types.is_fixed_size_list(typ):
+            return int(typ.list_size)
+    except Exception:
+        pass
+    rows = ds.take(1)
+    if not rows:
+        raise ValueError("semdedup: empty dataset (no embeddings to cluster)")
+    return len(rows[0][emb_col])
+
+
 def semdedup(
     ds,
     *,
@@ -878,7 +894,9 @@ def semdedup(
 
     if k is None:
         n = corpus_rows if corpus_rows is not None else ds.count()
-        dim = len(ds.take(1)[0][emb_col])
+        if int(n) == 0:
+            raise ValueError("semdedup: empty dataset (no embeddings to cluster)")
+        dim = _emb_dim(ds, emb_col)
         k = max(8, min(int(n) // _SEMDEDUP_TARGET_CLUSTER, _centroid_cap(dim)))
         assign = bounded_centroid_assignments(
             ds, id_col=id_col, emb_col=emb_col, k=k, n_rows=int(n)

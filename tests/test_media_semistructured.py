@@ -149,6 +149,12 @@ def test_png_codec_round_trips_all_filters():
     assert (info["width"], info["height"]) == (6, 10)
     assert np.array_equal(arr, resize_nearest(big, 6, 10))
 
+    # extreme aspect ratio: short side clamps to 1, never 0 (advisor repro:
+    # w=1, h=10000, max_dim<h/2 truncated the width to 0 -> invalid IHDR)
+    tall = rng.randint(0, 256, (100, 1, 3), dtype=np.uint8)
+    arr, info = decode_png(png_transform(encode_png(tall), max_dim=10))
+    assert (info["width"], info["height"]) == (1, 10)
+
 
 def test_png_codec_guards():
     import pytest as _pytest

@@ -206,3 +206,37 @@ def test_encrypted_pdf_through_dispatch(ray_session):
     # without the password the row carries a per-row error, not a crash
     bad = ExtractDocs()(classify_batch(batch))
     assert bad.column("error").to_pylist()[0] is not None
+
+
+def test_indirect_length_multi_digit():
+    """Advisor repro: '/Length 10 0 R' must not backtrack-match the digit
+    prefix '1' as a direct length (regex \\b fix), and the indirect ref is
+    resolved via the second-pass re-slice."""
+    import re as _re
+
+    from docler_ray.pdfish.realpdf import _LENGTH_RE
+
+    assert _LENGTH_RE.search(b"<< /Length 10 0 R >>") is None
+    assert _LENGTH_RE.search(b"<< /Length 1070 0 R >>") is None
+    m = _LENGTH_RE.search(b"<< /Length 107 /Filter /FlateDecode >>")
+    assert m is not None and m.group(1) == b"107"
+
+    pages = ["Indirect length page\nwith a second line", "page two"]
+    pdf = build_simple_pdf(pages)
+    # rewrite the FIRST content stream's direct /Length into an indirect
+    # ref and append the integer object at the tail (the scanner is
+    # sequential and xref-free, so appended objects are found)
+    lm = _re.search(rb"/Length (\d+) /Filter /FlateDecode", pdf)
+    assert lm is not None and len(lm.group(1)) >= 2
+    length = lm.group(1)
+    mutated = (
+        pdf[: lm.start()]
+        + b"/Length 99 0 R /Filter /FlateDecode"
+        + pdf[lm.end() :]
+        + b"\n99 0 obj\n"
+        + length
+        + b"\nendobj\n"
+    )
+    out = extract_real_pdf(mutated)
+    assert out.content == join_pages(pages)
+    assert "skipped_streams" not in out.metadata

@@ -85,6 +85,19 @@ def _rows_only_record(qfn, sf_dir: str) -> dict:
 
 def _record(verdict: str, qfn, sf_dir: str) -> dict:
     ok = verdict == "OK"
+    if not ok and not verdict.startswith(("ROWS", "SCHEMA", "HASH")):
+        # an ERROR/exception verdict tells us nothing about rows/schema —
+        # record unknown (None), not True, so errored queries never read
+        # as partially passing in the CORRECTNESS-shaped manifest
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": verdict,
+        }
+        return rec
     rec = {
         "rows_match": ok or not verdict.startswith("ROWS"),
         "schema_match": ok or not verdict.startswith(("ROWS", "SCHEMA")),

@@ -21,11 +21,12 @@ Honesty notes (documented limits, all raise or degrade loudly):
 - encodings: strings decode as latin-1 (≈ PDFDocEncoding for the Latin
   range); no /ToUnicode CMaps, so embedded-subset-font PDFs come out
   garbled rather than decoded.
-- encryption: the STANDARD security handler with RC4 (V1/V2, R2/R3) is
-  implemented from the spec (ISO 32000-1 §7.6.3: MD5 key derivation,
-  /U-entry password verification, per-object keys) — hashlib covers it;
-  AES (V4+/AESV2) raises naming the missing cipher (stdlib has no AES;
-  the reference leans on pypdf's crypt providers,
+- encryption: the STANDARD security handler with RC4 (V1/V2, R2/R3) and
+  AES-128-CBC (V4/R4, /AESV2 crypt filter — cipher implemented from
+  FIPS-197 in pdfish/aes.py) from the spec (ISO 32000-1 §7.6.2-3: MD5
+  key derivation, /U-entry password verification, per-object keys).
+  AES-256 (V5/AESV3) raises naming the missing derivation (the
+  reference leans on pypdf's crypt providers,
   src/docler/pdf_utils.py:90-137).
 - filters: FlateDecode only; a content stream with another filter is
   skipped and counted in metadata["skipped_streams"].
@@ -67,21 +68,37 @@ _ENC_P = -3904  # standard permission bits (print/copy allowed)
 def _rc4(key: bytes, data: bytes) -> bytes:
     s = list(range(256))
     j = 0
+    klen = len(key)
     for i in range(256):
-        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        j = (j + s[i] + key[i % klen]) & 0xFF
         s[i], s[j] = s[j], s[i]
-    out = bytearray()
+    # keystream into a preallocated buffer, one bulk XOR at the end — the
+    # PRGA state walk is inherently sequential (each swap feeds the next
+    # index), so this is the practical ceiling without a C cipher
+    n = len(data)
+    ks = bytearray(n)
     i = j = 0
-    for c in data:
+    for t in range(n):
         i = (i + 1) & 0xFF
-        j = (j + s[i]) & 0xFF
-        s[i], s[j] = s[j], s[i]
-        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
-    return bytes(out)
+        sj = s[j := (j + s[i]) & 0xFF]
+        s[j] = si = s[i]
+        s[i] = sj
+        ks[t] = s[(si + sj) & 0xFF]
+    import numpy as np
+
+    return (
+        np.frombuffer(data, np.uint8) ^ np.frombuffer(bytes(ks), np.uint8)
+    ).tobytes()
 
 
 def _std_key(
-    password: bytes, o_entry: bytes, p: int, file_id: bytes, r: int, klen: int
+    password: bytes,
+    o_entry: bytes,
+    p: int,
+    file_id: bytes,
+    r: int,
+    klen: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     import hashlib
 
@@ -90,6 +107,8 @@ def _std_key(
     h.update(o_entry[:32])
     h.update(p.to_bytes(4, "little", signed=True))
     h.update(file_id)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -123,11 +142,12 @@ def _compute_u(key: bytes, file_id: bytes, r: int) -> bytes:
     return u + b"\x00" * 16
 
 
-def _object_key(key: bytes, num: int, gen: int) -> bytes:
+def _object_key(key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
     import hashlib
 
+    salt = b"sAlT" if aes else b""  # ISO 32000-1 §7.6.2 step (b) for AESV2
     h = hashlib.md5(
-        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + salt
     ).digest()
     return h[: min(len(key) + 5, 16)]
 
@@ -146,7 +166,8 @@ def _parse_enc_string(head: bytes, name: bytes) -> bytes:
 
 def _build_decryptor(objects: dict, payload: bytes, password: str | None):
     """Trailer /Encrypt -> file-key derivation + /U password verification.
-    Returns the file key (bytes) or None for unencrypted PDFs."""
+    Returns ``(file_key, method)`` with method in {"rc4", "aes"} (AESV2,
+    ISO 32000-1 §7.6.2), or None for unencrypted PDFs."""
     m = None
     for m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", payload):
         pass
@@ -160,15 +181,37 @@ def _build_decryptor(objects: dict, payload: bytes, password: str | None):
         raise ValueError("encrypted PDF: only the Standard handler is supported")
     vm = re.search(rb"/V\s+(\d+)", head)
     v = int(vm.group(1)) if vm else 0
-    if v > 2:
+    method = "rc4"
+    if v == 4:
+        # crypt-filter dictionary: /CF << /StdCF << /CFM /AESV2|/V2 … >> >>
+        if b"/AESV2" in head:
+            method = "aes"
+        elif b"/V2" not in head:
+            raise ValueError(
+                "encrypted PDF (V4): unsupported crypt filter method "
+                "(only /AESV2 and /V2 implemented)"
+            )
+    elif v > 4:
         raise ValueError(
-            "AES-encrypted PDF (V>=4): stdlib has no AES (reference uses "
-            "pypdf's crypt providers, src/docler/pdf_utils.py:90-137)"
+            "AES-256-encrypted PDF (V5/AESV3): SHA-2 key derivation not "
+            "implemented (reference uses pypdf's crypt providers, "
+            "src/docler/pdf_utils.py:90-137)"
         )
     rm = re.search(rb"/R\s+(\d+)", head)
     r = int(rm.group(1)) if rm else 2
-    lm = re.search(rb"/Length\s+(\d+)", head)
-    klen = (int(lm.group(1)) if lm else 40) // 8
+    # /Length appears file-level in BITS (40-128) and inside the V4 crypt
+    # filter dict in BYTES (16); accept the first plausible spelling
+    klen = 5
+    for lm in re.finditer(rb"/Length\s+(\d+)", head):
+        val = int(lm.group(1))
+        if 40 <= val <= 128 and val % 8 == 0:
+            klen = val // 8
+            break
+        if 5 <= val <= 16:
+            klen = val
+            break
+    if method == "aes" and klen != 16:
+        raise ValueError(f"AESV2 requires a 128-bit key, got {klen * 8} bits")
     pm = re.search(rb"/P\s+(-?\d+)", head)
     p = int(pm.group(1)) if pm else _ENC_P
     o_entry = _parse_enc_string(head, b"/O")
@@ -177,10 +220,14 @@ def _build_decryptor(objects: dict, payload: bytes, password: str | None):
     for idm in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", payload):
         pass
     file_id = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
-    key = _std_key((password or "").encode("latin-1"), o_entry, p, file_id, r, klen)
+    enc_meta = b"/EncryptMetadata false" not in head.replace(b"  ", b" ")
+    key = _std_key(
+        (password or "").encode("latin-1"), o_entry, p, file_id, r, klen,
+        encrypt_metadata=enc_meta,
+    )
     if _compute_u(key, file_id, r)[:16] != u_entry[:16]:
         raise ValueError("encrypted PDF: wrong or missing password")
-    return key
+    return key, method
 
 
 # \b kills the backtracked digit-prefix match: for "/Length 10 0 R" the
@@ -460,7 +507,8 @@ def extract_real_pdf(
     if not payload.startswith(b"%PDF"):
         raise ValueError("not a %PDF payload")
     objects = _find_objects(payload)
-    file_key = _build_decryptor(objects, payload, password)
+    decryptor = _build_decryptor(objects, payload, password)
+    file_key, method = decryptor if decryptor is not None else (None, None)
     skipped = 0
 
     def stream_data(num: int) -> bytes | None:
@@ -468,7 +516,14 @@ def extract_real_pdf(
         if stream is None:
             return None
         if file_key is not None:
-            stream = _rc4(_object_key(file_key, num, gen), stream)
+            if method == "aes":
+                from docler_ray.pdfish.aes import cbc_decrypt
+
+                stream = cbc_decrypt(
+                    _object_key(file_key, num, gen, aes=True), stream
+                )
+            else:
+                stream = _rc4(_object_key(file_key, num, gen), stream)
         return _decode_stream(head, stream)
 
     page_ids = _page_stream_ids(objects, payload)
@@ -505,6 +560,7 @@ def extract_real_pdf(
     metadata: dict = {"parser": "realpdf", "n_objects": len(objects)}
     if file_key is not None:
         metadata["decrypted"] = True
+        metadata["cipher"] = method
     if skipped:
         metadata["skipped_streams"] = skipped
     return ExtractionResult(
@@ -526,39 +582,54 @@ def build_simple_pdf(
     *,
     user_password: str | None = None,
     owner_password: str | None = None,
+    cipher: str = "rc4",
 ) -> bytes:
     """Real, spec-valid PDF: one Helvetica font, one Flate content stream
     per page, correct xref offsets. Text round-trips through
     ``extract_real_pdf`` line-for-line (Latin-1 repertoire).
 
     With ``user_password`` the document is encrypted with the standard
-    security handler (V2/R3, RC4-128, deterministic /ID from the page
-    text) — the fixture generator for the decrypt path."""
+    security handler (deterministic /ID from the page text) — the fixture
+    generator for the decrypt path. ``cipher`` picks V2/R3 RC4-128
+    (default) or V4/R4 AES-128-CBC (/AESV2 crypt filter, deterministic
+    per-object IV derived from /ID + object number)."""
     import hashlib
 
+    if cipher not in ("rc4", "aes"):
+        raise ValueError(f"cipher must be 'rc4' or 'aes', got {cipher!r}")
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
     file_key = None
+    file_id = b""
     enc_dict = b""
     if user_password is not None:
         klen = 16
+        rev = 4 if cipher == "aes" else 3
         file_id = hashlib.md5(
             b"docler-ray-pdf\x00" + "\x00".join(pages).encode("utf-8", "replace")
         ).digest()
         o_entry = _compute_o(
             (owner_password or user_password).encode("latin-1"),
             user_password.encode("latin-1"),
-            3,
+            rev,
             klen,
         )
         file_key = _std_key(
-            user_password.encode("latin-1"), o_entry, _ENC_P, file_id, 3, klen
+            user_password.encode("latin-1"), o_entry, _ENC_P, file_id, rev, klen
         )
-        u_entry = _compute_u(file_key, file_id, 3)
-        enc_dict = (
-            f"<< /Filter /Standard /V 2 /R 3 /Length 128 /P {_ENC_P} "
-            f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> >>"
-        ).encode("ascii")
+        u_entry = _compute_u(file_key, file_id, rev)
+        if cipher == "aes":
+            enc_dict = (
+                f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P {_ENC_P} "
+                f"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                f"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> >>"
+            ).encode("ascii")
+        else:
+            enc_dict = (
+                f"<< /Filter /Standard /V 2 /R 3 /Length 128 /P {_ENC_P} "
+                f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> >>"
+            ).encode("ascii")
 
     objs: list[bytes] = []
     # 1: catalog, 2: pages root
@@ -585,7 +656,17 @@ def build_simple_pdf(
         ops.append("ET")
         data = zlib.compress(" ".join(ops).encode("latin-1"), 9)
         if file_key is not None:
-            data = _rc4(_object_key(file_key, content_num, 0), data)
+            if cipher == "aes":
+                from docler_ray.pdfish.aes import cbc_encrypt
+
+                iv = hashlib.md5(
+                    b"iv\x00" + file_id + content_num.to_bytes(4, "little")
+                ).digest()
+                data = cbc_encrypt(
+                    _object_key(file_key, content_num, 0, aes=True), iv, data
+                )
+            else:
+                data = _rc4(_object_key(file_key, content_num, 0), data)
         objs.append(
             f"<< /Length {len(data)} /Filter /FlateDecode >>\nstream\n".encode(
                 "ascii"

@@ -382,6 +382,91 @@ def _q_extract_chunks(sf_dir: str):
     )
 
 
+def _q_extract_docs_content(sf_dir: str):
+    """Round-5 oracle-backed sibling of the rows-only ``extract_docs``
+    (verdict #4): the SAME pages -> classify -> actor-pool extract chain,
+    projected to (url, content) so the FULL extracted markdown is value-
+    hashed against a SQL rebuild of the deterministic page template
+    (sources/from_documents.py) — closing the no-oracle gap on the
+    flagship extraction path."""
+    from docler_ray.pipelines.extract_pipeline import PipelineConfig, extract_dataset
+
+    cfg = PipelineConfig(extract_batch_size=64, extract_concurrency=(1, 4))
+    docs = extract_dataset(_pages_ds(sf_dir), cfg)
+    return docs.select_columns(["url", "content"])
+
+
+def _q_extract_chunks_content(sf_dir: str):
+    """Round-5 oracle-backed sibling of the rows-only ``extract_chunks``:
+    full chunk payloads (content/header/level + flattened image ids)
+    value-hashed against a SQL rebuild of the markdown chunker's exact
+    output over the templated corpus."""
+    from docler_ray.pipelines.extract_pipeline import PipelineConfig, extract_dataset
+    from docler_ray.stages.chunk import make_chunker
+
+    cfg = PipelineConfig(extract_batch_size=64, extract_concurrency=(1, 4))
+    docs = extract_dataset(_pages_ds(sf_dir), cfg)
+    chunks = docs.map_batches(
+        make_chunker("markdown"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "chunk_index": batch.column("chunk_index").cast(pa.int64()),
+                "content": batch.column("content"),
+                "header": batch.column("header"),
+                "level": batch.column("level").cast(pa.int64()),
+                "image_ids": pc.binary_join(
+                    batch.column("image_ids").cast(pa.list_(pa.string())), ","
+                ),
+            }
+        )
+
+    return chunks.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# shared SQL fragment: the 40-word paragraph re-join of the page template
+# (sources/from_documents.py document_to_page) + the %5 image suffix
+_DOC_BODY_SQL = (
+    "WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws "
+    "FROM documents), "
+    "p AS (SELECT doc_id, string_agg("
+    "array_to_string(ws[40*k+1 : 40*k+40], ' '), chr(10)||chr(10) ORDER BY k"
+    ") AS body FROM w, UNNEST(range(0, GREATEST(1, CAST(ceil("
+    "array_length(ws)/40.0) AS BIGINT)))) AS t(k) GROUP BY doc_id), "
+    "d AS (SELECT w.doc_id, w.lang, w.source, p.body || CASE WHEN "
+    "w.doc_id % 5 = 0 THEN chr(10)||chr(10)||'![img-0](img-0.png)' "
+    "ELSE '' END AS body FROM w JOIN p ON w.doc_id = p.doc_id)"
+)
+
+_EXTRACT_DOCS_CONTENT_SQL = (
+    _DOC_BODY_SQL
+    + " SELECT 'https://' || source || '.example/' || lang || '/doc-' || "
+    "doc_id AS url, "
+    """'<!-- docler:page_break {"next_page":1} -->' || chr(10) || """
+    "'# Document ' || doc_id || chr(10)||chr(10) || body AS content FROM d"
+)
+
+_EXTRACT_CHUNKS_CONTENT_SQL = (
+    _DOC_BODY_SQL
+    + " SELECT 'https://' || source || '.example/' || lang || '/doc-' || "
+    "doc_id AS url, CAST(0 AS BIGINT) AS chunk_index, "
+    """chr(10)||chr(10)||'<!-- docler:page_break {"next_page":1} -->' """
+    "AS content, '' AS header, CAST(0 AS BIGINT) AS level, "
+    "'' AS image_ids FROM d "
+    "UNION ALL "
+    "SELECT 'https://' || source || '.example/' || lang || '/doc-' || "
+    "doc_id AS url, CAST(1 AS BIGINT) AS chunk_index, "
+    "'Document ' || doc_id || chr(10)||chr(10)||chr(10) || body AS content, "
+    "'Document ' || doc_id AS header, CAST(1 AS BIGINT) AS level, "
+    "CASE WHEN doc_id % 5 = 0 THEN 'img-0' ELSE '' END AS image_ids FROM d"
+)
+
+
 def _q_extract_docs_grouped_by_lang(sf_dir: str):
     """The groupby("lang").map_groups dispatch route (north-rule per-language
     axis) — must produce the same docs as the zero-shuffle default, checked
@@ -4214,6 +4299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_checksum_by_lang": _q_corpus_checksum_by_lang,
         "semdedup_survivors": _q_semdedup_survivors,
         "pdf_decrypt_aes_extract": _q_pdf_decrypt_aes_extract,
+        "extract_docs_content": _q_extract_docs_content,
+        "extract_chunks_content": _q_extract_chunks_content,
         "per_lang_counts": _q_per_lang_counts,
         "exact_dedup_first": _q_exact_dedup_first,
         "q1_qty_by_flag": _q_q1_qty_by_flag,
@@ -4846,6 +4933,8 @@ def oracle_sql() -> dict[str, str]:
         "pdf_real_extract": _pdf_real_sql(),
         "pdf_decrypt_extract": _pdf_decrypt_sql(),
         "pdf_decrypt_aes_extract": _pdf_decrypt_aes_sql(),
+        "extract_docs_content": _EXTRACT_DOCS_CONTENT_SQL,
+        "extract_chunks_content": _EXTRACT_CHUNKS_CONTENT_SQL,
         "simhash_fingerprints": _simhash_sql(),
         "simhash_survivors": (
             "WITH RECURSIVE "

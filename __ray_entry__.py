@@ -1049,6 +1049,99 @@ def _q_office_extract_docs(sf_dir: str):
     return docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_doc_legacy_extract(sf_dir: str):
+    """Legacy binary Word (.doc) extraction with a FULL-CONTENT oracle: each
+    documents row becomes a deterministic Word 97 CFB payload
+    (office/ole2.py ``make_doc`` — FIB + piece table + SummaryInformation,
+    mixed CP1252/UTF-16 pieces, even doc_ids carry an explicit page break),
+    flows through the real sniff-dispatch-extract actor pool (OLE2 directory
+    sniff -> application/msword -> doc_extract), and the query emits the
+    extracted markdown itself — the SQL oracle rebuilds the exact content
+    string (markers included), pinning legacy-office extraction
+    byte-for-byte (reference coverage precedent:
+    markitdown_provider/provider.py:28-119)."""
+    import ray.data
+
+    from docler_ray.office.ole2 import make_doc
+    from docler_ray.stages.classify import classify_batch
+    from docler_ray.stages.extract import ExtractDocs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_doc(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            paragraphs = [f"Legacy doc {d} lede."] + [
+                f"Binary paragraph {i} of doc {d} with accént."
+                for i in range(1 + d % 3)
+            ]
+            payloads.append(
+                make_doc(
+                    f"Legacy Doc {d}",
+                    paragraphs,
+                    page_break_after={0} if d % 2 == 0 else None,
+                )
+            )
+        return pa.table(
+            {
+                "url": pa.array([str(d) for d in ids], pa.string()),
+                "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+                "html": pa.array(payloads, pa.binary()),
+                "text": pa.array([""] * len(ids), pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+            }
+        )
+
+    docs = (
+        ds.map_batches(to_doc, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(classify_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            ExtractDocs,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            batch_size=128,
+            zero_copy_batch=True,
+        )
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("url").cast(pa.int64()),
+                "mime_type": batch.column("mime_type"),
+                "title": batch.column("title"),
+                "page_count": batch.column("page_count").cast(pa.int64()),
+                "content": batch.column("content"),
+            }
+        )
+
+    return docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _doc_legacy_sql() -> str:
+    """Oracle for doc_legacy_extract: rebuilds the EXACT extracted markdown
+    (markers included) in SQL from the same per-doc template
+    _q_doc_legacy_extract writes into the .doc fixtures."""
+    m1 = """'<!-- docler:page_break {"next_page":1} -->'"""
+    m2 = """'<!-- docler:page_break {"next_page":2} -->'"""
+    lede = "'Legacy doc ' || d.doc_id || ' lede.'"
+    rest = (
+        "(SELECT string_agg('Binary paragraph ' || i || ' of doc ' || d.doc_id "
+        "|| ' with acc' || chr(233) || 'nt.', chr(10) || chr(10) ORDER BY i) "
+        "FROM UNNEST(range(0, 1 + d.doc_id % 3)) AS t(i))"
+    )
+    return (
+        "SELECT doc_id, 'application/msword' AS mime_type, "
+        "'Legacy Doc ' || doc_id AS title, "
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS page_count, "
+        f"CASE WHEN doc_id % 2 = 0 THEN {m1} || repeat(chr(10), 3) || {lede} "
+        f"|| repeat(chr(10), 3) || {m2} || repeat(chr(10), 3) || {rest} "
+        f"ELSE {m1} || chr(10) || {lede} || chr(10) || chr(10) || {rest} END "
+        "AS content FROM documents d"
+    )
+
+
 def _q_text_metrics(sf_dir: str):
     """SQL-mirrorable slice of the text-analysis stage: exact counts and
     IEEE-identical ratios per document (the oracle-backed member of the
@@ -4301,6 +4394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_decrypt_aes_extract": _q_pdf_decrypt_aes_extract,
         "extract_docs_content": _q_extract_docs_content,
         "extract_chunks_content": _q_extract_chunks_content,
+        "doc_legacy_extract": _q_doc_legacy_extract,
         "per_lang_counts": _q_per_lang_counts,
         "exact_dedup_first": _q_exact_dedup_first,
         "q1_qty_by_flag": _q_q1_qty_by_flag,
@@ -4930,6 +5024,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_docs_summary": _DOCS_SUMMARY_SQL,
         "extract_docs_grouped_by_lang": _DOCS_SUMMARY_SQL,
         "office_extract_docs": _office_docs_sql(),
+        "doc_legacy_extract": _doc_legacy_sql(),
         "pdf_real_extract": _pdf_real_sql(),
         "pdf_decrypt_extract": _pdf_decrypt_sql(),
         "pdf_decrypt_aes_extract": _pdf_decrypt_aes_sql(),

@@ -30,6 +30,7 @@ JSON_MIME = "application/json"
 UNKNOWN_MIME = "application/octet-stream"
 ZIP_MIME = "application/zip"
 OLE2_MIME = "application/x-ole-storage"  # legacy MS Office container
+MSWORD_MIME = "application/msword"
 
 DOCX_MIME = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
 XLSX_MIME = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
@@ -282,6 +283,16 @@ def _sniff_zip(payload: bytes) -> str:
     return ZIP_MIME
 
 
+def _sniff_ole2(payload: bytes) -> str:
+    """Disambiguate an OLE2-magic payload by its CFB directory streams
+    (WordDocument = .doc, Workbook = .xls, PowerPoint Document = .ppt) —
+    the legacy-office analog of ``_sniff_zip``'s part-layout sniff. Reads
+    only the FAT + directory chain; a torn container stays x-ole-storage."""
+    from docler_ray.office.ole2 import sniff_ole2
+
+    return sniff_ole2(payload) or OLE2_MIME
+
+
 def sniff_mime(payload: bytes) -> str:
     """Classify a raw page payload by magic bytes / content shape.
 
@@ -298,6 +309,8 @@ def sniff_mime(payload: bytes) -> str:
     head = payload[:256]
     if head.startswith(b"PK\x03\x04"):
         return _sniff_zip(payload)
+    if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        return _sniff_ole2(payload)
     if head.startswith(PDFISH_MAGIC) or head.startswith(PDFISH_ENCRYPTED_MAGIC):
         return PDFISH_MIME
     if head.startswith(PDF_MAGIC):

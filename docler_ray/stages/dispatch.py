@@ -20,6 +20,7 @@ from docler_ray.mime_types import (
     DOCX_MIME,
     HTML_MIME,
     MARKDOWN_MIME,
+    MSWORD_MIME,
     PDF_MIME,
     PDFISH_MIME,
     PPTX_MIME,
@@ -28,6 +29,7 @@ from docler_ray.mime_types import (
     XLSX_MIME,
     XML_MIME,
 )
+from docler_ray.office.ole2 import extract_doc
 from docler_ray.office.ooxml import extract_docx, extract_pptx, extract_xlsx
 from docler_ray.pdfish.extract import extract_pdfish
 from docler_ray.pdfish.realpdf import extract_real_pdf
@@ -80,6 +82,13 @@ def _xlsx_extractor(payload: bytes, text: str, options: dict) -> ExtractionResul
     return extract_xlsx(payload)
 
 
+def _doc_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
+    # legacy Word 97 binary via the stdlib CFB + piece-table reader
+    # (office/ole2.py — the reference's markitdown legacy-office coverage,
+    # markitdown_provider/provider.py:28-119)
+    return extract_doc(payload)
+
+
 EXTRACTORS: dict[str, ExtractorFn] = {
     "html_extract": _html_extractor,
     "pdf_extract": _pdfish_extractor,
@@ -88,6 +97,7 @@ EXTRACTORS: dict[str, ExtractorFn] = {
     "docx_extract": _docx_extractor,
     "pptx_extract": _pptx_extractor,
     "xlsx_extract": _xlsx_extractor,
+    "doc_extract": _doc_extractor,
 }
 
 # Default MIME -> extractor-name preference (overridable per pipeline config,
@@ -108,6 +118,7 @@ DEFAULT_PREFERENCES: dict[str, str] = {
     DOCX_MIME: "docx_extract",
     PPTX_MIME: "pptx_extract",
     XLSX_MIME: "xlsx_extract",
+    MSWORD_MIME: "doc_extract",
     **{m: "text_passthrough" for m in sorted(TEXTY_MIME_TYPES)},
 }
 

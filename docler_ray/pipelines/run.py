@@ -47,6 +47,39 @@ def main(argv: list[str] | None = None) -> int:
         "--chunker", default="markdown", choices=["markdown", "token", "bpe"]
     )
     parser.add_argument(
+        "--input-tree",
+        default=None,
+        help="ingest a document TREE (html/pdf/docx/.doc/... files) into "
+        "the corpus as pages parquet before extracting — the reference's "
+        "convert_directory front door (dir_converter.py:60-138); bytes "
+        "are read inside Ray tasks, not on the driver",
+    )
+    parser.add_argument(
+        "--pattern",
+        default=None,
+        help="glob for --input-tree walk / corpus shard discovery "
+        "(default '**/*' for trees; '*.parquet|*.warc|*.warc.gz' for "
+        "corpus dirs)",
+    )
+    parser.add_argument(
+        "--exclude",
+        action="append",
+        default=None,
+        help="glob to exclude from the walk (repeatable; matches the "
+        "relative path or the basename)",
+    )
+    parser.add_argument(
+        "--max-depth",
+        type=int,
+        default=None,
+        help="maximum directory depth for the walk (direct children = 1)",
+    )
+    parser.add_argument(
+        "--no-recursive",
+        action="store_true",
+        help="do not search subdirectories (collapses '**' in the pattern)",
+    )
+    parser.add_argument(
         "--config",
         default=None,
         help="declarative JSON job config (docler_ray.config.JobConfig); "
@@ -101,11 +134,40 @@ def main(argv: list[str] | None = None) -> int:
             write_pages_corpus(
                 args.corpus, args.gen, seed=args.seed, rows_per_shard=args.rows_per_shard
             )
-        input_files = sorted(
-            glob.glob(os.path.join(args.corpus, "*.parquet"))
-            + glob.glob(os.path.join(args.corpus, "*.warc"))
-            + glob.glob(os.path.join(args.corpus, "*.warc.gz"))
-        )
+        if args.input_tree:
+            # Document-tree ingest (reference convert_directory parity):
+            # walk names on the driver, read + shard bytes inside Ray
+            # tasks, land ordinary pages parquet so resume manifests work.
+            from docler_ray.sources.walk import pages_dataset_from_directory
+
+            os.makedirs(args.corpus, exist_ok=True)
+            pages = pages_dataset_from_directory(
+                args.input_tree,
+                pattern=args.pattern or "**/*",
+                recursive=not args.no_recursive,
+                exclude=args.exclude,
+                max_depth=args.max_depth,
+            )
+            pages.write_parquet(args.corpus)
+        if args.pattern and not args.input_tree:
+            from docler_ray.sources.walk import list_files as _walk
+
+            input_files = [
+                os.path.join(args.corpus, rel)
+                for rel in _walk(
+                    args.corpus,
+                    pattern=args.pattern,
+                    recursive=not args.no_recursive,
+                    exclude=args.exclude,
+                    max_depth=args.max_depth,
+                )
+            ]
+        else:
+            input_files = sorted(
+                glob.glob(os.path.join(args.corpus, "*.parquet"))
+                + glob.glob(os.path.join(args.corpus, "*.warc"))
+                + glob.glob(os.path.join(args.corpus, "*.warc.gz"))
+            )
         if not input_files:
             print(f"no input shards in {args.corpus}", file=sys.stderr)
             return 2

@@ -246,6 +246,16 @@ def _compact_nonempty(ds):
     goes through this. The driver touches only block refs + metadata
     (O(num_blocks)), never row data — scale-safe. Returns (dataset, n_rows);
     dataset is None when there are no rows at all.
+
+    Cost budget (probed, see tests/test_ray_canary.py): a schema-normalizing
+    map CANNOT replace this — map_batches skips empty blocks entirely, so
+    schema-less empties reach the join's HashShuffleAggregator regardless.
+    The materialize means join inputs cross the object store once more than
+    a streaming hand-off (finalize blocks, then the join's shuffle re-reads
+    them): a constant ~2x object-store traffic factor bounded by the JOIN
+    INPUT size only (refs/pair tables, not the corpus), paid only on join
+    paths — map-only pipelines never call this. Retire when the canary
+    tests flip on a Ray upgrade.
     """
     import ray
     import ray.data

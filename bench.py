@@ -268,6 +268,158 @@ def bench_once() -> dict:
     return results
 
 
+SF1_DIR = os.path.join(BENCH_TMP, "sf1")
+SF1_COPIES = 10
+# the shuffle-heavy family (verdict r04 #7): at sf0.1 fixed AllToAll setup
+# dominates these, hiding regressions inside host noise; the sf1 tier (10x
+# sf0.1) gives the exchanges real data volume
+SF1_QUERIES = [
+    "exact_dedup_first",
+    "span_dedup_docs",
+    "paragraph_dedup_docs",
+    "minhash_survivors",
+    "ngram_jaccard_survivors",
+    "simhash_survivors",
+    "embedding_neardup_survivors",
+    "semdedup_survivors",
+    "ngram_novelty_docs",
+    "curation_pipeline_v2",
+]
+
+
+def prepare_sf1() -> str:
+    """Materialize the sf1 tier: 10 deterministic perturbed copies of the
+    sf0.1 documents/embeddings tables (50k docs / 20k vectors), written as
+    one shard per copy under ``<table>.parquet/`` directories so the
+    queries' ``{sf_dir}/<table>.parquet`` paths resolve unchanged.
+
+    Perturbation preserves the duplicate structure: copy 0 is byte-identical
+    to the base; copy k>0 appends a suffix keyed on (k, crc32(text)) so
+    exact duplicates WITHIN a copy stay exact duplicates, while copies of
+    the same base doc become near-duplicates of each other (high-Jaccard
+    10-clusters — the near-dup-heavy shape of a real web corpus).
+    Embeddings get per-copy deterministic gaussian noise at 1e-3 scale."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    done_marker = os.path.join(SF1_DIR, "_DONE")
+    if os.path.exists(done_marker):
+        return SF1_DIR
+    shutil.rmtree(SF1_DIR, ignore_errors=True)
+    base = "/root/testdata/sf0.1"
+
+    docs = pq.read_table(os.path.join(base, "documents.parquet"))
+    texts = docs.column("text").to_pylist()
+    crcs = [zlib.crc32(t.encode()) % 97 for t in texts]
+    out_docs = os.path.join(SF1_DIR, "documents.parquet")
+    os.makedirs(out_docs, exist_ok=True)
+    for k in range(SF1_COPIES):
+        if k == 0:
+            new_texts = texts
+        else:
+            new_texts = [f"{t}\ncopy-{k}-{c}" for t, c in zip(texts, crcs)]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(
+                    [d + k * 10_000_000 for d in docs.column("doc_id").to_pylist()],
+                    pa.int64(),
+                ),
+                "text": pa.array(new_texts, pa.string()),
+                "lang": docs.column("lang"),
+                "source": docs.column("source"),
+                "n_chars": pa.array([len(t) for t in new_texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(out_docs, f"part-{k:02d}.parquet"))
+
+    emb = pq.read_table(os.path.join(base, "embeddings.parquet"))
+    vecs = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float32)
+    out_emb = os.path.join(SF1_DIR, "embeddings.parquet")
+    os.makedirs(out_emb, exist_ok=True)
+    for k in range(SF1_COPIES):
+        if k == 0:
+            new_vecs = vecs
+        else:
+            rng = np.random.default_rng(1000 + k)
+            new_vecs = vecs + rng.standard_normal(vecs.shape).astype(np.float32) * 1e-3
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(
+                    [v + k * 10_000_000 for v in emb.column("vec_id").to_pylist()],
+                    pa.int64(),
+                ),
+                "embedding": pa.array(
+                    [row.tolist() for row in new_vecs], pa.list_(pa.float32())
+                ),
+                "label": emb.column("label"),
+            }
+        )
+        pq.write_table(tbl, os.path.join(out_emb, f"part-{k:02d}.parquet"))
+
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return SF1_DIR
+
+
+def run_sf1() -> None:
+    """Time the shuffle-heavy family at the sf1 tier (best of REPEATS each)
+    and print one JSON line."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import __ray_entry__ as entry_mod
+
+    results: dict = {}
+    try:
+        sf_dir = prepare_sf1()
+        q = entry_mod.queries()
+        import ray.data as rd
+
+        for name in SF1_QUERIES:
+            best = None
+            for _ in range(REPEATS):
+                t0 = time.time()
+                res = q[name](sf_dir)
+                if isinstance(res, rd.Dataset):
+                    for _ in res.iter_batches(batch_size=8192, batch_format="pyarrow"):
+                        pass
+                sec = time.time() - t0
+                best = sec if best is None else min(best, sec)
+            results[name] = round(best, 3)
+    finally:
+        ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "shuffle_family_sf1",
+                "value": round(sum(results.values()), 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": "sf1 (10x sf0.1: 50k docs, 20k vectors)",
+                "num_cpus": NUM_CPUS,
+                "repeats": REPEATS,
+            },
+            sort_keys=True,
+        )
+    )
+
+
 def prepare_only() -> None:
     """Generate/caches the corpus at full host width (used by --scaling so
     the low-CPU run doesn't pay generation at 4 procs)."""
@@ -349,6 +501,9 @@ def main() -> None:
         return
     if "--scaling" in sys.argv:
         run_scaling()
+        return
+    if "--sf1" in sys.argv:
+        run_sf1()
         return
     results = bench_once()
     docs = results.pop("_docs", 0)

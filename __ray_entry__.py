@@ -1142,6 +1142,184 @@ def _doc_legacy_sql() -> str:
     )
 
 
+def _q_xls_legacy_extract(sf_dir: str):
+    """Legacy binary Excel (.xls, BIFF8) extraction with a FULL-CONTENT
+    oracle: each documents row becomes a deterministic BIFF8 workbook
+    (office/biff.py ``make_xls`` — SST/LABELSST strings, RK ints, NUMBER
+    doubles, even doc_ids add a second sheet with a BOOLERR cell), flows
+    through the real sniff-dispatch-extract actor pool (OLE2 directory
+    sniff -> application/vnd.ms-excel -> xls_extract), and the SQL oracle
+    rebuilds the exact extracted markdown (markers, sheet headings, table
+    rows) — reference coverage precedent:
+    markitdown_provider/provider.py:28-119."""
+    import ray.data
+
+    from docler_ray.office.biff import make_xls
+    from docler_ray.stages.classify import classify_batch
+    from docler_ray.stages.extract import ExtractDocs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_xls(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            sheets: dict = {
+                "Data": [
+                    ["metric", "value"],
+                    [f"rows_{d}", d % 100],
+                    ["big", 2**35 + d],
+                ]
+            }
+            if d % 2 == 0:
+                sheets["Extra"] = [["note"], [f"extra {d}"], [True]]
+            payloads.append(make_xls(f"Legacy Sheet {d}", sheets))
+        return pa.table(
+            {
+                "url": pa.array([str(d) for d in ids], pa.string()),
+                "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+                "html": pa.array(payloads, pa.binary()),
+                "text": pa.array([""] * len(ids), pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+            }
+        )
+
+    docs = (
+        ds.map_batches(to_xls, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(classify_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            ExtractDocs,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            batch_size=128,
+            zero_copy_batch=True,
+        )
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("url").cast(pa.int64()),
+                "mime_type": batch.column("mime_type"),
+                "title": batch.column("title"),
+                "content": batch.column("content"),
+            }
+        )
+
+    return docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _xls_legacy_sql() -> str:
+    """Oracle for xls_legacy_extract: rebuilds the EXACT extracted markdown
+    from the same per-doc workbook template."""
+    m1 = """'<!-- docler:page_break {"next_page":1} -->'"""
+    nl = "chr(10)"
+    data_sheet = (
+        f"'## Data' || {nl} || {nl} || "
+        f"'| metric | value |' || {nl} || '| --- | --- |' || {nl} || "
+        f"'| rows_' || doc_id || ' | ' || doc_id % 100 || ' |' || {nl} || "
+        f"'| big | ' || (34359738368 + doc_id) || ' |'"
+    )
+    extra_sheet = (
+        f"'## Extra' || {nl} || {nl} || "
+        f"'| note |' || {nl} || '| --- |' || {nl} || "
+        f"'| extra ' || doc_id || ' |' || {nl} || '| TRUE |'"
+    )
+    return (
+        "SELECT doc_id, 'application/vnd.ms-excel' AS mime_type, "
+        "'Legacy Sheet ' || doc_id AS title, "
+        f"CASE WHEN doc_id % 2 = 0 THEN {m1} || {nl} || {data_sheet} "
+        f"|| {nl} || {nl} || {extra_sheet} "
+        f"ELSE {m1} || {nl} || {data_sheet} END AS content "
+        "FROM documents"
+    )
+
+
+def _q_ppt_legacy_extract(sf_dir: str):
+    """Legacy binary PowerPoint (.ppt) extraction with a FULL-CONTENT
+    oracle: each documents row becomes a deterministic [MS-PPT] record
+    tree (office/ppt97.py ``make_ppt`` — SlideListWithText with persist +
+    text-header + chars/bytes atoms; even doc_ids add an untitled second
+    slide), flows through the real sniff-dispatch-extract actor pool
+    (OLE2 sniff -> application/vnd.ms-powerpoint -> ppt_extract), and the
+    SQL oracle rebuilds the exact extracted markdown (page markers, slide
+    headings, body paragraphs) — reference coverage precedent:
+    markitdown_provider/provider.py:28-119."""
+    import ray.data
+
+    from docler_ray.office.ppt97 import make_ppt
+    from docler_ray.stages.classify import classify_batch
+    from docler_ray.stages.extract import ExtractDocs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_ppt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            slides: list = [
+                (f"Deck {d} intro", [f"Point one of deck {d}.", "Point two."])
+            ]
+            if d % 2 == 0:
+                slides.append((None, [f"Closing note {d}."]))
+            payloads.append(make_ppt(f"Legacy Deck {d}", slides))
+        return pa.table(
+            {
+                "url": pa.array([str(d) for d in ids], pa.string()),
+                "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+                "html": pa.array(payloads, pa.binary()),
+                "text": pa.array([""] * len(ids), pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+            }
+        )
+
+    docs = (
+        ds.map_batches(to_ppt, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(classify_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            ExtractDocs,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            batch_size=128,
+            zero_copy_batch=True,
+        )
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("url").cast(pa.int64()),
+                "mime_type": batch.column("mime_type"),
+                "title": batch.column("title"),
+                "page_count": batch.column("page_count").cast(pa.int64()),
+                "content": batch.column("content"),
+            }
+        )
+
+    return docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _ppt_legacy_sql() -> str:
+    """Oracle for ppt_legacy_extract: rebuilds the EXACT extracted markdown
+    from the same per-doc slide template."""
+    m1 = """'<!-- docler:page_break {"next_page":1} -->'"""
+    m2 = """'<!-- docler:page_break {"next_page":2} -->'"""
+    nl = "chr(10)"
+    slide1 = (
+        f"'# Deck ' || doc_id || ' intro' || {nl} || {nl} || "
+        f"'Point one of deck ' || doc_id || '.' || {nl} || {nl} || 'Point two.'"
+    )
+    return (
+        "SELECT doc_id, 'application/vnd.ms-powerpoint' AS mime_type, "
+        "'Legacy Deck ' || doc_id AS title, "
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS page_count, "
+        f"CASE WHEN doc_id % 2 = 0 THEN {m1} || repeat({nl}, 3) || {slide1} "
+        f"|| repeat({nl}, 3) || {m2} || repeat({nl}, 3) || 'Closing note ' || doc_id || '.' "
+        f"ELSE {m1} || {nl} || {slide1} END AS content "
+        "FROM documents"
+    )
+
+
 def _q_text_metrics(sf_dir: str):
     """SQL-mirrorable slice of the text-analysis stage: exact counts and
     IEEE-identical ratios per document (the oracle-backed member of the
@@ -4395,6 +4573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs_content": _q_extract_docs_content,
         "extract_chunks_content": _q_extract_chunks_content,
         "doc_legacy_extract": _q_doc_legacy_extract,
+        "xls_legacy_extract": _q_xls_legacy_extract,
+        "ppt_legacy_extract": _q_ppt_legacy_extract,
         "per_lang_counts": _q_per_lang_counts,
         "exact_dedup_first": _q_exact_dedup_first,
         "q1_qty_by_flag": _q_q1_qty_by_flag,
@@ -5025,6 +5205,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_docs_grouped_by_lang": _DOCS_SUMMARY_SQL,
         "office_extract_docs": _office_docs_sql(),
         "doc_legacy_extract": _doc_legacy_sql(),
+        "xls_legacy_extract": _xls_legacy_sql(),
+        "ppt_legacy_extract": _ppt_legacy_sql(),
         "pdf_real_extract": _pdf_real_sql(),
         "pdf_decrypt_extract": _pdf_decrypt_sql(),
         "pdf_decrypt_aes_extract": _pdf_decrypt_aes_sql(),

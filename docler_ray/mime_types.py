@@ -31,6 +31,8 @@ UNKNOWN_MIME = "application/octet-stream"
 ZIP_MIME = "application/zip"
 OLE2_MIME = "application/x-ole-storage"  # legacy MS Office container
 MSWORD_MIME = "application/msword"
+MSEXCEL_MIME = "application/vnd.ms-excel"
+MSPOWERPOINT_MIME = "application/vnd.ms-powerpoint"
 
 DOCX_MIME = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
 XLSX_MIME = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"

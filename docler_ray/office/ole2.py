@@ -533,3 +533,134 @@ def make_doc(
         struct.pack_into("<I", header, 76 + 4 * i, _FREESECT)
 
     return bytes(header) + fat_sector + directory + word_p + mini_p + minifat_sector
+
+
+def _cfb_name_key(name: str) -> tuple[int, str]:
+    """[MS-CFB] directory-entry ordering: shorter UTF-16 names first, then
+    case-insensitive uppercase comparison."""
+    return (len(name.encode("utf-16-le")), name.upper())
+
+
+def build_cfb(streams: list[tuple[str, bytes]]) -> bytes:
+    """Deterministic general-purpose CFB v3 writer (512-byte sectors).
+
+    Streams >= the 4096-byte mini cutoff go to FAT sectors; smaller ones
+    share the root mini stream (64-byte mini sectors + miniFAT), so any
+    container with both kinds exercises every cfb_streams read path.
+    Directory entries are sorted by the [MS-CFB] name order and chained as
+    a right-spine BST (valid because sorted ascending). Single-FAT-sector
+    capacity (~64 KiB of payload) — fixtures only, raises beyond it.
+    """
+    ordered = sorted(streams, key=lambda kv: _cfb_name_key(kv[0]))
+
+    big = [(n, d) for n, d in ordered if len(d) >= _MINI_CUTOFF]
+    small = [(n, d) for n, d in ordered if len(d) < _MINI_CUTOFF]
+
+    # --- mini stream + miniFAT
+    mini_parts: list[bytes] = []
+    mini_starts: dict[str, int] = {}
+    minifat: list[int] = []
+    cursor = 0
+    for name, data in small:
+        padded = _pad(data, 64) if data else b""
+        n_mini = len(padded) // 64
+        mini_starts[name] = cursor if n_mini else _ENDOFCHAIN
+        minifat.extend(range(cursor + 1, cursor + n_mini))
+        if n_mini:
+            minifat.append(_ENDOFCHAIN)
+        mini_parts.append(padded)
+        cursor += n_mini
+    mini_stream = b"".join(mini_parts)
+    minifat_sector = (
+        _pad(b"".join(struct.pack("<I", v) for v in minifat), 512, b"\xff")
+        if minifat
+        else b""
+    )
+    n_minifat_sectors = len(minifat_sector) // 512
+
+    # --- big sector layout: [FAT][dir][big streams...][mini][miniFAT]
+    dir_count = 1 + len(ordered)
+    n_dir = (dir_count * 128 + 511) // 512
+    big_padded = [(n, _pad(d, 512)) for n, d in big]
+    mini_padded = _pad(mini_stream, 512)
+    sect_fat = 0
+    sect_dir = 1
+    cursor = sect_dir + n_dir
+    big_starts: dict[str, int] = {}
+    for name, padded in big_padded:
+        big_starts[name] = cursor
+        cursor += len(padded) // 512
+    sect_mini = cursor if mini_stream else _ENDOFCHAIN
+    cursor += len(mini_padded) // 512 if mini_stream else 0
+    sect_minifat = cursor if n_minifat_sectors else _ENDOFCHAIN
+    cursor += n_minifat_sectors
+    n_sectors = cursor
+    if n_sectors > 128:
+        msg = f"fixture too large for the single-FAT writer ({n_sectors} sectors)"
+        raise ValueError(msg)
+
+    fat = [_FREESECT] * 128
+    fat[sect_fat] = _FATSECT
+    for i in range(n_dir):
+        fat[sect_dir + i] = sect_dir + i + 1 if i + 1 < n_dir else _ENDOFCHAIN
+    for name, padded in big_padded:
+        start, count = big_starts[name], len(padded) // 512
+        for i in range(count):
+            fat[start + i] = start + i + 1 if i + 1 < count else _ENDOFCHAIN
+    if mini_stream:
+        start, count = sect_mini, len(mini_padded) // 512
+        for i in range(count):
+            fat[start + i] = start + i + 1 if i + 1 < count else _ENDOFCHAIN
+    if n_minifat_sectors:
+        for i in range(n_minifat_sectors):
+            fat[sect_minifat + i] = (
+                sect_minifat + i + 1 if i + 1 < n_minifat_sectors else _ENDOFCHAIN
+            )
+    fat_sector = b"".join(struct.pack("<I", v) for v in fat)
+
+    entries = [
+        _dir_entry(
+            "Root Entry",
+            5,
+            child=1 if ordered else _NOSTREAM,
+            start=sect_mini,
+            size=len(mini_stream),
+        )
+    ]
+    for idx, (name, data) in enumerate(ordered):
+        start = big_starts[name] if len(data) >= _MINI_CUTOFF else mini_starts[name]
+        entries.append(
+            _dir_entry(
+                name,
+                2,
+                start=start,
+                size=len(data),
+                right=idx + 2 if idx + 1 < len(ordered) else _NOSTREAM,
+            )
+        )
+    directory = _pad(b"".join(entries), 512)
+
+    header = bytearray(512)
+    header[0:8] = CFB_MAGIC
+    struct.pack_into("<HH", header, 24, 0x003E, 0x0003)
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<HH", header, 30, 9, 6)
+    struct.pack_into("<I", header, 44, 1)
+    struct.pack_into("<I", header, 48, sect_dir)
+    struct.pack_into("<I", header, 56, _MINI_CUTOFF)
+    struct.pack_into("<I", header, 60, sect_minifat)
+    struct.pack_into("<I", header, 64, n_minifat_sectors)
+    struct.pack_into("<I", header, 68, _ENDOFCHAIN)
+    struct.pack_into("<I", header, 72, 0)
+    struct.pack_into("<I", header, 76, sect_fat)
+    for i in range(1, 109):
+        struct.pack_into("<I", header, 76 + 4 * i, _FREESECT)
+
+    return (
+        bytes(header)
+        + fat_sector
+        + directory
+        + b"".join(p for _, p in big_padded)
+        + (mini_padded if mini_stream else b"")
+        + minifat_sector
+    )

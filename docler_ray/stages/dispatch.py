@@ -20,6 +20,8 @@ from docler_ray.mime_types import (
     DOCX_MIME,
     HTML_MIME,
     MARKDOWN_MIME,
+    MSEXCEL_MIME,
+    MSPOWERPOINT_MIME,
     MSWORD_MIME,
     PDF_MIME,
     PDFISH_MIME,
@@ -29,7 +31,9 @@ from docler_ray.mime_types import (
     XLSX_MIME,
     XML_MIME,
 )
+from docler_ray.office.biff import extract_xls
 from docler_ray.office.ole2 import extract_doc
+from docler_ray.office.ppt97 import extract_ppt
 from docler_ray.office.ooxml import extract_docx, extract_pptx, extract_xlsx
 from docler_ray.pdfish.extract import extract_pdfish
 from docler_ray.pdfish.realpdf import extract_real_pdf
@@ -89,6 +93,18 @@ def _doc_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult
     return extract_doc(payload)
 
 
+def _xls_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
+    # legacy Excel BIFF8 via the stdlib CFB + record-stream reader
+    # (office/biff.py — same markitdown legacy-office coverage precedent)
+    return extract_xls(payload)
+
+
+def _ppt_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
+    # legacy PowerPoint 97 via the stdlib CFB + record-tree reader
+    # (office/ppt97.py — same markitdown legacy-office coverage precedent)
+    return extract_ppt(payload)
+
+
 EXTRACTORS: dict[str, ExtractorFn] = {
     "html_extract": _html_extractor,
     "pdf_extract": _pdfish_extractor,
@@ -98,6 +114,8 @@ EXTRACTORS: dict[str, ExtractorFn] = {
     "pptx_extract": _pptx_extractor,
     "xlsx_extract": _xlsx_extractor,
     "doc_extract": _doc_extractor,
+    "xls_extract": _xls_extractor,
+    "ppt_extract": _ppt_extractor,
 }
 
 # Default MIME -> extractor-name preference (overridable per pipeline config,
@@ -119,6 +137,8 @@ DEFAULT_PREFERENCES: dict[str, str] = {
     PPTX_MIME: "pptx_extract",
     XLSX_MIME: "xlsx_extract",
     MSWORD_MIME: "doc_extract",
+    MSEXCEL_MIME: "xls_extract",
+    MSPOWERPOINT_MIME: "ppt_extract",
     **{m: "text_passthrough" for m in sorted(TEXTY_MIME_TYPES)},
 }
 

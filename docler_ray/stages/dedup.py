@@ -913,11 +913,106 @@ def semdedup(
         )
     else:
         assign = centroid_assignments(ds, id_col=id_col, emb_col=emb_col, k=k)
-    pairs, n_pairs = _compact_nonempty(
-        _all_pairs_from_postings(assign, id_col, "cluster")
+    edges = _cluster_matmul_pairs(
+        ds, assign, id_col, emb_col, threshold, corpus_rows
     )
-    return _cosine_pairs_to_drop(
-        ds, pairs, n_pairs, id_col, emb_col, threshold, corpus_rows
+    if edges is None:
+        return _empty_ids(id_col)
+    return drop_from_pairs(edges, id_col)
+
+
+def _cluster_matmul_pairs(
+    ds, assign, id_col, emb_col, threshold, corpus_rows=None
+):
+    """(id, cluster) assignments + embeddings -> verified duplicate-edge
+    Dataset via per-cluster blockwise matmul — SemDeDup's own within-cluster
+    pairwise computation (arXiv:2303.09540 §3).
+
+    Replaces the round-4 plan (materialize ALL within-cluster candidate
+    pairs, then hash-join both embedding payloads onto every pair): at
+    cluster size c each vector sat in ~c pairs, so the join amplified the
+    embedding table ~c times — the sf1 bench tier caught that plan spilling
+    the object store to disk death at just 20k vectors / k=8 (c~2500,
+    ~25M pairs x 2 vectors each). Here the only pair-shaped rows that ever
+    exist are TRUE above-threshold edges:
+
+    - one LINEAR id join attaches each embedding payload exactly once
+      (float64-LE bytes — Acero joins reject list columns),
+    - one cluster-keyed exchange co-locates each cluster,
+    - the per-group kernel normalizes rows once and scans S = Xn @ Xn.T in
+      1024-row blocks (peak per-task memory 1024 x max_cluster x 8B ~ 32 MB
+      at the 4096 bound), emitting i<j edges with sim >= threshold.
+
+    Cosines are the same float64 normalized dot products the previous
+    per-pair verify computed; BLAS summation order can differ in the last
+    ulp, which is safe by the corpus' non-ulp-degenerate threshold
+    construction (the same assumption the oracle replay documents).
+    Returns None when either side is empty.
+    """
+    from docler_ray.stages.similarity import _to_matrix
+
+    def pack(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mat = _to_matrix(batch.column(emb_col))
+        return pa.table(
+            {
+                id_col: pc.cast(batch.column(id_col), pa.int64()),
+                "emb_bytes": pa.array(
+                    [mat[i].tobytes() for i in range(mat.shape[0])], pa.binary()
+                ),
+            }
+        )
+
+    payload = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    a, n_a = _compact_nonempty(assign)
+    p, n_p = _compact_nonempty(payload)
+    if not n_a or not n_p:
+        return None
+    joined = a.join(
+        p,
+        join_type="inner",
+        num_partitions=_num_partitions(max(n_a, n_p)),
+        on=(id_col,),
+    )
+
+    def verify_cluster(batch: pa.Table) -> pa.Table:
+        ids = (
+            batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        n = len(ids)
+        if n < 2:
+            return _empty_pairs_table()
+        mat = np.frombuffer(
+            b"".join(batch.column("emb_bytes").to_pylist()), dtype=np.float64
+        ).reshape(n, -1)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        xn = mat / norms[:, None]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        block = 1024
+        for s in range(0, n, block):
+            sims = xn[s : s + block] @ xn.T
+            rows, cols = np.nonzero(sims >= threshold)
+            grows = rows + s
+            keep = grows < cols
+            if keep.any():
+                out_a.append(ids[grows[keep]])
+                out_b.append(ids[cols[keep]])
+        if not out_a:
+            return _empty_pairs_table()
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(ia, ib), pa.int64()),
+                "id_b": pa.array(np.maximum(ia, ib), pa.int64()),
+            }
+        )
+
+    return joined.groupby("cluster").map_groups(
+        verify_cluster, batch_format="pyarrow"
     )
 
 

@@ -393,15 +393,24 @@ def run_sf1() -> None:
 
         for name in SF1_QUERIES:
             best = None
-            for _ in range(REPEATS):
-                t0 = time.time()
-                res = q[name](sf_dir)
-                if isinstance(res, rd.Dataset):
-                    for _ in res.iter_batches(batch_size=8192, batch_format="pyarrow"):
-                        pass
-                sec = time.time() - t0
-                best = sec if best is None else min(best, sec)
+            try:
+                for _ in range(REPEATS):
+                    t0 = time.time()
+                    res = q[name](sf_dir)
+                    if isinstance(res, rd.Dataset):
+                        for _ in res.iter_batches(
+                            batch_size=8192, batch_format="pyarrow"
+                        ):
+                            pass
+                    sec = time.time() - t0
+                    best = sec if best is None else min(best, sec)
+            except Exception as exc:  # record and keep going: one blown
+                # query must not lose the whole tier's timings
+                print(f"sf1 {name}: ERROR {exc}", file=sys.stderr)
+                results[name] = -1.0
+                continue
             results[name] = round(best, 3)
+            print(f"sf1 {name}: {results[name]}s", file=sys.stderr)
     finally:
         ray.shutdown()
     print(

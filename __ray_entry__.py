@@ -923,6 +923,78 @@ def _pdf_decrypt_aes_sql() -> str:
     )
 
 
+def _q_pdf_decrypt_aes256_extract(sf_dir: str):
+    """AES-256 (V5/R6, /AESV3) encrypted-PDF extraction — the modern
+    default cipher of real-world encrypted PDFs (reference parity:
+    pypdf's crypt providers handle it, src/docler/pdf_utils.py:90-147):
+    every documents row becomes a V5/R6 PDF (SHA-2 Algorithm 2.B password
+    hash, /UE file-key unwrapping — pdfish/realpdf.py::_hash_2b,
+    _v5_file_key; AES-256 core verified against FIPS-197 appendix C), the
+    pipeline decrypts via ExtractDocs ``pdf_password``, and the SQL
+    oracle rebuilds the exact extracted markdown."""
+    import ray.data
+
+    from docler_ray.pdfish.realpdf import build_simple_pdf
+    from docler_ray.stages.classify import classify_batch
+    from docler_ray.stages.extract import ExtractDocs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_pdf(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [
+            build_simple_pdf(
+                [f"R6 vault doc {d}.\nAlgorithm 2B line {d}."],
+                user_password="saslprep",
+                cipher="aes256",
+            )
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "url": pa.array([str(d) for d in ids], pa.string()),
+                "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+                "html": pa.array(payloads, pa.binary()),
+                "text": pa.array([""] * len(ids), pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+            }
+        )
+
+    docs = (
+        ds.map_batches(to_pdf, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(classify_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            ExtractDocs,
+            fn_constructor_kwargs={"options": {"pdf_password": "saslprep"}},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            batch_size=128,
+            zero_copy_batch=True,
+        )
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("url").cast(pa.int64()),
+                "mime_type": batch.column("mime_type"),
+                "content": batch.column("content"),
+            }
+        )
+
+    return docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pdf_decrypt_aes256_sql() -> str:
+    marker1 = """'<!-- docler:page_break {"next_page":1} -->'"""
+    return (
+        "SELECT doc_id, 'application/pdf' AS mime_type, "
+        f"{marker1} || repeat(chr(10), 3) || 'R6 vault doc ' || doc_id || "
+        "'.' || chr(10) || 'Algorithm 2B line ' || doc_id || '.' AS content "
+        "FROM documents"
+    )
+
+
 def _pdf_decrypt_sql() -> str:
     marker1 = """'<!-- docler:page_break {"next_page":1} -->'"""
     return (
@@ -4575,6 +4647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_legacy_extract": _q_doc_legacy_extract,
         "xls_legacy_extract": _q_xls_legacy_extract,
         "ppt_legacy_extract": _q_ppt_legacy_extract,
+        "pdf_decrypt_aes256_extract": _q_pdf_decrypt_aes256_extract,
         "per_lang_counts": _q_per_lang_counts,
         "exact_dedup_first": _q_exact_dedup_first,
         "q1_qty_by_flag": _q_q1_qty_by_flag,
@@ -5210,6 +5283,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_real_extract": _pdf_real_sql(),
         "pdf_decrypt_extract": _pdf_decrypt_sql(),
         "pdf_decrypt_aes_extract": _pdf_decrypt_aes_sql(),
+        "pdf_decrypt_aes256_extract": _pdf_decrypt_aes256_sql(),
         "extract_docs_content": _EXTRACT_DOCS_CONTENT_SQL,
         "extract_chunks_content": _EXTRACT_CHUNKS_CONTENT_SQL,
         "simhash_fingerprints": _simhash_sql(),

@@ -71,22 +71,28 @@ _INV_SHIFT_ROWS = np.array(
 
 
 def expand_key(key: bytes) -> np.ndarray:
-    """AES-128 key schedule -> (11, 16) uint8 round keys (FIPS-197 §5.2)."""
-    if len(key) != 16:
-        raise ValueError(f"AES-128 needs a 16-byte key, got {len(key)}")
+    """AES key schedule -> (Nr+1, 16) uint8 round keys (FIPS-197 §5.2).
+    Nk = 4/6/8 words (AES-128/192/256, Nr = Nk+6); the Nk>6 schedule adds
+    the extra SubWord at i % Nk == 4."""
+    if len(key) not in (16, 24, 32):
+        raise ValueError(f"AES needs a 16/24/32-byte key, got {len(key)}")
+    nk = len(key) // 4
+    nr = nk + 6
     rcon = 1
-    words = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    words = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [int(_SBOX[b]) for b in t]
             t[0] ^= rcon
             rcon = (rcon << 1) ^ (0x11B if rcon & 0x80 else 0)
             rcon &= 0xFF
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
+        elif nk > 6 and i % nk == 4:
+            t = [int(_SBOX[b]) for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
     flat = [b for w in words for b in w]
-    return np.array(flat, dtype=np.uint8).reshape(11, 16)
+    return np.array(flat, dtype=np.uint8).reshape(nr + 1, 16)
 
 
 def _mix_columns(state: np.ndarray) -> np.ndarray:
@@ -115,17 +121,19 @@ def _inv_mix_columns(state: np.ndarray) -> np.ndarray:
 
 def encrypt_blocks(round_keys: np.ndarray, blocks: np.ndarray) -> np.ndarray:
     """Forward cipher over (n, 16) uint8 blocks (FIPS-197 §5.1)."""
+    nr = len(round_keys) - 1
     state = blocks ^ round_keys[0]
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         state = _SBOX[state][:, _SHIFT_ROWS]
         state = _mix_columns(state) ^ round_keys[rnd]
-    return _SBOX[state][:, _SHIFT_ROWS] ^ round_keys[10]
+    return _SBOX[state][:, _SHIFT_ROWS] ^ round_keys[nr]
 
 
 def decrypt_blocks(round_keys: np.ndarray, blocks: np.ndarray) -> np.ndarray:
     """Inverse cipher over (n, 16) uint8 blocks (FIPS-197 §5.3)."""
-    state = blocks ^ round_keys[10]
-    for rnd in range(9, 0, -1):
+    nr = len(round_keys) - 1
+    state = blocks ^ round_keys[nr]
+    for rnd in range(nr - 1, 0, -1):
         state = _INV_SBOX[state[:, _INV_SHIFT_ROWS]] ^ round_keys[rnd]
         state = _inv_mix_columns(state)
     return _INV_SBOX[state[:, _INV_SHIFT_ROWS]] ^ round_keys[0]
@@ -170,31 +178,33 @@ _SBOX_I = [int(b) for b in _SBOX]
 
 
 def _round_key_words(round_keys: np.ndarray) -> list[int]:
+    flat = round_keys.reshape(-1)
     return [
-        int.from_bytes(round_keys.reshape(-1)[i : i + 4].tobytes(), "big")
-        for i in range(0, 176, 4)
+        int.from_bytes(flat[i : i + 4].tobytes(), "big")
+        for i in range(0, flat.size, 4)
     ]
 
 
 def _encrypt_block_scalar(rk: list[int], block: bytes) -> bytes:
     te0, te1, te2, te3 = _TE
     sb = _SBOX_I
+    n_mid = len(rk) // 4 - 2  # 9/11/13 T-table rounds for AES-128/192/256
     s0 = int.from_bytes(block[0:4], "big") ^ rk[0]
     s1 = int.from_bytes(block[4:8], "big") ^ rk[1]
     s2 = int.from_bytes(block[8:12], "big") ^ rk[2]
     s3 = int.from_bytes(block[12:16], "big") ^ rk[3]
     k = 4
-    for _ in range(9):
+    for _ in range(n_mid):
         t0 = te0[s0 >> 24] ^ te1[(s1 >> 16) & 0xFF] ^ te2[(s2 >> 8) & 0xFF] ^ te3[s3 & 0xFF] ^ rk[k]
         t1 = te0[s1 >> 24] ^ te1[(s2 >> 16) & 0xFF] ^ te2[(s3 >> 8) & 0xFF] ^ te3[s0 & 0xFF] ^ rk[k + 1]
         t2 = te0[s2 >> 24] ^ te1[(s3 >> 16) & 0xFF] ^ te2[(s0 >> 8) & 0xFF] ^ te3[s1 & 0xFF] ^ rk[k + 2]
         t3 = te0[s3 >> 24] ^ te1[(s0 >> 16) & 0xFF] ^ te2[(s1 >> 8) & 0xFF] ^ te3[s2 & 0xFF] ^ rk[k + 3]
         s0, s1, s2, s3 = t0, t1, t2, t3
         k += 4
-    o0 = ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 0xFF] << 16) | (sb[(s2 >> 8) & 0xFF] << 8) | sb[s3 & 0xFF]) ^ rk[40]
-    o1 = ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 0xFF] << 16) | (sb[(s3 >> 8) & 0xFF] << 8) | sb[s0 & 0xFF]) ^ rk[41]
-    o2 = ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 0xFF] << 16) | (sb[(s0 >> 8) & 0xFF] << 8) | sb[s1 & 0xFF]) ^ rk[42]
-    o3 = ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 0xFF] << 16) | (sb[(s1 >> 8) & 0xFF] << 8) | sb[s2 & 0xFF]) ^ rk[43]
+    o0 = ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 0xFF] << 16) | (sb[(s2 >> 8) & 0xFF] << 8) | sb[s3 & 0xFF]) ^ rk[k]
+    o1 = ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 0xFF] << 16) | (sb[(s3 >> 8) & 0xFF] << 8) | sb[s0 & 0xFF]) ^ rk[k + 1]
+    o2 = ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 0xFF] << 16) | (sb[(s0 >> 8) & 0xFF] << 8) | sb[s1 & 0xFF]) ^ rk[k + 2]
+    o3 = ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 0xFF] << 16) | (sb[(s1 >> 8) & 0xFF] << 8) | sb[s2 & 0xFF]) ^ rk[k + 3]
     return (
         o0.to_bytes(4, "big") + o1.to_bytes(4, "big")
         + o2.to_bytes(4, "big") + o3.to_bytes(4, "big")
@@ -214,3 +224,35 @@ def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
         prev = _encrypt_block_scalar(rk, block)
         out.append(prev)
     return b"".join(out)
+
+
+def cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC, no padding, no IV prefix — the ISO 32000-2 Algorithm 2.B
+    hash step and the /UE//OE file-key wrapping (data must be 16-aligned)."""
+    if len(data) % 16:
+        raise ValueError(f"CBC-nopad needs 16-aligned data, got {len(data)}")
+    rk = _round_key_words(expand_key(key))
+    out = []
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _encrypt_block_scalar(rk, block)
+        out.append(prev)
+    return b"".join(out)
+
+
+def cbc_decrypt_nopad(key: bytes, iv: bytes, payload: bytes) -> bytes:
+    """Raw CBC decrypt, explicit IV, no padding — /UE//OE unwrapping
+    (vectorized like cbc_decrypt)."""
+    if not payload or len(payload) % 16:
+        raise ValueError(f"CBC-nopad payload length invalid: {len(payload)}")
+    ct = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 16)
+    plain = decrypt_blocks(expand_key(key), ct)
+    ivrow = np.frombuffer(iv, dtype=np.uint8).reshape(1, 16)
+    plain ^= np.concatenate([ivrow, ct[:-1]])
+    return plain.tobytes()
+
+
+def ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
+    """One-block ECB — the /Perms entry of the V5 standard handler."""
+    return _encrypt_block_scalar(_round_key_words(expand_key(key)), block)

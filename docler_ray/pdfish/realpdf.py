@@ -21,12 +21,12 @@ Honesty notes (documented limits, all raise or degrade loudly):
 - encodings: strings decode as latin-1 (≈ PDFDocEncoding for the Latin
   range); no /ToUnicode CMaps, so embedded-subset-font PDFs come out
   garbled rather than decoded.
-- encryption: the STANDARD security handler with RC4 (V1/V2, R2/R3) and
-  AES-128-CBC (V4/R4, /AESV2 crypt filter — cipher implemented from
-  FIPS-197 in pdfish/aes.py) from the spec (ISO 32000-1 §7.6.2-3: MD5
-  key derivation, /U-entry password verification, per-object keys).
-  AES-256 (V5/AESV3) raises naming the missing derivation (the
-  reference leans on pypdf's crypt providers,
+- encryption: the STANDARD security handler with RC4 (V1/V2, R2/R3),
+  AES-128-CBC (V4/R4, /AESV2 crypt filter) and AES-256-CBC (V5/R6,
+  /AESV3 — SHA-2 Algorithm 2.B password hash, /UE//OE file-key
+  unwrapping, user AND owner password arms) — ciphers implemented from
+  FIPS-197 in pdfish/aes.py, derivations from ISO 32000-1 §7.6.2-3 and
+  ISO 32000-2 §7.6.4 (the reference leans on pypdf's crypt providers,
   src/docler/pdf_utils.py:90-137).
 - filters: FlateDecode only; a content stream with another filter is
   skipped and counted in metadata["skipped_streams"].
@@ -39,6 +39,7 @@ WET-to-PDF sink primitive.
 
 from __future__ import annotations
 
+import functools
 import re
 import zlib
 
@@ -152,6 +153,50 @@ def _object_key(key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
     return h[: min(len(key) + 5, 16)]
 
 
+@functools.lru_cache(maxsize=256)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 password hash): SHA-256 seeded,
+    then rounds of AES-128-CBC over 64 repeats of (password || K || udata)
+    with the digest width re-chosen by E[0:16] mod 3, until round >= 64
+    and E[-1] <= round - 32. Stdlib hashlib + the FIPS-197 core.
+
+    The ~64+ CBC rounds cost milliseconds per call in pure Python, and a
+    corpus decrypted with ONE password re-derives the same (password,
+    salt, udata) triple for every document — memoized per actor."""
+    import hashlib
+
+    from docler_ray.pdfish.aes import cbc_encrypt_nopad
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    rounds = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt_nopad(k[0:16], k[16:32], k1)
+        mod = sum(e[0:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            return k[0:32]
+
+
+def _v5_file_key(
+    password: bytes, u_entry: bytes, o_entry: bytes, ue: bytes, oe: bytes
+) -> bytes:
+    """V5/R6 standard handler (ISO 32000-2 Algorithm 2.A steps e-g): try
+    the USER password (hash against /U's validation salt, unwrap /UE),
+    then the OWNER password (udata = the 48-byte /U string, unwrap /OE)."""
+    from docler_ray.pdfish.aes import cbc_decrypt_nopad
+
+    zero_iv = b"\x00" * 16
+    if _hash_2b(password, u_entry[32:40], b"") == u_entry[0:32]:
+        ik = _hash_2b(password, u_entry[40:48], b"")
+        return cbc_decrypt_nopad(ik, zero_iv, ue)
+    if _hash_2b(password, o_entry[32:40], u_entry[0:48]) == o_entry[0:32]:
+        ik = _hash_2b(password, o_entry[40:48], u_entry[0:48])
+        return cbc_decrypt_nopad(ik, zero_iv, oe)
+    raise ValueError("encrypted PDF: wrong or missing password")
+
+
 def _parse_enc_string(head: bytes, name: bytes) -> bytes:
     """/O or /U value: hex string (our writer) or literal string."""
     m = re.search(re.escape(name) + rb"\s*<([0-9A-Fa-f\s]+)>", head)
@@ -191,12 +236,20 @@ def _build_decryptor(objects: dict, payload: bytes, password: str | None):
                 "encrypted PDF (V4): unsupported crypt filter method "
                 "(only /AESV2 and /V2 implemented)"
             )
-    elif v > 4:
-        raise ValueError(
-            "AES-256-encrypted PDF (V5/AESV3): SHA-2 key derivation not "
-            "implemented (reference uses pypdf's crypt providers, "
-            "src/docler/pdf_utils.py:90-137)"
+    elif v == 5:
+        # V5/R6 (AESV3, AES-256): SHA-2 Algorithm 2.B derivation; the file
+        # key is unwrapped from /UE (user) or /OE (owner) and used DIRECTLY
+        # for every object (no per-object rederivation in V5).
+        o_entry = _parse_enc_string(head, b"/O")
+        u_entry = _parse_enc_string(head, b"/U")
+        ue = _parse_enc_string(head, b"/UE")
+        oe = _parse_enc_string(head, b"/OE")
+        key = _v5_file_key(
+            (password or "").encode("utf-8"), u_entry, o_entry, ue, oe
         )
+        return key, "aes256"
+    elif v > 5:
+        raise ValueError(f"encrypted PDF: unsupported /V {v}")
     rm = re.search(rb"/R\s+(\d+)", head)
     r = int(rm.group(1)) if rm else 2
     # /Length appears file-level in BITS (40-128) and inside the V4 crypt
@@ -516,7 +569,11 @@ def extract_real_pdf(
         if stream is None:
             return None
         if file_key is not None:
-            if method == "aes":
+            if method == "aes256":  # V5: the file key IS the object key
+                from docler_ray.pdfish.aes import cbc_decrypt
+
+                stream = cbc_decrypt(file_key, stream)
+            elif method == "aes":
                 from docler_ray.pdfish.aes import cbc_decrypt
 
                 stream = cbc_decrypt(
@@ -591,18 +648,56 @@ def build_simple_pdf(
     With ``user_password`` the document is encrypted with the standard
     security handler (deterministic /ID from the page text) — the fixture
     generator for the decrypt path. ``cipher`` picks V2/R3 RC4-128
-    (default) or V4/R4 AES-128-CBC (/AESV2 crypt filter, deterministic
-    per-object IV derived from /ID + object number)."""
+    (default), V4/R4 AES-128-CBC (/AESV2 crypt filter, deterministic
+    per-object IV derived from /ID + object number), or V5/R6 AES-256
+    (/AESV3 — Algorithm 2.B salts/file key derived deterministically from
+    /ID; /U /UE /O /OE /Perms all emitted)."""
     import hashlib
 
-    if cipher not in ("rc4", "aes"):
-        raise ValueError(f"cipher must be 'rc4' or 'aes', got {cipher!r}")
+    if cipher not in ("rc4", "aes", "aes256"):
+        raise ValueError(f"cipher must be 'rc4', 'aes' or 'aes256', got {cipher!r}")
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
     file_key = None
     file_id = b""
     enc_dict = b""
-    if user_password is not None:
+    if user_password is not None and cipher == "aes256":
+        from docler_ray.pdfish.aes import cbc_encrypt_nopad, ecb_encrypt_block
+
+        file_id = hashlib.md5(
+            b"docler-ray-pdf\x00" + "\x00".join(pages).encode("utf-8", "replace")
+        ).digest()
+        # deterministic key material: the FILE KEY varies per document
+        # (from /ID) but salts derive from the passwords alone, so a
+        # whole fixture corpus sharing one password hits the _hash_2b
+        # memo after the first document on both write and read sides
+        file_key = hashlib.sha256(b"docler-v5-filekey\x00" + file_id).digest()
+        u_pw = user_password.encode("utf-8")
+        o_pw = (owner_password or user_password).encode("utf-8")
+        vs_u = hashlib.sha256(b"vs-u" + u_pw).digest()[:8]
+        ks_u = hashlib.sha256(b"ks-u" + u_pw).digest()[:8]
+        vs_o = hashlib.sha256(b"vs-o" + o_pw).digest()[:8]
+        ks_o = hashlib.sha256(b"ks-o" + o_pw).digest()[:8]
+        zero_iv = b"\x00" * 16
+        u_entry = _hash_2b(u_pw, vs_u, b"") + vs_u + ks_u
+        ue = cbc_encrypt_nopad(_hash_2b(u_pw, ks_u, b""), zero_iv, file_key)
+        o_entry = _hash_2b(o_pw, vs_o, u_entry) + vs_o + ks_o
+        oe = cbc_encrypt_nopad(_hash_2b(o_pw, ks_o, u_entry), zero_iv, file_key)
+        perms = ecb_encrypt_block(
+            file_key,
+            _ENC_P.to_bytes(4, "little", signed=True)
+            + b"\xff\xff\xff\xff"
+            + b"Tadb"
+            + hashlib.sha256(b"rand" + file_id).digest()[:4],
+        )
+        enc_dict = (
+            f"<< /Filter /Standard /V 5 /R 6 /Length 256 /P {_ENC_P} "
+            f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+            f"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+            f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> "
+            f"/OE <{oe.hex()}> /UE <{ue.hex()}> /Perms <{perms.hex()}> >>"
+        ).encode("ascii")
+    elif user_password is not None:
         klen = 16
         rev = 4 if cipher == "aes" else 3
         file_id = hashlib.md5(
@@ -656,7 +751,14 @@ def build_simple_pdf(
         ops.append("ET")
         data = zlib.compress(" ".join(ops).encode("latin-1"), 9)
         if file_key is not None:
-            if cipher == "aes":
+            if cipher == "aes256":  # V5: file key used directly
+                from docler_ray.pdfish.aes import cbc_encrypt
+
+                iv = hashlib.md5(
+                    b"iv\x00" + file_id + content_num.to_bytes(4, "little")
+                ).digest()
+                data = cbc_encrypt(file_key, iv, data)
+            elif cipher == "aes":
                 from docler_ray.pdfish.aes import cbc_encrypt
 
                 iv = hashlib.md5(

@@ -291,7 +291,60 @@ def test_aes_encrypted_pdf_round_trip_and_guards():
         pages, user_password="u", owner_password="o", cipher="aes"
     )
     assert extract_real_pdf(pdf2, password="u").content == join_pages(pages)
-    # V5/AESV3 raises naming the gap, not garbage output
-    v5 = pdf.replace(b"/V 4 /R 4", b"/V 5 /R 6", 1)
-    with pytest.raises(ValueError, match="AESV3"):
-        extract_real_pdf(v5, password="k3y")
+
+
+def test_aes256_fips_vectors():
+    """AES-192/256 key schedule + both cores against FIPS-197 C.2/C.3."""
+    import numpy as np
+
+    from docler_ray.pdfish import aes
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    vectors = {
+        "000102030405060708090a0b0c0d0e0f1011121314151617":
+            "dda97ca4864cdfe06eaf70a0ec0d7191",
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f":
+            "8ea2b7ca516745bfeafc49904b496089",
+    }
+    for kh, ch in vectors.items():
+        key, want = bytes.fromhex(kh), bytes.fromhex(ch)
+        rk = aes.expand_key(key)
+        ct = aes.encrypt_blocks(rk, np.frombuffer(pt, np.uint8).reshape(1, 16))
+        assert ct.tobytes() == want
+        assert aes.decrypt_blocks(rk, ct).tobytes() == pt
+        assert aes._encrypt_block_scalar(aes._round_key_words(rk), pt) == want
+    # no-pad CBC + single-block ECB helpers (the R6 derivation primitives)
+    key = bytes(range(32))
+    iv = bytes(range(16, 32))
+    blob = b"docler-v5-derivation-material-xx"  # 32 bytes
+    assert aes.cbc_decrypt_nopad(key, iv, aes.cbc_encrypt_nopad(key, iv, blob)) == blob
+    assert len(aes.ecb_encrypt_block(key, b"p" * 16)) == 16
+
+
+def test_aes256_r6_encrypted_pdf_round_trip():
+    """V5/R6 (/AESV3) standard handler: Algorithm 2.B hash, /UE//OE
+    file-key unwrapping, user AND owner password arms, wrong-password
+    guard, empty-user-password open (reference decrypt parity:
+    src/docler/pdf_utils.py:90-147 via pypdf's AES-256 provider)."""
+    pages = ["R6 page one\nsecond line", "R6 päge twö"]
+    pdf = build_simple_pdf(pages, user_password="k3y256", cipher="aes256")
+    assert b"/AESV3" in pdf and b"/V 5 /R 6" in pdf
+    out = extract_real_pdf(pdf, password="k3y256")
+    assert out.content == join_pages(pages)
+    assert out.metadata["decrypted"] is True
+    assert out.metadata["cipher"] == "aes256"
+    with pytest.raises(ValueError, match="wrong or missing password"):
+        extract_real_pdf(pdf, password="wrong")
+    with pytest.raises(ValueError, match="wrong or missing password"):
+        extract_real_pdf(pdf)
+    # owner-password arm (udata = the 48-byte /U string)
+    pdf2 = build_simple_pdf(
+        pages, user_password="u", owner_password="o", cipher="aes256"
+    )
+    assert extract_real_pdf(pdf2, password="o").content == join_pages(pages)
+    assert extract_real_pdf(pdf2, password="u").content == join_pages(pages)
+    # empty user password: opens with no password at all (the common
+    # "encrypted but not password-protected" real-world shape)
+    pdf3 = build_simple_pdf(["open me"], user_password="", cipher="aes256")
+    assert "open me" in extract_real_pdf(pdf3).content

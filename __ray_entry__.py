@@ -1392,6 +1392,183 @@ def _ppt_legacy_sql() -> str:
     )
 
 
+def _make_extract_query(to_payload, project_page_count: bool = True):
+    """Shared shape of the synthesized-document extraction queries:
+    documents.doc_id -> deterministic payload -> sniff/classify/extract
+    actor pool -> (doc_id, mime_type, title[, page_count], content)."""
+
+    def run(sf_dir: str):
+        import ray.data
+
+        from docler_ray.stages.classify import classify_batch
+        from docler_ray.stages.extract import ExtractDocs
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+
+        def to_docs(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            payloads = [to_payload(d) for d in ids]
+            return pa.table(
+                {
+                    "url": pa.array([str(d) for d in ids], pa.string()),
+                    "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+                    "html": pa.array(payloads, pa.binary()),
+                    "text": pa.array([""] * len(ids), pa.string()),
+                    "lang": pa.array(["en"] * len(ids), pa.string()),
+                }
+            )
+
+        docs = (
+            ds.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(
+                classify_batch, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .map_batches(
+                ExtractDocs,
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+                batch_size=128,
+                zero_copy_batch=True,
+            )
+        )
+
+        def project(batch: pa.Table) -> pa.Table:
+            cols = {
+                "doc_id": batch.column("url").cast(pa.int64()),
+                "mime_type": batch.column("mime_type"),
+                "title": batch.column("title"),
+            }
+            if project_page_count:
+                cols["page_count"] = batch.column("page_count").cast(pa.int64())
+            cols["content"] = batch.column("content")
+            return pa.table(cols)
+
+        return docs.map_batches(
+            project, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    return run
+
+
+def _q_odt_extract_docs(sf_dir: str):
+    """OpenDocument Text extraction with a FULL-CONTENT oracle: each
+    documents row becomes a deterministic ODF package (office/odf.py
+    ``make_odt`` — zip with stored-first mimetype, content.xml headings +
+    paragraphs, meta.xml dc:title; even doc_ids add a level-2 section),
+    flows through the real mimetype-member zip sniff -> odt_extract actor
+    pool, and the SQL oracle rebuilds the exact extracted markdown
+    (reference coverage: markitdown_provider/provider.py:35-44)."""
+    from docler_ray.office.odf import make_odt
+
+    def to_odt(d: int) -> bytes:
+        blocks: list = [
+            ("h", 1, f"Heading {d}"),
+            ("p", f"Body alpha {d}."),
+        ]
+        if d % 2 == 0:
+            blocks += [("h", 2, f"Detail {d}"), ("p", f"More {d}.")]
+        return make_odt(f"ODF Doc {d}", blocks)
+
+    return _make_extract_query(to_odt, project_page_count=False)(sf_dir)
+
+
+def _odt_extract_sql() -> str:
+    m1 = """'<!-- docler:page_break {"next_page":1} -->'"""
+    nl = "chr(10)"
+    base = (
+        f"'# Heading ' || doc_id || {nl} || {nl} || "
+        f"'Body alpha ' || doc_id || '.'"
+    )
+    extra = (
+        f"{nl} || {nl} || '## Detail ' || doc_id || {nl} || {nl} || "
+        f"'More ' || doc_id || '.'"
+    )
+    return (
+        "SELECT doc_id, "
+        "'application/vnd.oasis.opendocument.text' AS mime_type, "
+        "'ODF Doc ' || doc_id AS title, "
+        f"CASE WHEN doc_id % 2 = 0 THEN {m1} || {nl} || {base} || {extra} "
+        f"ELSE {m1} || {nl} || {base} END AS content "
+        "FROM documents"
+    )
+
+
+def _q_rtf_extract_docs(sf_dir: str):
+    """RTF extraction with a FULL-CONTENT oracle: each documents row
+    becomes deterministic RTF (office/rtf.py ``make_rtf`` — info-title,
+    CP1252 escapes, even doc_ids carry an explicit page break), flows
+    through the {\\rtf sniff -> rtf_extract actor pool, and the SQL
+    oracle rebuilds the exact extracted markdown (reference coverage:
+    markitdown_provider/provider.py:44)."""
+    from docler_ray.office.rtf import make_rtf
+
+    def to_rtf(d: int) -> bytes:
+        return make_rtf(
+            f"RTF Doc {d}",
+            [f"Rich text {d} with café.", f"Second para {d % 5}."],
+            page_break_after={0} if d % 2 == 0 else None,
+        )
+
+    return _make_extract_query(to_rtf)(sf_dir)
+
+
+def _rtf_extract_sql() -> str:
+    m1 = """'<!-- docler:page_break {"next_page":1} -->'"""
+    m2 = """'<!-- docler:page_break {"next_page":2} -->'"""
+    nl = "chr(10)"
+    p1 = "'Rich text ' || doc_id || ' with caf' || chr(233) || '.'"
+    p2 = "'Second para ' || doc_id % 5 || '.'"
+    return (
+        "SELECT doc_id, 'application/rtf' AS mime_type, "
+        "'RTF Doc ' || doc_id AS title, "
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS page_count, "
+        f"CASE WHEN doc_id % 2 = 0 THEN {m1} || repeat({nl}, 3) || {p1} "
+        f"|| repeat({nl}, 3) || {m2} || repeat({nl}, 3) || {p2} "
+        f"ELSE {m1} || {nl} || {p1} || {nl} || {nl} || {p2} END AS content "
+        "FROM documents"
+    )
+
+
+def _q_epub_extract_docs(sf_dir: str):
+    """EPUB extraction with a FULL-CONTENT oracle: each documents row
+    becomes a deterministic OCF package (office/epub.py ``make_epub`` —
+    container.xml -> OPF manifest/spine -> per-chapter XHTML through THIS
+    engine's HTML pipeline; even doc_ids add an epilogue chapter), and
+    the SQL oracle rebuilds the exact extracted markdown (reference
+    coverage: markitdown_provider/provider.py:46)."""
+    from docler_ray.office.epub import make_epub
+
+    def to_epub(d: int) -> bytes:
+        chapters = [(f"Chapter {d}", [f"Alpha {d}.", "Beta."])]
+        if d % 2 == 0:
+            chapters.append(("Epilogue", [f"Omega {d}."]))
+        return make_epub(f"Book {d}", chapters)
+
+    return _make_extract_query(to_epub)(sf_dir)
+
+
+def _epub_extract_sql() -> str:
+    m1 = """'<!-- docler:page_break {"next_page":1} -->'"""
+    m2 = """'<!-- docler:page_break {"next_page":2} -->'"""
+    nl = "chr(10)"
+    ch1 = (
+        f"'# Chapter ' || doc_id || {nl} || {nl} || "
+        f"'Alpha ' || doc_id || '.' || {nl} || {nl} || 'Beta.'"
+    )
+    ch2 = f"'# Epilogue' || {nl} || {nl} || 'Omega ' || doc_id || '.'"
+    return (
+        "SELECT doc_id, 'application/epub+zip' AS mime_type, "
+        "'Book ' || doc_id AS title, "
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS page_count, "
+        f"CASE WHEN doc_id % 2 = 0 THEN {m1} || repeat({nl}, 3) || {ch1} "
+        f"|| repeat({nl}, 3) || {m2} || repeat({nl}, 3) || {ch2} "
+        f"ELSE {m1} || {nl} || {ch1} END AS content "
+        "FROM documents"
+    )
+
+
 def _q_text_metrics(sf_dir: str):
     """SQL-mirrorable slice of the text-analysis stage: exact counts and
     IEEE-identical ratios per document (the oracle-backed member of the
@@ -4648,6 +4825,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xls_legacy_extract": _q_xls_legacy_extract,
         "ppt_legacy_extract": _q_ppt_legacy_extract,
         "pdf_decrypt_aes256_extract": _q_pdf_decrypt_aes256_extract,
+        "odt_extract_docs": _q_odt_extract_docs,
+        "rtf_extract_docs": _q_rtf_extract_docs,
+        "epub_extract_docs": _q_epub_extract_docs,
         "per_lang_counts": _q_per_lang_counts,
         "exact_dedup_first": _q_exact_dedup_first,
         "q1_qty_by_flag": _q_q1_qty_by_flag,
@@ -5284,6 +5464,9 @@ def oracle_sql() -> dict[str, str]:
         "pdf_decrypt_extract": _pdf_decrypt_sql(),
         "pdf_decrypt_aes_extract": _pdf_decrypt_aes_sql(),
         "pdf_decrypt_aes256_extract": _pdf_decrypt_aes256_sql(),
+        "odt_extract_docs": _odt_extract_sql(),
+        "rtf_extract_docs": _rtf_extract_sql(),
+        "epub_extract_docs": _epub_extract_sql(),
         "extract_docs_content": _EXTRACT_DOCS_CONTENT_SQL,
         "extract_chunks_content": _EXTRACT_CHUNKS_CONTENT_SQL,
         "simhash_fingerprints": _simhash_sql(),

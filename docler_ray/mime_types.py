@@ -33,6 +33,9 @@ OLE2_MIME = "application/x-ole-storage"  # legacy MS Office container
 MSWORD_MIME = "application/msword"
 MSEXCEL_MIME = "application/vnd.ms-excel"
 MSPOWERPOINT_MIME = "application/vnd.ms-powerpoint"
+ODT_MIME = "application/vnd.oasis.opendocument.text"
+RTF_MIME = "application/rtf"
+EPUB_MIME = "application/epub+zip"
 
 DOCX_MIME = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
 XLSX_MIME = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
@@ -273,6 +276,14 @@ def _sniff_zip(payload: bytes) -> str:
     try:
         with zipfile.ZipFile(io.BytesIO(payload)) as zf:
             names = zf.namelist()
+            # ODF / EPUB archives carry a literal `mimetype` member
+            # (stored first, uncompressed) naming the format exactly
+            if "mimetype" in names:
+                declared = zf.read("mimetype").strip().decode("ascii", "replace")
+                if declared == EPUB_MIME or declared.startswith(
+                    "application/vnd.oasis.opendocument."
+                ):
+                    return declared
     except Exception:
         return ZIP_MIME
     for name in names:
@@ -348,6 +359,8 @@ def sniff_mime(payload: bytes) -> str:
         head.decode("utf-8")
     except UnicodeDecodeError:
         return UNKNOWN_MIME
+    if lowered.startswith(b"{\\rtf"):
+        return RTF_MIME
     if lowered.startswith((b"{", b"[")):
         return JSON_MIME
     return TEXT_MIME

@@ -18,22 +18,28 @@ from docler_ray.html.extract import ExtractionResult, extract_html
 from docler_ray.markers import prepend_first_page_marker
 from docler_ray.mime_types import (
     DOCX_MIME,
+    EPUB_MIME,
     HTML_MIME,
     MARKDOWN_MIME,
     MSEXCEL_MIME,
     MSPOWERPOINT_MIME,
     MSWORD_MIME,
+    ODT_MIME,
     PDF_MIME,
     PDFISH_MIME,
     PPTX_MIME,
+    RTF_MIME,
     TEXT_MIME,
     TEXTY_MIME_TYPES,
     XLSX_MIME,
     XML_MIME,
 )
 from docler_ray.office.biff import extract_xls
+from docler_ray.office.epub import extract_epub
+from docler_ray.office.odf import extract_odt
 from docler_ray.office.ole2 import extract_doc
 from docler_ray.office.ppt97 import extract_ppt
+from docler_ray.office.rtf import extract_rtf
 from docler_ray.office.ooxml import extract_docx, extract_pptx, extract_xlsx
 from docler_ray.pdfish.extract import extract_pdfish
 from docler_ray.pdfish.realpdf import extract_real_pdf
@@ -105,6 +111,24 @@ def _ppt_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult
     return extract_ppt(payload)
 
 
+def _odt_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
+    # OpenDocument Text via stdlib zip + ODF XML (office/odf.py — the
+    # reference's markitdown ODT coverage, provider.py:35-44)
+    return extract_odt(payload)
+
+
+def _rtf_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
+    # RTF via the stdlib control-word parser (office/rtf.py — the
+    # reference's markitdown RTF coverage, provider.py:44)
+    return extract_rtf(payload)
+
+
+def _epub_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
+    # EPUB via OCF container + OPF spine + this engine's HTML pipeline
+    # (office/epub.py — the reference's markitdown EPUB coverage)
+    return extract_epub(payload)
+
+
 EXTRACTORS: dict[str, ExtractorFn] = {
     "html_extract": _html_extractor,
     "pdf_extract": _pdfish_extractor,
@@ -116,6 +140,9 @@ EXTRACTORS: dict[str, ExtractorFn] = {
     "doc_extract": _doc_extractor,
     "xls_extract": _xls_extractor,
     "ppt_extract": _ppt_extractor,
+    "odt_extract": _odt_extractor,
+    "rtf_extract": _rtf_extractor,
+    "epub_extract": _epub_extractor,
 }
 
 # Default MIME -> extractor-name preference (overridable per pipeline config,
@@ -139,6 +166,9 @@ DEFAULT_PREFERENCES: dict[str, str] = {
     MSWORD_MIME: "doc_extract",
     MSEXCEL_MIME: "xls_extract",
     MSPOWERPOINT_MIME: "ppt_extract",
+    ODT_MIME: "odt_extract",
+    RTF_MIME: "rtf_extract",
+    EPUB_MIME: "epub_extract",
     **{m: "text_passthrough" for m in sorted(TEXTY_MIME_TYPES)},
 }
 

@@ -190,6 +190,14 @@ def bench_once() -> dict:
         timed("office_extract_docs", q["office_extract_docs"])
         timed("pdf_real_extract", q["pdf_real_extract"])
         timed("pdf_decrypt_extract", q["pdf_decrypt_extract"])
+        timed("pdf_decrypt_aes_extract", q["pdf_decrypt_aes_extract"])
+        timed("pdf_decrypt_aes256_extract", q["pdf_decrypt_aes256_extract"])
+        timed("doc_legacy_extract", q["doc_legacy_extract"])
+        timed("xls_legacy_extract", q["xls_legacy_extract"])
+        timed("ppt_legacy_extract", q["ppt_legacy_extract"])
+        timed("odt_extract_docs", q["odt_extract_docs"])
+        timed("rtf_extract_docs", q["rtf_extract_docs"])
+        timed("epub_extract_docs", q["epub_extract_docs"])
         timed("image_pixel_stats", q["image_pixel_stats"])
         timed("pdf_page_metadata", q["pdf_page_metadata"])
         timed("lineitem_order_status_counts", q["lineitem_order_status_counts"])

@@ -148,3 +148,84 @@ def test_realpdf_encrypted_round_trip(pages: list[str]) -> None:
 
     pdf = build_simple_pdf(pages, user_password="pw")
     assert extract_real_pdf(pdf, password="pw").content == join_pages(pages)
+
+
+# --- round-5 format writers: round-trip properties ---------------------------
+
+# paragraph text that survives each format's own normalization: non-empty
+# after strip, no control chars the extractors treat as structure
+_para = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=0x2FFF, blacklist_characters="\x7f"
+    ),
+    min_size=1,
+    max_size=60,
+).map(lambda s: " ".join(s.split())).filter(bool)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_para, min_size=1, max_size=5))
+def test_rtf_writer_reader_round_trip(paragraphs: list[str]) -> None:
+    """make_rtf -> extract_rtf recovers every paragraph verbatim across
+    the whole escape surface (ASCII, \\'hh CP1252 bytes, \\uN? unicode
+    incl. the signed-16-bit wrap)."""
+    from docler_ray.office.rtf import extract_rtf, make_rtf
+
+    r = extract_rtf(make_rtf("T", paragraphs))
+    for p in paragraphs:
+        assert p in r.content
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                _para,
+                st.integers(min_value=-(2**40), max_value=2**40),
+                st.booleans(),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_xls_writer_reader_round_trip(rows) -> None:
+    """make_xls -> extract_xls recovers every cell: SST strings (both
+    encodings), RK ints in and out of 30-bit range, BOOLERR bools."""
+    from docler_ray.office.biff import _fmt_number, extract_xls, make_xls
+
+    r = extract_xls(make_xls("T", {"S": rows}))
+    for row in rows:
+        for v in row:
+            if isinstance(v, bool):
+                want = "TRUE" if v else "FALSE"
+            elif isinstance(v, int):
+                want = _fmt_number(float(v))
+            else:
+                want = v
+            assert f" {want} " in r.content or f"| {want} |" in r.content
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_para, min_size=1, max_size=5))
+def test_odt_writer_reader_round_trip(paragraphs: list[str]) -> None:
+    """make_odt -> extract_odt recovers every paragraph (XML escaping of
+    &/<\\> included)."""
+    from docler_ray.office.odf import extract_odt, make_odt
+
+    r = extract_odt(make_odt("T", [("p", p) for p in paragraphs]))
+    for p in paragraphs:
+        assert p in r.content
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_para, min_size=1, max_size=4))
+def test_ppt_writer_reader_round_trip(paragraphs: list[str]) -> None:
+    from docler_ray.office.ppt97 import extract_ppt, make_ppt
+
+    r = extract_ppt(make_ppt("T", [("Head", paragraphs)]))
+    for p in paragraphs:
+        assert p in r.content

@@ -1205,6 +1205,79 @@ def _all_pairs_from_postings(postings, id_col: str, key_col: str, n_rows=None):
     )
 
 
+def _simhash_verified_pairs(postings, id_col: str, max_hamming: int, n_rows):
+    """(id, blockkey, simhash) postings -> hamming-VERIFIED duplicate-edge
+    Dataset in ONE exchange.
+
+    SimHash's verify payload is the 8-byte hash itself, so unlike the
+    text/embedding dedups there is nothing to join: each posting carries
+    its simhash through the coarse-key exchange, the within-bucket
+    self-merge emits candidate pairs WITH both hashes, and a vectorized
+    XOR+popcount filters them in place. Replaces the generic
+    _all_pairs_from_postings + payload-join + grouped-verify chain, whose
+    join dominated the sf1 tier (43 s of 64 s at 50k docs with ~85% true
+    near-dups).
+
+    Cross-block dedup without an extra exchange: a near-dup pair matches
+    in up to all 4 blocks and would be emitted by each block's group
+    (different blockkeys -> different coarse groups — measured to 4x the
+    edge list and push components off the bounded-union-find fast path at
+    sf1). Both simhashes are in-group, so every group recomputes ALL four
+    block matches and emits the pair ONLY from its lowest matching block
+    — globally exact-once, in place."""
+    n_groups = np.uint64(_coarse_group_count(n_rows))
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        ks = batch.column("blockkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "coarse", pa.array((ks % n_groups).astype(np.int64))
+        )
+
+    def emit_verified(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _empty_pairs_table()
+        m = df[[id_col, "blockkey", "simhash"]].drop_duplicates(
+            subset=[id_col, "blockkey"]
+        )
+        j = m.merge(m, on="blockkey", suffixes=("_a", "_b"))
+        j = j[j[f"{id_col}_a"] < j[f"{id_col}_b"]]
+        if j.empty:
+            return _empty_pairs_table()
+        j = j.drop_duplicates(subset=[f"{id_col}_a", f"{id_col}_b"])
+        sa = j["simhash_a"].to_numpy().astype(np.int64).view(np.uint64)
+        sb = j["simhash_b"].to_numpy().astype(np.int64).view(np.uint64)
+        xor = np.bitwise_xor(sa, sb)
+        pop = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = pop <= max_hamming
+        # emit only from the pair's LOWEST matching block: recompute the
+        # four block matches from the xor and compare against this row's
+        # own block index (blockkey high bits = blk + 1)
+        own_blk = (
+            j["blockkey"].to_numpy().astype(np.int64).view(np.uint64) >> np.uint64(16)
+        ) - np.uint64(1)
+        lowest = np.full(len(j), 4, dtype=np.uint64)
+        for blk in range(3, -1, -1):
+            m16 = (xor >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
+            lowest = np.where(m16 == 0, np.uint64(blk), lowest)
+        keep &= own_blk == lowest
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    j[f"{id_col}_a"].to_numpy()[keep].astype(np.int64)
+                ),
+                "id_b": pa.array(
+                    j[f"{id_col}_b"].to_numpy()[keep].astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        postings.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(emit_verified, batch_format="pandas")
+    )
+
+
 def simhash_neardup(
     ds,
     text_col: str,
@@ -1248,44 +1321,31 @@ def simhash_neardup(
         import pyarrow.compute as pc
 
         ids = batch.column(id_col)
+        sim = batch.column("simhash")
         # posting key: block INDEX in the high bits so the same 16-bit
-        # value in a different block position never collides
+        # value in a different block position never collides; the 8-byte
+        # simhash rides along as the verify payload (no join needed)
         tables = []
         for blk in range(4):
             key = pc.add(
                 batch.column(f"simblock_{blk}").cast(pa.int64()),
                 pa.scalar((blk + 1) << 16, pa.int64()),
             )
-            tables.append(pa.table({id_col: ids, "blockkey": key}))
+            tables.append(
+                pa.table({id_col: ids, "blockkey": key, "simhash": sim})
+            )
         return pa.concat_tables(tables)
 
     postings = sims.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
-    # exactly 4 block postings per document
-    pairs, n_pairs = _compact_nonempty(
-        _all_pairs_from_postings(
-            postings, id_col, "blockkey",
-            n_rows=corpus_rows * 4 if corpus_rows else None,
-        )
-    )
-    if not n_pairs:
-        return _empty_ids(id_col)
-
-    payload = sims.map_batches(
-        lambda b: b.select([id_col, "simhash"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    attached = _attach_pair_payload(
-        pairs, payload, id_col, "simhash",
-        size_hint=max(2 * n_pairs, corpus_rows or 0), n_pairs=n_pairs,
-    )
-
-    def verify(a, b, payload, cache):
-        x = (payload[a] ^ payload[b]) & 0xFFFFFFFFFFFFFFFF
-        return bin(x).count("1") <= max_hamming
-
+    # exactly 4 block postings per document; pairs come out hamming-verified
+    n_postings = corpus_rows * 4 if corpus_rows else None
+    if n_postings is None:
+        postings, n_postings = _compact_nonempty(postings)
+        if postings is None:
+            return _empty_ids(id_col)
     return drop_from_pairs(
-        _verify_pairs_grouped(attached, "simhash", verify, n_pairs=n_pairs), id_col
+        _simhash_verified_pairs(postings, id_col, max_hamming, n_postings),
+        id_col,
     )
 
 

@@ -149,9 +149,11 @@ EXTRACTORS: dict[str, ExtractorFn] = {
 # the analog of registry.set_preference, registry.py:119-132). Every
 # text-like member of the MIME universe routes to text_passthrough so the
 # long tail of a real corpus (csv/rst/org/tex/json...) degrades to readable
-# text instead of error rows; the OOXML office trio routes to the zip+XML
-# extractors (the reference's MarkItDown office coverage,
-# markitdown_provider/provider.py:79-114); remaining binary families stay
+# text instead of error rows; the OOXML trio, the legacy OLE2 trio
+# (.doc/.xls/.ppt), ODT, RTF and EPUB route to the stdlib extractors
+# (the reference's full MarkItDown document coverage,
+# markitdown_provider/provider.py:35-60); remaining binary families
+# (images/audio/video — the reference's OCR tier, env-gated here) stay
 # unmapped -> per-row error.
 DEFAULT_PREFERENCES: dict[str, str] = {
     HTML_MIME: "html_extract",

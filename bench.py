@@ -292,6 +292,17 @@ SF1_QUERIES = [
     "semdedup_survivors",
     "ngram_novelty_docs",
     "curation_pipeline_v2",
+    # LLM-pipeline family at 10x (map-heavy / sketch / shuffle mixes)
+    "gopher_quality_flags",
+    "c4_line_filter",
+    "lm_quality_scores",
+    "ccnet_perplexity_tiers",
+    "dsir_importance",
+    "decontaminate_docs",
+    "epoch_shuffle",
+    "pack_sequences",
+    "knn_ivf_top5",
+    "chunk_by_bpe_tokens",
 ]
 
 

@@ -303,14 +303,28 @@ SF1_QUERIES = [
     "pack_sequences",
     "knn_ivf_top5",
     "chunk_by_bpe_tokens",
+    # events/window family at 10x (1M events: sort-heavy windows,
+    # sessionize, as-of join in its distributed co-partition regime)
+    "events_window_counts",
+    "events_hopping_counts",
+    "events_window_distinct_users",
+    "events_hopping_distinct_users",
+    "events_sessionize",
+    "events_user_seq",
+    "events_rolling_value",
+    "events_ntile",
+    "events_props_k_counts",
+    "events_last_order_asof",
+    "clickers_no_purchase",
 ]
 
 
 def prepare_sf1() -> str:
     """Materialize the sf1 tier: 10 deterministic perturbed copies of the
-    sf0.1 documents/embeddings tables (50k docs / 20k vectors), written as
-    one shard per copy under ``<table>.parquet/`` directories so the
-    queries' ``{sf_dir}/<table>.parquet`` paths resolve unchanged.
+    sf0.1 documents/embeddings/events/orders tables (50k docs / 20k
+    vectors / 1M events / 1.5M orders), written as one shard per copy
+    under ``<table>.parquet/`` directories so the queries'
+    ``{sf_dir}/<table>.parquet`` paths resolve unchanged.
 
     Perturbation preserves the duplicate structure: copy 0 is byte-identical
     to the base; copy k>0 appends a suffix keyed on (k, crc32(text)) so
@@ -324,7 +338,10 @@ def prepare_sf1() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    done_marker = os.path.join(SF1_DIR, "_DONE")
+    # v2: + events (1M rows, ids/users shifted per copy so sessions and
+    # join keys stay within-copy) and orders (for the as-of join's
+    # distributed regime). Bumping the marker regenerates stale tiers.
+    done_marker = os.path.join(SF1_DIR, "_DONE_v2")
     if os.path.exists(done_marker):
         return SF1_DIR
     shutil.rmtree(SF1_DIR, ignore_errors=True)
@@ -377,6 +394,42 @@ def prepare_sf1() -> str:
             }
         )
         pq.write_table(tbl, os.path.join(out_emb, f"part-{k:02d}.parquet"))
+
+    events = pq.read_table(os.path.join(base, "events.parquet"))
+    out_events = os.path.join(SF1_DIR, "events.parquet")
+    os.makedirs(out_events, exist_ok=True)
+    ev_ids = events.column("event_id").to_numpy(zero_copy_only=False)
+    ev_users = events.column("user_id").to_numpy(zero_copy_only=False)
+    for k in range(SF1_COPIES):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ev_ids + k * 10_000_000, pa.int64()),
+                "ts": events.column("ts"),
+                "user_id": pa.array(ev_users + k * 10_000_000, pa.int64()),
+                "event_type": events.column("event_type"),
+                "value": events.column("value"),
+                "props": events.column("props"),
+            }
+        )
+        pq.write_table(tbl, os.path.join(out_events, f"part-{k:02d}.parquet"))
+
+    orders = pq.read_table(os.path.join(base, "orders.parquet"))
+    out_orders = os.path.join(SF1_DIR, "orders.parquet")
+    os.makedirs(out_orders, exist_ok=True)
+    o_keys = orders.column("o_orderkey").to_numpy(zero_copy_only=False)
+    o_cust = orders.column("o_custkey").to_numpy(zero_copy_only=False)
+    for k in range(SF1_COPIES):
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array(o_keys + k * 100_000_000, pa.int64()),
+                "o_custkey": pa.array(o_cust + k * 10_000_000, pa.int64()),
+                "o_orderstatus": orders.column("o_orderstatus"),
+                "o_totalprice": orders.column("o_totalprice"),
+                "o_orderdate": orders.column("o_orderdate"),
+                "o_orderpriority": orders.column("o_orderpriority"),
+            }
+        )
+        pq.write_table(tbl, os.path.join(out_orders, f"part-{k:02d}.parquet"))
 
     with open(done_marker, "w") as f:
         f.write("ok")
@@ -439,7 +492,7 @@ def run_sf1() -> None:
                 "value": round(sum(results.values()), 3),
                 "unit": "sec",
                 "queries": results,
-                "sf": "sf1 (10x sf0.1: 50k docs, 20k vectors)",
+                "sf": "sf1 (10x sf0.1: 50k docs, 20k vectors, 1M events)",
                 "num_cpus": NUM_CPUS,
                 "repeats": REPEATS,
             },

@@ -231,17 +231,17 @@ def _q_events_last_order_asof(sf_dir: str):
     kernel per partition — result-identical, pinned by an equality test
     that forces the distributed regime)."""
     import ray.data
-    from ray.data.aggregate import Max
 
     from docler_ray.stages.joins import broadcast_asof_join, copartition_asof_join
+    from docler_ray.stages.stats import grouped_max_coarse
 
-    reduced = (
+    reduced = grouped_max_coarse(
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey", "o_orderdate", "o_orderkey"],
-        )
-        .groupby(["o_custkey", "o_orderdate"])
-        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+        ),
+        key_cols=["o_custkey", "o_orderdate"],
+        value_col="o_orderkey",
     ).materialize()
     n_right = reduced.count()
 

@@ -16,11 +16,20 @@ Scale shape — the min-owner trick avoids re-joining the gram table:
 
 1. per-document distinct-gram counts are LOCAL to the document, so
    ``n_grams`` comes from a zero-shuffle map pass over the corpus.
-2. the (gram, doc_id) pairs flat-map out ONCE into a gram-keyed groupby
-   computing df = COUNT and owner = MIN(doc_id) in one exchange. A gram
+2. the (gram, doc_id) pairs flat-map out ONCE into a coarse-keyed
+   exchange computing df = COUNT and owner = MIN(doc_id) per gram. A gram
    with df == 1 belongs to exactly one document — its owner — so "unique
    grams per doc" needs NO join back to the gram table: filter df == 1,
-   groupby(owner) -> (doc_id, n_unique).
+   groupby(owner) -> (doc_id, n_unique). The exchange key is
+   ``coarse = crc32(gram) % P`` (ONE int64), not the gram string: Ray's
+   sort-based groupby re-materializes the first sort column per partition
+   boundary (`find_partition_index`'s ``to_numpy()[left:right]``), which
+   on a corpus-sized STRING column costs O(boundaries x rows) Python
+   object conversions — the round-5 sf1 distinct-window audit measured
+   ~3.3 s per 28k-row block on a string-first key. Every occurrence of a
+   gram shares its coarse bucket, so the in-bucket Arrow ``group_by`` over
+   the true gram strings computes GLOBAL df/owner — exactness does not
+   rest on hash collision-freedom, the string rides as payload.
 3. one narrow left join (2-int rows on both sides) gives
    n_shared = n_grams - n_unique.
 
@@ -47,9 +56,19 @@ def ngram_novelty(
     ngram: int = 3,
 ):
     """documents -> (doc_id, n_grams, n_shared) with exact integer counts."""
-    from ray.data.aggregate import Count, Min
+    import zlib
+
+    from ray.data.aggregate import Count
 
     from docler_ray.stages.dedup import _compact_nonempty, _num_partitions
+
+    try:
+        n_corpus = ds.count()
+    except Exception:  # pragma: no cover - count unavailable pre-exec
+        n_corpus = None
+    # ~64 documents' distinct grams per bucket: bounded in-group tables at
+    # any corpus size, enough buckets to keep every core busy
+    n_buckets = max(64, (n_corpus or 0) // 64)
 
     def count_local(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -66,14 +85,19 @@ def ngram_novelty(
         texts = batch.column(text_col).to_pylist()
         out_doc: list[int] = []
         out_gram: list[str] = []
+        out_coarse: list[int] = []
         for i, t in zip(ids, texts):
             grams = set(_ngrams(t or "", ngram))
             out_doc.extend([int(i)] * len(grams))
             out_gram.extend(grams)
+            out_coarse.extend(
+                zlib.crc32(g.encode("utf-8")) % n_buckets for g in grams
+            )
         return pa.table(
             {
                 "gram": pa.array(out_gram, pa.string()),
                 "doc": pa.array(out_doc, pa.int64()),
+                "coarse": pa.array(out_coarse, pa.int64()),
             }
         )
 
@@ -84,22 +108,24 @@ def ngram_novelty(
         emit_pairs, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    # one gram-keyed exchange: df + owning doc for the df==1 case
-    df_owner = pairs.groupby("gram").aggregate(
-        Count(alias_name="df"), Min("doc", alias_name="owner")
-    )
-
-    def keep_df1(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch.column("df"), 1))
-        # name the owner column "doc" HERE so the join side needs no
-        # rename_columns (a rename fetches the schema, which executes the
-        # whole upstream gram exchange a second time — measured 2x cost)
-        return pa.table({"doc": t.column("owner")})
+    # one coarse-keyed exchange; in-bucket Arrow group_by over the true
+    # gram strings is GLOBAL per gram (all of a gram's occurrences share
+    # the bucket): df + owning doc, emit the df==1 owners only. The column
+    # is named "doc" HERE so the join side needs no rename_columns (a
+    # rename fetches the schema, which executes the whole upstream gram
+    # exchange a second time — measured 2x cost).
+    def bucket_df1_owners(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["gram", "doc"])
+            .group_by("gram")
+            .aggregate([("doc", "count"), ("doc", "min")])
+        )
+        t = g.filter(pc.equal(g.column("doc_count"), 1))
+        return pa.table({"doc": pc.cast(t.column("doc_min"), pa.int64())})
 
     uniques = (
-        df_owner.map_batches(
-            keep_df1, batch_format="pyarrow", zero_copy_batch=True
-        )
+        pairs.groupby("coarse")
+        .map_groups(bucket_df1_owners, batch_format="pyarrow")
         .groupby("doc")
         .aggregate(Count(alias_name="n_unique"))
     )

@@ -531,6 +531,49 @@ def test_grouped_comoments_exact(ray_session):
         assert abs(row["cov_val"] - np_cov) < 1e-4
 
 
+def test_grouped_max_coarse_exact(ray_session, monkeypatch):
+    """Composite-key MAX through the single-int64 coarse exchange equals
+    pandas groupby max exactly, is block-split invariant, and stays exact
+    when every key is forced into ONE bucket (collision soundness: the
+    bucket only co-locates, the in-bucket group_by keys on true values)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages import stats
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 50, 4000),
+            "k2": pd.to_datetime(
+                rng.integers(0, 10, 4000), unit="D", origin="2024-01-01"
+            ),
+            "v": rng.integers(0, 10**9, 4000),
+        }
+    )
+    expect = (
+        df.groupby(["k1", "k2"], sort=True)["v"]
+        .max()
+        .reset_index()
+        .rename(columns={"v": "vmax"})
+    )
+
+    def run(nblocks, n_rows=None):
+        ds = ray.data.from_pandas(df.rename(columns={"v": "vmax"})).repartition(
+            nblocks
+        )
+        out = stats.grouped_max_coarse(
+            ds, key_cols=["k1", "k2"], value_col="vmax", n_rows=n_rows
+        ).to_pandas()
+        return out.sort_values(["k1", "k2"]).reset_index(drop=True)
+
+    for out in (run(2), run(16), run(16, n_rows=1)):  # n_rows=1 -> 64 buckets
+        pd.testing.assert_frame_equal(
+            out[["k1", "k2", "vmax"]], expect, check_dtype=False
+        )
+
+
 def test_grouped_mode_tiebreak(ray_session):
     """MODE per group: most frequent value wins; count ties break to the
     SMALLEST value; invariant to block split."""

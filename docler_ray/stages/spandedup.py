@@ -124,11 +124,28 @@ def paragraph_dedup(
 def _keep_first_unit_dedup(
     ds, *, text_col, id_col, units_of, joiner, n_col, keep_cols=()
 ):
-    from ray.data.aggregate import Min
+    import zlib
+
+    try:
+        n_corpus = ds.count()
+    except Exception:  # pragma: no cover - count unavailable pre-exec
+        n_corpus = None
+    # Both exchanges run on ONE int64 coarse key (round-5 sf1 audit):
+    # - the winners exchange hashed the span STRING before, paying Ray's
+    #   per-boundary string-column rematerialization (find_partition_index)
+    #   on the corpus-span-sized sort; coarse = crc32(span) % P co-locates
+    #   every occurrence of a span, so the in-bucket Arrow min is global.
+    # - the reassembly grouped per doc_id before — 1 Python kernel call +
+    #   1 one-row Table per DOCUMENT; bucketing ~64 docs per group keeps
+    #   the same co-location guarantee (bucket is a function of doc_id
+    #   alone) with 64x fewer group dispatches and a vectorized pandas
+    #   assemble inside.
+    n_buckets = max(64, (n_corpus or 0) // 64)
 
     def emit_spans(batch: pa.Table) -> pa.Table:
         spans: list[str] = []
         poss: list[int] = []
+        coarse: list[int] = []
         for doc_id, text in zip(
             batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
         ):
@@ -142,23 +159,34 @@ def _keep_first_unit_dedup(
             for i, sp in enumerate(s):
                 spans.append(sp)
                 poss.append(base + i)
+                coarse.append(zlib.crc32(sp.encode("utf-8")) % n_buckets)
         return pa.table(
             {
                 "span": pa.array(spans, pa.string()),
                 "pos": pa.array(poss, pa.int64()),
+                "coarse": pa.array(coarse, pa.int64()),
             }
         )
+
+    def _doc_coarse(ids: np.ndarray) -> np.ndarray:
+        return (
+            (ids.astype(np.uint64) * np.uint64(1000003)) % np.uint64(n_buckets)
+        ).astype(np.int64)
 
     def doc_counts(batch: pa.Table) -> pa.Table:
         ns = [
             len(units_of(t)) for t in batch.column(text_col).to_pylist()
         ]
         n = len(ns)
+        ids = batch.column(id_col).cast(pa.int64())
         cols = {
-            id_col: batch.column(id_col).cast(pa.int64()),
+            id_col: ids,
             "idx": pa.nulls(n, pa.int64()),
             "span": pa.nulls(n, pa.string()),
             n_col: pa.array(ns, pa.int64()),
+            "dcoarse": pa.array(
+                _doc_coarse(ids.to_numpy(zero_copy_only=False)), pa.int64()
+            ),
         }
         for c in keep_cols:  # ride the per-doc count row
             cols[c] = batch.column(c)
@@ -167,15 +195,30 @@ def _keep_first_unit_dedup(
     spans = ds.map_batches(
         emit_spans, batch_format="pyarrow", zero_copy_batch=True
     )
-    winners = spans.groupby("span").aggregate(Min("pos", alias_name="pos"))
+
+    def bucket_winners(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["span", "pos"])
+            .group_by("span")
+            .aggregate([("pos", "min")])
+        )
+        return pa.table(
+            {"span": g.column("span"), "pos": g.column("pos_min")}
+        )
+
+    winners = spans.groupby("coarse").map_groups(
+        bucket_winners, batch_format="pyarrow"
+    )
 
     def decode_winners(batch: pa.Table) -> pa.Table:
         pos = batch.column("pos").to_numpy(zero_copy_only=False)
+        ids = (pos // _POS_BASE).astype(np.int64)
         cols = {
-            id_col: pa.array(pos // _POS_BASE, pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
             "idx": pa.array(pos % _POS_BASE, pa.int64()),
             "span": batch.column("span").cast(pa.string()),
             n_col: pa.nulls(len(pos), pa.int64()),
+            "dcoarse": pa.array(_doc_coarse(ids), pa.int64()),
         }
         for c in keep_cols:  # null-padded on winner rows
             cols[c] = pa.nulls(len(pos), pa.string())
@@ -188,26 +231,38 @@ def _keep_first_unit_dedup(
         doc_counts, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def assemble(df: pd.DataFrame) -> pa.Table:
-        cnt = df[n_col].dropna()
-        n_units = int(cnt.iloc[0]) if len(cnt) else 0
-        kept_rows = df[df["span"].notna()].sort_values("idx")
+    def assemble_bucket(df: pd.DataFrame) -> pa.Table:
+        count_rows = df[df[n_col].notna()]
+        kept_rows = df[df["span"].notna()].sort_values([id_col, "idx"])
+        agg = (
+            kept_rows.groupby(id_col, sort=False)["span"]
+            .agg(n_kept="size", text_dedup=joiner.join)
+            .reset_index()
+        )
+        out = count_rows[[id_col, n_col, *keep_cols]].merge(
+            agg, on=id_col, how="left"
+        )
         cols = {
-            id_col: pa.array([int(df[id_col].iloc[0])], pa.int64()),
-            n_col: pa.array([n_units], pa.int64()),
-            "n_kept": pa.array([len(kept_rows)], pa.int64()),
+            id_col: pa.array(out[id_col].astype("int64"), pa.int64()),
+            n_col: pa.array(out[n_col].astype("int64"), pa.int64()),
+            "n_kept": pa.array(
+                out["n_kept"].fillna(0).astype("int64"), pa.int64()
+            ),
             "text_dedup": pa.array(
-                [joiner.join(kept_rows["span"].tolist())], pa.string()
+                out["text_dedup"].fillna("").tolist(), pa.string()
             ),
         }
-        if keep_cols:
-            count_row = df[df[n_col].notna()]
-            for c in keep_cols:
-                val = count_row[c].iloc[0] if len(count_row) else None
-                cols[c] = pa.array([val], pa.string())
+        for c in keep_cols:
+            cols[c] = pa.array(
+                [None if pd.isna(v) else str(v) for v in out[c]], pa.string()
+            )
         return pa.table(cols)
 
-    return counts.union(kept).groupby(id_col).map_groups(assemble)
+    return (
+        counts.union(kept)
+        .groupby("dcoarse")
+        .map_groups(assemble_bucket, batch_format="pandas")
+    )
 
 
 def span_dedup_brute(

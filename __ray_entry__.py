@@ -3844,7 +3844,10 @@ def _q_curation_pipeline_v2(sf_dir: str):
     ).select_columns(["doc_id", "lang", "text"])
     cleaned = line_filter(ds, cfg=_line_filter_cfg(), drop_banned_docs=True)
 
-    deduped = paragraph_dedup(cleaned, keep_cols=("lang",))
+    # n_corpus (pre-filter) upper-bounds the survivor count: the coarse
+    # bucket keyspace comes out slightly finer, and the lazy cleaned
+    # chain is never executed just to size it
+    deduped = paragraph_dedup(cleaned, keep_cols=("lang",), n_rows=n_corpus)
 
     def to_text(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -77,12 +77,16 @@ def bigram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_cols: tuple[str, ...] = (),
+    n_rows: int | None = None,
 ):
     """documents -> (doc_id, n_bigrams, nll_milli), exact integers.
 
     ``keep_cols`` pass through unchanged (threaded through the scoring map
     in the broadcast regime and through the doc-list join side in the
-    distributed one — no extra exchange either way)."""
+    distributed one — no extra exchange either way). Pass ``n_rows`` when
+    ``ds`` is a lazy transform chain — the bucket-count probe otherwise
+    executes the chain once more (free only on raw reads, where count()
+    is parquet metadata)."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
@@ -91,10 +95,12 @@ def bigram_lm_scores(
 
     import zlib
 
-    try:
-        n_corpus = ds.count()
-    except Exception:  # pragma: no cover - count unavailable pre-exec
-        n_corpus = None
+    n_corpus = n_rows
+    if n_corpus is None:
+        try:
+            n_corpus = ds.count()
+        except Exception:  # pragma: no cover - count unavailable pre-exec
+            n_corpus = None
     # ~64 documents' gram partials per bucket — the count exchange is keyed
     # on ONE int64 (crc32 of the key string), not the key itself: Ray's
     # sort-based groupby re-materializes a string first-sort-column per
@@ -423,7 +429,11 @@ def perplexity_tiers(
     from docler_ray.stages.packing import _bucket_count
 
     scored = bigram_lm_scores(
-        ds, text_col=text_col, id_col=id_col, keep_cols=(lang_col, *keep_cols)
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        keep_cols=(lang_col, *keep_cols),
+        n_rows=n_rows,
     )
 
     def add_ppl(batch: pa.Table) -> pa.Table:

@@ -54,6 +54,7 @@ def ngram_novelty(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 3,
+    n_rows: int | None = None,
 ):
     """documents -> (doc_id, n_grams, n_shared) with exact integer counts."""
     import zlib
@@ -62,10 +63,13 @@ def ngram_novelty(
 
     from docler_ray.stages.dedup import _compact_nonempty, _num_partitions
 
-    try:
-        n_corpus = ds.count()
-    except Exception:  # pragma: no cover - count unavailable pre-exec
-        n_corpus = None
+    n_corpus = n_rows
+    if n_corpus is None:
+        # free on raw reads (parquet metadata); pass n_rows for lazy chains
+        try:
+            n_corpus = ds.count()
+        except Exception:  # pragma: no cover - count unavailable pre-exec
+            n_corpus = None
     # ~64 documents' distinct grams per bucket: bounded in-group tables at
     # any corpus size, enough buckets to keep every core busy
     n_buckets = max(64, (n_corpus or 0) // 64)

@@ -131,6 +131,7 @@ def _window_distinct(
     *,
     window_secs: int,
     hop_secs: int,
+    n_rows: int | None = None,
 ):
     """Shared COUNT(DISTINCT x) per (group, window) plan for tumbling
     (hop == window) and hopping (window a multiple of hop) windows.
@@ -159,10 +160,13 @@ def _window_distinct(
     if window_secs % hop_secs != 0:
         raise ValueError("window_secs must be a multiple of hop_secs")
     fanout = window_secs // hop_secs
-    try:
-        n_rows = ds.count()
-    except Exception:  # pragma: no cover - count unavailable pre-exec
-        n_rows = None
+    if n_rows is None:
+        # count() is free on raw reads (parquet metadata); pass n_rows
+        # when ds is a lazy transform chain to avoid an extra execution
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover - count unavailable pre-exec
+            n_rows = None
     n_groups = _session_group_count((n_rows * fanout) if n_rows else None)
 
     def partial_distinct(batch: pa.Table) -> pa.Table:
@@ -215,6 +219,7 @@ def tumbling_window_distinct(
     distinct_col: str,
     *,
     window_secs: int = 3600,
+    n_rows: int | None = None,
 ):
     """COUNT(DISTINCT x) per (group, tumbling window) — the shared
     single-int64-key distinct plan with hop == window (no fan-out)."""
@@ -225,6 +230,7 @@ def tumbling_window_distinct(
         distinct_col,
         window_secs=window_secs,
         hop_secs=window_secs,
+        n_rows=n_rows,
     )
 
 
@@ -236,6 +242,7 @@ def hopping_window_distinct(
     *,
     window_secs: int = 7200,
     hop_secs: int = 3600,
+    n_rows: int | None = None,
 ):
     """COUNT(DISTINCT x) per (group, hopping window): each event fans out
     to its window_secs/hop_secs covering windows map-side (bounded
@@ -248,6 +255,7 @@ def hopping_window_distinct(
         distinct_col,
         window_secs=window_secs,
         hop_secs=hop_secs,
+        n_rows=n_rows,
     )
 
 

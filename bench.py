@@ -172,6 +172,7 @@ def bench_once() -> dict:
         timed("events_window_counts", q["events_window_counts"])
         timed("events_sessionize", q["events_sessionize"])
         timed("events_last_order_asof", q["events_last_order_asof"])
+        timed("events_click_attribution", q["events_click_attribution"])
         timed("orders_by_mktsegment", q["orders_by_mktsegment"])
         timed("simhash_fingerprints", q["simhash_fingerprints"])
         timed("doc_keywords", q["doc_keywords"])

@@ -435,6 +435,396 @@ def copartition_asof_join(
     return narrow.groupby("_part").map_groups(asof_partition, batch_format="pyarrow")
 
 
+# --- point-in-interval join (overlapping intervals) -------------------------
+
+# broadcast bound for the interval side: above this many rows the intervals
+# must never land on the driver — the bucketed co-partitioned regime takes
+# over (same constant-cap regime convention as the as-of/semi-join family)
+_INTERVAL_BROADCAST_MAX = 2_000_000
+
+# replication backstop: an interval spanning more buckets than this relative
+# to the chosen bucket width signals a length-skewed interval set — the
+# caller must pass a bucket_width sized for the SHORT intervals instead
+_MAX_REPLICAS_PER_INTERVAL = 4096
+
+
+def _ensure_arrow_schema(ds):
+    """(dataset, Arrow schema) for a Dataset of ANY block format. Arrow-block
+    inputs (the norm: read_parquet / arrow map_batches chains) take the
+    zero-cost path; pandas-block inputs pay one identity conversion map."""
+    s = ds.schema()
+    s = getattr(s, "base_schema", s)
+    if hasattr(s, "field"):
+        return ds, s
+    ds = ds.map_batches(lambda b: b, batch_format="pyarrow", zero_copy_batch=True)
+    s = ds.schema()
+    s = getattr(s, "base_schema", s)
+    return ds, s
+
+
+def _key_int64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """int64 view of a join-key column for exchange hashing only (ints pass
+    through, strings crc32) — NEVER used for exact matching, the true key
+    always rides as payload."""
+    import zlib
+
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.array(
+        [zlib.crc32(str(k).encode("utf-8")) for k in col.to_pylist()],
+        dtype=np.int64,
+    )
+
+
+def _interval_part(by_i: np.ndarray, bucket: np.ndarray, nparts: int) -> np.ndarray:
+    """ONE int64 exchange key from (key-hash, time-bucket) — the coarse-key
+    exchange rule: Ray's sort-based shuffle pays O(boundaries x rows) column
+    rematerialization when the first sort key is a string/timestamp, so the
+    exchange always keys on a single int64 and the kernel matches exactly
+    on the payload columns."""
+    with np.errstate(over="ignore"):
+        h = by_i.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= bucket.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(2654435761)
+    return (h % np.uint64(nparts)).astype(np.int64)
+
+
+def _pair_indices(
+    by_p: np.ndarray,
+    on: np.ndarray,
+    by_i: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    bkt_p: np.ndarray | None = None,
+    bkt_i: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The shared pair-matching kernel (broadcast and co-partitioned regimes
+    use the SAME kernel, so the two are result-identical): a vectorized
+    pandas hash join on the exact key (plus the bucket in the co-partitioned
+    regime, which dedups replicated intervals — a point lives in exactly one
+    bucket, so each (point, interval) pair materializes once), then the
+    half-open range filter lo <= on < hi. Returns (point_idx, interval_idx)
+    index arrays into the two inputs."""
+    pi = pd.DataFrame({"k": by_p, "i": np.arange(len(by_p), dtype=np.int64)})
+    ii = pd.DataFrame({"k": by_i, "j": np.arange(len(by_i), dtype=np.int64)})
+    on_cols = ["k"]
+    if bkt_p is not None:
+        pi["b"] = bkt_p
+        ii["b"] = bkt_i
+        on_cols = ["k", "b"]
+    m = pi.merge(ii, on=on_cols)
+    if not len(m):
+        e = np.array([], dtype=np.int64)
+        return e, e
+    mi = m["i"].to_numpy()
+    mj = m["j"].to_numpy()
+    keep = (lo[mj] <= on[mi]) & (on[mi] < hi[mj])
+    return mi[keep], mj[keep]
+
+
+def broadcast_interval_join(
+    points,
+    intervals: pa.Table,
+    *,
+    by: str,
+    point_on: str,
+    lo_col: str,
+    hi_col: str,
+    value_cols: list[str],
+    right_by: str | None = None,
+):
+    """Point-in-interval join against a small in-memory interval table whose
+    intervals MAY OVERLAP (the shape :func:`broadcast_range_join` explicitly
+    declines). Inner semantics: one output row per (point, interval) pair
+    with equal keys and ``lo <= on < hi`` — a point matching k intervals
+    fans out to k rows. The interval side ships with ``ray.put`` once; each
+    point batch runs the shared vectorized kernel locally — no shuffle."""
+    right_by = right_by or by
+    value_types = {c: intervals.schema.field(c).type for c in value_cols}
+    by_i = intervals.column(right_by).to_numpy(zero_copy_only=False)
+    lo = _ordinal(intervals.column(lo_col).to_numpy(zero_copy_only=False)).astype(
+        np.int64
+    )
+    hi = _ordinal(intervals.column(hi_col).to_numpy(zero_copy_only=False)).astype(
+        np.int64
+    )
+    r_vals = {c: intervals.column(c).to_numpy(zero_copy_only=False) for c in value_cols}
+    right_ref = ray.put((by_i, lo, hi, r_vals))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        if any(c in batch.schema.names for c in value_cols):
+            msg = "value_cols must not collide with point column names"
+            raise ValueError(msg)
+        by_i, lo, hi, r_vals = _get_broadcast(right_ref)
+        by_p = batch.column(by).to_numpy(zero_copy_only=False)
+        on = _ordinal(batch.column(point_on).to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        ip, ij = _pair_indices(by_p, on, by_i, lo, hi)
+        out = batch.take(pa.array(ip))
+        for c in value_cols:
+            out = out.append_column(c, pa.array(r_vals[c][ij], type=value_types[c]))
+        return out
+
+    return points.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def copartition_interval_join(
+    points,
+    intervals,
+    *,
+    by: str,
+    point_on: str,
+    lo_col: str,
+    hi_col: str,
+    value_cols: list[str],
+    right_by: str | None = None,
+    bucket_width: int | None = None,
+    size_hint: int | None = None,
+):
+    """Point-in-interval join of two LARGE Datasets where intervals MAY
+    OVERLAP — the big-big non-equi plan (the reference has no joins at all;
+    this is engine infrastructure for attribution/enrichment over event
+    streams, SURVEY §2.7).
+
+    Plan (the classic bucketed interval join): time quantizes into buckets
+    of width W; each interval replicates map-side to every bucket it covers
+    (W defaults to the intervals' MAX length, probed with one distributed
+    pass, so each interval replicates to <= 2 buckets); each point goes to
+    exactly ONE bucket (``on // W``); both sides exchange on a single int64
+    coarse key ``mix(hash(by), bucket) % nparts`` and one
+    ``groupby(part).map_groups`` runs the shared pair kernel per partition,
+    matching exactly on the payload (by, bucket) columns — coarse-key
+    collisions never affect the result. Pairs dedup by construction: a
+    point lives in one bucket, and a replica appears once per bucket.
+
+    Partitioning assumption (stated per the custom-operator rule): interval
+    LENGTH is bounded — with the default W = max length, per-bucket row
+    counts stay near the key x time density of the inputs. A length-skewed
+    interval set (one year-long interval among minutes-long ones) needs an
+    explicit ``bucket_width`` sized for the short intervals; long intervals
+    then replicate more (capped at ``_MAX_REPLICAS_PER_INTERVAL``), keeping
+    buckets bounded. Passing ``bucket_width`` also keeps the interval side
+    single-pass streaming (the default probes it, which materializes it).
+
+    Output: one row per matching pair — every point column plus
+    ``value_cols`` from the interval side. ``size_hint`` should be the
+    larger side's row count when known.
+    """
+    from docler_ray.stages.dedup import _num_partitions
+
+    right_by = right_by or by
+    nparts = _num_partitions(size_hint)
+    points, pschema = _ensure_arrow_schema(points)
+    intervals, ischema = _ensure_arrow_schema(intervals)
+    point_names = list(pschema.names)
+    point_types = {n: pschema.field(n).type for n in point_names}
+    value_types = {c: ischema.field(c).type for c in value_cols}
+    if any(c in point_names for c in value_cols):
+        msg = "value_cols must not collide with point column names"
+        raise ValueError(msg)
+    key_type = point_types[by]
+    out_names = [*point_names, *value_cols]
+    out_types = {**point_types, **value_types}
+
+    if bucket_width is None:
+        intervals = intervals.materialize()  # probed AND exchanged: one compute
+        max_len = 0
+        probe = intervals.map_batches(
+            lambda b: pa.table(
+                {
+                    "m": pa.array(
+                        [
+                            int(
+                                np.max(
+                                    _ordinal(
+                                        b.column(hi_col).to_numpy(
+                                            zero_copy_only=False
+                                        )
+                                    )
+                                    - _ordinal(
+                                        b.column(lo_col).to_numpy(
+                                            zero_copy_only=False
+                                        )
+                                    ),
+                                    initial=0,
+                                )
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        for b in probe.iter_batches(batch_size=256, batch_format="pyarrow"):
+            col = b.column("m").to_numpy(zero_copy_only=False)
+            if len(col):
+                max_len = max(max_len, int(col.max()))
+        bucket_width = max(1, max_len)
+    w = int(bucket_width)
+
+    def to_narrow_points(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        on = _ordinal(batch.column(point_on).to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        bkt = on // w
+        cols: dict = {
+            "_part": pa.array(_interval_part(_key_int64(batch.column(by)), bkt, nparts)),
+            "_side": pa.array(np.zeros(n, dtype=np.int8)),
+            "_bkt": pa.array(bkt),
+            "_on": pa.array(on),
+            "_lo": pa.array(np.zeros(n, dtype=np.int64)),
+            "_hi": pa.array(np.zeros(n, dtype=np.int64)),
+        }
+        for name in point_names:
+            cols[name] = batch.column(name)
+        for c in value_cols:
+            cols[c] = pa.nulls(n, value_types[c])
+        return pa.table(cols)
+
+    def to_narrow_intervals(batch: pa.Table) -> pa.Table:
+        lo = _ordinal(batch.column(lo_col).to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        hi = _ordinal(batch.column(hi_col).to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        valid = hi > lo  # empty intervals match nothing
+        if not valid.all():
+            batch = batch.filter(pa.array(valid))
+            lo, hi = lo[valid], hi[valid]
+        b0 = lo // w
+        b1 = (hi - 1) // w
+        counts = b1 - b0 + 1
+        if len(counts) and int(counts.max()) > _MAX_REPLICAS_PER_INTERVAL:
+            msg = (
+                f"an interval spans {int(counts.max())} buckets of width "
+                f"{w}; pass a larger bucket_width (length-skewed intervals "
+                "need one sized for the short intervals)"
+            )
+            raise ValueError(msg)
+        total = int(counts.sum()) if len(counts) else 0
+        if total == 0:
+            idx = np.array([], dtype=np.int64)
+            bkt = np.array([], dtype=np.int64)
+        else:
+            idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            offs = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+            bkt = b0[idx] + offs
+        rep = batch.take(pa.array(idx))
+        n = rep.num_rows
+        cols = {
+            "_part": pa.array(
+                _interval_part(_key_int64(rep.column(right_by)), bkt, nparts)
+            ),
+            "_side": pa.array(np.ones(n, dtype=np.int8)),
+            "_bkt": pa.array(bkt),
+            "_on": pa.array(np.zeros(n, dtype=np.int64)),
+            "_lo": pa.array(lo[idx]),
+            "_hi": pa.array(hi[idx]),
+        }
+        for name in point_names:
+            if name == by:
+                cols[name] = rep.column(right_by).cast(key_type)
+            else:
+                cols[name] = pa.nulls(n, point_types[name])
+        for c in value_cols:
+            cols[c] = rep.column(c).cast(value_types[c])
+        return pa.table(cols)
+
+    narrow = points.map_batches(
+        to_narrow_points, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        intervals.map_batches(
+            to_narrow_intervals, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def pairs_partition(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "_side" not in t.schema.names:
+            return pa.table({n: pa.array([], out_types[n]) for n in out_names})
+        lmask = pc.equal(t.column("_side"), pa.scalar(0, pa.int8()))
+        pts = t.filter(lmask)
+        ivs = t.filter(pc.invert(lmask))
+        if pts.num_rows == 0 or ivs.num_rows == 0:
+            return pa.table({n: pa.array([], out_types[n]) for n in out_names})
+        ip, ij = _pair_indices(
+            pts.column(by).to_numpy(zero_copy_only=False),
+            pts.column("_on").to_numpy(zero_copy_only=False),
+            ivs.column(by).to_numpy(zero_copy_only=False),
+            ivs.column("_lo").to_numpy(zero_copy_only=False),
+            ivs.column("_hi").to_numpy(zero_copy_only=False),
+            bkt_p=pts.column("_bkt").to_numpy(zero_copy_only=False),
+            bkt_i=ivs.column("_bkt").to_numpy(zero_copy_only=False),
+        )
+        out = {n: pts.column(n).take(pa.array(ip)) for n in point_names}
+        for c in value_cols:
+            out[c] = ivs.column(c).take(pa.array(ij))
+        return pa.table(out)
+
+    return narrow.groupby("_part").map_groups(pairs_partition, batch_format="pyarrow")
+
+
+def interval_join(
+    points,
+    intervals,
+    *,
+    by: str,
+    point_on: str,
+    lo_col: str,
+    hi_col: str,
+    value_cols: list[str],
+    right_by: str | None = None,
+    bucket_width: int | None = None,
+):
+    """Regime-switching point-in-interval join (overlapping intervals
+    allowed): the interval side's row count is MEASURED
+    (``_compact_nonempty``); a dimension-sized side broadcasts (zero
+    shuffle on the points), a fact-sized one runs the bucketed
+    co-partitioned plan. The two regimes share one matching kernel and are
+    result-identical (pinned by a forced-regime equality test)."""
+    from docler_ray.stages.dedup import _compact_nonempty
+
+    right_by = right_by or by
+    needed = list(dict.fromkeys([right_by, lo_col, hi_col, *value_cols]))
+    iv_ds, n_iv = _compact_nonempty(intervals.select_columns(needed))
+    if iv_ds is None:  # no intervals: inner join is empty
+        return points.limit(0)
+    if n_iv <= _INTERVAL_BROADCAST_MAX:
+        it = pa.concat_tables(
+            iv_ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+        )
+        return broadcast_interval_join(
+            points,
+            it,
+            by=by,
+            point_on=point_on,
+            lo_col=lo_col,
+            hi_col=hi_col,
+            value_cols=value_cols,
+            right_by=right_by,
+        )
+    return copartition_interval_join(
+        points,
+        iv_ds,
+        by=by,
+        point_on=point_on,
+        lo_col=lo_col,
+        hi_col=hi_col,
+        value_cols=value_cols,
+        right_by=right_by,
+        bucket_width=bucket_width,
+        size_hint=n_iv,
+    )
+
+
 # --- bloom-filter semi join -------------------------------------------------
 
 _BLOOM_MIN_BITS = 1 << 20  # 128 KiB floor

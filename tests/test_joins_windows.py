@@ -413,3 +413,224 @@ def test_bloom_semi_join_regime_equality(ray_session, monkeypatch):
         .to_pandas().sort_values("v").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def _brute_interval_pairs(pts: pd.DataFrame, ivs: pd.DataFrame) -> pd.DataFrame:
+    """O(n*m) reference for the point-in-interval join (overlap allowed)."""
+    m = pts.merge(ivs, on="k")
+    m = m[(m["lo"] <= m["on"]) & (m["on"] < m["hi"])]
+    return (
+        m[["k", "on", "pv", "iv"]]
+        .sort_values(["k", "on", "pv", "iv"])
+        .reset_index(drop=True)
+    )
+
+
+def _interval_fixture(seed: int, n_pts: int = 400, n_ivs: int = 120):
+    rng = np.random.default_rng(seed)
+    pts = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n_pts).astype(np.int64),
+            "on": rng.integers(0, 1000, n_pts).astype(np.int64),
+            "pv": np.arange(n_pts, dtype=np.int64),
+        }
+    )
+    lo = rng.integers(-50, 980, n_ivs).astype(np.int64)
+    # heavily OVERLAPPING and length-skewed intervals, some empty (hi==lo)
+    ln = rng.integers(0, 200, n_ivs).astype(np.int64)
+    ivs = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n_ivs).astype(np.int64),
+            "lo": lo,
+            "hi": lo + ln,
+            "iv": np.arange(n_ivs, dtype=np.int64),
+        }
+    )
+    return pts, ivs
+
+
+def test_interval_join_matches_bruteforce_broadcast(ray_session):
+    import ray.data
+
+    from docler_ray.stages.joins import interval_join
+
+    pts, ivs = _interval_fixture(11)
+    out = (
+        interval_join(
+            ray.data.from_pandas(pts).repartition(5),
+            ray.data.from_pandas(ivs).repartition(3),
+            by="k",
+            point_on="on",
+            lo_col="lo",
+            hi_col="hi",
+            value_cols=["iv"],
+        )
+        .to_pandas()[["k", "on", "pv", "iv"]]
+        .sort_values(["k", "on", "pv", "iv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, _brute_interval_pairs(pts, ivs))
+
+
+def test_interval_join_regime_equality(ray_session, monkeypatch):
+    """Forced co-partitioned regime must equal the broadcast fast path —
+    including with a bucket width SMALLER than interval lengths (multi-
+    bucket replication must not duplicate pairs)."""
+    import ray.data
+
+    from docler_ray.stages import joins
+    from docler_ray.stages.joins import interval_join
+
+    pts, ivs = _interval_fixture(23)
+    kwargs = dict(
+        by="k", point_on="on", lo_col="lo", hi_col="hi", value_cols=["iv"]
+    )
+
+    def run(**extra):
+        return (
+            interval_join(
+                ray.data.from_pandas(pts).repartition(5),
+                ray.data.from_pandas(ivs).repartition(3),
+                **kwargs,
+                **extra,
+            )
+            .to_pandas()[["k", "on", "pv", "iv"]]
+            .sort_values(["k", "on", "pv", "iv"])
+            .reset_index(drop=True)
+        )
+
+    fast = run()
+    monkeypatch.setattr(joins, "_INTERVAL_BROADCAST_MAX", 0)
+    for width in (7, 64, 10_000):  # heavy replication / ~2 buckets / 1 bucket
+        dist = run(bucket_width=width)
+        pd.testing.assert_frame_equal(dist, fast)
+    # probed bucket width (max interval length) — materializes the side once
+    dist_probed = run(bucket_width=None)
+    pd.testing.assert_frame_equal(dist_probed, fast)
+    pd.testing.assert_frame_equal(fast, _brute_interval_pairs(pts, ivs))
+
+
+def test_interval_join_boundaries_and_overlap(ray_session):
+    """Half-open semantics (lo inclusive, hi exclusive), fan-out to every
+    overlapping interval, key isolation, empty-interval drop."""
+    import ray.data
+
+    from docler_ray.stages.joins import interval_join
+
+    pts = pd.DataFrame(
+        {
+            "k": np.array([1, 1, 1, 2, 3], dtype=np.int64),
+            "on": np.array([10, 19, 20, 10, 10], dtype=np.int64),
+            "pv": np.arange(5, dtype=np.int64),
+        }
+    )
+    ivs = pd.DataFrame(
+        {
+            "k": np.array([1, 1, 2, 3], dtype=np.int64),
+            "lo": np.array([10, 15, 10, 10], dtype=np.int64),
+            "hi": np.array([20, 25, 11, 10], dtype=np.int64),  # last is empty
+            "iv": np.array([100, 200, 300, 400], dtype=np.int64),
+        }
+    )
+    out = (
+        interval_join(
+            ray.data.from_pandas(pts),
+            ray.data.from_pandas(ivs),
+            by="k",
+            point_on="on",
+            lo_col="lo",
+            hi_col="hi",
+            value_cols=["iv"],
+        )
+        .to_pandas()[["pv", "iv"]]
+        .sort_values(["pv", "iv"])
+        .reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {
+            # pv0 on=10: in [10,20) only; pv1 on=19: in BOTH (overlap fan-out)
+            # pv2 on=20: hi-exclusive of [10,20), inside [15,25)
+            # pv3 k=2 on=10: in [10,11); pv4 k=3: empty interval matches nothing
+            "pv": np.array([0, 1, 1, 2, 3], dtype=np.int64),
+            "iv": np.array([100, 100, 200, 200, 300], dtype=np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(out, expect)
+
+
+def test_interval_join_empty_sides(ray_session):
+    import ray.data
+
+    from docler_ray.stages.joins import interval_join
+
+    pts = pd.DataFrame(
+        {"k": np.array([1], dtype=np.int64), "on": np.array([5], dtype=np.int64)}
+    )
+    empty_ivs = pd.DataFrame(
+        {
+            "k": pd.Series([], dtype=np.int64),
+            "lo": pd.Series([], dtype=np.int64),
+            "hi": pd.Series([], dtype=np.int64),
+            "iv": pd.Series([], dtype=np.int64),
+        }
+    )
+    out = interval_join(
+        ray.data.from_pandas(pts),
+        ray.data.from_pandas(empty_ivs),
+        by="k",
+        point_on="on",
+        lo_col="lo",
+        hi_col="hi",
+        value_cols=["iv"],
+    )
+    assert out.count() == 0
+
+
+def test_interval_join_timestamps_and_string_keys(ray_session, monkeypatch):
+    """Timestamp ordinals and string by-keys through BOTH regimes (string
+    keys exercise the crc32 exchange hash; exactness must come from the
+    payload match, not the hash)."""
+    import ray.data
+
+    from docler_ray.stages import joins
+    from docler_ray.stages.joins import interval_join
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pts = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "ab"],
+            "on": base + np.array([0, 3600, 100, 0], dtype="timedelta64[s]"),
+            "pv": np.arange(4, dtype=np.int64),
+        }
+    )
+    ivs = pd.DataFrame(
+        {
+            "k": ["a", "b", "ab"],
+            "lo": base + np.array([0, 0, 7200], dtype="timedelta64[s]"),
+            "hi": base + np.array([3600, 3600, 9000], dtype="timedelta64[s]"),
+            "iv": np.array([1, 2, 3], dtype=np.int64),
+        }
+    )
+    expect = pd.DataFrame(
+        {"pv": np.array([0, 2], dtype=np.int64), "iv": np.array([1, 2], dtype=np.int64)}
+    )
+
+    def run():
+        return (
+            interval_join(
+                ray.data.from_pandas(pts),
+                ray.data.from_pandas(ivs),
+                by="k",
+                point_on="on",
+                lo_col="lo",
+                hi_col="hi",
+                value_cols=["iv"],
+            )
+            .to_pandas()[["pv", "iv"]]
+            .sort_values(["pv", "iv"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(), expect)
+    monkeypatch.setattr(joins, "_INTERVAL_BROADCAST_MAX", 0)
+    pd.testing.assert_frame_equal(run(), expect)

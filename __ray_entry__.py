@@ -384,6 +384,78 @@ def _q_events_click_attribution(sf_dir: str):
     )
 
 
+def _q_daily_order_event_activity(sf_dir: str):
+    """FULL OUTER join reconciliation — the activity-matrix shape: per-day
+    order counts (orders fact) against per-day event counts (events fact),
+    where the two date domains barely overlap (TPC-H-style 1990s order
+    dates vs recent event timestamps), so the join genuinely produces
+    left-only AND right-only rows and the outer semantics are load-bearing,
+    not decorative.
+
+    Scale plan: each side pre-aggregates to day grain FIRST (map-side
+    pyarrow group_by partials + one int64-epoch-day groupby — the coarse-key
+    rule: never sort-exchange on a raw timestamp), so the join inputs are
+    bounded by day cardinality, not fact size; `full_outer_join` then runs
+    the hash-shuffle plan with Acero coalescing the key columns. The finish
+    map fills the missing side's count with 0 and formats the day string."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import full_outer_join
+
+    def day_partial(col: str, out: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            ts = batch.column(col).to_numpy(zero_copy_only=False)
+            day = ts.astype("datetime64[D]").astype(np.int64)
+            g = pa.table({"day": pa.array(day)}).group_by("day").aggregate(
+                [("day", "count")]
+            )
+            return pa.table(
+                {"day": g.column("day"), out: g.column("day_count")}
+            )
+
+        return fn
+
+    orders = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+        .map_batches(
+            day_partial("o_orderdate", "po"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("day")
+        .aggregate(Sum("po", alias_name="n_orders"))
+    )
+    events = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            day_partial("ts", "pe"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("day")
+        .aggregate(Sum("pe", alias_name="n_events"))
+    )
+
+    joined = full_outer_join(orders, events, on="day", right_on="day")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        day_i = batch.column("day").to_numpy(zero_copy_only=False)
+        day_s = np.datetime_as_string(day_i.astype("datetime64[D]"), unit="D")
+        cols: dict = {"day": pa.array(day_s)}
+        for c in ("n_orders", "n_events"):
+            if c in batch.schema.names:
+                cols[c] = pc.fill_null(batch.column(c).cast(pa.int64()), 0)
+            else:
+                cols[c] = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(cols)
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_lineitem_order_status_counts(sf_dir: str):
     """Big-big co-partitioned hash join (both sides are fact tables, so
     neither broadcasts): lineitem joins orders on orderkey via Ray's
@@ -4884,6 +4956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_unk_rate": _q_vocab_unk_rate,
         "curation_pipeline_v2": _q_curation_pipeline_v2,
         "events_click_attribution": _q_events_click_attribution,
+        "daily_order_event_activity": _q_daily_order_event_activity,
         "epoch_shuffle": _q_epoch_shuffle,
         "chunk_pack_pipeline": _q_chunk_pack_pipeline,
         "regional_revenue": _q_regional_revenue,
@@ -4916,7 +4989,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_overlap_stats": _q_snapshot_overlap_stats,
         "events_hopping_distinct_users": _q_events_hopping_distinct_users,
         "clickers_no_purchase": _q_clickers_no_purchase,
-        "corpus_checksum_by_lang": _q_corpus_checksum_by_lang,
         "semdedup_survivors": _q_semdedup_survivors,
         "pdf_decrypt_aes_extract": _q_pdf_decrypt_aes_extract,
         "doc_legacy_extract": _q_doc_legacy_extract,
@@ -4928,11 +5000,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epub_extract_docs": _q_epub_extract_docs,
         # --- beyond the driver's 50-query sample from here down (all
         # sweep-verified; the content siblings are byte-identical to
-        # golden-pinned rows, and curation_pipeline v1 / kmeans_assign
-        # ceded their slots to events_click_attribution + epub — each is
-        # subsumed by a sampled family sibling: curation_pipeline_v2 runs
-        # the same chain plus filters, kmeans_lloyd_means runs the E-step
-        # inside the full Lloyd loop) ---
+        # golden-pinned rows, and curation_pipeline v1 / kmeans_assign /
+        # corpus_checksum ceded their slots to events_click_attribution +
+        # daily_order_event_activity + epub — each is subsumed by a sampled
+        # family sibling: curation_pipeline_v2 runs the same chain plus
+        # filters, kmeans_lloyd_means runs the E-step inside the full Lloyd
+        # loop, per_lang_counts/length_moments cover the per-lang rollup
+        # shape) ---
+        "corpus_checksum_by_lang": _q_corpus_checksum_by_lang,
         "curation_pipeline": _q_curation_pipeline,
         "kmeans_assign_counts": _q_kmeans_assign_counts,
         "extract_docs_content": _q_extract_docs_content,
@@ -5123,6 +5198,16 @@ def oracle_sql() -> dict[str, str]:
             "AND c.event_type = 'click' AND p.event_type = 'purchase' "
             "AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 24 HOUR "
             "GROUP BY c.event_id"
+        ),
+        "daily_order_event_activity": (
+            "WITH o AS (SELECT strftime(date_trunc('day', o_orderdate), "
+            "'%Y-%m-%d') AS day, count(*) AS n FROM orders GROUP BY 1), "
+            "e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            "count(*) AS n FROM events GROUP BY 1) "
+            "SELECT COALESCE(o.day, e.day) AS day, "
+            "CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders, "
+            "CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events "
+            "FROM o FULL OUTER JOIN e ON o.day = e.day"
         ),
         "doc_keywords": _doc_keywords_sql(),
         "neardup_pairs_exact": _NEARDUP_PAIRS_SQL,

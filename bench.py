@@ -173,6 +173,7 @@ def bench_once() -> dict:
         timed("events_sessionize", q["events_sessionize"])
         timed("events_last_order_asof", q["events_last_order_asof"])
         timed("events_click_attribution", q["events_click_attribution"])
+        timed("daily_order_event_activity", q["daily_order_event_activity"])
         timed("orders_by_mktsegment", q["orders_by_mktsegment"])
         timed("simhash_fingerprints", q["simhash_fingerprints"])
         timed("doc_keywords", q["doc_keywords"])

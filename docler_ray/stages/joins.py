@@ -284,6 +284,51 @@ def copartition_hash_join(
     )
 
 
+def full_outer_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str,
+    size_hint: int | None = None,
+):
+    """FULL OUTER co-partitioned hash join — the reconciliation shape
+    (rows that exist on either side must surface, with the other side's
+    columns null). Same big-big hash-shuffle plan as
+    ``copartition_hash_join``; Acero coalesces the key columns, so the
+    output carries ONE key column named ``on`` (right-only rows fill it
+    from ``right_on``).
+
+    Both inputs are normalized through ``_compact_nonempty`` because the
+    typical outer-join inputs are AGGREGATE outputs, and Ray 2.49's
+    groupby emits schema-less empty blocks that its own join operator then
+    rejects ("no match for key field reference" / KeyError on the right
+    key — probed; see dedup._compact_nonempty's cost budget note). That
+    materialize is bounded by the JOIN INPUT size (post-aggregation key
+    cardinality here), not the corpus. Returns None when BOTH sides are
+    empty; a one-sided empty input degrades to the surviving side with the
+    other side's columns absent (callers coalesce via ``fill_missing``
+    semantics in their finish map).
+    """
+    from docler_ray.stages.dedup import _compact_nonempty, _num_partitions
+
+    lds, ln = _compact_nonempty(left)
+    rds, rn = _compact_nonempty(right)
+    if ln == 0 and rn == 0:
+        return None
+    if rn == 0:
+        return lds
+    if ln == 0:
+        return rds if right_on == on else rds.rename_columns({right_on: on})
+    return lds.join(
+        rds,
+        join_type="full_outer",
+        num_partitions=_num_partitions(size_hint or max(ln, rn)),
+        on=(on,),
+        right_on=(right_on,),
+    )
+
+
 def _part_hash(col: pa.ChunkedArray | pa.Array, nparts: int) -> np.ndarray:
     """Deterministic partition id per key value — the SAME function on both
     sides of the co-partitioned as-of join (the co-location invariant)."""

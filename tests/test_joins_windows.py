@@ -634,3 +634,85 @@ def test_interval_join_timestamps_and_string_keys(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(run(), expect)
     monkeypatch.setattr(joins, "_INTERVAL_BROADCAST_MAX", 0)
     pd.testing.assert_frame_equal(run(), expect)
+
+
+def test_full_outer_join_aggregate_inputs(ray_session):
+    """The canonical use: both sides are groupby outputs (whose empty
+    blocks Ray's own join rejects without compaction), key domains only
+    partially overlap, keys coalesce into ONE output column."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from docler_ray.stages.joins import full_outer_join
+
+    left = (
+        ray.data.from_items([{"k": k} for k in [1, 1, 2, 3, 3, 3]])
+        .groupby("k")
+        .aggregate(Count(alias_name="nl"))
+    )
+    right = (
+        ray.data.from_items([{"rk": k} for k in [2, 2, 4]])
+        .groupby("rk")
+        .aggregate(Count(alias_name="nr"))
+    )
+    out = (
+        full_outer_join(left, right, on="k", right_on="rk")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["k", "nl", "nr"]
+    assert out["k"].tolist() == [1, 2, 3, 4]  # right-only 4 coalesced into k
+    assert out["nl"].fillna(-1).tolist() == [2, 1, 3, -1]
+    assert out["nr"].fillna(-1).tolist() == [-1, 2, -1, 1]
+
+
+def test_full_outer_join_matches_pandas_outer_merge(ray_session):
+    import ray.data
+
+    from docler_ray.stages.joins import full_outer_join
+
+    rng = np.random.default_rng(7)
+    lf = pd.DataFrame(
+        {"k": rng.integers(0, 40, 60).astype(np.int64)}
+    ).drop_duplicates()
+    lf["lv"] = lf["k"] * 10
+    rf = pd.DataFrame(
+        {"k": rng.integers(20, 60, 60).astype(np.int64)}
+    ).drop_duplicates()
+    rf["rv"] = rf["k"] * 100
+    out = (
+        full_outer_join(
+            ray.data.from_pandas(lf), ray.data.from_pandas(rf), on="k", right_on="k"
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expect = lf.merge(rf, on="k", how="outer").sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.astype({"lv": "float64", "rv": "float64"}), expect
+    )
+
+
+def test_full_outer_join_empty_sides(ray_session):
+    import ray.data
+
+    from docler_ray.stages.joins import full_outer_join
+
+    filled = ray.data.from_items([{"k": 1, "v": 5}])
+    empty = ray.data.from_arrow(
+        pa.table({"rk": pa.array([], pa.int64()), "w": pa.array([], pa.int64())})
+    )
+    # right empty -> left survives as-is
+    out = full_outer_join(filled, empty, on="k", right_on="rk").to_pandas()
+    assert out["k"].tolist() == [1] and out["v"].tolist() == [5]
+    # left empty -> right survives with the key renamed to `on`
+    lempty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    rfilled = ray.data.from_items([{"rk": 9, "w": 3}])
+    out = full_outer_join(lempty, rfilled, on="k", right_on="rk").to_pandas()
+    assert out["k"].tolist() == [9] and out["w"].tolist() == [3]
+    # both empty -> None
+    assert full_outer_join(lempty, empty, on="k", right_on="rk") is None

@@ -456,6 +456,92 @@ def _q_daily_order_event_activity(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _lang_token_sets(sf_dir: str, lang: str):
+    """Distinct ws-token stream for one language slice (set_op input):
+    per-batch set union is the only corpus-sized pass; the exchange sees
+    distinct-per-batch values only."""
+    import ray.data
+
+    from docler_ray.functions.tokens import ws_tokens
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def toks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = (
+            batch.filter(pc.equal(batch.column("lang"), lang))
+            .column("text")
+            .to_pylist()
+        )
+        s: set[str] = set()
+        for t in texts:
+            s.update(ws_tokens(t))
+        return pa.table({"tok": pa.array(list(s), pa.string())})
+
+    return ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_shared_tokens_en_de(sf_dir: str):
+    """Distributed INTERSECT — vocabulary overlap between two corpus-sized
+    language slices (the cross-lingual shared-token audit): distinct ws
+    tokens of the en docs ∩ distinct ws tokens of the de docs. Neither
+    vocabulary may broadcast or land on the driver at corpus scale, so the
+    set algebra runs in setops.set_op's single-int64 coarse exchange with
+    in-bucket exact matching. The keyspace hint is doc-count x a distinct-
+    tokens-per-doc estimate; the result is invariant to it."""
+    import ray.data
+
+    from docler_ray.stages.setops import set_op
+
+    n_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
+    return set_op(
+        _lang_token_sets(sf_dir, "en"),
+        _lang_token_sets(sf_dir, "de"),
+        on="tok",
+        op="intersect",
+        n_rows=n_docs * 128,
+    )
+
+
+def _q_en_only_texts(sf_dir: str):
+    """Distributed EXCEPT — content membership diff between two
+    corpus-sized slices: distinct en document texts absent from the de
+    slice (the snapshot/blocklist value-set algebra shape, contrast
+    bloom_anti_join which diffs ID membership against a keyed table).
+    Both operands are full-text value sets, so neither may broadcast;
+    set_op's coarse exchange carries each distinct text once per batch
+    and matches exactly in-bucket. Only the bucket predicate differs from
+    the intersect query (left-only vs both-sides); the token-level EXCEPT
+    is degenerate on this corpus (the synthetic 31-token en vocabulary is
+    entirely shared with de — pinned by the intersect oracle), and set_op
+    anchors its output schema so even an all-empty diff presents the
+    declared column."""
+    import ray.data
+
+    from docler_ray.stages.setops import set_op
+
+    def texts(lang: str):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+        )
+
+        def pick(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            b = batch.filter(pc.equal(batch.column("lang"), lang))
+            return b.select(["text"]).group_by(["text"]).aggregate([])
+
+        return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+    n_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
+    return set_op(
+        texts("en"), texts("de"), on="text", op="except", n_rows=n_docs
+    )
+
+
 def _q_lineitem_order_status_counts(sf_dir: str):
     """Big-big co-partitioned hash join (both sides are fact tables, so
     neither broadcasts): lineitem joins orders on orderkey via Ray's
@@ -4957,6 +5043,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v2": _q_curation_pipeline_v2,
         "events_click_attribution": _q_events_click_attribution,
         "daily_order_event_activity": _q_daily_order_event_activity,
+        "shared_tokens_en_de": _q_shared_tokens_en_de,
+        "en_only_texts": _q_en_only_texts,
         "epoch_shuffle": _q_epoch_shuffle,
         "chunk_pack_pipeline": _q_chunk_pack_pipeline,
         "regional_revenue": _q_regional_revenue,
@@ -4972,8 +5060,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_by_lang": _q_mixture_sample_by_lang,
         "events_ntile": _q_events_ntile,
         "orders_star_revenue": _q_orders_star_revenue,
-        "cm_top_token_counts": _q_cm_top_token_counts,
-        "docs_above_p90_len": _q_docs_above_p90_len,
         "pack_sequences": _q_pack_sequences,
         "gopher_quality_flags": _q_gopher_quality_flags,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
@@ -5001,13 +5087,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- beyond the driver's 50-query sample from here down (all
         # sweep-verified; the content siblings are byte-identical to
         # golden-pinned rows, and curation_pipeline v1 / kmeans_assign /
-        # corpus_checksum ceded their slots to events_click_attribution +
-        # daily_order_event_activity + epub — each is subsumed by a sampled
+        # corpus_checksum / cm_top_token_counts / docs_above_p90_len ceded
+        # their slots to the round-5 join + set-operation queries — each
+        # demoted query is subsumed by a sampled or prior-driver-green
         # family sibling: curation_pipeline_v2 runs the same chain plus
         # filters, kmeans_lloyd_means runs the E-step inside the full Lloyd
-        # loop, per_lang_counts/length_moments cover the per-lang rollup
-        # shape) ---
+        # loop, per_lang_counts covers the per-lang rollup shape, and the
+        # two composes' core operators top_tokens / median_chars_by_lang
+        # are r04 driver-green) ---
         "corpus_checksum_by_lang": _q_corpus_checksum_by_lang,
+        "cm_top_token_counts": _q_cm_top_token_counts,
+        "docs_above_p90_len": _q_docs_above_p90_len,
         "curation_pipeline": _q_curation_pipeline,
         "kmeans_assign_counts": _q_kmeans_assign_counts,
         "extract_docs_content": _q_extract_docs_content,
@@ -5208,6 +5298,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders, "
             "CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events "
             "FROM o FULL OUTER JOIN e ON o.day = e.day"
+        ),
+        "shared_tokens_en_de": (
+            "WITH toks AS (SELECT lang, unnest(" + _WS_TOKS_SQL + ") AS tok "
+            "FROM documents WHERE lang IN ('en', 'de')) "
+            "SELECT tok FROM toks WHERE lang = 'en' "
+            "INTERSECT SELECT tok FROM toks WHERE lang = 'de'"
+        ),
+        "en_only_texts": (
+            "SELECT text FROM documents WHERE lang = 'en' "
+            "EXCEPT SELECT text FROM documents WHERE lang = 'de'"
         ),
         "doc_keywords": _doc_keywords_sql(),
         "neardup_pairs_exact": _NEARDUP_PAIRS_SQL,

@@ -174,6 +174,8 @@ def bench_once() -> dict:
         timed("events_last_order_asof", q["events_last_order_asof"])
         timed("events_click_attribution", q["events_click_attribution"])
         timed("daily_order_event_activity", q["daily_order_event_activity"])
+        timed("shared_tokens_en_de", q["shared_tokens_en_de"])
+        timed("en_only_texts", q["en_only_texts"])
         timed("orders_by_mktsegment", q["orders_by_mktsegment"])
         timed("simhash_fingerprints", q["simhash_fingerprints"])
         timed("doc_keywords", q["doc_keywords"])

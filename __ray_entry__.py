@@ -542,6 +542,42 @@ def _q_en_only_texts(sf_dir: str):
     )
 
 
+def _q_events_type_dow_matrix(sf_dir: str):
+    """PIVOT / crosstab — event_type x day-of-week count matrix (the
+    reporting reshape: one row per type, one declared count column per
+    weekday). The column domain is declared up front (SQL PIVOT IN-list
+    semantics — at corpus scale pivoted columns are output SCHEMA and
+    cannot depend on an undiscovered domain); stats.pivot_counts bincounts
+    each batch's (row, col) matrix vectorized and ships one wide partial
+    row per type per block, so the exchange is dimension-sized. Weekday is
+    integer arithmetic identical on both engines: epoch-day + 4 mod 7 ==
+    DuckDB's Sunday-0 dayofweek (1970-01-01 is Thursday=4, probed)."""
+    import ray.data
+
+    from docler_ray.stages.stats import pivot_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def add_dow(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "dow": pa.array((day + 4) % 7),
+            }
+        )
+
+    return pivot_counts(
+        ds.map_batches(add_dow, batch_format="pyarrow", zero_copy_batch=True),
+        row_col="event_type",
+        col_col="dow",
+        col_values=[0, 1, 2, 3, 4, 5, 6],
+    )
+
+
 def _q_lineitem_order_status_counts(sf_dir: str):
     """Big-big co-partitioned hash join (both sides are fact tables, so
     neither broadcasts): lineitem joins orders on orderkey via Ray's
@@ -5117,6 +5153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_counts": _q_chunk_counts,
         "events_window_counts": _q_events_window_counts,
         "events_hopping_counts": _q_events_hopping_counts,
+        "events_type_dow_matrix": _q_events_type_dow_matrix,
         "price_quantiles_sampled": _q_price_quantiles_sampled,
         "orders_by_mktsegment": _q_orders_by_mktsegment,
         "lineitem_order_status_counts": _q_lineitem_order_status_counts,
@@ -5202,6 +5239,14 @@ def oracle_sql() -> dict[str, str]:
         "events_window_counts": (
             "SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) "
             "AS window_start, COUNT(*) AS n FROM events GROUP BY 1, 2"
+        ),
+        "events_type_dow_matrix": (
+            "SELECT event_type, "
+            + ", ".join(
+                f"COUNT(*) FILTER (WHERE dayofweek(ts) = {d}) AS dow_{d}"
+                for d in range(7)
+            )
+            + " FROM events GROUP BY event_type"
         ),
         "events_hopping_counts": (
             "WITH m AS ("

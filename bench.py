@@ -275,6 +275,7 @@ def bench_once() -> dict:
         timed("events_hopping_distinct_users", q["events_hopping_distinct_users"])
         timed("clickers_no_purchase", q["clickers_no_purchase"])
         timed("corpus_checksum_by_lang", q["corpus_checksum_by_lang"])
+        timed("events_type_dow_matrix", q["events_type_dow_matrix"])
     finally:
         ray.shutdown()
     return results

@@ -550,3 +550,53 @@ def weighted_group_sample(
         return batch.filter(pa.array(buckets < pct))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pivot_counts(ds, *, row_col: str, col_col: str, col_values: list):
+    """PIVOT (crosstab) counts: one output row per ``row_col`` value, one
+    int64 count column per DECLARED ``col_values`` entry (named
+    ``<col_col>_<value>``) — the SQL ``PIVOT ... IN (...)`` shape.
+
+    The column domain must be declared up front, exactly like SQL's
+    IN-list: at corpus scale the pivoted columns are the output SCHEMA,
+    and a schema cannot depend on an undiscovered unbounded domain.
+    Values outside ``col_values`` are dropped (SQL IN-list semantics).
+
+    Scale plan: each batch bincounts its (row, declared-col) matrix —
+    vectorized over ``row_idx * k + col_idx`` — and emits ONE wide partial
+    row per distinct row value, so the exchange ships
+    O(rows x blocks) x k-wide partials, never data rows; a single groupby
+    Sum folds them. Row cardinality bounds the output (dimension-sized:
+    event types, languages, status codes), so no coarse keying is needed —
+    the exchange is already tiny by construction.
+    """
+    from ray.data.aggregate import Sum
+
+    if not col_values:
+        raise ValueError("pivot_counts needs a declared col_values domain")
+    out_names = [f"{col_col}_{v}" for v in col_values]
+    if len(set(out_names)) != len(out_names):
+        raise ValueError("col_values produce duplicate output column names")
+    k = len(col_values)
+    val_index = {v: i for i, v in enumerate(col_values)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([row_col, col_col]).to_pandas()
+        col_idx = df[col_col].map(val_index)
+        keep = col_idx.notna()
+        df = df[keep]
+        col_idx = col_idx[keep].to_numpy(dtype=np.int64)
+        rows, row_idx = np.unique(df[row_col].to_numpy(), return_inverse=True)
+        counts = np.bincount(
+            row_idx * k + col_idx, minlength=len(rows) * k
+        ).reshape(len(rows), k)
+        cols = {row_col: pa.array(rows)}
+        for j, name in enumerate(out_names):
+            cols[name] = pa.array(counts[:, j], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(row_col)
+        .aggregate(*[Sum(n, alias_name=n) for n in out_names])
+    )

@@ -1350,3 +1350,42 @@ def test_knn_sq8_quantization_bounds_and_recall(ray_session):
         a = set(sq5[sq5.query_idx == qi]["vec_id"])
         b = set(ex5[ex5.query_idx == qi]["vec_id"])
         assert len(a & b) >= 4, (qi, a, b)
+
+
+def test_pivot_counts_crosstab(ray_session):
+    """PIVOT/crosstab counts: one row per row-value, one declared count
+    column per col-value (SQL PIVOT IN-list semantics — out-of-domain
+    column values are DROPPED, absent (row, col) cells are 0); invariant
+    to block split; duplicate/empty declared domains rejected."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from docler_ray.stages.stats import pivot_counts
+
+    df = pd.DataFrame(
+        {
+            "t": ["x"] * 4 + ["y"] * 3,
+            "d": [0, 0, 2, 9,   1, 2, 2],  # 9 is outside the declared domain
+        }
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = pivot_counts(
+            ds, row_col="t", col_col="d", col_values=[0, 1, 2]
+        ).to_pandas()
+        return {
+            r["t"]: (r["d_0"], r["d_1"], r["d_2"])
+            for _, r in out.iterrows()
+        }
+
+    expect = {"x": (2, 0, 1), "y": (0, 1, 2)}
+    assert run(1) == expect
+    assert run(5) == expect  # more blocks than rows -> empty-batch partials
+
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(ValueError, match="declared col_values"):
+        pivot_counts(ds, row_col="t", col_col="d", col_values=[])
+    with pytest.raises(ValueError, match="duplicate"):
+        pivot_counts(ds, row_col="t", col_col="d", col_values=[1, 1])

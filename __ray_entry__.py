@@ -578,6 +578,24 @@ def _q_events_type_dow_matrix(sf_dir: str):
     )
 
 
+def _q_events_dow_long(sf_dir: str):
+    """PIVOT -> UNPIVOT round trip: the dow count matrix melted back to
+    long form (event_type, dow, n) including the explicit ZERO cells the
+    plain groupby would never emit — the reshape pair as a composition.
+    The unpivot leg is pure map (zero shuffle); the oracle runs DuckDB's
+    own UNPIVOT over the same PIVOT-shaped CTE."""
+    from docler_ray.stages.stats import unpivot
+
+    wide = _q_events_type_dow_matrix(sf_dir)
+    return unpivot(
+        wide,
+        id_cols=["event_type"],
+        value_cols=[f"dow_{d}" for d in range(7)],
+        var_name="dow",
+        value_name="n",
+    )
+
+
 def _q_lineitem_order_status_counts(sf_dir: str):
     """Big-big co-partitioned hash join (both sides are fact tables, so
     neither broadcasts): lineitem joins orders on orderkey via Ray's
@@ -2511,6 +2529,32 @@ def _q_docs_rollup_counts(sf_dir: str):
     return rollup_counts(with_bucket, ["lang", "len_bucket"])
 
 
+def _q_docs_cube_counts(sf_dir: str):
+    """CUBE counts over (lang, 500-char length bucket) — ROLLUP's power-set
+    sibling: all 4 subset levels (pair, each alone, grand total) in ONE
+    corpus pass via map-side per-level partials + one groupby Sum. The
+    extra level vs ROLLUP is (len_bucket alone) — the cross-margin the
+    prefix family cannot produce."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.stats import cube_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        nc = pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+        bucket = pc.cast(pc.divide(nc, 500), pa.string())
+        return pa.table({"lang": batch.column("lang"), "len_bucket": bucket})
+
+    with_bucket = ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return cube_counts(with_bucket, ["lang", "len_bucket"])
+
+
 def _q_length_token_cov_by_lang(sf_dir: str):
     """Grouped population covariance of (char length, ws-token count) via
     mergeable integer co-moments — grouped_moments' bivariate sibling,
@@ -2546,6 +2590,48 @@ def _q_length_token_cov_by_lang(sf_dir: str):
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["lang", "n_docs", "cov_chars_tokens"])
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_length_token_corr_by_lang(sf_dir: str):
+    """Grouped Pearson correlation of (char length, ws-token count) —
+    grouped_comoments extended with the square sums; r rounds exact
+    integer moments through int->double casts, two IEEE sqrts, one
+    multiply and one divide, the identical expression the HUGEINT oracle
+    evaluates, so the doubles hash-match."""
+    import ray.data
+
+    import pyarrow.compute as pc
+
+    from docler_ray.functions.tokens import count_whitespace_tokens
+    from docler_ray.stages.stats import grouped_pearson
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def add_vals(batch: pa.Table) -> pa.Table:
+        toks = [
+            count_whitespace_tokens(t or "") for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": pc.cast(
+                    pc.utf8_length(batch.column("text")), pa.int64()
+                ),
+                "n_ws_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    with_vals = ds.map_batches(add_vals, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_pearson(
+        with_vals, group_col="lang", x_col="n_chars", y_col="n_ws_tokens"
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["lang", "n_docs", "corr_chars_tokens"])
 
     return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -4803,6 +4889,35 @@ def _q_events_rolling_value(sf_dir: str):
     )
 
 
+def _q_user_interarrival_stats(sf_dir: str):
+    """LAG-diff window fold: per-user inter-arrival gap stats (n_events,
+    n_gaps, sum/max gap in integer microseconds, one-divide avg) over the
+    user's time-ordered event stream — one coarse co-location exchange,
+    vectorized adjacent-diff kernel, single-event users dropped like the
+    oracle's HAVING."""
+    import ray.data
+
+    from docler_ray.stages.windows import per_key_interarrival_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return per_key_interarrival_stats(ds, "user_id", "ts", "event_id")
+
+
+def _q_user_activity_skew(sf_dir: str):
+    """Key-skew profile of events.user_id: per-key row counts folded into
+    floor(log2(n)) buckets — the decide-before-you-shuffle diagnostic. One
+    coarse count exchange, integer-exact log2 via frexp / length(bin(n))-1
+    on the two engines."""
+    import ray.data
+
+    from docler_ray.stages.stats import key_count_log2_histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return key_count_log2_histogram(ds, key_col="user_id")
+
+
 def _q_customers_no_orders(sf_dir: str):
     """EXACT anti join with bloom pass-through certificate: customers with
     no URGENT-priority orders, counted per market segment (the priority
@@ -5092,6 +5207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_ws_docs": _q_normalize_ws_docs,
         "c4_line_filter": _q_c4_line_filter,
         "events_rolling_value": _q_events_rolling_value,
+        "user_interarrival_stats": _q_user_interarrival_stats,
+        "user_activity_skew": _q_user_activity_skew,
         "customers_no_orders": _q_customers_no_orders,
         "mixture_sample_by_lang": _q_mixture_sample_by_lang,
         "events_ntile": _q_events_ntile,
@@ -5105,7 +5222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_new_docs": _q_incremental_dedup_new_docs,
         "docs_global_rank": _q_docs_global_rank,
         "docs_rollup_counts": _q_docs_rollup_counts,
+        "docs_cube_counts": _q_docs_cube_counts,
         "length_token_cov_by_lang": _q_length_token_cov_by_lang,
+        "length_token_corr_by_lang": _q_length_token_corr_by_lang,
         "modal_length_bucket_by_lang": _q_modal_length_bucket_by_lang,
         "type_token_ratio_by_lang": _q_type_token_ratio_by_lang,
         "snapshot_overlap_stats": _q_snapshot_overlap_stats,
@@ -5154,6 +5273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_counts": _q_events_window_counts,
         "events_hopping_counts": _q_events_hopping_counts,
         "events_type_dow_matrix": _q_events_type_dow_matrix,
+        "events_dow_long": _q_events_dow_long,
         "price_quantiles_sampled": _q_price_quantiles_sampled,
         "orders_by_mktsegment": _q_orders_by_mktsegment,
         "lineitem_order_status_counts": _q_lineitem_order_status_counts,
@@ -5247,6 +5367,17 @@ def oracle_sql() -> dict[str, str]:
                 for d in range(7)
             )
             + " FROM events GROUP BY event_type"
+        ),
+        "events_dow_long": (
+            "WITH w AS (SELECT event_type, "
+            + ", ".join(
+                f"COUNT(*) FILTER (WHERE dayofweek(ts) = {d}) AS dow_{d}"
+                for d in range(7)
+            )
+            + " FROM events GROUP BY event_type) "
+            "SELECT event_type, dow, n FROM (UNPIVOT w ON "
+            + ", ".join(f"dow_{d}" for d in range(7))
+            + " INTO NAME dow VALUE n)"
         ),
         "events_hopping_counts": (
             "WITH m AS ("
@@ -5691,6 +5822,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         # C4 line filter: list_filter lambda replay, rewritten text pinned
         "c4_line_filter": _c4_line_filter_sql(),
+        "user_activity_skew": (
+            "WITH c AS (SELECT user_id, COUNT(*) AS n FROM events "
+            "GROUP BY user_id) "
+            "SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket, "
+            "COUNT(*) AS n_keys, SUM(n) AS n_rows FROM c GROUP BY 1"
+        ),
+        "user_interarrival_stats": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS ep, event_id "
+            "FROM events), "
+            "g AS (SELECT user_id, ep - lag(ep) OVER "
+            "(PARTITION BY user_id ORDER BY ep, event_id) AS gap FROM e) "
+            "SELECT user_id, COUNT(*) AS n_events, COUNT(gap) AS n_gaps, "
+            "SUM(gap) AS sum_gap_us, MAX(gap) AS max_gap_us, "
+            "CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE) "
+            "AS avg_gap_us FROM g GROUP BY user_id HAVING COUNT(gap) >= 1"
+        ),
         "events_rolling_value": (
             "WITH c AS (SELECT event_id, user_id, ts, "
             "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events) "
@@ -5879,6 +6026,14 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(len_bucket, '__all__') AS len_bucket, COUNT(*) AS n "
             "FROM d GROUP BY ROLLUP(lang, len_bucket)"
         ),
+        "docs_cube_counts": (
+            "WITH d AS (SELECT lang, "
+            "CAST(length(text)::BIGINT // 500 AS VARCHAR) AS len_bucket "
+            "FROM documents) "
+            "SELECT COALESCE(lang, '__all__') AS lang, "
+            "COALESCE(len_bucket, '__all__') AS len_bucket, COUNT(*) AS n "
+            "FROM d GROUP BY CUBE(lang, len_bucket)"
+        ),
         # integer co-moment sums are exact; cov reduces to the same
         # one-divide IEEE expression the Ray side evaluates
         "length_token_cov_by_lang": (
@@ -5890,6 +6045,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(n AS BIGINT) AS n_docs, "
             "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) "
             "AS cov_chars_tokens FROM s"
+        ),
+        # same integer co-moments plus square sums; r's float path (casts,
+        # two sqrts, multiply, divide) is evaluated in the identical order
+        "length_token_corr_by_lang": (
+            "WITH d AS (SELECT lang, length(text)::BIGINT AS x, "
+            f"array_length({_WS_TOKS_SQL})::BIGINT AS y FROM documents), "
+            "s AS (SELECT lang, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx, "
+            "SUM(y)::HUGEINT AS sy, SUM(x * y)::HUGEINT AS sxy, "
+            "SUM(x * x)::HUGEINT AS sxx, SUM(y * y)::HUGEINT AS syy "
+            "FROM d GROUP BY lang) "
+            "SELECT lang, CAST(n AS BIGINT) AS n_docs, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / NULLIF("
+            "sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
+            "sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) "
+            "AS corr_chars_tokens FROM s"
         ),
         "modal_length_bucket_by_lang": (
             "WITH c AS (SELECT lang, length(text)::BIGINT // 500 AS len_bucket, "

@@ -276,6 +276,11 @@ def bench_once() -> dict:
         timed("clickers_no_purchase", q["clickers_no_purchase"])
         timed("corpus_checksum_by_lang", q["corpus_checksum_by_lang"])
         timed("events_type_dow_matrix", q["events_type_dow_matrix"])
+        timed("events_dow_long", q["events_dow_long"])
+        timed("docs_cube_counts", q["docs_cube_counts"])
+        timed("length_token_corr_by_lang", q["length_token_corr_by_lang"])
+        timed("user_interarrival_stats", q["user_interarrival_stats"])
+        timed("user_activity_skew", q["user_activity_skew"])
     finally:
         ray.shutdown()
     return results

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def grouped_discrete_quantile(
@@ -421,6 +422,167 @@ def grouped_comoments(ds, *, group_col: str, x_col: str, y_col: str):
     return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouped_pearson(ds, *, group_col: str, x_col: str, y_col: str):
+    """Grouped Pearson correlation from mergeable integer co-moments.
+
+    Extends :func:`grouped_comoments` with the two square sums: per batch
+    each group reduces to (n, sx, sy, sxy, sxx, syy) — exact int64
+    partials, order-independent Sum — and
+
+        r = float(n*sxy - sx*sy)
+            / (sqrt(float(n*sxx - sx*sx)) * sqrt(float(n*syy - sy*sy)))
+
+    Every float op (int->double cast, sqrt, multiply, divide) is IEEE
+    correctly-rounded and evaluated in the SAME expression order by the
+    HUGEINT oracle, so the doubles hash-match bit-for-bit. Zero-variance
+    groups get NULL (the oracle's NULLIF twin). Bound (same as
+    grouped_comoments): int64 partials require n * max(x^2) < 2^63 per
+    block — holds for bounded per-doc ints at any corpus size because
+    partials are per-BLOCK; the global combine is exact Python int via
+    per-group Sum of block partials, which overflows only past ~9e18
+    total mass (document the shard-the-sum fallback if a corpus ever
+    crosses it).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {group_col: batch.column(group_col).to_pandas(), "x": x, "y": y}
+        )
+        df["xy"] = df["x"] * df["y"]
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        g = df.groupby(group_col, sort=False).agg(
+            p_n=("x", "size"), p_sx=("x", "sum"), p_sy=("y", "sum"),
+            p_sxy=("xy", "sum"), p_sxx=("xx", "sum"), p_syy=("yy", "sum"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(
+            Sum("p_n", alias_name="n_rows"),
+            Sum("p_sx", alias_name="sx"),
+            Sum("p_sy", alias_name="sy"),
+            Sum("p_sxy", alias_name="sxy"),
+            Sum("p_sxx", alias_name="sxx"),
+            Sum("p_syy", alias_name="syy"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        corr = []
+        for r in rows:
+            n, sx, sy = r["n_rows"], r["sx"], r["sy"]
+            vx = float(n * r["sxx"] - sx * sx)
+            vy = float(n * r["syy"] - sy * sy)
+            den = math.sqrt(vx) * math.sqrt(vy)
+            corr.append(
+                None if den == 0.0 else float(n * r["sxy"] - sx * sy) / den
+            )
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n_rows": batch.column("n_rows"),
+                "corr_val": pa.array(corr, pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def key_count_log2_histogram(ds, *, key_col: str, n_rows: int | None = None):
+    """Key-skew profile: histogram of per-key row counts in floor(log2(n))
+    buckets — (bucket, n_keys, n_rows) — the shuffle-planning diagnostic
+    that tells you whether a key is safe to partition on BEFORE paying the
+    all-to-all (hot keys land in the high buckets).
+
+    Plan (the grouped_max_coarse exchange shape): per-batch Arrow group_by
+    count partials, ONE ``hash(key) % P`` int64 coarse exchange — every
+    partial of a key shares its bucket, so the in-bucket per-key total is
+    global-exact — then each bucket emits its (log2-bucket, n_keys,
+    n_rows) partial rows and a dimension-sized groupby Sum folds them.
+    The log2 bucket is computed integer-exactly via ``np.frexp``
+    (exponent-1 == bit_length-1 for counts < 2^53 — never a float log,
+    whose last-ulp rounding can cross the floor at exact powers of two);
+    the SQL twin is ``length(bin(n)) - 1``, pure integer/string.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    if n_rows is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover - count unavailable pre-exec
+            n_rows = None
+    n_buckets = max(64, (n_rows or 0) // 65536)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key_col]).group_by([key_col]).aggregate(
+            [([], "count_all")]
+        )
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(keys.dtype, np.integer):
+            import zlib
+
+            keys = np.array(
+                [zlib.crc32(str(k).encode("utf-8")) for k in keys], np.uint64
+            )
+        coarse = (
+            (keys.astype(np.uint64) * np.uint64(1000003)) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                key_col: g.column(key_col),
+                "partial_n": pc.cast(g.column("count_all"), pa.int64()),
+                "coarse": pa.array(coarse, pa.int64()),
+            }
+        )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([key_col, "partial_n"])
+            .group_by([key_col])
+            .aggregate([("partial_n", "sum")])
+        )
+        n = g.column("partial_n_sum").to_numpy(zero_copy_only=False)
+        _, exp = np.frexp(n.astype(np.float64))
+        bucket = (exp - 1).astype(np.int64)
+        h = (
+            pa.table({"bucket": pa.array(bucket), "n": pa.array(n)})
+            .group_by(["bucket"])
+            .aggregate([([], "count_all"), ("n", "sum")])
+        )
+        return pa.table(
+            {
+                "bucket": h.column("bucket"),
+                "p_keys": pc.cast(h.column("count_all"), pa.int64()),
+                "p_rows": h.column("n_sum"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("p_keys", alias_name="n_keys"),
+            Sum("p_rows", alias_name="n_rows"),
+        )
+    )
+
+
 def grouped_mode(ds, *, group_col: str, value_col: str):
     """MODE per group (most frequent value; ties break to the SMALLEST
     value, so the result is deterministic and SQL-replayable).
@@ -518,6 +680,96 @@ def rollup_counts(ds, cols: list[str]):
         .groupby(cols)
         .aggregate(Sum("partial_n", alias_name="n"))
     )
+
+
+def cube_counts(ds, cols: list[str]):
+    """CUBE counts (every SUBSET grouping level, 2^k of them) in ONE
+    corpus pass — ROLLUP's power-set sibling, the SQL ``GROUP BY CUBE``.
+
+    Each batch emits its partial counts for all 2^k subset levels with
+    non-grouped columns set to the ``ROLLUP_ALL`` sentinel; one groupby
+    sums partials. The exchange ships O(2^k x groups x blocks) partial
+    rows, never data rows — 2^k is schema-sized, so k is capped at 4
+    (16 levels): a wider cube is a schema-design error, not a data size.
+    The SQL twin is GROUP BY CUBE with the same COALESCE sentinel.
+    """
+    from itertools import combinations
+
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    if not cols:
+        raise ValueError("cube_counts needs at least one column")
+    if len(cols) > 4:
+        raise ValueError("cube_counts caps at 4 columns (16 levels)")
+
+    subsets = [
+        list(s) for k in range(len(cols), -1, -1) for s in combinations(cols, k)
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        levels = []
+        for sub in subsets:
+            if not sub:
+                lvl = pd.DataFrame(
+                    {c: [ROLLUP_ALL] for c in cols} | {"partial_n": [len(df)]}
+                )
+            else:
+                g = df.groupby(sub, sort=False).size().reset_index(name="partial_n")
+                for c in cols:
+                    if c not in sub:
+                        g[c] = ROLLUP_ALL
+                lvl = g[cols + ["partial_n"]]
+            levels.append(lvl)
+        return pa.Table.from_pandas(
+            pd.concat(levels, ignore_index=True), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(cols)
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+
+def unpivot(
+    ds,
+    *,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+):
+    """UNPIVOT / melt — the wide->long reshape inverse of
+    :func:`pivot_counts` (SQL ``UNPIVOT w ON c1, c2 ... INTO NAME var
+    VALUE val``, pandas ``melt``).
+
+    Pure map: each batch emits one stacked slice per value column
+    (id columns zero-copy-referenced, the variable column a constant
+    string per slice), so the op is ZERO-shuffle and streams at any
+    scale — the output is k x input rows but never co-located.
+    Value columns must share one Arrow type (SQL UNPIVOT's rule);
+    mixed types are a schema error, not something to coerce silently.
+    """
+    if not value_cols:
+        raise ValueError("unpivot needs at least one value column")
+
+    def melt(batch: pa.Table) -> pa.Table:
+        types = {str(batch.schema.field(c).type) for c in value_cols}
+        if len(types) > 1:
+            raise ValueError(f"unpivot value columns mix types: {sorted(types)}")
+        n = batch.num_rows
+        parts = []
+        for c in value_cols:
+            cols = {ic: batch.column(ic) for ic in id_cols}
+            cols[var_name] = pa.array([c] * n, pa.string())
+            cols[value_name] = batch.column(c)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def weighted_group_sample(

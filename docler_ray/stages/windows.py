@@ -589,6 +589,88 @@ def per_key_rolling_sum(
     )
 
 
+def per_key_interarrival_stats(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    *,
+    n_rows: int | None = None,
+):
+    """Per-key inter-arrival gap statistics — SQL's
+    ``ep - LAG(ep) OVER (PARTITION BY key ORDER BY ep, id)`` folded to one
+    row per key: (n_events, n_gaps, sum/max gap in integer microseconds,
+    avg = ONE int->double cast pair + divide). Keys with no gap (a single
+    event) are dropped, the oracle's ``HAVING COUNT(gap) >= 1``.
+
+    Plan: the sessionize coarse co-location (one hash(key)%P exchange,
+    keyspace sized from the measured row count), then a fully vectorized
+    in-bucket pass — mergesort by (key, ep, id), adjacent diffs masked to
+    same-key pairs, one pandas groupby agg. Gap values depend only on
+    each key's sorted epoch sequence (ties give gap 0 either order), so
+    the integer outputs are deterministic and the avg's single IEEE
+    divide hash-matches the oracle.
+    """
+    if n_rows is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover - count unavailable pre-exec
+            n_rows = None
+    add_coarse = _make_add_coarse(key_col, _session_group_count(n_rows))
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "sum_gap_us": pd.Series([], dtype="int64"),
+                "max_gap_us": pd.Series([], dtype="int64"),
+                "avg_gap_us": pd.Series([], dtype="float64"),
+            }
+        )
+        if df.empty:
+            return empty
+        ep = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.assign(_ep=ep).sort_values(
+            [key_col, "_ep", id_col], kind="mergesort"
+        )
+        key = df[key_col].to_numpy()
+        ep = df["_ep"].to_numpy()
+        n_events = (
+            pd.Series(1, index=df.index).groupby(key, sort=False).size()
+        )
+        same = key[1:] == key[:-1]
+        if not same.any():
+            return empty
+        gap = (ep[1:] - ep[:-1])[same]
+        gkey = key[1:][same]
+        g = (
+            pd.DataFrame({key_col: gkey, "gap": gap})
+            .groupby(key_col, sort=False)
+            .agg(
+                n_gaps=("gap", "size"),
+                sum_gap_us=("gap", "sum"),
+                max_gap_us=("gap", "max"),
+            )
+        )
+        g["n_events"] = n_events.reindex(g.index).astype(np.int64)
+        g["avg_gap_us"] = g["sum_gap_us"].to_numpy().astype(
+            np.float64
+        ) / g["n_gaps"].to_numpy().astype(np.float64)
+        out = g.reset_index()
+        return out[
+            [key_col, "n_events", "n_gaps", "sum_gap_us", "max_gap_us", "avg_gap_us"]
+        ]
+
+    return (
+        ds.select_columns([id_col, key_col, ts_col])
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(gaps, batch_format="pandas")
+    )
+
+
 def per_key_ntile(
     ds,
     key_col: str,

@@ -1389,3 +1389,173 @@ def test_pivot_counts_crosstab(ray_session):
         pivot_counts(ds, row_col="t", col_col="d", col_values=[])
     with pytest.raises(ValueError, match="duplicate"):
         pivot_counts(ds, row_col="t", col_col="d", col_values=[1, 1])
+
+
+def test_cube_counts_levels(ray_session):
+    """CUBE = all 2^k subset levels: the (b alone) margin ROLLUP cannot
+    produce is present; counts match per level; >4 cols rejected."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from docler_ray.stages.stats import ROLLUP_ALL, cube_counts
+
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y"], "b": ["1", "2", "1"]}
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = cube_counts(ds, ["a", "b"]).to_pandas()
+    got = {(r["a"], r["b"]): r["n"] for _, r in out.iterrows()}
+    S = ROLLUP_ALL
+    assert got == {
+        ("x", "1"): 1, ("x", "2"): 1, ("y", "1"): 1,
+        ("x", S): 2, ("y", S): 1,
+        (S, "1"): 2, (S, "2"): 1,   # the CUBE-only margin
+        (S, S): 3,
+    }
+    with pytest.raises(ValueError, match="caps at 4"):
+        cube_counts(ds, ["a", "b", "a", "b", "a"])
+
+
+def test_unpivot_melt(ray_session):
+    """UNPIVOT: wide->long map-only reshape; id columns repeat per value
+    column, variable names are the source column names; mixed value types
+    rejected."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from docler_ray.stages.stats import unpivot
+
+    df = pd.DataFrame({"k": ["a", "b"], "m1": [1, 2], "m2": [3, 4]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = unpivot(
+        ds, id_cols=["k"], value_cols=["m1", "m2"], var_name="m", value_name="v"
+    ).to_pandas()
+    got = {(r["k"], r["m"]): r["v"] for _, r in out.iterrows()}
+    assert got == {("a", "m1"): 1, ("b", "m1"): 2, ("a", "m2"): 3, ("b", "m2"): 4}
+
+    mixed = ray.data.from_pandas(
+        pd.DataFrame({"k": ["a"], "m1": [1], "m2": ["s"]})
+    )
+    with pytest.raises(Exception, match="mix types"):
+        unpivot(mixed, id_cols=["k"], value_cols=["m1", "m2"]).take_all()
+
+
+def test_grouped_pearson(ray_session):
+    """Pearson r is BIT-identical to the declared IEEE expression (and so
+    to the HUGEINT oracle): float(n*sxy-sx*sy) / (sqrt(..)*sqrt(..)).
+    Note r for an exactly-linear group is NOT literal 1.0 — sqrt(6)*
+    sqrt(24) != 12.0 in IEEE — which is exactly why the oracle must
+    evaluate the same expression. Zero-variance group gives NULL; DuckDB
+    cross-checked in-test."""
+    import math
+
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_pearson
+
+    df = pd.DataFrame(
+        {
+            "g": ["up"] * 3 + ["down"] * 3 + ["flat"] * 3,
+            "x": [1, 2, 3, 1, 2, 3, 1, 2, 3],
+            "y": [2, 4, 6, 6, 4, 2, 5, 5, 5],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = grouped_pearson(ds, group_col="g", x_col="x", y_col="y").to_pandas()
+    got = {r["g"]: r["corr_val"] for _, r in out.iterrows()}
+
+    def expect(xs, ys):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+        return float(n * sxy - sx * sy) / (
+            math.sqrt(float(n * sxx - sx * sx))
+            * math.sqrt(float(n * syy - sy * sy))
+        )
+
+    assert got["up"] == expect([1, 2, 3], [2, 4, 6])
+    assert got["down"] == expect([1, 2, 3], [6, 4, 2])
+    assert pd.isna(got["flat"])
+
+    sql = duckdb.sql(
+        "WITH s AS (SELECT g, COUNT(*)::HUGEINT n, SUM(x)::HUGEINT sx, "
+        "SUM(y)::HUGEINT sy, SUM(x*y)::HUGEINT sxy, SUM(x*x)::HUGEINT sxx, "
+        "SUM(y*y)::HUGEINT syy FROM df GROUP BY g) "
+        "SELECT g, CAST(n*sxy - sx*sy AS DOUBLE) / NULLIF("
+        "sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+        "sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0) r FROM s"
+    ).fetchall()
+    for g, r in sql:
+        assert (pd.isna(got[g]) and r is None) or got[g] == r
+
+
+def test_per_key_interarrival(ray_session):
+    """LAG-diff fold: gaps in integer us per key over (ts, id) order;
+    single-event keys dropped; split-invariant."""
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.windows import per_key_interarrival_stats
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [7, 7, 7, 9, 8],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 00:00:00",
+                    "2026-01-01 00:00:01",
+                    "2026-01-01 00:00:04",
+                    "2026-01-01 05:00:00",
+                    "2026-01-02 00:00:00",
+                ]
+            ),
+        }
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = per_key_interarrival_stats(
+            ds, "user_id", "ts", "event_id"
+        ).to_pandas()
+        return {
+            int(r["user_id"]): (
+                int(r["n_events"]), int(r["n_gaps"]),
+                int(r["sum_gap_us"]), int(r["max_gap_us"]), r["avg_gap_us"],
+            )
+            for _, r in out.iterrows()
+        }
+
+    expect = {7: (3, 2, 4_000_000, 3_000_000, 2_000_000.0)}
+    assert run(1) == expect  # users 8 and 9 have one event each -> dropped
+    assert run(5) == expect
+
+
+def test_key_count_log2_histogram(ray_session):
+    """Skew profile: per-key counts -> floor(log2(n)) buckets, exact at
+    powers of two (frexp, never float log); split-invariant."""
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.stats import key_count_log2_histogram
+
+    # key 1: 8 rows (bucket 3), key 2: 7 rows (bucket 2), keys 3..6: 1 row
+    keys = [1] * 8 + [2] * 7 + [3, 4, 5, 6]
+    df = pd.DataFrame({"k": keys})
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = key_count_log2_histogram(ds, key_col="k").to_pandas()
+        return {
+            int(r["bucket"]): (int(r["n_keys"]), int(r["n_rows"]))
+            for _, r in out.iterrows()
+        }
+
+    expect = {3: (1, 8), 2: (1, 7), 0: (4, 4)}
+    assert run(1) == expect
+    assert run(6) == expect

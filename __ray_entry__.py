@@ -2636,6 +2636,41 @@ def _q_length_token_corr_by_lang(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_token_skewness_by_lang(sf_dir: str):
+    """Grouped population skewness of per-doc ws-token counts — the third
+    integer moment joins the mean/var/cov family: exact (n, s1, s2, s3)
+    partials, closed form A/B^1.5 with every division by n cancelled, one
+    sqrt + left-associated cube + one divide IEEE-identical to the
+    HUGEINT oracle."""
+    import ray.data
+
+    from docler_ray.functions.tokens import count_whitespace_tokens
+    from docler_ray.stages.stats import grouped_skewness
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def add_vals(batch: pa.Table) -> pa.Table:
+        toks = [
+            count_whitespace_tokens(t or "") for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_ws_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    with_vals = ds.map_batches(add_vals, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_skewness(with_vals, group_col="lang", value_col="n_ws_tokens")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["lang", "n_docs", "skew_tokens"])
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_modal_length_bucket_by_lang(sf_dir: str):
     """MODE per group: the most frequent 500-char length bucket per lang
     (ties to the smallest bucket) — pair-keyed count exchange + per-group
@@ -4905,6 +4940,38 @@ def _q_user_interarrival_stats(sf_dir: str):
     return per_key_interarrival_stats(ds, "user_id", "ts", "event_id")
 
 
+def _q_events_percent_rank(sf_dir: str):
+    """PERCENT_RANK per user over the time-ordered event stream — the
+    rank/lag family's normalized-position member: (rank-1)/(n-1) is one
+    divide of exact ints, single-event users 0.0 per the SQL definition."""
+    import ray.data
+
+    from docler_ray.stages.windows import per_key_percent_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return per_key_percent_rank(ds, "user_id", "ts", "event_id")
+
+
+def _q_event_type_cooccurrence(sf_dir: str):
+    """Market-basket pair counts: for every unordered event-type pair
+    (a < b), how many users did BOTH — map-side distinct (user, type)
+    pairs, one user-keyed coarse exchange, in-bucket self-merge bounded by
+    the type alphabet, alphabet-squared tail. The association-mining shape
+    (frequent itemsets' k=2 core) over the event stream."""
+    import ray.data
+
+    from docler_ray.stages.assoc import cooccurrence_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return cooccurrence_counts(
+        ds, entity_col="user_id", value_col="event_type"
+    )
+
+
 def _q_user_activity_skew(sf_dir: str):
     """Key-skew profile of events.user_id: per-key row counts folded into
     floor(log2(n)) buckets — the decide-before-you-shuffle diagnostic. One
@@ -5209,6 +5276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_value": _q_events_rolling_value,
         "user_interarrival_stats": _q_user_interarrival_stats,
         "user_activity_skew": _q_user_activity_skew,
+        "event_type_cooccurrence": _q_event_type_cooccurrence,
+        "events_percent_rank": _q_events_percent_rank,
         "customers_no_orders": _q_customers_no_orders,
         "mixture_sample_by_lang": _q_mixture_sample_by_lang,
         "events_ntile": _q_events_ntile,
@@ -5225,6 +5294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cube_counts": _q_docs_cube_counts,
         "length_token_cov_by_lang": _q_length_token_cov_by_lang,
         "length_token_corr_by_lang": _q_length_token_corr_by_lang,
+        "token_skewness_by_lang": _q_token_skewness_by_lang,
         "modal_length_bucket_by_lang": _q_modal_length_bucket_by_lang,
         "type_token_ratio_by_lang": _q_type_token_ratio_by_lang,
         "snapshot_overlap_stats": _q_snapshot_overlap_stats,
@@ -5822,6 +5892,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # C4 line filter: list_filter lambda replay, rewritten text pinned
         "c4_line_filter": _c4_line_filter_sql(),
+        "events_percent_rank": (
+            "SELECT event_id, user_id, PERCENT_RANK() OVER "
+            "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) "
+            "AS pct_rank FROM events"
+        ),
+        "event_type_cooccurrence": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS value_a, b.event_type AS value_b, "
+            "COUNT(*) AS n_entities FROM d a JOIN d b "
+            "ON a.user_id = b.user_id AND a.event_type < b.event_type "
+            "GROUP BY 1, 2"
+        ),
         "user_activity_skew": (
             "WITH c AS (SELECT user_id, COUNT(*) AS n FROM events "
             "GROUP BY user_id) "
@@ -6060,6 +6142,23 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
             "sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) "
             "AS corr_chars_tokens FROM s"
+        ),
+        # third integer moment: A = n^2 s3 - 3n s1 s2 + 2 s1^3 (HUGEINT
+        # exact), B = n s2 - s1^2; skew = A / sqrt(B)^3 with the cube a
+        # left-associated product of the SAME rounded sqrt on both engines
+        "token_skewness_by_lang": (
+            f"WITH d AS (SELECT lang, array_length({_WS_TOKS_SQL})::BIGINT "
+            "AS x FROM documents), "
+            "s AS (SELECT lang, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s1, "
+            "SUM(x * x)::HUGEINT AS s2, SUM(x * x * x)::HUGEINT AS s3 "
+            "FROM d GROUP BY lang) "
+            "SELECT lang, CAST(n AS BIGINT) AS n_docs, "
+            "CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE) "
+            "/ NULLIF("
+            "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) * "
+            "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) * "
+            "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 0.0) "
+            "AS skew_tokens FROM s"
         ),
         "modal_length_bucket_by_lang": (
             "WITH c AS (SELECT lang, length(text)::BIGINT // 500 AS len_bucket, "

@@ -281,6 +281,9 @@ def bench_once() -> dict:
         timed("length_token_corr_by_lang", q["length_token_corr_by_lang"])
         timed("user_interarrival_stats", q["user_interarrival_stats"])
         timed("user_activity_skew", q["user_activity_skew"])
+        timed("token_skewness_by_lang", q["token_skewness_by_lang"])
+        timed("event_type_cooccurrence", q["event_type_cooccurrence"])
+        timed("events_percent_rank", q["events_percent_rank"])
     finally:
         ray.shutdown()
     return results

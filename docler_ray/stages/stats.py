@@ -583,6 +583,73 @@ def key_count_log2_histogram(ds, *, key_col: str, n_rows: int | None = None):
     )
 
 
+def grouped_skewness(ds, *, group_col: str, value_col: str):
+    """Grouped population skewness from mergeable integer moments.
+
+    Per batch each group reduces to (n, s1, s2, s3) — exact int64
+    partials. The closed form cancels every division by n:
+
+        A = n^2*s3 - 3n*s1*s2 + 2*s1^3   (= n^3 * third central moment)
+        B = n*s2 - s1^2                  (= n^2 * variance)
+        skew = float(A) / (sb * sb * sb)   where sb = sqrt(float(B))
+
+    A and B are exact Python ints (A exceeds int64 — s1^3 — so the
+    finalize runs in arbitrary precision; the SQL twin uses HUGEINT);
+    the float path is one cast per term, ONE sqrt, a left-associated
+    cube, one divide — the identical IEEE sequence the oracle evaluates,
+    so the doubles hash-match. Zero-variance groups get NULL.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({group_col: batch.column(group_col).to_pandas(), "x": x})
+        df["x2"] = df["x"] * df["x"]
+        df["x3"] = df["x2"] * df["x"]
+        g = df.groupby(group_col, sort=False).agg(
+            p_n=("x", "size"), p_s1=("x", "sum"), p_s2=("x2", "sum"),
+            p_s3=("x3", "sum"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(
+            Sum("p_n", alias_name="n_rows"),
+            Sum("p_s1", alias_name="s1"),
+            Sum("p_s2", alias_name="s2"),
+            Sum("p_s3", alias_name="s3"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        skew = []
+        for r in batch.to_pylist():
+            n, s1, s2, s3 = r["n_rows"], r["s1"], r["s2"], r["s3"]
+            a = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+            b = n * s2 - s1 * s1
+            if b == 0:
+                skew.append(None)
+                continue
+            sb = math.sqrt(float(b))
+            skew.append(float(a) / (sb * sb * sb))
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n_rows": batch.column("n_rows"),
+                "skew_val": pa.array(skew, pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def grouped_mode(ds, *, group_col: str, value_col: str):
     """MODE per group (most frequent value; ties break to the SMALLEST
     value, so the result is deterministic and SQL-replayable).

@@ -671,6 +671,62 @@ def per_key_interarrival_stats(
     )
 
 
+def per_key_percent_rank(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    *,
+    n_rows: int | None = None,
+):
+    """Per-key PERCENT_RANK — SQL's ``PERCENT_RANK() OVER (PARTITION BY
+    key ORDER BY ep, id)``: (rank-1)/(n-1) with rank == ROW_NUMBER here
+    because the (ep, id) order is tie-free; single-row keys get 0.0 (the
+    SQL definition). Same plan as the rank/lag family: one coarse
+    co-location exchange, vectorized in-bucket sort + cumcount + group
+    size; the value is ONE divide of exact ints, so it hash-matches the
+    oracle bit-for-bit.
+    """
+    if n_rows is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover - count unavailable pre-exec
+            n_rows = None
+    add_coarse = _make_add_coarse(key_col, _session_group_count(n_rows))
+
+    def prank(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    key_col: pd.Series([], dtype="int64"),
+                    "pct_rank": pd.Series([], dtype="float64"),
+                }
+            )
+        ep = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.assign(_ep=ep).sort_values(
+            [key_col, "_ep", id_col], kind="mergesort"
+        )
+        g = df.groupby(key_col, sort=False)
+        rank0 = g.cumcount().to_numpy().astype(np.float64)
+        n = g[id_col].transform("size").to_numpy().astype(np.int64)
+        pr = np.where(n > 1, rank0 / (n - 1).astype(np.float64), 0.0)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                key_col: df[key_col].to_numpy(),
+                "pct_rank": pr,
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, key_col, ts_col])
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(prank, batch_format="pandas")
+    )
+
+
 def per_key_ntile(
     ds,
     key_col: str,

@@ -1559,3 +1559,110 @@ def test_key_count_log2_histogram(ray_session):
     expect = {3: (1, 8), 2: (1, 7), 0: (4, 4)}
     assert run(1) == expect
     assert run(6) == expect
+
+
+def test_grouped_skewness(ray_session):
+    """Skewness from exact integer moments: symmetric group ~0 via the
+    exact closed form; right-skewed positive; constant group NULL; the
+    value is BIT-identical to the declared expression (and DuckDB twin)."""
+    import duckdb
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_skewness
+
+    df = pd.DataFrame(
+        {
+            "g": ["sym"] * 3 + ["right"] * 4 + ["flat"] * 2,
+            "x": [1, 2, 3, 1, 1, 1, 10, 5, 5],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = grouped_skewness(ds, group_col="g", value_col="x").to_pandas()
+    got = {r["g"]: r["skew_val"] for _, r in out.iterrows()}
+
+    def expect(xs):
+        n, s1 = len(xs), sum(xs)
+        s2, s3 = sum(v * v for v in xs), sum(v**3 for v in xs)
+        a = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+        b = n * s2 - s1 * s1
+        sb = math.sqrt(float(b))
+        return float(a) / (sb * sb * sb)
+
+    assert got["sym"] == expect([1, 2, 3]) == 0.0
+    assert got["right"] == expect([1, 1, 1, 10]) and got["right"] > 1.0
+    assert pd.isna(got["flat"])
+
+    sql = duckdb.sql(
+        "WITH s AS (SELECT g, COUNT(*)::HUGEINT n, SUM(x)::HUGEINT s1, "
+        "SUM(x*x)::HUGEINT s2, SUM(x*x*x)::HUGEINT s3 FROM df GROUP BY g) "
+        "SELECT g, CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS DOUBLE) / NULLIF("
+        "sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)) * sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)) "
+        "* sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)), 0.0) sk FROM s"
+    ).fetchall()
+    for g, sk in sql:
+        assert (pd.isna(got[g]) and sk is None) or got[g] == sk
+
+
+def test_cooccurrence_counts(ray_session):
+    """Pair counts over distinct per-entity values: unordered a<b pairs,
+    repeats within an entity count ONCE, split-invariant."""
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.assoc import cooccurrence_counts
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 1, 2, 2, 3, 3, 3],
+            "t": ["a", "b", "a", "c", "a", "b", "b", "c", "b"],
+        }
+    )
+    # u1: {a,b,c} -> ab, ac, bc; u2: {a,b} -> ab; u3: {b,c} -> bc
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = cooccurrence_counts(ds, entity_col="u", value_col="t").to_pandas()
+        return {
+            (r["value_a"], r["value_b"]): int(r["n_entities"])
+            for _, r in out.iterrows()
+        }
+
+    expect = {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 2}
+    assert run(1) == expect
+    assert run(5) == expect
+
+
+def test_per_key_percent_rank(ray_session):
+    """PERCENT_RANK per key: (rank-1)/(n-1) over (ts, id) order; a
+    single-event key gets 0.0; split-invariant."""
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.windows import per_key_percent_rank
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 7, 9],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 00:00:02",
+                    "2026-01-01 00:00:00",
+                    "2026-01-01 00:00:01",
+                    "2026-01-01 00:00:05",
+                ]
+            ),
+        }
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = per_key_percent_rank(ds, "user_id", "ts", "event_id").to_pandas()
+        return {int(r["event_id"]): r["pct_rank"] for _, r in out.iterrows()}
+
+    expect = {2: 0.0, 3: 0.5, 1: 1.0, 4: 0.0}
+    assert run(1) == expect
+    assert run(4) == expect

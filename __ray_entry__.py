@@ -2671,6 +2671,40 @@ def _q_token_skewness_by_lang(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_token_kurtosis_by_lang(sf_dir: str):
+    """Grouped population kurtosis of per-doc ws-token counts — the
+    fourth integer moment completes the moment family: A4/B^2 cancels
+    n^4 exactly, one cast + left-associated square + one divide,
+    bit-identical to the HUGEINT oracle."""
+    import ray.data
+
+    from docler_ray.functions.tokens import count_whitespace_tokens
+    from docler_ray.stages.stats import grouped_kurtosis
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def add_vals(batch: pa.Table) -> pa.Table:
+        toks = [
+            count_whitespace_tokens(t or "") for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_ws_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    with_vals = ds.map_batches(add_vals, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_kurtosis(with_vals, group_col="lang", value_col="n_ws_tokens")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["lang", "n_docs", "kurt_tokens"])
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_modal_length_bucket_by_lang(sf_dir: str):
     """MODE per group: the most frequent 500-char length bucket per lang
     (ties to the smallest bucket) — pair-keyed count exchange + per-group
@@ -4940,6 +4974,70 @@ def _q_user_interarrival_stats(sf_dir: str):
     return per_key_interarrival_stats(ds, "user_id", "ts", "event_id")
 
 
+def _q_sample_k_per_lang(sf_dir: str):
+    """EXACT-k deterministic stratified sample: min(k, n) docs per
+    language with the k smallest id hashes — the cap-per-language
+    training-mix primitive (pct sampling can't promise a count; this
+    does). Composes grouped_topk ascending over a 60-bit md5(doc_id)
+    key, so the 'sample' is a seeded global order, split/retry-invariant
+    and SQL-replayable."""
+    import hashlib
+
+    import ray.data
+
+    from docler_ray.stages.topk import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "doc_id"]
+    )
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            int(hashlib.md5(str(d).encode("utf-8")).hexdigest()[:15], 16)
+            for d in batch.column("doc_id").to_pylist()
+        ]
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "doc_id": batch.column("doc_id"),
+                "h": pa.array(hs, pa.int64()),
+            }
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_topk(
+        hashed,
+        group_col="lang",
+        sort_col="h",
+        k=5,
+        keep_cols=["doc_id"],
+        descending=False,
+        tie_col="doc_id",
+    )
+
+
+def _q_event_transition_matrix(sf_dir: str):
+    """Markov transition counts over per-user event streams: (from_type,
+    to_type, n) for immediately-consecutive events — cooccurrence's
+    sequential sibling, one user-keyed coarse exchange + masked adjacent
+    pairs, alphabet-squared tail."""
+    import ray.data
+
+    from docler_ray.stages.assoc import transition_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    return transition_counts(
+        ds,
+        entity_col="user_id",
+        value_col="event_type",
+        ts_col="ts",
+        id_col="event_id",
+    )
+
+
 def _q_events_percent_rank(sf_dir: str):
     """PERCENT_RANK per user over the time-ordered event stream — the
     rank/lag family's normalized-position member: (rank-1)/(n-1) is one
@@ -5278,6 +5376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_skew": _q_user_activity_skew,
         "event_type_cooccurrence": _q_event_type_cooccurrence,
         "events_percent_rank": _q_events_percent_rank,
+        "event_transition_matrix": _q_event_transition_matrix,
+        "sample_k_per_lang": _q_sample_k_per_lang,
         "customers_no_orders": _q_customers_no_orders,
         "mixture_sample_by_lang": _q_mixture_sample_by_lang,
         "events_ntile": _q_events_ntile,
@@ -5295,6 +5395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_token_cov_by_lang": _q_length_token_cov_by_lang,
         "length_token_corr_by_lang": _q_length_token_corr_by_lang,
         "token_skewness_by_lang": _q_token_skewness_by_lang,
+        "token_kurtosis_by_lang": _q_token_kurtosis_by_lang,
         "modal_length_bucket_by_lang": _q_modal_length_bucket_by_lang,
         "type_token_ratio_by_lang": _q_type_token_ratio_by_lang,
         "snapshot_overlap_stats": _q_snapshot_overlap_stats,
@@ -5892,6 +5993,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         # C4 line filter: list_filter lambda replay, rewritten text pinned
         "c4_line_filter": _c4_line_filter_sql(),
+        "sample_k_per_lang": (
+            "WITH h AS (SELECT lang, doc_id, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+            "AS h FROM documents), "
+            "r AS (SELECT lang, doc_id, h, ROW_NUMBER() OVER "
+            "(PARTITION BY lang ORDER BY h, doc_id) AS rank FROM h) "
+            "SELECT lang, doc_id, h, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 5"
+        ),
+        "event_transition_matrix": (
+            "WITH o AS (SELECT user_id, event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev "
+            "FROM events) "
+            "SELECT prev AS from_value, event_type AS to_value, "
+            "COUNT(*) AS n_transitions FROM o WHERE prev IS NOT NULL "
+            "GROUP BY 1, 2"
+        ),
         "events_percent_rank": (
             "SELECT event_id, user_id, PERCENT_RANK() OVER "
             "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) "
@@ -6159,6 +6277,21 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) * "
             "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 0.0) "
             "AS skew_tokens FROM s"
+        ),
+        # fourth moment: A4 = n^3 s4 - 4n^2 s1 s3 + 6n s1^2 s2 - 3 s1^4,
+        # kurtosis = A4 / B^2 (population ratio; n^4 cancels exactly)
+        "token_kurtosis_by_lang": (
+            f"WITH d AS (SELECT lang, array_length({_WS_TOKS_SQL})::BIGINT "
+            "AS x FROM documents), "
+            "s AS (SELECT lang, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s1, "
+            "SUM(x * x)::HUGEINT AS s2, SUM(x * x * x)::HUGEINT AS s3, "
+            "SUM(x * x * x * x)::HUGEINT AS s4 FROM d GROUP BY lang) "
+            "SELECT lang, CAST(n AS BIGINT) AS n_docs, "
+            "CAST(n * n * n * s4 - 4 * n * n * s1 * s3 "
+            "+ 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE) "
+            "/ NULLIF(CAST(n * s2 - s1 * s1 AS DOUBLE) * "
+            "CAST(n * s2 - s1 * s1 AS DOUBLE), 0.0) "
+            "AS kurt_tokens FROM s"
         ),
         "modal_length_bucket_by_lang": (
             "WITH c AS (SELECT lang, length(text)::BIGINT // 500 AS len_bucket, "

@@ -284,6 +284,9 @@ def bench_once() -> dict:
         timed("token_skewness_by_lang", q["token_skewness_by_lang"])
         timed("event_type_cooccurrence", q["event_type_cooccurrence"])
         timed("events_percent_rank", q["events_percent_rank"])
+        timed("token_kurtosis_by_lang", q["token_kurtosis_by_lang"])
+        timed("event_transition_matrix", q["event_transition_matrix"])
+        timed("sample_k_per_lang", q["sample_k_per_lang"])
     finally:
         ray.shutdown()
     return results

@@ -1666,3 +1666,92 @@ def test_per_key_percent_rank(ray_session):
     expect = {2: 0.0, 3: 0.5, 1: 1.0, 4: 0.0}
     assert run(1) == expect
     assert run(4) == expect
+
+
+def test_grouped_kurtosis(ray_session):
+    """Kurtosis from exact integer moments: A4/B^2 (population ratio,
+    n^4 cancels); two-point symmetric {1,3} gives exactly 1.0; constant
+    group NULL; bit-identical to the DuckDB HUGEINT twin."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_kurtosis
+
+    df = pd.DataFrame(
+        {
+            "g": ["two"] * 4 + ["peak"] * 5 + ["flat"] * 2,
+            "x": [1, 3, 1, 3, 1, 2, 2, 2, 3, 7, 7],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = grouped_kurtosis(ds, group_col="g", value_col="x").to_pandas()
+    got = {r["g"]: r["kurt_val"] for _, r in out.iterrows()}
+
+    def expect(xs):
+        n, s1 = len(xs), sum(xs)
+        s2 = sum(v * v for v in xs)
+        s3 = sum(v**3 for v in xs)
+        s4 = sum(v**4 for v in xs)
+        a4 = n**3 * s4 - 4 * n**2 * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1**4
+        b = n * s2 - s1 * s1
+        fb = float(b)
+        return float(a4) / (fb * fb)
+
+    assert got["two"] == expect([1, 3, 1, 3]) == 1.0  # Bernoulli(0.5): kurt 1
+    assert got["peak"] == expect([1, 2, 2, 2, 3])
+    assert pd.isna(got["flat"])
+
+    sql = duckdb.sql(
+        "WITH s AS (SELECT g, COUNT(*)::HUGEINT n, SUM(x)::HUGEINT s1, "
+        "SUM(x*x)::HUGEINT s2, SUM(x*x*x)::HUGEINT s3, "
+        "SUM(x*x*x*x)::HUGEINT s4 FROM df GROUP BY g) "
+        "SELECT g, CAST(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 "
+        "- 3*s1*s1*s1*s1 AS DOUBLE) / NULLIF(CAST(n*s2 - s1*s1 AS DOUBLE) "
+        "* CAST(n*s2 - s1*s1 AS DOUBLE), 0.0) kv FROM s"
+    ).fetchall()
+    for g, kv in sql:
+        assert (pd.isna(got[g]) and kv is None) or got[g] == kv
+
+
+def test_transition_counts(ray_session):
+    """Markov transitions: consecutive pairs inside each entity's
+    (ts, id)-ordered stream only — no cross-entity pair, entities with one
+    event contribute nothing; split-invariant."""
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.assoc import transition_counts
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2, 3],
+            "t": ["a", "b", "a", "b", "b", "a"],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 00:00:00",
+                    "2026-01-01 00:00:01",
+                    "2026-01-01 00:00:02",
+                    "2026-01-01 00:00:00",
+                    "2026-01-01 00:00:09",
+                    "2026-01-01 00:00:00",
+                ]
+            ),
+            "i": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    # u1: a->b, b->a; u2: b->b; u3: nothing
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = transition_counts(
+            ds, entity_col="u", value_col="t", ts_col="ts", id_col="i"
+        ).to_pandas()
+        return {
+            (r["from_value"], r["to_value"]): int(r["n_transitions"])
+            for _, r in out.iterrows()
+        }
+
+    expect = {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+    assert run(1) == expect
+    assert run(6) == expect

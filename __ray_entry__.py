@@ -169,6 +169,121 @@ def _q_events_window_counts(sf_dir: str):
     return tumbling_window_counts(ds, "ts", "event_type", window_secs=3600)
 
 
+def _q_trending_types_hourly(sf_dir: str):
+    """Windowed top-k — trending event types per tumbling hour: the window
+    counts plan (map-side partial combine, dimension-sized groupby) feeds
+    grouped_topk per window, so the rank exchange ships <= k x blocks rows
+    per window, never events."""
+    import ray.data
+
+    from docler_ray.stages.topk import grouped_topk
+    from docler_ray.stages.windows import tumbling_window_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    counts = tumbling_window_counts(ds, "ts", "event_type", window_secs=3600)
+    return grouped_topk(
+        counts,
+        group_col="window_start",
+        sort_col="n",
+        k=3,
+        keep_cols=["event_type"],
+        descending=True,
+        tie_col="event_type",
+    )
+
+
+def _q_session_duration_stats(sf_dir: str):
+    """Sessionize composed into its audit aggregate: sessions bucketed by
+    event count with total duration — (n_events, n_sessions,
+    sum_duration_secs). The tail exchange is session-size-dimension-sized;
+    durations stay integer seconds so the sums are exact."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    sess = sessionize(ds, "user_id", "ts", gap_secs=1800)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dur = pc.subtract(
+            batch.column("session_end"), batch.column("session_start")
+        )
+        t = pa.table({"n_events": batch.column("n_events"), "dur": dur})
+        g = t.group_by(["n_events"]).aggregate([([], "count_all"), ("dur", "sum")])
+        return pa.table(
+            {
+                "n_events": g.column("n_events"),
+                "p_sessions": pc.cast(g.column("count_all"), pa.int64()),
+                "p_dur": g.column("dur_sum"),
+            }
+        )
+
+    return (
+        sess.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_events")
+        .aggregate(
+            Sum("p_sessions", alias_name="n_sessions"),
+            Sum("p_dur", alias_name="sum_duration_secs"),
+        )
+    )
+
+
+def _q_daily_event_deltas(sf_dir: str):
+    """Day-over-day event-count deltas: the aggregate-then-window shape —
+    a corpus-sized map-side count reduce to a CALENDAR-bounded day table,
+    then the LAG diff runs inside one block (repartition(1) is bounded by
+    days-in-corpus, never rows — the explicit small-side materialization
+    rule)."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        ep = ts.astype("datetime64[s]").astype(np.int64)
+        day = (ep // 86400) * 86400
+        vals, counts = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day_start": pa.array(vals, pa.int64()),
+                "partial_n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day_start")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+    def lag_delta(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().sort_values("day_start", kind="mergesort")
+        n = df["n"].to_numpy()
+        delta = df["n"] - df["n"].shift(1)
+        return pa.table(
+            {
+                "day_start": pa.array(df["day_start"].to_numpy(), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "delta": pa.array(delta.to_numpy(), pa.int64(), from_pandas=True),
+            }
+        )
+
+    return daily.repartition(1).map_batches(
+        lag_delta, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_events_sessionize(sf_dir: str):
     """Session windows (30-min gap) per user — per-key ordered processing via
     one coarse-key shuffle + vectorized session assignment."""
@@ -5378,6 +5493,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": _q_events_percent_rank,
         "event_transition_matrix": _q_event_transition_matrix,
         "sample_k_per_lang": _q_sample_k_per_lang,
+        "trending_types_hourly": _q_trending_types_hourly,
+        "session_duration_stats": _q_session_duration_stats,
+        "daily_event_deltas": _q_daily_event_deltas,
         "customers_no_orders": _q_customers_no_orders,
         "mixture_sample_by_lang": _q_mixture_sample_by_lang,
         "events_ntile": _q_events_ntile,
@@ -5993,6 +6111,36 @@ def oracle_sql() -> dict[str, str]:
         ),
         # C4 line filter: list_filter lambda replay, rewritten text pinned
         "c4_line_filter": _c4_line_filter_sql(),
+        "trending_types_hourly": (
+            "WITH m AS (SELECT event_type, "
+            "CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws FROM events), "
+            "c AS (SELECT event_type, ws AS window_start, COUNT(*) AS n "
+            "FROM m GROUP BY 1, 2), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start "
+            "ORDER BY n DESC, event_type) AS rank FROM c) "
+            "SELECT window_start, event_type, n, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 3"
+        ),
+        "session_duration_stats": (
+            "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep "
+            "FROM events), "
+            "b AS (SELECT user_id, ep, CASE WHEN lag(ep) OVER w IS NULL "
+            "OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS is_new FROM e "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ep)), "
+            "s AS (SELECT user_id, ep, CAST(SUM(is_new) OVER "
+            "(PARTITION BY user_id ORDER BY ep ROWS UNBOUNDED PRECEDING) - 1 "
+            "AS BIGINT) AS session_idx FROM b), "
+            "g AS (SELECT user_id, session_idx, COUNT(*) AS n_events, "
+            "MAX(ep) - MIN(ep) AS dur FROM s GROUP BY user_id, session_idx) "
+            "SELECT n_events, COUNT(*) AS n_sessions, "
+            "SUM(dur) AS sum_duration_secs FROM g GROUP BY n_events"
+        ),
+        "daily_event_deltas": (
+            "WITH c AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) "
+            "AS day_start, COUNT(*) AS n FROM events GROUP BY 1) "
+            "SELECT day_start, n, n - lag(n) OVER (ORDER BY day_start) AS delta "
+            "FROM c"
+        ),
         "sample_k_per_lang": (
             "WITH h AS (SELECT lang, doc_id, "
             "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "

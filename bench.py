@@ -287,6 +287,9 @@ def bench_once() -> dict:
         timed("token_kurtosis_by_lang", q["token_kurtosis_by_lang"])
         timed("event_transition_matrix", q["event_transition_matrix"])
         timed("sample_k_per_lang", q["sample_k_per_lang"])
+        timed("trending_types_hourly", q["trending_types_hourly"])
+        timed("session_duration_stats", q["session_duration_stats"])
+        timed("daily_event_deltas", q["daily_event_deltas"])
     finally:
         ray.shutdown()
     return results

@@ -335,6 +335,17 @@ SF1_QUERIES = [
     "events_props_k_counts",
     "events_last_order_asof",
     "clickers_no_purchase",
+    # round-5 continuation events/window additions (1M-event exchanges:
+    # coarse per-user co-location, dimension-sized pivot/co-occurrence
+    # tails, windowed top-k)
+    "events_type_dow_matrix",
+    "user_interarrival_stats",
+    "user_activity_skew",
+    "events_percent_rank",
+    "event_transition_matrix",
+    "event_type_cooccurrence",
+    "trending_types_hourly",
+    "session_duration_stats",
 ]
 
 

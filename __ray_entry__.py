@@ -2820,6 +2820,39 @@ def _q_token_kurtosis_by_lang(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_doc_length_zscore(sf_dir: str):
+    """Broadcast two-pass standardization: per-doc z-score of char length
+    against its language's population moments — fit is one
+    dimension-sized aggregate exchange, transform is a zero-shuffle map;
+    z = float(n*x - s1)/sqrt(float(n*s2 - s1^2)) is exact-int in, IEEE
+    bit-identical to the joined-CTE oracle."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_zscore
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+            }
+        )
+
+    with_len = ds.map_batches(add_len, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_zscore(
+        with_len,
+        group_col="lang",
+        value_col="n_chars",
+        keep_cols=["doc_id", "lang"],
+    )
+
+
 def _q_modal_length_bucket_by_lang(sf_dir: str):
     """MODE per group: the most frequent 500-char length bucket per lang
     (ties to the smallest bucket) — pair-keyed count exchange + per-group
@@ -3002,6 +3035,41 @@ def _q_events_hopping_distinct_users(sf_dir: str):
     return hopping_window_distinct(
         ds, "ts", "event_type", "user_id", window_secs=7200, hop_secs=3600
     )
+
+
+def _q_rolling_dau_7d(sf_dir: str):
+    """7-day rolling distinct active users per day — the classic DAU/WAU
+    reporting metric as a pure composition: the hopping-distinct plan at
+    day grain (7 hops of 86400 s, bounded map-side fan-out + the
+    single-int64 coarse distinct exchange) under a constant group key
+    (the metric is global; the distinct key is the (group, window, user)
+    triple, so one group adds no skew)."""
+    import ray.data
+
+    from docler_ray.stages.windows import hopping_window_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def add_grp(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "grp", pa.array(["all"] * batch.num_rows, pa.string())
+        )
+
+    out = hopping_window_distinct(
+        ds.map_batches(add_grp, batch_format="pyarrow", zero_copy_batch=True),
+        "ts",
+        "grp",
+        "user_id",
+        window_secs=7 * 86400,
+        hop_secs=86400,
+    )
+
+    def drop_grp(batch: pa.Table) -> pa.Table:
+        return batch.select(["window_start", "n_distinct"])
+
+    return out.map_batches(drop_grp, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_clickers_no_purchase(sf_dir: str):
@@ -5496,6 +5564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_types_hourly": _q_trending_types_hourly,
         "session_duration_stats": _q_session_duration_stats,
         "daily_event_deltas": _q_daily_event_deltas,
+        "rolling_dau_7d": _q_rolling_dau_7d,
+        "doc_length_zscore": _q_doc_length_zscore,
         "customers_no_orders": _q_customers_no_orders,
         "mixture_sample_by_lang": _q_mixture_sample_by_lang,
         "events_ntile": _q_events_ntile,
@@ -6467,6 +6537,25 @@ def oracle_sql() -> dict[str, str]:
             "AS n_old_only, "
             "SUM(CASE WHEN o = 0 AND w = 1 THEN 1 ELSE 0 END)::BIGINT "
             "AS n_new_only FROM b"
+        ),
+        "doc_length_zscore": (
+            "WITH d AS (SELECT doc_id, lang, length(text)::BIGINT AS x "
+            "FROM documents), "
+            "s AS (SELECT lang, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s1, "
+            "SUM(x * x)::HUGEINT AS s2 FROM d GROUP BY lang) "
+            "SELECT d.doc_id, d.lang, "
+            "CAST(s.n * d.x - s.s1 AS DOUBLE) / NULLIF("
+            "sqrt(CAST(s.n * s.s2 - s.s1::HUGEINT * s.s1 AS DOUBLE)), 0.0) "
+            "AS zscore FROM d JOIN s USING (lang)"
+        ),
+        "rolling_dau_7d": (
+            "WITH m AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS w0 "
+            "FROM events), "
+            "f AS (SELECT user_id, w0 - 86400 * o.o AS window_start "
+            "FROM m CROSS JOIN (SELECT unnest(range(7)) AS o) o) "
+            "SELECT window_start, COUNT(DISTINCT user_id) AS n_distinct "
+            "FROM f GROUP BY window_start"
         ),
         "events_hopping_distinct_users": (
             "WITH m AS (SELECT event_type, "

@@ -290,6 +290,8 @@ def bench_once() -> dict:
         timed("trending_types_hourly", q["trending_types_hourly"])
         timed("session_duration_stats", q["session_duration_stats"])
         timed("daily_event_deltas", q["daily_event_deltas"])
+        timed("rolling_dau_7d", q["rolling_dau_7d"])
+        timed("doc_length_zscore", q["doc_length_zscore"])
     finally:
         ray.shutdown()
     return results

@@ -730,6 +730,77 @@ def grouped_kurtosis(ds, *, group_col: str, value_col: str):
     return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouped_zscore(ds, *, group_col: str, value_col: str, keep_cols: list[str]):
+    """Per-row z-score standardization against the row's GROUP moments —
+    the classic two-pass ML-preprocessing stage (fit: one aggregate
+    exchange; transform: zero-shuffle broadcast map).
+
+    Exactness: with integer values, z = (x - mean)/std_pop rewrites as
+
+        z = float(n*x - s1) / sqrt(float(n*s2 - s1^2))
+
+    — numerator and radicand are exact ints, so the float path is one
+    cast each, one sqrt, one divide: bit-identical to the SQL twin that
+    joins the same integer-sum CTE. Zero-variance groups get NULL.
+
+    Scale: the fit table is GROUP-COUNT-sized (languages, categories) —
+    the one sanctioned driver materialization — and ships to every
+    transform task as three small dicts; the transform pass is pure map,
+    so the corpus never shuffles. For high-cardinality groups use the
+    coarse-exchange operators instead; this is the broadcast regime.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({group_col: batch.column(group_col).to_pandas(), "x": x})
+        df["x2"] = df["x"] * df["x"]
+        g = df.groupby(group_col, sort=False).agg(
+            p_n=("x", "size"), p_s1=("x", "sum"), p_s2=("x2", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    fit = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(
+            Sum("p_n", alias_name="n_rows"),
+            Sum("p_s1", alias_name="s1"),
+            Sum("p_s2", alias_name="s2"),
+        )
+    )
+    # group-count-sized driver materialization (the broadcast regime)
+    n_by: dict = {}
+    s1_by: dict = {}
+    den_by: dict = {}
+    for r in fit.take_all():
+        n, s1, s2 = int(r["n_rows"]), int(r["s1"]), int(r["s2"])
+        b = n * s2 - s1 * s1
+        n_by[r[group_col]] = n
+        s1_by[r[group_col]] = s1
+        den_by[r[group_col]] = math.sqrt(float(b)) if b > 0 else None
+
+    def transform(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_pandas()
+        x = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g.map(n_by).to_numpy(dtype=np.int64)
+        s1 = g.map(s1_by).to_numpy(dtype=np.int64)
+        den = g.map(den_by).to_numpy(dtype=np.float64)
+        num = (n * x - s1).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            z = num / den
+        cols = {c: batch.column(c) for c in keep_cols}
+        cols["zscore"] = pa.array(z, pa.float64(), from_pandas=True)
+        return pa.table(cols)
+
+    return ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def grouped_mode(ds, *, group_col: str, value_col: str):
     """MODE per group (most frequent value; ties break to the SMALLEST
     value, so the result is deterministic and SQL-replayable).

@@ -1755,3 +1755,40 @@ def test_transition_counts(ray_session):
     expect = {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
     assert run(1) == expect
     assert run(6) == expect
+
+
+def test_grouped_zscore(ray_session):
+    """Two-pass broadcast standardization: z = float(n*x - s1)/sqrt(B)
+    bit-exact; zero-variance group NULL; split-invariant."""
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_zscore
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "g": ["a", "a", "a", "b", "b"],
+            "x": [1, 2, 3, 7, 7],
+        }
+    )
+
+    def expect(xs, x):
+        n, s1 = len(xs), sum(xs)
+        s2 = sum(v * v for v in xs)
+        return float(n * x - s1) / math.sqrt(float(n * s2 - s1 * s1))
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = grouped_zscore(
+            ds, group_col="g", value_col="x", keep_cols=["id", "g"]
+        ).to_pandas()
+        return {int(r["id"]): r["zscore"] for _, r in out.iterrows()}
+
+    for got in (run(1), run(4)):
+        assert got[1] == expect([1, 2, 3], 1) and got[1] < 0
+        assert got[2] == expect([1, 2, 3], 2) == 0.0
+        assert got[3] == expect([1, 2, 3], 3) and got[3] > 0
+        assert pd.isna(got[4]) and pd.isna(got[5])  # zero variance -> NULL

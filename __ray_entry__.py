@@ -711,6 +711,33 @@ def _q_events_dow_long(sf_dir: str):
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_user_type_entropy(sf_dir: str):
+    """Shannon entropy (nats) of each user's event-type distribution —
+    behavioral diversity over a DECLARED alphabet: pivot_counts gives the
+    per-user wide count row (one entity-keyed exchange of k-wide
+    partials), entropy_from_counts is a zero-shuffle map whose every ln
+    is libm (never np.log) in the declared column order, so the doubles
+    hash-match the spelled-out CASE/ln oracle."""
+    import ray.data
+
+    from docler_ray.stages.stats import entropy_from_counts, pivot_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    wide = pivot_counts(
+        ds, row_col="user_id", col_col="event_type", col_values=_EVENT_TYPES
+    )
+    return entropy_from_counts(
+        wide,
+        id_cols=["user_id"],
+        count_cols=[f"event_type_{t}" for t in _EVENT_TYPES],
+    )
+
+
 def _q_lineitem_order_status_counts(sf_dir: str):
     """Big-big co-partitioned hash join (both sides are fact tables, so
     neither broadcasts): lineitem joins orders on orderkey via Ray's
@@ -5566,6 +5593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_event_deltas": _q_daily_event_deltas,
         "rolling_dau_7d": _q_rolling_dau_7d,
         "doc_length_zscore": _q_doc_length_zscore,
+        "user_type_entropy": _q_user_type_entropy,
         "customers_no_orders": _q_customers_no_orders,
         "mixture_sample_by_lang": _q_mixture_sample_by_lang,
         "events_ntile": _q_events_ntile,
@@ -6537,6 +6565,22 @@ def oracle_sql() -> dict[str, str]:
             "AS n_old_only, "
             "SUM(CASE WHEN o = 0 AND w = 1 THEN 1 ELSE 0 END)::BIGINT "
             "AS n_new_only FROM b"
+        ),
+        "user_type_entropy": (
+            "WITH w AS (SELECT user_id, "
+            + ", ".join(
+                f"COUNT(*) FILTER (WHERE event_type = '{t}') AS c{i}"
+                for i, t in enumerate(_EVENT_TYPES)
+            )
+            + " FROM events GROUP BY user_id) "
+            "SELECT user_id, c0 + c1 + c2 + c3 + c4 AS n, "
+            "ln(CAST(c0 + c1 + c2 + c3 + c4 AS DOUBLE)) - ("
+            + " + ".join(
+                f"CASE WHEN c{i} = 0 THEN 0.0 ELSE "
+                f"CAST(c{i} AS DOUBLE) * ln(CAST(c{i} AS DOUBLE)) END"
+                for i in range(len(_EVENT_TYPES))
+            )
+            + ") / CAST(c0 + c1 + c2 + c3 + c4 AS DOUBLE) AS entropy FROM w"
         ),
         "doc_length_zscore": (
             "WITH d AS (SELECT doc_id, lang, length(text)::BIGINT AS x "

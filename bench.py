@@ -292,6 +292,7 @@ def bench_once() -> dict:
         timed("daily_event_deltas", q["daily_event_deltas"])
         timed("rolling_dau_7d", q["rolling_dau_7d"])
         timed("doc_length_zscore", q["doc_length_zscore"])
+        timed("user_type_entropy", q["user_type_entropy"])
     finally:
         ray.shutdown()
     return results

@@ -990,6 +990,60 @@ def unpivot(
     return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def entropy_from_counts(ds, *, id_cols: list[str], count_cols: list[str]):
+    """Shannon entropy (nats) per row of a WIDE count table — compose
+    after :func:`pivot_counts` for "entropy of a declared alphabet per
+    entity" (behavioral diversity per user, script mix per host, ...).
+
+    H = ln(n) - (c1*ln(c1) + ... + ck*ln(ck)) / n, evaluated in the
+    DECLARED column order with 0*ln(0) = 0. Float determinism: every ln
+    goes through libm ``math.log`` via a unique-value lookup (NEVER
+    vectorized np.log, whose last ulp diverges from libm — the
+    repo-wide rule), products/sums/divide are elementwise IEEE in the
+    same fixed order the SQL twin spells out, so the doubles hash-match.
+    Rows with n == 0 get NULL. Pure map — zero shuffle.
+    """
+    import math
+
+    if not count_cols:
+        raise ValueError("entropy_from_counts needs count columns")
+
+    def _xlogx(arr: np.ndarray) -> np.ndarray:
+        u, inv = np.unique(arr, return_inverse=True)
+        vals = np.array(
+            [0.0 if v <= 0 else float(v) * math.log(float(v)) for v in u],
+            np.float64,
+        )
+        return vals[inv]
+
+    def _logn(arr: np.ndarray) -> np.ndarray:
+        u, inv = np.unique(arr, return_inverse=True)
+        vals = np.array(
+            [math.log(float(v)) if v > 0 else np.nan for v in u], np.float64
+        )
+        return vals[inv]
+
+    def ent(batch: pa.Table) -> pa.Table:
+        counts = [
+            batch.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in count_cols
+        ]
+        n = counts[0].copy()
+        for c in counts[1:]:
+            n = n + c
+        s = _xlogx(counts[0])
+        for c in counts[1:]:
+            s = s + _xlogx(c)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            h = _logn(n) - s / n.astype(np.float64)
+        cols = {c: batch.column(c) for c in id_cols}
+        cols["n"] = pa.array(n, pa.int64())
+        cols["entropy"] = pa.array(h, pa.float64(), from_pandas=True)
+        return pa.table(cols)
+
+    return ds.map_batches(ent, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def weighted_group_sample(
     ds,
     *,

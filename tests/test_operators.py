@@ -1792,3 +1792,43 @@ def test_grouped_zscore(ray_session):
         assert got[2] == expect([1, 2, 3], 2) == 0.0
         assert got[3] == expect([1, 2, 3], 3) and got[3] > 0
         assert pd.isna(got[4]) and pd.isna(got[5])  # zero variance -> NULL
+
+
+def test_entropy_from_counts(ray_session):
+    """Shannon entropy over declared count columns: uniform 2-of-2 gives
+    exactly the libm expression (ln 2 path); single-type rows 0.0; every
+    ln is math.log in declared order — checked against the exact scalar
+    mirror."""
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from docler_ray.stages.stats import entropy_from_counts
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "a": [2, 5, 0],
+            "b": [2, 0, 3],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = entropy_from_counts(
+        ds, id_cols=["id"], count_cols=["a", "b"]
+    ).to_pandas()
+    got = {int(r["id"]): (int(r["n"]), r["entropy"]) for _, r in out.iterrows()}
+
+    def expect(cs):
+        n = 0
+        for c in cs:
+            n = n + c
+        s = 0.0
+        for c in cs:
+            s = s + (0.0 if c == 0 else float(c) * math.log(float(c)))
+        return n, math.log(float(n)) - s / float(n)
+
+    assert got[1] == expect([2, 2])
+    assert got[1][1] == math.log(4.0) - (2 * math.log(2.0) + 2 * math.log(2.0)) / 4.0
+    assert got[2] == expect([5, 0]) and got[2][1] == 0.0
+    assert got[3] == expect([0, 3]) and got[3][1] == 0.0

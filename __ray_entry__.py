@@ -2880,6 +2880,55 @@ def _q_doc_length_zscore(sf_dir: str):
     )
 
 
+def _q_length_outliers_by_lang(sf_dir: str):
+    """Percentile tail-trim audit — the robust data-cleaning filter: docs
+    whose char length falls OUTSIDE their language's [p5, p95] band
+    (quantile_disc semantics, strict inequalities). ONE (lang, value)-keyed
+    count exchange computes both fences (grouped_discrete_quantiles — the
+    multi-q walk shares one cumsum), the fences broadcast, and the filter
+    pass is a zero-shuffle map. The 1.5*IQR variant is the same
+    composition with qs=[0.25, 0.75] + integer fence arithmetic; p5/p95
+    keeps the audit non-degenerate on uniform-ish corpora."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_discrete_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+            }
+        )
+
+    with_len = ds.map_batches(add_len, batch_format="pyarrow", zero_copy_batch=True)
+    qt = grouped_discrete_quantiles(
+        with_len, value_col="n_chars", group_col="lang", qs=[0.05, 0.95]
+    )
+    lo_by: dict = {}
+    hi_by: dict = {}
+    for r in qt.to_pylist():
+        lo_by[r["lang"]] = r["q5_n_chars"]
+        hi_by[r["lang"]] = r["q95_n_chars"]
+
+    def keep_outliers(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pandas()
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        lo = langs.map(lo_by).to_numpy(dtype=np.int64)
+        hi = langs.map(hi_by).to_numpy(dtype=np.int64)
+        return batch.filter(pa.array((x < lo) | (x > hi)))
+
+    return with_len.map_batches(
+        keep_outliers, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_modal_length_bucket_by_lang(sf_dir: str):
     """MODE per group: the most frequent 500-char length bucket per lang
     (ties to the smallest bucket) — pair-keyed count exchange + per-group
@@ -5594,6 +5643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_dau_7d": _q_rolling_dau_7d,
         "doc_length_zscore": _q_doc_length_zscore,
         "user_type_entropy": _q_user_type_entropy,
+        "length_outliers_by_lang": _q_length_outliers_by_lang,
         "customers_no_orders": _q_customers_no_orders,
         "mixture_sample_by_lang": _q_mixture_sample_by_lang,
         "events_ntile": _q_events_ntile,
@@ -6565,6 +6615,14 @@ def oracle_sql() -> dict[str, str]:
             "AS n_old_only, "
             "SUM(CASE WHEN o = 0 AND w = 1 THEN 1 ELSE 0 END)::BIGINT "
             "AS n_new_only FROM b"
+        ),
+        "length_outliers_by_lang": (
+            "WITH d AS (SELECT doc_id, lang, length(text)::BIGINT AS n_chars "
+            "FROM documents), "
+            "f AS (SELECT lang, quantile_disc(n_chars, 0.05)::BIGINT AS lo, "
+            "quantile_disc(n_chars, 0.95)::BIGINT AS hi FROM d GROUP BY lang) "
+            "SELECT d.doc_id, d.lang, d.n_chars FROM d JOIN f USING (lang) "
+            "WHERE d.n_chars < f.lo OR d.n_chars > f.hi"
         ),
         "user_type_entropy": (
             "WITH w AS (SELECT user_id, "

@@ -293,6 +293,7 @@ def bench_once() -> dict:
         timed("rolling_dau_7d", q["rolling_dau_7d"])
         timed("doc_length_zscore", q["doc_length_zscore"])
         timed("user_type_entropy", q["user_type_entropy"])
+        timed("length_outliers_by_lang", q["length_outliers_by_lang"])
     finally:
         ray.shutdown()
     return results

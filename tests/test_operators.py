@@ -1832,3 +1832,37 @@ def test_entropy_from_counts(ray_session):
     assert got[1][1] == math.log(4.0) - (2 * math.log(2.0) + 2 * math.log(2.0)) / 4.0
     assert got[2] == expect([5, 0]) and got[2][1] == 0.0
     assert got[3] == expect([0, 3]) and got[3][1] == 0.0
+
+
+def test_grouped_discrete_quantiles_multi(ray_session):
+    """Multi-q quantiles in one exchange: matches DuckDB quantile_disc per
+    q; duplicate/empty q lists rejected."""
+    import duckdb
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_discrete_quantiles
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 7 + ["b"] * 4, "v": [1, 2, 3, 4, 5, 6, 100, 10, 20, 30, 40]}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = grouped_discrete_quantiles(
+        ds, value_col="v", group_col="g", qs=[0.25, 0.5, 0.95]
+    ).to_pandas()
+    got = {
+        r["g"]: (r["q25_v"], r["q50_v"], r["q95_v"]) for _, r in out.iterrows()
+    }
+    sql = duckdb.sql(
+        "SELECT g, quantile_disc(v, 0.25), quantile_disc(v, 0.5), "
+        "quantile_disc(v, 0.95) FROM df GROUP BY g"
+    ).fetchall()
+    assert got == {g: (a, b, c) for g, a, b, c in sql}
+
+    with pytest.raises(ValueError, match="at least one q"):
+        grouped_discrete_quantiles(ds, value_col="v", group_col="g", qs=[])
+    with pytest.raises(ValueError, match="duplicate"):
+        grouped_discrete_quantiles(
+            ds, value_col="v", group_col="g", qs=[0.251, 0.259]
+        )

@@ -5631,19 +5631,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_ws_docs": _q_normalize_ws_docs,
         "c4_line_filter": _q_c4_line_filter,
         "events_rolling_value": _q_events_rolling_value,
-        "user_interarrival_stats": _q_user_interarrival_stats,
-        "user_activity_skew": _q_user_activity_skew,
-        "event_type_cooccurrence": _q_event_type_cooccurrence,
-        "events_percent_rank": _q_events_percent_rank,
-        "event_transition_matrix": _q_event_transition_matrix,
-        "sample_k_per_lang": _q_sample_k_per_lang,
-        "trending_types_hourly": _q_trending_types_hourly,
-        "session_duration_stats": _q_session_duration_stats,
-        "daily_event_deltas": _q_daily_event_deltas,
-        "rolling_dau_7d": _q_rolling_dau_7d,
-        "doc_length_zscore": _q_doc_length_zscore,
-        "user_type_entropy": _q_user_type_entropy,
-        "length_outliers_by_lang": _q_length_outliers_by_lang,
         "customers_no_orders": _q_customers_no_orders,
         "mixture_sample_by_lang": _q_mixture_sample_by_lang,
         "events_ntile": _q_events_ntile,
@@ -5657,11 +5644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_new_docs": _q_incremental_dedup_new_docs,
         "docs_global_rank": _q_docs_global_rank,
         "docs_rollup_counts": _q_docs_rollup_counts,
-        "docs_cube_counts": _q_docs_cube_counts,
         "length_token_cov_by_lang": _q_length_token_cov_by_lang,
-        "length_token_corr_by_lang": _q_length_token_corr_by_lang,
-        "token_skewness_by_lang": _q_token_skewness_by_lang,
-        "token_kurtosis_by_lang": _q_token_kurtosis_by_lang,
         "modal_length_bucket_by_lang": _q_modal_length_bucket_by_lang,
         "type_token_ratio_by_lang": _q_type_token_ratio_by_lang,
         "snapshot_overlap_stats": _q_snapshot_overlap_stats,
@@ -5687,6 +5670,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # loop, per_lang_counts covers the per-lang rollup shape, and the
         # two composes' core operators top_tokens / median_chars_by_lang
         # are r04 driver-green) ---
+        # round-5 continuation operators (sweep-verified + per-query pytest
+        # at sf0.001; kept below the marker so the 50 sampled slots stay on
+        # the never-driver-checked verdict set + extraction parity)
+        "user_interarrival_stats": _q_user_interarrival_stats,
+        "user_activity_skew": _q_user_activity_skew,
+        "event_type_cooccurrence": _q_event_type_cooccurrence,
+        "events_percent_rank": _q_events_percent_rank,
+        "event_transition_matrix": _q_event_transition_matrix,
+        "sample_k_per_lang": _q_sample_k_per_lang,
+        "trending_types_hourly": _q_trending_types_hourly,
+        "session_duration_stats": _q_session_duration_stats,
+        "daily_event_deltas": _q_daily_event_deltas,
+        "rolling_dau_7d": _q_rolling_dau_7d,
+        "doc_length_zscore": _q_doc_length_zscore,
+        "user_type_entropy": _q_user_type_entropy,
+        "length_outliers_by_lang": _q_length_outliers_by_lang,
+        "docs_cube_counts": _q_docs_cube_counts,
+        "length_token_corr_by_lang": _q_length_token_corr_by_lang,
+        "token_skewness_by_lang": _q_token_skewness_by_lang,
+        "token_kurtosis_by_lang": _q_token_kurtosis_by_lang,
         "corpus_checksum_by_lang": _q_corpus_checksum_by_lang,
         "cm_top_token_counts": _q_cm_top_token_counts,
         "docs_above_p90_len": _q_docs_above_p90_len,

@@ -738,6 +738,121 @@ def _q_user_type_entropy(sf_dir: str):
     )
 
 
+def _q_user_feature_table(sf_dir: str):
+    """Feature-engineering join — the events-tier flagship composition:
+    one per-user feature row assembled from THREE independent pipelines
+    (session count via sessionize, purchase count via a filtered
+    aggregate, behavioral entropy via pivot+entropy), stitched with one
+    co-partitioned inner join and one left-outer join on the int64 user
+    key (absent purchases COALESCE to 0). Every stage is a prior
+    oracle-pinned operator; the WITH-chain oracle joins the same three
+    CTEs."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.dedup import _compact_nonempty, _num_partitions
+    from docler_ray.stages.stats import entropy_from_counts, pivot_counts
+    from docler_ray.stages.windows import sessionize
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    # (a) sessions per user: one row per (user, session) -> count
+    sess = sessionize(events.select_columns(["user_id", "ts"]), "user_id", "ts")
+
+    def sess_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["user_id"]).group_by(["user_id"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "p_n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    a = (
+        sess.map_batches(sess_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("p_n", alias_name="n_sessions"))
+    )
+
+    # (b) purchases per user (filtered aggregate; users may be absent)
+    def purchase_partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        g = f.select(["user_id"]).group_by(["user_id"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "p_n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    b = (
+        events.map_batches(
+            purchase_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("user_id")
+        .aggregate(Sum("p_n", alias_name="n_purchases"))
+    )
+
+    # (c) behavioral entropy per user
+    wide = pivot_counts(
+        events.select_columns(["user_id", "event_type"]),
+        row_col="user_id",
+        col_col="event_type",
+        col_values=_EVENT_TYPES,
+    )
+    c = entropy_from_counts(
+        wide,
+        id_cols=["user_id"],
+        count_cols=[f"event_type_{t}" for t in _EVENT_TYPES],
+    )
+
+    # stitch: inner (both complete) then left outer (purchases optional);
+    # aggregate outputs are compacted first (Ray 2.49 rejects the
+    # schema-less empty blocks groupby emits — see full_outer_join)
+    ads, an = _compact_nonempty(a)
+    cds, _ = _compact_nonempty(c)
+    bds, bn = _compact_nonempty(b)
+    ac = ads.join(
+        cds, join_type="inner", num_partitions=_num_partitions(an), on=("user_id",)
+    )
+    if bn > 0:
+        acb = ac.join(
+            bds,
+            join_type="left_outer",
+            num_partitions=_num_partitions(an),
+            on=("user_id",),
+        )
+    else:  # pragma: no cover - degenerate corpus without purchases
+        acb = ac
+
+    def finish(batch: pa.Table) -> pa.Table:
+        names = set(batch.schema.names)
+        if "n_purchases" in names:
+            np_col = pc.coalesce(
+                batch.column("n_purchases"), pa.scalar(0, pa.int64())
+            )
+        else:  # pragma: no cover - degenerate corpus without purchases
+            np_col = pa.array([0] * batch.num_rows, pa.int64())
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n_sessions": batch.column("n_sessions"),
+                "n_events": batch.column("n"),
+                "n_purchases": np_col,
+                "entropy": batch.column("entropy"),
+            }
+        )
+
+    return acb.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_lineitem_order_status_counts(sf_dir: str):
     """Big-big co-partitioned hash join (both sides are fact tables, so
     neither broadcasts): lineitem joins orders on orderkey via Ray's
@@ -5673,6 +5788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 continuation operators (sweep-verified + per-query pytest
         # at sf0.001; kept below the marker so the 50 sampled slots stay on
         # the never-driver-checked verdict set + extraction parity)
+        "user_feature_table": _q_user_feature_table,
         "user_interarrival_stats": _q_user_interarrival_stats,
         "user_activity_skew": _q_user_activity_skew,
         "event_type_cooccurrence": _q_event_type_cooccurrence,
@@ -6626,6 +6742,34 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(n_chars, 0.95)::BIGINT AS hi FROM d GROUP BY lang) "
             "SELECT d.doc_id, d.lang, d.n_chars FROM d JOIN f USING (lang) "
             "WHERE d.n_chars < f.lo OR d.n_chars > f.hi"
+        ),
+        "user_feature_table": (
+            "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep "
+            "FROM events), "
+            "br AS (SELECT user_id, CASE WHEN lag(ep) OVER w IS NULL "
+            "OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS is_new FROM e "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ep)), "
+            "sess AS (SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions "
+            "FROM br GROUP BY user_id), "
+            "p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events "
+            "WHERE event_type = 'purchase' GROUP BY user_id), "
+            "w AS (SELECT user_id, "
+            + ", ".join(
+                f"COUNT(*) FILTER (WHERE event_type = '{t}') AS c{i}"
+                for i, t in enumerate(_EVENT_TYPES)
+            )
+            + " FROM events GROUP BY user_id), "
+            "ent AS (SELECT user_id, c0 + c1 + c2 + c3 + c4 AS n, "
+            "ln(CAST(c0 + c1 + c2 + c3 + c4 AS DOUBLE)) - ("
+            + " + ".join(
+                f"CASE WHEN c{i} = 0 THEN 0.0 ELSE "
+                f"CAST(c{i} AS DOUBLE) * ln(CAST(c{i} AS DOUBLE)) END"
+                for i in range(len(_EVENT_TYPES))
+            )
+            + ") / CAST(c0 + c1 + c2 + c3 + c4 AS DOUBLE) AS entropy FROM w) "
+            "SELECT s.user_id, s.n_sessions, ent.n AS n_events, "
+            "COALESCE(p.n_purchases, 0) AS n_purchases, ent.entropy "
+            "FROM sess s JOIN ent USING (user_id) LEFT JOIN p USING (user_id)"
         ),
         "user_type_entropy": (
             "WITH w AS (SELECT user_id, "

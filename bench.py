@@ -294,6 +294,7 @@ def bench_once() -> dict:
         timed("doc_length_zscore", q["doc_length_zscore"])
         timed("user_type_entropy", q["user_type_entropy"])
         timed("length_outliers_by_lang", q["length_outliers_by_lang"])
+        timed("user_feature_table", q["user_feature_table"])
     finally:
         ray.shutdown()
     return results
@@ -350,6 +351,7 @@ SF1_QUERIES = [
     "event_type_cooccurrence",
     "trending_types_hourly",
     "session_duration_stats",
+    "user_feature_table",
 ]
 
 

@@ -738,6 +738,75 @@ def _q_user_type_entropy(sf_dir: str):
     )
 
 
+def _q_weekday_weekend_type_kl(sf_dir: str):
+    """Distribution drift as KL divergence: event-type distribution on
+    weekdays vs weekends, both directions — the corpus-comparison
+    primitive (does the weekend behave differently?). One
+    alphabet-x-2-sided count exchange (10 cells); the final expression
+    runs on the driver over the DIMENSION table with every ln through
+    libm in declared alphabet order, each log argument an exact-int
+    ratio cast once — bit-identical to the spelled-out oracle. A zero
+    cell on the reference side makes that direction NULL (KL undefined),
+    the oracle's CASE twin."""
+    import math
+
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        dow = (day + 4) % 7
+        weekend = (dow == 0) | (dow == 6)
+        df = pd.DataFrame(
+            {"event_type": batch.column("event_type").to_pandas(), "we": weekend}
+        )
+        g = df.groupby(["event_type", "we"], sort=False).size().reset_index(
+            name="p_n"
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "we"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+    wd = {t: 0 for t in _EVENT_TYPES}
+    we = {t: 0 for t in _EVENT_TYPES}
+    for r in cells.take_all():  # alphabet x 2 rows — dimension-sized
+        (we if r["we"] else wd)[r["event_type"]] = int(r["n"])
+
+    n_wd = sum(wd.values())
+    n_we = sum(we.values())
+
+    def kl(p: dict, np_: int, q: dict, nq_: int):
+        total = 0.0
+        for t in _EVENT_TYPES:
+            c, d = p[t], q[t]
+            if c == 0:
+                continue
+            if d == 0:
+                return None
+            total = total + float(c) / float(np_) * math.log(
+                float(c * nq_) / float(d * np_)
+            )
+        return total
+
+    return pa.table(
+        {
+            "n_weekday": pa.array([n_wd], pa.int64()),
+            "n_weekend": pa.array([n_we], pa.int64()),
+            "kl_wd_we": pa.array([kl(wd, n_wd, we, n_we)], pa.float64()),
+            "kl_we_wd": pa.array([kl(we, n_we, wd, n_wd)], pa.float64()),
+        }
+    )
+
+
 def _q_user_feature_table(sf_dir: str):
     """Feature-engineering join — the events-tier flagship composition:
     one per-user feature row assembled from THREE independent pipelines
@@ -5789,6 +5858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # at sf0.001; kept below the marker so the 50 sampled slots stay on
         # the never-driver-checked verdict set + extraction parity)
         "user_feature_table": _q_user_feature_table,
+        "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
         "user_activity_skew": _q_user_activity_skew,
         "event_type_cooccurrence": _q_event_type_cooccurrence,
@@ -6742,6 +6812,44 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(n_chars, 0.95)::BIGINT AS hi FROM d GROUP BY lang) "
             "SELECT d.doc_id, d.lang, d.n_chars FROM d JOIN f USING (lang) "
             "WHERE d.n_chars < f.lo OR d.n_chars > f.hi"
+        ),
+        "weekday_weekend_type_kl": (
+            "WITH m AS (SELECT event_type, CASE WHEN dayofweek(ts) = 0 "
+            "OR dayofweek(ts) = 6 THEN 1 ELSE 0 END AS we FROM events), "
+            "c AS (SELECT "
+            + ", ".join(
+                f"COUNT(*) FILTER (WHERE we = 0 AND event_type = '{t}') AS c{i}, "
+                f"COUNT(*) FILTER (WHERE we = 1 AND event_type = '{t}') AS d{i}"
+                for i, t in enumerate(_EVENT_TYPES)
+            )
+            + " FROM m), "
+            "t AS (SELECT *, c0 + c1 + c2 + c3 + c4 AS np, "
+            "d0 + d1 + d2 + d3 + d4 AS nq FROM c) "
+            "SELECT np AS n_weekday, nq AS n_weekend, "
+            "CASE WHEN "
+            + " OR ".join(
+                f"(c{i} > 0 AND d{i} = 0)" for i in range(len(_EVENT_TYPES))
+            )
+            + " THEN NULL ELSE "
+            + " + ".join(
+                f"CASE WHEN c{i} = 0 THEN 0.0 ELSE "
+                f"CAST(c{i} AS DOUBLE) / CAST(np AS DOUBLE) * "
+                f"ln(CAST(c{i} * nq AS DOUBLE) / CAST(d{i} * np AS DOUBLE)) END"
+                for i in range(len(_EVENT_TYPES))
+            )
+            + " END AS kl_wd_we, "
+            "CASE WHEN "
+            + " OR ".join(
+                f"(d{i} > 0 AND c{i} = 0)" for i in range(len(_EVENT_TYPES))
+            )
+            + " THEN NULL ELSE "
+            + " + ".join(
+                f"CASE WHEN d{i} = 0 THEN 0.0 ELSE "
+                f"CAST(d{i} AS DOUBLE) / CAST(nq AS DOUBLE) * "
+                f"ln(CAST(d{i} * np AS DOUBLE) / CAST(c{i} * nq AS DOUBLE)) END"
+                for i in range(len(_EVENT_TYPES))
+            )
+            + " END AS kl_we_wd FROM t"
         ),
         "user_feature_table": (
             "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep "

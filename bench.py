@@ -295,6 +295,7 @@ def bench_once() -> dict:
         timed("user_type_entropy", q["user_type_entropy"])
         timed("length_outliers_by_lang", q["length_outliers_by_lang"])
         timed("user_feature_table", q["user_feature_table"])
+        timed("weekday_weekend_type_kl", q["weekday_weekend_type_kl"])
     finally:
         ray.shutdown()
     return results

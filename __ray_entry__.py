@@ -5787,6 +5787,247 @@ def _redact_sql() -> str:
     )
 
 
+_EDIT_DMAX = 32  # byte edit-distance threshold (probed: true near-dups sit
+# at dist 4, the random-noise band starts ~39 at every sf)
+
+
+_EDIT_PAIRS_SQL = (
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "levenshtein(a.text, b.text) AS dist "
+    "FROM documents a JOIN documents b "
+    "  ON a.lang = b.lang AND a.doc_id < b.doc_id "
+    f"  AND abs(strlen(a.text) - strlen(b.text)) <= {_EDIT_DMAX} "
+    f"WHERE levenshtein(a.text, b.text) <= {_EDIT_DMAX}"
+)
+
+
+def _q_edit_neardup_pairs(sf_dir: str):
+    """Levenshtein near-dup pairs (UTF-8 BYTE edit distance <= 32, the
+    DuckDB levenshtein semantics): length-band replication (W = 2*d) ->
+    ONE int64-coarse exchange on (lang, band) -> in-bucket two-pointer +
+    histogram prefilter + exact min-plus-scan DP. The string-METRIC member
+    of the dedup family — exact recall, unlike MinHash/SimHash."""
+    import ray.data
+
+    from docler_ray.stages.editdist import levenshtein_neardup_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return levenshtein_neardup_pairs(
+        ds, text_col="text", group_col="lang", id_col="doc_id", d_max=_EDIT_DMAX
+    )
+
+
+def _q_edit_neardup_survivors(sf_dir: str):
+    """Survivors of Levenshtein near-dedup: the exact edit-distance pairs
+    clustered with min-label components, keep-min, anti-join back —
+    the same survivor machinery every other dedup family member uses."""
+    import ray.data
+
+    from docler_ray.stages.dedup import anti_join_survivors, drop_from_pairs
+    from docler_ray.stages.editdist import levenshtein_neardup_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    n = ds.count()
+    pairs = levenshtein_neardup_pairs(
+        ds, text_col="text", group_col="lang", id_col="doc_id", d_max=_EDIT_DMAX
+    )
+    drop = drop_from_pairs(pairs, "doc_id")
+    return anti_join_survivors(ds, drop, "doc_id", left_rows=n).select_columns(
+        ["doc_id"]
+    )
+
+
+def _edit_survivors_sql() -> str:
+    """Survivor oracle on the SAME pairs SQL (recursive symmetric closure,
+    keep-min per component) so the two oracles cannot drift."""
+    return (
+        f"WITH RECURSIVE p AS ({_EDIT_PAIRS_SQL}), "
+        "sym AS (SELECT id_a AS a, id_b AS b FROM p "
+        "        UNION SELECT id_b, id_a FROM p), "
+        "reach(a, b) AS (SELECT a, b FROM sym "
+        "  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), "
+        "lbl AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a) "
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id NOT IN (SELECT id FROM lbl WHERE mn < id)"
+    )
+
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUTOFF = "1998-06-01"
+_Q18_MIN_QTY = 280
+
+
+def _q_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 analog — top-10 unshipped-revenue orders for one market
+    segment: the classic filter -> semi-join -> big-big join -> grouped
+    sum -> global top-k chain.
+
+    Distributed plan: segment-filtered customers reach the date-filtered
+    orders through an EXACT bloom semi join (bitmap broadcast map-side, the
+    trailing left_semi join removes false positives — no customer-table
+    exchange at corpus scale); ship-date-filtered lineitem pre-aggregates
+    revenue cents map-side per orderkey, ONE orderkey groupby finishes the
+    sum, one co-partitioned hash join attaches order attributes, and the
+    top-10 folds through bounded per-batch partials (driver holds k rows).
+    Revenue uses the shared float64-cents rounding expression, summed as
+    int64."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import bloom_semi_join, copartition_hash_join
+    from docler_ray.stages.topk import topk
+
+    cutoff = pd.Timestamp(_Q3_CUTOFF).to_pydatetime()
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), _Q3_SEGMENT)
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders_red = bloom_semi_join(
+        orders, cust, "o_custkey", "c_custkey"
+    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("l_shipdate"), cutoff))
+        e = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {"l_orderkey": t.column("l_orderkey").to_numpy(), "cents": cents}
+        )
+        g = df.groupby("l_orderkey", sort=False)["cents"].sum().reset_index()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"], pa.int64()),
+                "partial_cents": pa.array(g["cents"], pa.int64()),
+            }
+        )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    n_li = lineitem.count()
+    rev = (
+        lineitem.map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("partial_cents", alias_name="revenue_cents"))
+    )
+    joined = copartition_hash_join(
+        rev, orders_red, on="l_orderkey", right_on="o_orderkey", size_hint=n_li
+    )
+    return topk(
+        joined,
+        sort_col="revenue_cents",
+        k=10,
+        keep_cols=["l_orderkey", "o_orderdate", "o_orderpriority"],
+        tie_col="l_orderkey",
+    )
+
+
+def _q_q18_large_orders(sf_dir: str):
+    """TPC-H Q18 analog — large-quantity orders (groupby + HAVING + join
+    back for order/customer attributes): lineitem quantities pre-sum
+    map-side per orderkey (quantities are small integers, so the float64
+    partial sums are exact), ONE orderkey groupby + HAVING filter leaves a
+    tiny survivor set, one co-partitioned join attaches order attributes
+    (orders never materializes), and the customer name arrives via a
+    broadcast dimension join."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import broadcast_hash_join, copartition_hash_join
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch.column("l_orderkey").to_numpy(),
+                "qty": batch.column("l_quantity")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby("l_orderkey", sort=False)["qty"].sum().reset_index()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"], pa.int64()),
+                "partial_qty": pa.array(g["qty"], pa.int64()),
+            }
+        )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    n_li = lineitem.count()
+    big = (
+        lineitem.map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("partial_qty", alias_name="sum_qty"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater(b.column("sum_qty"), _Q18_MIN_QTY)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    joined = copartition_hash_join(
+        orders, big, on="o_orderkey", right_on="l_orderkey", size_hint=n_li
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        total_cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_orderdate": batch.column("o_orderdate"),
+                "total_cents": pa.array(total_cents, pa.int64()),
+                "c_custkey": batch.column("o_custkey"),
+                "c_name": batch.column("c_name"),
+                "sum_qty": batch.column("sum_qty"),
+            }
+        )
+
+    return broadcast_hash_join(
+        joined, cust, keys="o_custkey", right_keys="c_custkey"
+    ).map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Order matters: the driver samples the FIRST 50 entries for its
@@ -5857,6 +6098,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 continuation operators (sweep-verified + per-query pytest
         # at sf0.001; kept below the marker so the 50 sampled slots stay on
         # the never-driver-checked verdict set + extraction parity)
+        "edit_neardup_pairs": _q_edit_neardup_pairs,
+        "edit_neardup_survivors": _q_edit_neardup_survivors,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "q18_large_orders": _q_q18_large_orders,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -6850,6 +7095,29 @@ def oracle_sql() -> dict[str, str]:
                 for i in range(len(_EVENT_TYPES))
             )
             + " END AS kl_we_wd FROM t"
+        ),
+        "edit_neardup_pairs": _EDIT_PAIRS_SQL,
+        "edit_neardup_survivors": _edit_survivors_sql(),
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            f"WHERE c_mktsegment = '{_Q3_SEGMENT}' "
+            f"AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF}' "
+            f"AND l_shipdate > TIMESTAMP '{_Q3_CUTOFF}' "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
+        ),
+        "q18_large_orders": (
+            "SELECT o_orderkey, o_orderdate, "
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, "
+            "c_custkey, c_name, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "GROUP BY 1, 2, 3, 4, 5 "
+            f"HAVING SUM(l_quantity) > {_Q18_MIN_QTY}"
         ),
         "user_feature_table": (
             "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep "

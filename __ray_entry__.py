@@ -6028,6 +6028,62 @@ def _q_q18_large_orders(sf_dir: str):
     ).map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+_PHRASES = ["hash join", "sort merge", "table scan", "group by", "spark"]
+
+
+def _q_price_exact_quantiles(sf_dir: str):
+    """EXACT discrete quantiles of a DOUBLE column (orders.o_totalprice)
+    by distributed binary search: per pass, one zero-shuffle histogram
+    scan (B bucket counters + an exact strict-below count per target, all
+    recomputed — never accumulated), fuzz-safe one-bucket-slack descent,
+    bounded final collect. The continuous-domain sibling of the
+    count-exchange quantile profile (which needs a bounded int domain)."""
+    import ray.data
+
+    from docler_ray.stages.stats import exact_quantiles_narrowing
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    return exact_quantiles_narrowing(
+        ds, value_col="o_totalprice", qs=_QUANTILE_QS
+    )
+
+
+def _price_exact_quantiles_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT {q} AS q, quantile_disc(o_totalprice, {q}) AS value FROM orders"
+        for q in _QUANTILE_QS
+    )
+
+
+def _q_phrase_hit_counts(sf_dir: str):
+    """Fixed-list literal phrase scan (blocklist / keyword counting): per
+    doc, non-overlapping occurrence count of each phrase, sparse long
+    output. Zero shuffle — one vectorized Arrow count_substring kernel per
+    phrase per batch; Arrow and SQL replace-arithmetic share the
+    non-overlapping left-to-right semantics."""
+    import ray.data
+
+    from docler_ray.stages.tagging import phrase_hit_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return phrase_hit_counts(ds, _PHRASES)
+
+
+def _phrase_hits_sql() -> str:
+    arms = " UNION ALL ".join(
+        "SELECT doc_id, '" + p + "' AS phrase, "
+        f"CAST((length(text) - length(replace(text, '{p}', ''))) "
+        f"/ {len(p)} AS BIGINT) AS n FROM documents"
+        for p in _PHRASES
+    )
+    return f"SELECT doc_id, phrase, n FROM ({arms}) WHERE n > 0"
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Order matters: the driver samples the FIRST 50 entries for its
@@ -6102,6 +6158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_neardup_survivors": _q_edit_neardup_survivors,
         "q3_shipping_priority": _q_q3_shipping_priority,
         "q18_large_orders": _q_q18_large_orders,
+        "price_exact_quantiles": _q_price_exact_quantiles,
+        "phrase_hit_counts": _q_phrase_hit_counts,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -7110,6 +7168,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2, 3 "
             "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
         ),
+        "price_exact_quantiles": _price_exact_quantiles_sql(),
+        "phrase_hit_counts": _phrase_hits_sql(),
         "q18_large_orders": (
             "SELECT o_orderkey, o_orderdate, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, "

@@ -1174,3 +1174,191 @@ def pivot_counts(ds, *, row_col: str, col_col: str, col_values: list):
         .groupby(row_col)
         .aggregate(*[Sum(n, alias_name=n) for n in out_names])
     )
+
+
+_NARROW_BUCKETS = 1024  # histogram width per narrowing pass (driver holds B ints)
+_NARROW_COLLECT_CAP = 65536  # collect the candidate slice once it's this small
+
+
+def exact_quantiles_narrowing(ds, *, value_col: str, qs: list[float]):
+    """EXACT discrete quantiles (quantile_disc semantics: the element at
+    0-based sorted index ``ceil(q*n) - 1``) over an unbounded DOUBLE column
+    — the continuous-domain sibling of ``grouped_discrete_quantiles``
+    (which exchanges exact per-value counts and needs a bounded value
+    domain).
+
+    Plan: distributed binary search. Each pass histograms every still-active
+    target's interval [lo, hi] into _NARROW_BUCKETS equal-width buckets with
+    map-side int64 partials plus an EXACT strict-below count (v < lo), then
+    descends to the rank-owning bucket WIDENED BY ONE BUCKET EACH SIDE —
+    the slack absorbs float boundary fuzz in the (v-lo)/width binning, so
+    the invariant "the target value lies in [lo, hi]" survives every pass
+    without trusting bucket-edge arithmetic. The strict-below count is
+    recomputed from the raw range each pass (never accumulated), so no
+    rounding error can bias the rank. Once a target's interval holds
+    <= _NARROW_COLLECT_CAP values (or collapses to zero width — the
+    duplicate-heavy stall exit, reached in <= ~64 passes by the float
+    mantissa bound) the slice is collected and resolved exactly.
+
+    All active targets share one scan per round: zero shuffle, O(passes)
+    streaming reads, driver state = targets x (B+1) counters. Returns a
+    driver-side Arrow table (q, value) — quantile output is constant-sized
+    by definition.
+    """
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    if not qs:
+        raise ValueError("exact_quantiles_narrowing needs at least one q")
+    n = ds.count()
+    if n == 0:
+        return pa.table(
+            {"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())}
+        )
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo0, hi0 = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+
+    targets = [
+        {
+            "q": q,
+            "k": max(math.ceil(q * n) - 1, 0),
+            "lo": lo0,
+            "hi": hi0,
+            "count": n,
+            "value": None,
+        }
+        for q in qs
+    ]
+
+    def hist_pass(intervals):
+        """One scan: for each interval, bucket counts of values in [lo, hi]
+        plus the exact count of values strictly below lo (bucket -1)."""
+        b = _NARROW_BUCKETS
+        ivs = [(float(lo), float(hi)) for lo, hi in intervals]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = batch.column(value_col).to_numpy(zero_copy_only=False)
+            rows = []
+            belows = []
+            for lo, hi in ivs:
+                belows.append(int((v < lo).sum()))
+                sel = v[(v >= lo) & (v <= hi)]
+                width = hi - lo
+                if width <= 0:
+                    counts = np.zeros(b, dtype=np.int64)
+                    counts[0] = len(sel)
+                else:
+                    idx = np.clip(
+                        ((sel - lo) / width * b).astype(np.int64), 0, b - 1
+                    )
+                    counts = np.bincount(idx, minlength=b).astype(np.int64)
+                rows.append(counts)
+            flat = np.concatenate(
+                [np.concatenate(([bl], cs)) for bl, cs in zip(belows, rows)]
+            )
+            return pa.table(
+                {
+                    "iv": pa.array(
+                        np.repeat(np.arange(len(ivs)), b + 1), pa.int64()
+                    ),
+                    "bucket": pa.array(
+                        np.tile(np.arange(-1, b), len(ivs)), pa.int64()
+                    ),
+                    "c": pa.array(flat, pa.int64()),
+                }
+            )
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["iv", "bucket"])
+            .aggregate(Sum("c", alias_name="n"))
+            .to_pandas()
+        )
+        out = np.zeros((len(ivs), b + 1), dtype=np.int64)
+        out[agg["iv"].to_numpy(), agg["bucket"].to_numpy() + 1] = agg[
+            "n"
+        ].to_numpy()
+        return out[:, 0], out[:, 1:]
+
+    def resolve(t):
+        """Collect the candidate slice [lo, hi] and pick the exact element:
+        rel = k - exact strict-below count, both range-based (no bucket
+        arithmetic), so earlier binning fuzz cannot bias the answer."""
+        lo, hi = t["lo"], t["hi"]
+
+        # two bounded reads: the slice itself and the exact below-count
+        vals = (
+            ds.map_batches(
+                lambda batch: batch.filter(
+                    pc.and_(
+                        pc.greater_equal(batch.column(value_col), lo),
+                        pc.less_equal(batch.column(value_col), hi),
+                    )
+                ).select([value_col]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .to_pandas()[value_col]
+            .to_numpy()
+        )
+        below = (
+            ds.map_batches(
+                lambda batch: pa.table(
+                    {
+                        "b": pa.array(
+                            [
+                                int(
+                                    pc.sum(
+                                        pc.less(batch.column(value_col), lo)
+                                    ).as_py()
+                                    or 0
+                                )
+                            ],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .aggregate(Sum("b", alias_name="n"))["n"]
+        )
+        vals = np.sort(vals)
+        return float(vals[t["k"] - int(below)])
+
+    b = _NARROW_BUCKETS
+    for _ in range(90):  # ~341x shrink/pass + float-width floor: ample
+        for t in targets:
+            if t["value"] is None and (
+                t["count"] <= _NARROW_COLLECT_CAP or t["hi"] <= t["lo"]
+            ):
+                if t["hi"] <= t["lo"]:
+                    t["value"] = t["lo"]
+                else:
+                    t["value"] = resolve(t)
+        active = [t for t in targets if t["value"] is None]
+        if not active:
+            break
+        belows, hists = hist_pass([(t["lo"], t["hi"]) for t in active])
+        for i, t in enumerate(active):
+            counts = hists[i]
+            rel = t["k"] - int(belows[i])  # 0-based rank inside [lo, hi]
+            cum = np.cumsum(counts)
+            j = int(np.searchsorted(cum, rel + 1))
+            width = t["hi"] - t["lo"]
+            j_lo, j_hi = max(j - 1, 0), min(j + 1, b - 1)
+            new_lo = t["lo"] + width * j_lo / b
+            new_hi = t["hi"] if j_hi == b - 1 else t["lo"] + width * (j_hi + 1) / b
+            t["count"] = int(counts[j_lo : j_hi + 1].sum())
+            t["lo"], t["hi"] = max(new_lo, t["lo"]), min(new_hi, t["hi"])
+
+    return pa.table(
+        {
+            "q": pa.array([t["q"] for t in targets], pa.float64()),
+            "value": pa.array([t["value"] for t in targets], pa.float64()),
+        }
+    )

@@ -91,3 +91,49 @@ def rule_profile(ds, rules: dict[str, str], *, text_col: str = "text"):
     return pa.table(
         {k: pa.array([v], pa.int64()) for k, v in sorted(agg.items())}
     )
+
+
+def phrase_hit_counts(ds, phrases: list[str], *, text_col: str = "text", id_col: str = "doc_id"):
+    """Multi-pattern literal phrase scan: per document, the non-overlapping
+    occurrence count of each phrase in a FIXED list (blocklist / keyword /
+    toxicity-phrase scanning — the literal-substring sibling of
+    ``rule_tagger``). Output is sparse long format (id, phrase, n) with
+    n > 0 only.
+
+    Zero shuffle: the phrase list is a bounded constant dictionary (a
+    dictionary too large for a task closure would ride ``ray.put`` like
+    every other broadcast small side); counting is one vectorized Arrow
+    ``count_substring`` kernel per phrase per batch. Arrow counts
+    non-overlapping left-to-right matches — the same semantics as SQL
+    replace-arithmetic ``(length(t) - length(replace(t, p, ''))) /
+    length(p)``, so the oracle replays each phrase verbatim.
+    """
+    if not phrases:
+        raise ValueError("phrase_hit_counts needs at least one phrase")
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        text = pc.fill_null(batch.column(text_col), "")
+        ids = batch.column(id_col)
+        id_parts, phrase_parts, n_parts = [], [], []
+        for p in phrases:
+            n = pc.cast(pc.count_substring(text, p), pa.int64())
+            mask = pc.greater(n, 0)
+            hit_n = n.filter(mask)
+            id_parts.append(ids.filter(mask))
+            phrase_parts.append(np.full(len(hit_n), p, dtype=object))
+            n_parts.append(hit_n)
+        return pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in id_parts]
+                ),
+                "phrase": pa.array(np.concatenate(phrase_parts), pa.string()),
+                "n": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in n_parts]
+                ),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)

@@ -6084,6 +6084,37 @@ def _phrase_hits_sql() -> str:
     return f"SELECT doc_id, phrase, n FROM ({arms}) WHERE n > 0"
 
 
+_PRIORITY_K = 64
+
+
+def _q_priority_sample_docs(sf_dir: str):
+    """Weight-proportional fixed-size corpus sample (Duffield-Lund-Thorup
+    priority sampling): priority = n_chars / (52-bit md5(doc_id) + 1),
+    one correctly-rounded IEEE divide (libm-free, engine-identical), top-k
+    fold bounded at k rows on the driver. The weighted member of the
+    sampling family (pct / stratified / exact-k / mixture)."""
+    import ray.data
+
+    from docler_ray.stages.stats import priority_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return priority_sample(
+        ds, id_col="doc_id", weight_col="n_chars", k=_PRIORITY_K
+    )
+
+
+def _priority_sample_sql() -> str:
+    return (
+        "SELECT doc_id, n_chars, "
+        "n_chars / (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))"
+        "::UBIGINT + 1) AS priority "
+        "FROM documents "
+        f"ORDER BY priority DESC, doc_id LIMIT {_PRIORITY_K}"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Order matters: the driver samples the FIRST 50 entries for its
@@ -6160,6 +6191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": _q_q18_large_orders,
         "price_exact_quantiles": _q_price_exact_quantiles,
         "phrase_hit_counts": _q_phrase_hit_counts,
+        "priority_sample_docs": _q_priority_sample_docs,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -7170,6 +7202,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "price_exact_quantiles": _price_exact_quantiles_sql(),
         "phrase_hit_counts": _phrase_hits_sql(),
+        "priority_sample_docs": _priority_sample_sql(),
         "q18_large_orders": (
             "SELECT o_orderkey, o_orderdate, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, "

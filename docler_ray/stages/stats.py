@@ -1362,3 +1362,54 @@ def exact_quantiles_narrowing(ds, *, value_col: str, qs: list[float]):
             "value": pa.array([t["value"] for t in targets], pa.float64()),
         }
     )
+
+
+def priority_sample(ds, *, id_col: str, weight_col: str, k: int):
+    """Weight-proportional fixed-size sample by PRIORITY SAMPLING
+    (Duffield-Lund-Thorup, JACM 54(6) 2007): priority q_i = w_i / u_i with
+    u_i uniform from the id hash; the k largest priorities form the sample
+    (subset-sum estimation then uses the (k+1)-th priority as the
+    threshold). The fixed-k weighted sibling of weighted_group_sample
+    (rate-based) and sample_k_per_lang (unweighted).
+
+    Deterministic and engine-portable WITHOUT libm: u_i is the 52-bit
+    md5(id) prefix + 1 (<= 2^52, so the int -> double conversion is exact),
+    and q_i is ONE correctly-rounded IEEE divide — bit-identical in numpy
+    and DuckDB (``w / (('0x' || substr(md5(id::VARCHAR),1,13))::UBIGINT +
+    1)``), unlike exponential keys (-ln(u)/w) whose libm calls vary.
+    Zero shuffle: hash + divide map-side, then the bounded top-k fold
+    (driver holds k rows)."""
+    import hashlib
+
+    from docler_ray.stages.topk import topk
+
+    def add_priority(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(d).encode("utf-8")).hexdigest()[:13], 16)
+                for d in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        pri = w.astype(np.float64) / (h + 1).astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                weight_col: batch.column(weight_col),
+                "priority": pa.array(pri, pa.float64()),
+            }
+        )
+
+    mapped = ds.map_batches(
+        add_priority, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return topk(
+        mapped,
+        sort_col="priority",
+        k=k,
+        keep_cols=[id_col, weight_col],
+        tie_col=id_col,
+    )

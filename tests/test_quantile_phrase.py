@@ -110,3 +110,28 @@ def test_phrase_hits_empty_list_raises():
 
     with pytest.raises(ValueError):
         phrase_hit_counts(None, [])
+
+
+def test_priority_sample_weight_proportional(ray_session):
+    import ray.data
+
+    from docler_ray.stages.stats import priority_sample
+
+    # 500 ids with weight 1, 500 with weight 1000: the heavy half must
+    # dominate a k=50 priority sample (weight-proportional inclusion)
+    ids = list(range(1000))
+    weights = [1] * 500 + [1000] * 500
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "w": pa.array(weights, pa.int64()),
+            }
+        )
+    )
+    out = priority_sample(ds, id_col="doc_id", weight_col="w", k=50).to_pandas()
+    assert len(out) == 50
+    assert (out["w"] == 1000).sum() >= 45
+    # determinism: rerun selects the identical set
+    out2 = priority_sample(ds, id_col="doc_id", weight_col="w", k=50).to_pandas()
+    assert out["doc_id"].tolist() == out2["doc_id"].tolist()

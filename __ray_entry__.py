@@ -6084,6 +6084,64 @@ def _phrase_hits_sql() -> str:
     return f"SELECT doc_id, phrase, n FROM ({arms}) WHERE n > 0"
 
 
+def _q_charset_extract_docs(sf_dir: str):
+    """Charset-ladder extraction parity (html/charset.py): each documents
+    row becomes an HTML page in one of four encodings — windows-1252 with
+    an http-equiv declaration, BOM'd UTF-16-LE, gb18030 with a meta
+    charset, plain UTF-8 — flows through the BOM-aware sniff ->
+    html_extract actor pool, and the SQL oracle rebuilds the exact
+    markdown (UTF-8 literals == the decoded text). Reference parity: the
+    markitdown backend ships charset-normalizer; a utf-8/replace decode
+    mojibakes ~5% of a real crawl before extraction can see it."""
+
+    def to_html(d: int) -> bytes:
+        case = d % 4
+        if case == 0:
+            return (
+                '<html><head><meta http-equiv="Content-Type" '
+                'content="text/html; charset=windows-1252">'
+                f"<title>Charset {d}</title></head><body><h1>Tête {d}</h1>"
+                f"<p>Résumé café {d}.</p></body></html>"
+            ).encode("cp1252")
+        if case == 1:
+            return b"\xff\xfe" + (
+                f"<html><head><title>Charset {d}</title></head>"
+                f"<body><h1>Seizième {d}</h1><p>Texte évident {d}.</p>"
+                "</body></html>"
+            ).encode("utf-16-le")
+        if case == 2:
+            return (
+                '<html><head><meta charset="gb18030">'
+                f"<title>Charset {d}</title></head><body><h1>中文 {d}</h1>"
+                f"<p>文档内容 {d}.</p></body></html>"
+            ).encode("gb18030")
+        return (
+            f"<html><head><title>Charset {d}</title></head>"
+            f"<body><h1>Heading {d}</h1><p>Unicode ✓ {d}.</p></body></html>"
+        ).encode("utf-8")
+
+    return _make_extract_query(to_html, project_page_count=False)(sf_dir)
+
+
+def _charset_extract_sql() -> str:
+    m1 = """'<!-- docler:page_break {"next_page":1} -->'"""
+    nl = "chr(10)"
+
+    def body(h: str, p: str) -> str:
+        return f"{m1} || {nl} || '# {h} ' || doc_id || {nl} || {nl} || '{p} ' || doc_id || '.'"
+
+    return (
+        "SELECT doc_id, 'text/html' AS mime_type, "
+        "'Charset ' || doc_id AS title, "
+        "CASE doc_id % 4 "
+        f"WHEN 0 THEN {body('Tête', 'Résumé café')} "
+        f"WHEN 1 THEN {body('Seizième', 'Texte évident')} "
+        f"WHEN 2 THEN {body('中文', '文档内容')} "
+        f"ELSE {body('Heading', 'Unicode ✓')} END AS content "
+        "FROM documents"
+    )
+
+
 _PRIORITY_K = 64
 
 
@@ -6192,6 +6250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_exact_quantiles": _q_price_exact_quantiles,
         "phrase_hit_counts": _q_phrase_hit_counts,
         "priority_sample_docs": _q_priority_sample_docs,
+        "charset_extract_docs": _q_charset_extract_docs,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -7203,6 +7262,7 @@ def oracle_sql() -> dict[str, str]:
         "price_exact_quantiles": _price_exact_quantiles_sql(),
         "phrase_hit_counts": _phrase_hits_sql(),
         "priority_sample_docs": _priority_sample_sql(),
+        "charset_extract_docs": _charset_extract_sql(),
         "q18_large_orders": (
             "SELECT o_orderkey, o_orderdate, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, "

@@ -345,6 +345,26 @@ def sniff_mime(payload: bytes) -> str:
     # mp4 family: size-prefixed 'ftyp' box at offset 4
     if len(head) >= 12 and head[4:8] == b"ftyp":
         return "video/mp4"
+    # BOM'd text (UTF-16/32 HTML interleaves NULs through the ASCII magic):
+    # decode the head with the BOM codec, then re-run the markup checks
+    from docler_ray.html.charset import bom_codec
+
+    bc = bom_codec(head)
+    if bc is not None:
+        decoded = payload[:512].decode(
+            "utf-8" if bc == "utf-8-sig" else bc, "replace"
+        ).lstrip("\ufeff")  # the BOM char itself is not "printable"
+        # a BOM prefix alone is NOT evidence (binary noise can start
+        # \xff\xfe, and noise decoded as UTF-16 is mostly PRINTABLE CJK \u2014
+        # no printability ratio separates it from real CJK text): the BOM
+        # branch only upgrades on MARKUP evidence; BOM'd plain text falls
+        # through to the byte rules (conservative: stays binary, exactly
+        # the pre-charset-ladder verdict)
+        dl = decoded.lstrip("\ufeff \t\r\n").lower()
+        if dl.startswith(("<!doctype html", "<html")) or "<html" in dl:
+            return HTML_MIME
+        if dl.startswith("<?xml"):
+            return XML_MIME
     lowered = head.lstrip()[:64].lower()
     if (
         lowered.startswith(b"<!doctype html")

@@ -49,7 +49,12 @@ ExtractorFn = Callable[[bytes, str, dict], ExtractionResult]
 
 
 def _html_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
-    html = payload.decode("utf-8", errors="replace")
+    # WHATWG-flavored charset ladder (BOM -> meta prescan -> utf-8 ->
+    # cp1252); utf-8 pages decode identically to the old utf-8/replace
+    # path, legacy/UTF-16 pages stop turning into mojibake (html/charset.py)
+    from docler_ray.html.charset import decode_html
+
+    html, _codec = decode_html(payload)
     result = extract_html(html)
     if not options.get("extract_images", True):
         result.images = []
@@ -76,7 +81,12 @@ def _realpdf_extractor(payload: bytes, text: str, options: dict) -> ExtractionRe
 
 
 def _text_extractor(payload: bytes, text: str, options: dict) -> ExtractionResult:
-    content = payload.decode("utf-8", errors="replace") if payload else text
+    if payload:
+        from docler_ray.html.charset import decode_html
+
+        content, _codec = decode_html(payload)
+    else:
+        content = text
     return ExtractionResult(content=prepend_first_page_marker(content))
 
 

@@ -296,6 +296,14 @@ def bench_once() -> dict:
         timed("length_outliers_by_lang", q["length_outliers_by_lang"])
         timed("user_feature_table", q["user_feature_table"])
         timed("weekday_weekend_type_kl", q["weekday_weekend_type_kl"])
+        timed("edit_neardup_pairs", q["edit_neardup_pairs"])
+        timed("edit_neardup_survivors", q["edit_neardup_survivors"])
+        timed("q3_shipping_priority", q["q3_shipping_priority"])
+        timed("q18_large_orders", q["q18_large_orders"])
+        timed("price_exact_quantiles", q["price_exact_quantiles"])
+        timed("phrase_hit_counts", q["phrase_hit_counts"])
+        timed("priority_sample_docs", q["priority_sample_docs"])
+        timed("charset_extract_docs", q["charset_extract_docs"])
     finally:
         ray.shutdown()
     return results

@@ -82,6 +82,233 @@ def levenshtein_bytes(a: np.ndarray, b: np.ndarray, d_max: int) -> int:
     return d if d <= d_max else d_max + 1
 
 
+def levenshtein_many(
+    a_list: list[np.ndarray], b: np.ndarray, d_max: int
+) -> np.ndarray:
+    """Exact Levenshtein of MANY uint8 strings against one ``b``, batched:
+    every candidate pair of a two-pointer window shares its right-hand
+    string, so one DP row step becomes one (pairs x len(b)) matrix op
+    instead of ``len(a_list)`` scalar-kernel rows. Early abandon compacts
+    the pair set each row (shared-vocab corpora defeat histogram
+    prefilters, so most of the join's cost lives here — measured 20x over
+    the per-pair kernel at sf0.1). Returns d_max+1 sentinels like
+    :func:`levenshtein_bytes`.
+    """
+    p = len(a_list)
+    out = np.full(p, d_max + 1, dtype=np.int32)
+    if p == 0:
+        return out
+    lb = len(b)
+    la = np.fromiter((len(a) for a in a_list), dtype=np.int64, count=p)
+    if lb == 0:
+        small = la <= d_max
+        out[small] = la[small]
+        return out
+    keep0 = np.abs(la - lb) <= d_max
+    idx = np.nonzero(keep0)[0]
+    if idx.size == 0:
+        return out
+    lmax = int(la[idx].max())
+    a_mat = np.zeros((idx.size, lmax), dtype=np.uint8)
+    for r, i in enumerate(idx):
+        a_mat[r, : la[i]] = a_list[i]
+    la_sub = la[idx].astype(np.int64)
+    ids = np.arange(idx.size)
+
+    # diagonal band, width W = 2d+1 (cells outside exceed d_max anyway):
+    # band coord k of row i is column c = i - d + k; dp[i-1][c-1] aligns to
+    # the SAME k, dp[i-1][c] to k+1 — so each row is shift-free except one
+    # roll for the delete arm. b is padded so the gather b[c-1] for
+    # c in [i-d, i+d] never indexes out of range.
+    d = d_max
+    w = 2 * d + 1
+    inf = np.int32(1 << 20)
+    kk = np.arange(w, dtype=np.int32)
+    # gather b[c-1] for c = i-d+k reads bpad[i+k], i <= lb+d, k <= 2d
+    bpad = np.full(lb + 3 * d + 2, -1, dtype=np.int16)  # -1: never a uint8
+    bpad[d + 1 : d + 1 + lb] = b
+    # row 0: column c = k - d; dp[0][c] = c for 0 <= c <= min(lb, d)
+    prev = np.broadcast_to(
+        np.where((kk >= d) & (kk - d <= lb), kk - d, inf).astype(np.int32),
+        (idx.size, w),
+    ).copy()
+    # empty left strings retire at row 0: dp[0][lb] = lb (keep0 => lb <= d)
+    done = la_sub == 0
+    if done.any():
+        out[idx[ids[done]]] = lb
+        live = ~done
+        prev, la_sub, ids, a_mat = prev[live], la_sub[live], ids[live], a_mat[live]
+        if not len(ids):
+            return out
+    for i in range(1, lmax + 1):
+        ai = a_mat[:, i - 1].astype(np.int16)
+        # columns this row: c = i - d + k; valid 1 <= c <= lb (c == 0 set
+        # explicitly); b gather index c - 1 = i - d + k - 1 -> bpad offset
+        bs = bpad[i : i + w]
+        neq = (bs[None, :] != ai[:, None]).astype(np.int32)
+        cur = prev + neq  # substitute: dp[i-1][c-1], same k
+        dele = np.empty_like(prev)  # dp[i-1][c] = prev k+1
+        dele[:, :-1] = prev[:, 1:]
+        dele[:, -1] = inf
+        np.minimum(cur, dele + 1, out=cur)
+        # invalid columns (c < 1 or c > lb) -> inf; column c == 0 -> i
+        c_lo, c_hi = i - d, i + d
+        if c_lo < 1:
+            cur[:, : 1 - c_lo] = inf
+            if c_lo <= 0 <= c_hi:
+                cur[:, -c_lo] = i  # dp[i][0]
+        if c_hi > lb:
+            cur[:, w - (c_hi - lb) :] = inf
+        # insert arm: cur[k] = min_{k' <= k}(cur[k'] + k - k')
+        cur -= kk
+        np.minimum.accumulate(cur, axis=1, out=cur)
+        cur += kk
+        np.minimum(cur, inf, out=cur)
+        # retire pairs whose left string ends at this row: answer at
+        # column lb -> k = lb - i + d
+        done = la_sub == i
+        if done.any():
+            fin = cur[done, lb - i + d]
+            ok = fin <= d_max
+            out[idx[ids[done]][ok]] = fin[ok]
+            live = ~done
+            cur, la_sub, ids, a_mat = (
+                cur[live],
+                la_sub[live],
+                ids[live],
+                a_mat[live],
+            )
+            if not len(ids):
+                return out
+        alive = cur.min(axis=1) <= d_max
+        if not alive.all():
+            cur, la_sub, ids, a_mat = (
+                cur[alive],
+                la_sub[alive],
+                ids[alive],
+                a_mat[alive],
+            )
+            if not len(ids):
+                return out
+        prev = cur
+    return out
+
+
+def levenshtein_pairs(
+    arrs: list[np.ndarray],
+    left_idx: np.ndarray,
+    right_idx: np.ndarray,
+    d_max: int,
+) -> np.ndarray:
+    """Exact banded Levenshtein for an ARBITRARY pair list over one doc
+    set: every DP row step is one set of (alive-pairs x W) matrix ops no
+    matter how many distinct right strings the pairs reference (each row
+    gathers its own b-slice from a padded matrix), so a whole blocking
+    cell's candidate set amortizes numpy dispatch in ONE call — the
+    overhead-bound regime of per-pivot batching (measured 45-pair average
+    per pivot at sf0.1) disappears. Returns d_max+1 sentinels beyond the
+    threshold, like :func:`levenshtein_bytes`.
+    """
+    p = len(left_idx)
+    out = np.full(p, d_max + 1, dtype=np.int32)
+    if p == 0:
+        return out
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    la = lens[left_idx]
+    lb = lens[right_idx]
+    # trivial rows: a length gap beyond d, or an empty side
+    keep = (np.abs(la - lb) <= d_max) & (la > 0) & (lb > 0)
+    empty = (~keep) & (np.maximum(la, lb) <= d_max) & (np.minimum(la, lb) == 0)
+    out[empty] = np.maximum(la, lb)[empty].astype(np.int32)
+    rows = np.nonzero(keep)[0]
+    if rows.size == 0:
+        return out
+    d = d_max
+    w = 2 * d + 1
+    inf = np.int16(1 << 13)  # saturation headroom: inf + w + 1 << int16 max
+    kk = np.arange(w, dtype=np.int16)
+    lmax = int(lens.max())
+    a_mat = np.zeros((len(arrs), lmax), dtype=np.uint8)
+    # b rows padded so row i's gather bpad[doc, i + k] = b[i - d + k - 1]
+    b_pad = np.full((len(arrs), lmax + 3 * d + 2), -1, dtype=np.int16)
+    for r, a in enumerate(arrs):
+        a_mat[r, : len(a)] = a
+        b_pad[r, d + 1 : d + 1 + len(a)] = a
+    li = left_idx[rows].astype(np.int64)
+    ri = right_idx[rows].astype(np.int64)
+    la_s = la[rows]
+    lb_s = lb[rows].astype(np.int16)
+    ids = rows
+    # completion bound (the key abandon accelerator for shared-vocabulary
+    # corpora, where plain row minima stay low while true distance is
+    # huge): any path through band cell k still needs >= |k - t_final|
+    # edits to close the remaining length gap, t_final = lb - la + d being
+    # the answer cell's band coordinate — constant per pair. Cells with
+    # cur[k] + pen[k] > d can never reach the answer under threshold and
+    # are masked to inf; a pair dies when every cell is masked.
+    t_final = (lb_s - la_s + d).astype(np.int16)
+    pen = np.abs(kk[None, :] - t_final[:, None]).astype(np.int16)
+    prev = np.broadcast_to(
+        np.where(kk >= d, kk - d, inf).astype(np.int16), (rows.size, w)
+    ).copy()
+    prev = np.where((kk - d)[None, :] > lb_s[:, None], inf, prev)
+    for i in range(1, int(la_s.max()) + 1):
+        ai = a_mat[li, i - 1].astype(np.int16)
+        bs = b_pad[ri[:, None], i + kk[None, :]]
+        cur = prev + (bs != ai[:, None]).astype(np.int16)
+        dele = np.empty_like(prev)
+        dele[:, :-1] = prev[:, 1:]
+        dele[:, -1] = inf
+        np.minimum(cur, dele + 1, out=cur)
+        c_lo = i - d
+        if c_lo < 1:
+            cur[:, : 1 - c_lo] = inf
+            if c_lo <= 0:
+                cur[:, -c_lo] = i  # column 0
+        # per-pair upper bound: cells past column lb are invalid
+        t = lb_s - np.int16(i) + np.int16(d)  # band coord of column lb
+        np.putmask(cur, kk[None, :] > t[:, None], inf)
+        cur -= kk
+        np.minimum.accumulate(cur, axis=1, out=cur)
+        cur += kk
+        np.minimum(cur, inf, out=cur)
+        done = la_s == i
+        if done.any():
+            fin = np.take_along_axis(
+                cur[done], t[done][:, None].astype(np.int64), axis=1
+            )[:, 0]
+            ok = fin <= d_max
+            out[ids[done][ok]] = fin[ok].astype(np.int32)
+            live = ~done
+            cur, la_s, lb_s, li, ri, ids, pen = (
+                cur[live],
+                la_s[live],
+                lb_s[live],
+                li[live],
+                ri[live],
+                ids[live],
+                pen[live],
+            )
+            if not len(ids):
+                return out
+        np.putmask(cur, cur + pen > d_max, inf)
+        alive = cur.min(axis=1) <= d_max
+        if not alive.all():
+            cur, la_s, lb_s, li, ri, ids, pen = (
+                cur[alive],
+                la_s[alive],
+                lb_s[alive],
+                li[alive],
+                ri[alive],
+                ids[alive],
+                pen[alive],
+            )
+            if not len(ids):
+                return out
+        prev = cur
+    return out
+
+
 def _expand_bands(text_col: str, group_col: str, id_col: str, d_max: int):
     w = _BAND_FACTOR * d_max
 
@@ -141,6 +368,7 @@ def _pairs_in_group(
             # (blens sorted, so min is the earlier row)
             own_band = blens // w == band
             start = 0
+            left_parts, right_parts = [], []
             for j in range(1, n):
                 while blens[j] - blens[start] > d_max:
                     start += 1
@@ -149,15 +377,24 @@ def _pairs_in_group(
                     continue
                 # vectorized histogram prefilter: dist >= ceil(L1/2)
                 l1 = np.abs(hists[cand] - hists[j]).sum(axis=1)
-                for i in cand[l1 <= 2 * d_max]:
-                    d = levenshtein_bytes(arrs[i], arrs[j], d_max)
-                    if d <= d_max:
-                        a, b = (
-                            (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
-                        )
-                        out_a.append(int(a))
-                        out_b.append(int(b))
-                        out_d.append(d)
+                cand = cand[l1 <= 2 * d_max]
+                if cand.size:
+                    left_parts.append(cand)
+                    right_parts.append(np.full(cand.size, j, dtype=np.int64))
+            if not left_parts:
+                continue
+            left_idx = np.concatenate(left_parts)
+            right_idx = np.concatenate(right_parts)
+            # one batched banded DP over the WHOLE cell's candidate set
+            dists = levenshtein_pairs(arrs, left_idx, right_idx, d_max)
+            hit = dists <= d_max
+            for i, j, d in zip(left_idx[hit], right_idx[hit], dists[hit]):
+                a, b = (
+                    (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                )
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_d.append(int(d))
         # Arrow out (even when empty, the schema rides along): downstream
         # pair consumers (min_label_components) iterate Arrow blocks
         return pa.table(

@@ -6032,6 +6032,55 @@ _QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
 _PHRASES = ["hash join", "sort merge", "table scan", "group by", "spark"]
 
 
+def _q_edit_dedup_keep_best(sf_dir: str):
+    """Quality-aware dedup survivors: cluster the exact edit-distance
+    pairs, keep each cluster's LONGEST member (ties -> lowest id) instead
+    of the lowest id — the production survivor policy. Scores reach the
+    dup-involved rows by measured regime (broadcast id->label dict under
+    the drop cap, distributed join above it); one label-keyed groupby
+    picks the winners."""
+    import ray.data
+
+    from docler_ray.stages.dedup import (
+        anti_join_survivors,
+        drop_from_pairs_keep_best,
+    )
+    from docler_ray.stages.editdist import levenshtein_neardup_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+    n = ds.count()
+    pairs = levenshtein_neardup_pairs(
+        ds, text_col="text", group_col="lang", id_col="doc_id", d_max=_EDIT_DMAX
+    )
+    drop = drop_from_pairs_keep_best(
+        pairs, ds, id_col="doc_id", score_col="n_chars"
+    )
+    return anti_join_survivors(ds, drop, "doc_id", left_rows=n).select_columns(
+        ["doc_id"]
+    )
+
+
+def _edit_keep_best_sql() -> str:
+    """Keep-best oracle on the SAME pairs SQL: recursive closure ->
+    min-label -> per-cluster ROW_NUMBER by (n_chars DESC, id)."""
+    return (
+        f"WITH RECURSIVE p AS ({_EDIT_PAIRS_SQL}), "
+        "sym AS (SELECT id_a AS a, id_b AS b FROM p "
+        "        UNION SELECT id_b, id_a FROM p), "
+        "reach(a, b) AS (SELECT a, b FROM sym "
+        "  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), "
+        "lbl AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a), "
+        "ranked AS (SELECT l.id, ROW_NUMBER() OVER (PARTITION BY l.mn "
+        "ORDER BY d.n_chars DESC, l.id) AS rn "
+        "FROM lbl l JOIN documents d ON d.doc_id = l.id) "
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)"
+    )
+
+
 def _q_price_exact_quantiles(sf_dir: str):
     """EXACT discrete quantiles of a DOUBLE column (orders.o_totalprice)
     by distributed binary search: per pass, one zero-shuffle histogram
@@ -6251,6 +6300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_hit_counts": _q_phrase_hit_counts,
         "priority_sample_docs": _q_priority_sample_docs,
         "charset_extract_docs": _q_charset_extract_docs,
+        "edit_dedup_keep_best": _q_edit_dedup_keep_best,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -7263,6 +7313,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_hit_counts": _phrase_hits_sql(),
         "priority_sample_docs": _priority_sample_sql(),
         "charset_extract_docs": _charset_extract_sql(),
+        "edit_dedup_keep_best": _edit_keep_best_sql(),
         "q18_large_orders": (
             "SELECT o_orderkey, o_orderdate, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, "

@@ -1515,3 +1515,79 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
         vals = [(s >> (16 * blk)) & 0xFFFF for s in sims]
         out = out.append_column(f"simblock_{blk}", pa.array(vals, type=pa.int32()))
     return out
+
+
+def drop_from_pairs_keep_best(pairs, docs, *, id_col: str, score_col: str):
+    """Quality-aware survivor rule: keep the HIGHEST-``score_col`` member
+    (ties -> lowest id) of each duplicate cluster instead of the lowest id
+    — the production dedup policy (keep the longest / highest-quality
+    duplicate, drop the rest). Returns the drop-id Dataset; compose with
+    :func:`anti_join_survivors` like every other dedup family member.
+
+    Plan: min-label components over the verified pairs, then scores reach
+    the labeled (dup-involved) rows by MEASURED regime — a <= _SMALL_DROP
+    label set broadcasts once as an id->label dict for a zero-shuffle
+    map-side attach; larger sets take the distributed hash join — and one
+    label-keyed groupby picks each cluster's best (per-group rows =
+    cluster size, the same exposure every survivor path has).
+    """
+    labels = min_label_components(pairs)
+    if labels is None:
+        return _empty_ids(id_col)
+    lab_tbl, n_lab = _compact_nonempty(labels)
+    if not n_lab:
+        return _empty_ids(id_col)
+    proj = docs.select_columns([id_col, score_col])
+    if n_lab <= _SMALL_DROP:
+        import ray
+
+        lab_pd = lab_tbl.to_pandas()
+        ref = ray.put(dict(zip(lab_pd["src"], lab_pd["label"])))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            from docler_ray.stages.joins import _get_broadcast
+
+            id2label = _get_broadcast(ref)
+            ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+            lab = pd.Series(ids_np).map(id2label)
+            keep = lab.notna().to_numpy()
+            return pa.table(
+                {
+                    "label": pa.array(
+                        lab.to_numpy(dtype="float64")[keep].astype(np.int64)
+                    ),
+                    id_col: pa.array(ids_np[keep]),
+                    score_col: batch.column(score_col).filter(pa.array(keep)),
+                }
+            )
+
+        labeled = proj.map_batches(
+            attach, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        from docler_ray.stages.joins import copartition_hash_join
+
+        labeled = copartition_hash_join(
+            lab_tbl, proj, on="src", right_on=id_col, size_hint=n_lab
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "label": b.column("label"),
+                    id_col: b.column("src"),
+                    score_col: b.column(score_col),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def drop_losers(df: pd.DataFrame) -> pa.Table:
+        order = df.sort_values(
+            [score_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        losers = order.iloc[1:]
+        return pa.table({id_col: pa.array(losers[id_col].to_numpy())})
+
+    return labeled.groupby("label").map_groups(
+        drop_losers, batch_format="pandas"
+    )

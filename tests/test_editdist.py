@@ -143,3 +143,44 @@ def test_pipeline_no_pairs_schema(ray_session):
     # on the dataset-level schema (the anchor block carries it) + count
     assert pairs.schema().names == ["id_a", "id_b", "dist"]
     assert pairs.count() == 0
+
+
+def test_keep_best_regimes_agree(ray_session, monkeypatch):
+    import ray.data
+
+    import docler_ray.stages.dedup as dedup
+    from docler_ray.stages.editdist import levenshtein_neardup_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", 22),
+        (2, "alpha beta gamma deltaX", "en", 23),  # near-dup of 1, longer
+        (3, "alpha beta gamma deltaXY", "en", 24),  # chain: longest wins
+        (4, "completely different words here", "en", 31),
+        (5, "zzz yyy", "de", 7),
+        (6, "zzz yyyQ", "de", 8),  # de cluster: 6 survives (longer)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array([r[2] for r in rows]),
+                "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+    def survivors():
+        pairs = levenshtein_neardup_pairs(
+            ds, text_col="text", group_col="lang", id_col="doc_id", d_max=4
+        )
+        drop = dedup.drop_from_pairs_keep_best(
+            pairs, ds, id_col="doc_id", score_col="n_chars"
+        )
+        out = dedup.anti_join_survivors(ds, drop, "doc_id", left_rows=6)
+        return sorted(out.to_pandas()["doc_id"].tolist())
+
+    broadcast = survivors()
+    assert broadcast == [3, 4, 6]  # longest member per cluster survives
+    monkeypatch.setattr(dedup, "_SMALL_DROP", 0)  # force distributed join
+    assert survivors() == broadcast

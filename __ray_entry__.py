@@ -6191,6 +6191,77 @@ def _charset_extract_sql() -> str:
     )
 
 
+def _q_q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 analog — promo revenue share per ship month: ONE
+    partkey-co-partitioned hash join (part is corpus-proportional at TPC-H
+    scale, so no broadcast: both sides exchange on the join key), then
+    map-side (month, promo/total cents) partials into a month-sized
+    groupby. The ratio is one exact-int IEEE divide."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import copartition_hash_join
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    n_li = lineitem.count()
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    joined = copartition_hash_join(
+        lineitem, part, on="l_partkey", right_on="p_partkey", size_hint=n_li
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
+        ts = batch.column("l_shipdate")
+        ym = (
+            pc.multiply(pc.year(ts), 100).to_numpy(zero_copy_only=False)
+            + pc.month(ts).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        promo = pc.equal(batch.column("p_type"), "PROMO").to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame(
+            {"ym": ym, "cents": cents, "promo": np.where(promo, cents, 0)}
+        )
+        g = df.groupby("ym", sort=False).agg(
+            partial_promo=("promo", "sum"), partial_total=("cents", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "ym": pa.array(g["ym"], pa.int64()),
+                "partial_promo": pa.array(g["partial_promo"], pa.int64()),
+                "partial_total": pa.array(g["partial_total"], pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ym")
+        .aggregate(
+            Sum("partial_promo", alias_name="promo_cents"),
+            Sum("partial_total", alias_name="total_cents"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        p = batch.column("promo_cents").to_numpy(zero_copy_only=False)
+        t = batch.column("total_cents").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "promo_ratio",
+            pa.array(p.astype(np.float64) / t.astype(np.float64), pa.float64()),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _PRIORITY_K = 64
 
 
@@ -6301,6 +6372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample_docs": _q_priority_sample_docs,
         "charset_extract_docs": _q_charset_extract_docs,
         "edit_dedup_keep_best": _q_edit_dedup_keep_best,
+        "q14_promo_revenue": _q_q14_promo_revenue,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -7314,6 +7386,19 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample_docs": _priority_sample_sql(),
         "charset_extract_docs": _charset_extract_sql(),
         "edit_dedup_keep_best": _edit_keep_best_sql(),
+        "q14_promo_revenue": (
+            "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
+            "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT) AS cents, p_type "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey) "
+            "SELECT ym, "
+            "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) "
+            "AS BIGINT) AS promo_cents, "
+            "CAST(SUM(cents) AS BIGINT) AS total_cents, "
+            "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) "
+            "AS DOUBLE) / CAST(SUM(cents) AS DOUBLE) AS promo_ratio "
+            "FROM j GROUP BY ym"
+        ),
         "q18_large_orders": (
             "SELECT o_orderkey, o_orderdate, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, "

@@ -304,6 +304,8 @@ def bench_once() -> dict:
         timed("phrase_hit_counts", q["phrase_hit_counts"])
         timed("priority_sample_docs", q["priority_sample_docs"])
         timed("charset_extract_docs", q["charset_extract_docs"])
+        timed("edit_dedup_keep_best", q["edit_dedup_keep_best"])
+        timed("q14_promo_revenue", q["q14_promo_revenue"])
     finally:
         ray.shutdown()
     return results

@@ -6293,6 +6293,257 @@ def _priority_sample_sql() -> str:
     )
 
 
+# --- link-graph family: anchor extraction + host graph + PageRank ----------
+# Deterministic edge derivation shared by both engines: each document emits
+# up to 3 directed host edges via linear congruences of doc_id (so the SQL
+# twin replays the exact set); self-loops dropped, de-duplication inside the
+# operators. Two moduli: 23 for the PageRank/degree graph, 19 (denser) for
+# triangles.
+_LG_FORMULAS = ((1, 0, 5, 2), (1, 0, 7, 11), (3, 1, 9, 4))
+_LG_MOD_PR = 23
+_LG_MOD_TRI = 19
+
+
+def _lg_edges_ds(sf_dir: str, mod: int):
+    import pyarrow.compute as pc
+    import ray.data
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for sa, sb, da, db in _LG_FORMULAS:
+            srcs.append((sa * d + sb) % mod)
+            dsts.append((da * d + db) % mod)
+        s = np.concatenate(srcs)
+        t = np.concatenate(dsts)
+        keep = s != t
+        s, t = s[keep], t[keep]
+
+        def host(arr: np.ndarray) -> pa.Array:
+            return pc.binary_join_element_wise(
+                "h", pc.cast(pa.array(arr), pa.string()), ""
+            )
+
+        return pa.table({"src_host": host(s), "dst_host": host(t)})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _lg_edges_sql(mod: int, distinct: bool) -> str:
+    sels = " UNION ALL ".join(
+        f"SELECT 'h' || CAST(({sa} * doc_id + {sb}) % {mod} AS VARCHAR) AS src, "
+        f"'h' || CAST(({da} * doc_id + {db}) % {mod} AS VARCHAR) AS dst "
+        "FROM documents"
+        for (sa, sb, da, db) in _LG_FORMULAS
+    )
+    head = "SELECT DISTINCT src, dst FROM (" if distinct else "SELECT src, dst FROM ("
+    return f"{head}{sels}) WHERE src <> dst"
+
+
+def _q_host_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (5 iterations, damping 85/100, scale
+    10^12) over the deterministic host graph — every iteration is exact
+    int64 (floor divides + order-independent sums) so rank_fp hash-matches
+    the unrolled SQL twin bit-for-bit; the float rank is the ONE IEEE
+    divide rank_fp / 10^12."""
+    from docler_ray.stages.linkgraph import pagerank
+
+    return pagerank(_lg_edges_ds(sf_dir, _LG_MOD_PR), iters=5)
+
+
+def _host_pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
+    edges = _lg_edges_sql(_LG_MOD_PR, distinct=True)
+    parts = [
+        f"WITH e AS ({edges}), ",
+        "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e), ",
+        "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src), ",
+        "p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes), ",
+        f"r0 AS (SELECT host, CAST({scale} // p.n AS BIGINT) AS r FROM nodes, p), ",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"r{t} AS (SELECT nd.host, CAST((15 * {scale}) // (100 * p.n) + "
+            "(85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r "
+            "FROM nodes nd CROSS JOIN p LEFT JOIN ("
+            "SELECT e.dst AS host, SUM(r.r // o.outdeg) AS c "
+            f"FROM e JOIN r{t-1} r ON e.src = r.host JOIN od o ON e.src = o.src "
+            "GROUP BY e.dst) s ON nd.host = s.host), "
+        )
+    parts[-1] = parts[-1][:-2] + " "  # drop the trailing ", " after the last CTE
+    parts.append(
+        f'SELECT host, r AS rank_fp, CAST(r AS DOUBLE) / {float(scale)!r} '
+        f'AS "rank" FROM r{iters}'
+    )
+    return "".join(parts)
+
+
+def _q_host_degree_profile(sf_dir: str):
+    """Per-host in/out degree + link mass over the multi-edge host graph:
+    ONE (src,dst) exchange for edge counts, then both endpoints emitted
+    map-side into ONE host-keyed exchange."""
+    from docler_ray.stages.linkgraph import degree_profile, host_edge_counts
+
+    edges = host_edge_counts(_lg_edges_ds(sf_dir, _LG_MOD_PR), follow_only=False)
+    return degree_profile(edges)
+
+
+def _host_degree_sql() -> str:
+    raw = _lg_edges_sql(_LG_MOD_PR, distinct=False)
+    return (
+        f"WITH e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM ({raw}) "
+        "GROUP BY src, dst), "
+        "o AS (SELECT src AS host, CAST(COUNT(*) AS BIGINT) AS out_deg, "
+        "CAST(SUM(n) AS BIGINT) AS out_links FROM e GROUP BY src), "
+        "i AS (SELECT dst AS host, CAST(COUNT(*) AS BIGINT) AS in_deg, "
+        "CAST(SUM(n) AS BIGINT) AS in_links FROM e GROUP BY dst) "
+        "SELECT COALESCE(o.host, i.host) AS host, "
+        "COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg, "
+        "COALESCE(out_links, 0) AS out_links, COALESCE(in_links, 0) AS in_links "
+        "FROM o FULL OUTER JOIN i ON o.host = i.host"
+    )
+
+
+def _q_host_triangles(sf_dir: str):
+    """Global triangle census over the denser mod-19 host graph: degree-
+    ordered orientation bounds out-neighborhoods at O(sqrt(m)); wedges
+    close via ONE copartitioned join; global_cc = 3T/W is one exact-int
+    IEEE divide."""
+    from docler_ray.stages.linkgraph import canonical_undirected, triangle_stats
+
+    und = canonical_undirected(_lg_edges_ds(sf_dir, _LG_MOD_TRI))
+    return triangle_stats(und)
+
+
+def _host_triangles_sql() -> str:
+    raw = _lg_edges_sql(_LG_MOD_TRI, distinct=False)
+    return (
+        f"WITH e0 AS (SELECT DISTINCT least(src, dst) AS u, "
+        f"greatest(src, dst) AS v FROM ({raw})), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM e0 a "
+        "JOIN e0 b ON b.u = a.v JOIN e0 c ON c.u = a.u AND c.v = b.v), "
+        "d AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS deg FROM ("
+        "SELECT u AS host FROM e0 UNION ALL SELECT v FROM e0) GROUP BY host), "
+        "w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM d) "
+        "SELECT t.n_triangles, w.n_wedges, "
+        "CAST(3 * t.n_triangles AS DOUBLE) / CAST(w.n_wedges AS DOUBLE) "
+        "AS global_cc FROM t, w"
+    )
+
+
+def _q_extract_links_docs(sf_dir: str):
+    """Anchor/href extraction parity: each documents row becomes an HTML
+    page whose 8 anchors exercise the RFC 3986 resolution ladder (root-
+    relative, document-relative, dot-segment, absolute+fragment,
+    protocol-relative, rel=nofollow, javascript: [skipped], fragment-only
+    [skipped]) — flows through the charset ladder -> DOM parse ->
+    extract_links map-only stage, and the SQL oracle rebuilds all 6
+    surviving links arithmetically."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.linkgraph import extract_links
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls, payloads = [], []
+        for d in ids:
+            urls.append(f"https://host{d % 7}.example/en/sec/page-{d}")
+            payloads.append(
+                (
+                    f"<html><head><title>Page {d}</title></head><body>"
+                    f'<p>Intro <a href="/a/{d}">root {d}</a> and '
+                    f'<a href="sub/x{d}">rel {d}</a>.</p>'
+                    f'<p><a href="../up/y{d}">dots {d}</a>'
+                    f'<a href="https://ref{d % 5}.example/doc-{d}#sec">abs {d}</a></p>'
+                    f'<a href="//cdn{d % 3}.example/asset-{d}">proto {d}</a>'
+                    f'<a rel="nofollow" href="https://ads.example/c/{d}">ad {d}</a>'
+                    f'<a href="javascript:void(0)">js {d}</a>'
+                    f'<a href="#top">top {d}</a>'
+                    "</body></html>"
+                ).encode()
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    pages = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
+    links = extract_links(pages)
+
+    def project(batch: pa.Table) -> pa.Table:
+        doc_id = pc.cast(
+            pc.replace_substring_regex(batch.column("src_url"), r"^.*page-", ""),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "src_host": batch.column("src_host"),
+                "dst_url": batch.column("dst_url"),
+                "dst_host": batch.column("dst_host"),
+                "anchor": batch.column("anchor"),
+                "nofollow": batch.column("nofollow"),
+            }
+        )
+
+    return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _extract_links_sql() -> str:
+    src_host = "'host' || CAST(doc_id % 7 AS VARCHAR) || '.example'"
+    rows = [
+        (
+            f"{src_host} || '/a/' || doc_id",
+            src_host,
+            "'root ' || doc_id",
+            "FALSE",
+        ),
+        (
+            f"{src_host} || '/en/sec/sub/x' || doc_id",
+            src_host,
+            "'rel ' || doc_id",
+            "FALSE",
+        ),
+        (
+            f"{src_host} || '/en/up/y' || doc_id",
+            src_host,
+            "'dots ' || doc_id",
+            "FALSE",
+        ),
+        (
+            "'ref' || CAST(doc_id % 5 AS VARCHAR) || '.example/doc-' || doc_id",
+            "'ref' || CAST(doc_id % 5 AS VARCHAR) || '.example'",
+            "'abs ' || doc_id",
+            "FALSE",
+        ),
+        (
+            "'cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example/asset-' || doc_id",
+            "'cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example'",
+            "'proto ' || doc_id",
+            "FALSE",
+        ),
+        (
+            "'ads.example/c/' || doc_id",
+            "'ads.example'",
+            "'ad ' || doc_id",
+            "TRUE",
+        ),
+    ]
+    sels = " UNION ALL ".join(
+        f"SELECT doc_id, {src_host} AS src_host, "
+        f"'https://' || {dst_url} AS dst_url, {dst_host} AS dst_host, "
+        f"{anchor} AS anchor, {nofollow} AS nofollow FROM documents"
+        for (dst_url, dst_host, anchor, nofollow) in rows
+    )
+    return sels
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Order matters: the driver samples the FIRST 50 entries for its
@@ -6373,6 +6624,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_extract_docs": _q_charset_extract_docs,
         "edit_dedup_keep_best": _q_edit_dedup_keep_best,
         "q14_promo_revenue": _q_q14_promo_revenue,
+        "extract_links_docs": _q_extract_links_docs,
+        "host_pagerank": _q_host_pagerank,
+        "host_degree_profile": _q_host_degree_profile,
+        "host_triangles": _q_host_triangles,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -7386,6 +7641,10 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample_docs": _priority_sample_sql(),
         "charset_extract_docs": _charset_extract_sql(),
         "edit_dedup_keep_best": _edit_keep_best_sql(),
+        "extract_links_docs": _extract_links_sql(),
+        "host_pagerank": _host_pagerank_sql(),
+        "host_degree_profile": _host_degree_sql(),
+        "host_triangles": _host_triangles_sql(),
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

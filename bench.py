@@ -306,6 +306,10 @@ def bench_once() -> dict:
         timed("charset_extract_docs", q["charset_extract_docs"])
         timed("edit_dedup_keep_best", q["edit_dedup_keep_best"])
         timed("q14_promo_revenue", q["q14_promo_revenue"])
+        timed("extract_links_docs", q["extract_links_docs"])
+        timed("host_pagerank", q["host_pagerank"])
+        timed("host_degree_profile", q["host_degree_profile"])
+        timed("host_triangles", q["host_triangles"])
     finally:
         ray.shutdown()
     return results

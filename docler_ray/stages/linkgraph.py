@@ -1,0 +1,568 @@
+"""Web link-graph operators: anchor extraction, host-graph construction,
+integer fixed-point PageRank, degree profiles, and triangle counting.
+
+The reference's converter tier stops at per-document markdown
+(/root/reference/src/docler/converters/base.py:118-287 yields text only);
+these are the engine-tier continuations every Common-Crawl-style corpus
+needs once pages are parsed: the link graph is a first-class output of web
+extraction, and PageRank (Brin & Page, 1998) / triangle counting (Suri &
+Vassilvitskii, WWW'11 node-iterator) are the canonical consumers.
+
+Scale notes (100 TB corpus, ~10^8 hosts):
+
+- ``extract_links`` is map-only (zero shuffle): per-page DOM walk in the
+  same actor-pool shape as the extraction pipeline, emitting one row per
+  resolved anchor.
+- ``host_edge_counts`` is map-side pre-aggregated; the only exchange is
+  keyed by (src_host, dst_host) — edge-cardinality, the graph's natural
+  partitioning, reused by every downstream operator.
+- ``pagerank`` keeps ALL arithmetic in int64 fixed-point (scale 10^12) so
+  the distributed result hash-matches a SQL replay bit-for-bit: the sum of
+  per-edge contributions is an exact integer no matter how Ray orders the
+  combine. Ranks are node-cardinality; under ``broadcast_cap`` MEASURED
+  nodes they ride the object store as one ``ray.put`` dict per iteration
+  (edges never leave their partitions — one groupby(dst) exchange per
+  iteration); above the cap the documented fallback is a per-iteration
+  copartitioned join on src (2 exchanges/iter). Dangling nodes (out-degree
+  0) leak their mass — the classic simplification — and the SQL twin leaks
+  identically.
+- ``triangle_stats`` orients each undirected edge by the (degree, id)
+  total order, bounding every out-neighborhood by O(sqrt(m)); wedges are
+  emitted per oriented source and closed by ONE copartitioned join against
+  the oriented edge set — the m^{3/2} MapReduce bound.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+
+import numpy as np
+import pyarrow as pa
+
+PAGERANK_SCALE = 10**12
+_WS_RE = re.compile(r"\s+")
+
+# Hrefs that never become graph edges (non-navigational schemes).
+_SKIP_PREFIXES = ("javascript:", "mailto:", "data:", "tel:", "about:")
+
+# MEASURED node-count bound for the broadcast rank-dict regime. ~2M hosts
+# x (str + int64) is tens of MB in the object store — well under a worker
+# heap; a 10^8-host web graph takes the distributed-join regime instead.
+_PAGERANK_BROADCAST_CAP = 2_000_000
+
+# MEASURED distinct-edge bound below which the whole iteration runs on the
+# driver (identical int64 arithmetic — regime-equality pinned in tests):
+# a graph this small is setup-bound in the distributed plan (5 iterations
+# x fixed AllToAll setup for a few thousand rows).
+_PAGERANK_LOCAL_EDGE_CAP = 200_000
+
+
+def resolve_href(base_url: str, href: str) -> str | None:
+    """RFC 3986 resolution of an anchor href against its page URL.
+
+    Returns the absolute http(s) URL with the fragment stripped, or None
+    for empty / fragment-only / non-navigational (javascript:, mailto:,
+    data:, tel:) hrefs and non-http results.
+    """
+    href = href.strip()
+    if not href or href.startswith("#"):
+        return None
+    low = href[:11].lower()
+    for p in _SKIP_PREFIXES:
+        if low.startswith(p):
+            return None
+    try:
+        out = urljoin(base_url, href)
+    except ValueError:
+        return None
+    frag = out.find("#")
+    if frag >= 0:
+        out = out[:frag]
+    if not out.startswith(("http://", "https://")):
+        return None
+    return out
+
+
+def url_host(url: str) -> str:
+    """Lowercased authority of an absolute http(s) URL ('' if malformed)."""
+    i = url.find("://")
+    if i < 0:
+        return ""
+    rest = url[i + 3 :]
+    for stop in ("/", "?", "#"):
+        j = rest.find(stop)
+        if j >= 0:
+            rest = rest[:j]
+    return rest.lower()
+
+
+_LINKS_SCHEMA = pa.schema(
+    [
+        pa.field("src_url", pa.string()),
+        pa.field("src_host", pa.string()),
+        pa.field("dst_url", pa.string()),
+        pa.field("dst_host", pa.string()),
+        pa.field("anchor", pa.string()),
+        pa.field("nofollow", pa.bool_()),
+    ]
+)
+
+
+def extract_links_batch(batch: pa.Table, *, url_col: str = "url", html_col: str = "html") -> pa.Table:
+    """Per-batch anchor extraction: decode (charset ladder) -> DOM parse
+    (the extraction pipeline's own fast tokenizer) -> one output row per
+    resolved <a href>. Non-HTML / undecodable payloads contribute no rows
+    (link extraction is a best-effort side-channel of extraction — the
+    per-row error contract lives in the extraction pipeline itself)."""
+    from docler_ray.html.charset import decode_html
+    from docler_ray.html.dom import parse_html
+
+    urls = batch.column(url_col).to_pylist()
+    payloads = batch.column(html_col).to_pylist()
+    src_urls: list[str] = []
+    dst_urls: list[str] = []
+    anchors: list[str] = []
+    nofollows: list[bool] = []
+    for page_url, payload in zip(urls, payloads):
+        if payload is None:
+            continue
+        if isinstance(payload, str):
+            text = payload
+        else:
+            try:
+                text, _codec = decode_html(payload)
+            except Exception:
+                continue
+        if "<a" not in text and "<A" not in text:
+            continue
+        try:
+            root = parse_html(text)
+        except Exception:
+            continue
+        for node in root.find_all("a"):
+            dst = resolve_href(page_url, node.attr("href"))
+            if dst is None:
+                continue
+            src_urls.append(page_url)
+            dst_urls.append(dst)
+            anchors.append(_WS_RE.sub(" ", node.get_text()).strip())
+            rel = node.attr("rel").lower().split()
+            nofollows.append("nofollow" in rel)
+    return pa.table(
+        {
+            "src_url": pa.array(src_urls, pa.string()),
+            "src_host": pa.array([url_host(u) for u in src_urls], pa.string()),
+            "dst_url": pa.array(dst_urls, pa.string()),
+            "dst_host": pa.array([url_host(u) for u in dst_urls], pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+            "nofollow": pa.array(nofollows, pa.bool_()),
+        },
+        schema=_LINKS_SCHEMA,
+    )
+
+
+def extract_links(ds, *, url_col: str = "url", html_col: str = "html"):
+    """Map-only link extraction over a pages Dataset (url, html binary)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return extract_links_batch(batch, url_col=url_col, html_col=html_col)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def host_edge_counts(links, *, follow_only: bool = True, drop_self: bool = True):
+    """(src_host, dst_host, n) — the host graph. Map-side Arrow group_by
+    partials, then ONE (src_host, dst_host)-keyed exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if follow_only and "nofollow" in batch.column_names:
+            batch = batch.filter(pc.invert(batch.column("nofollow")))
+        if drop_self:
+            batch = batch.filter(
+                pc.not_equal(batch.column("src_host"), batch.column("dst_host"))
+            )
+        g = (
+            batch.select(["src_host", "dst_host"])
+            .group_by(["src_host", "dst_host"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["src_host", "dst_host", "pn"])
+
+    return (
+        links.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+def degree_profile(edges, *, src_col: str = "src_host", dst_col: str = "dst_host", n_col: str = "n"):
+    """Per-host (out_deg, in_deg, out_links, in_links) from distinct-edge
+    counts — both endpoints emitted map-side, ONE host-keyed exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.column(n_col).cast(pa.int64())
+        k = len(batch)
+        zeros = pa.array(np.zeros(k, dtype=np.int64))
+        ones = pa.array(np.ones(k, dtype=np.int64))
+        t_out = pa.table(
+            {
+                "host": batch.column(src_col),
+                "p_out_deg": ones,
+                "p_in_deg": zeros,
+                "p_out_links": n,
+                "p_in_links": zeros,
+            }
+        )
+        t_in = pa.table(
+            {
+                "host": batch.column(dst_col),
+                "p_out_deg": zeros,
+                "p_in_deg": ones,
+                "p_out_links": zeros,
+                "p_in_links": n,
+            }
+        )
+        g = pa.concat_tables([t_out, t_in]).group_by("host").aggregate(
+            [
+                ("p_out_deg", "sum"),
+                ("p_in_deg", "sum"),
+                ("p_out_links", "sum"),
+                ("p_in_links", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["host", "p_out_deg", "p_in_deg", "p_out_links", "p_in_links"]
+        )
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .aggregate(
+            Sum("p_out_deg", alias_name="out_deg"),
+            Sum("p_in_deg", alias_name="in_deg"),
+            Sum("p_out_links", alias_name="out_links"),
+            Sum("p_in_links", alias_name="in_links"),
+        )
+    )
+
+
+def _contrib_partials(edges_w, rank_ref, src_col: str, dst_col: str):
+    """Map-side per-dst contribution sums for one PageRank iteration:
+    contrib(u->v) = R(u) // outdeg(u), exact int64."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ranks: dict = ray.get(rank_ref) if rank_ref is not None else {}
+        src = batch.column(src_col).to_pylist()
+        od = batch.column("outdeg").to_numpy(zero_copy_only=False)
+        r = np.fromiter((ranks.get(s, 0) for s in src), dtype=np.int64, count=len(src))
+        contrib = r // od
+        t = pa.table({dst_col: batch.column(dst_col), "pc_": pa.array(contrib)})
+        g = t.group_by(dst_col).aggregate([("pc_", "sum")])
+        return g.rename_columns([dst_col, "pc_"])
+
+    return edges_w.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank(
+    edges,
+    *,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    iters: int = 5,
+    scale: int = PAGERANK_SCALE,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    broadcast_cap: int | None = None,
+):
+    """Integer fixed-point PageRank over DISTINCT directed edges.
+
+    R_0(v)   = scale // N
+    R_{t+1}(v) = ((den-num)*scale) // (den*N)
+                 + (num * SUM_{u->v} R_t(u) // outdeg(u)) // den
+
+    Every operation is int64 (floor divisions, order-independent sums), so
+    the result is identical to the unrolled SQL twin regardless of combine
+    order. Returns (host, rank_fp:int64, rank:float64) where rank is the
+    ONE correctly-rounded IEEE divide rank_fp / scale.
+
+    Regimes (MEASURED on node count): <= broadcast_cap nodes -> rank dict
+    broadcast per iteration, one groupby(dst) exchange per iteration and a
+    node-sized driver fold; above the cap raises with the documented
+    distributed-join plan (per-iteration copartitioned join on src) so a
+    silent driver OOM can never happen.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    cap = _PAGERANK_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+
+    from ray.data.aggregate import Count
+
+    # Distinct edges + out-degree, one (src,dst) exchange; outdeg attached
+    # map-side from the node-sized broadcast dict.
+    ded = edges.groupby([src_col, dst_col]).aggregate(Count(alias_name="_m"))
+    ded = ded.drop_columns(["_m"]).materialize()
+
+    local_cap = min(cap, _PAGERANK_LOCAL_EDGE_CAP)
+    if ded.count() <= local_cap:
+        # MEASURED small-graph regime: the distinct edge set fits on the
+        # driver, where 5 iterations of exact int64 arithmetic beat 5
+        # rounds of AllToAll setup. Bitwise-identical to the distributed
+        # path (same floor divides, same order-independent sums).
+        edf = ded.to_pandas()
+        e_src = edf[src_col].tolist()
+        e_dst = edf[dst_col].tolist()
+        od_loc: dict = {}
+        for s in e_src:
+            od_loc[s] = od_loc.get(s, 0) + 1
+        nodes_loc = sorted(set(e_src) | set(e_dst))
+        n_loc = len(nodes_loc)
+        if n_loc == 0:
+            return _ranks_dataset({}, scale)
+        base_loc = ((damping_den - damping_num) * scale) // (damping_den * n_loc)
+        r_loc = {h: scale // n_loc for h in nodes_loc}
+        for _t in range(iters):
+            s_loc = dict.fromkeys(nodes_loc, 0)
+            for a, b in zip(e_src, e_dst):
+                s_loc[b] += r_loc[a] // od_loc[a]
+            r_loc = {
+                h: base_loc + (damping_num * s_loc[h]) // damping_den
+                for h in nodes_loc
+            }
+        return _ranks_dataset(r_loc, scale)
+
+    # Node set as a Dataset first: COUNT before any driver-side collect so
+    # an over-cap graph raises instead of OOMing the driver.
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pa.concat_tables(
+                    [
+                        pa.table({"host": batch.column(src_col)}),
+                        pa.table({"host": batch.column(dst_col)}),
+                    ]
+                ).column("host")
+            }
+        )
+
+    nodes_ds = (
+        ded.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .materialize()
+    )
+    n_nodes = nodes_ds.count()
+    if n_nodes == 0:
+        return _ranks_dataset({}, scale)
+    if n_nodes > cap:
+        raise NotImplementedError(
+            f"pagerank broadcast regime capped at {cap} nodes (measured "
+            f"{n_nodes}); the distributed plan is a per-iteration "
+            "copartitioned join of edges with the rank Dataset on "
+            f"{src_col} (2 exchanges/iteration) — wire it when a corpus "
+            "crosses the cap"
+        )
+    nodes = sorted(nodes_ds.to_pandas()["host"])
+
+    out_tbl = ded.groupby(src_col).aggregate(Count(alias_name="outdeg")).to_pandas()
+    outdeg = dict(zip(out_tbl[src_col], out_tbl["outdeg"].astype(int)))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        src = batch.column(src_col).to_pylist()
+        od = np.fromiter((outdeg[s] for s in src), dtype=np.int64, count=len(src))
+        return batch.append_column("outdeg", pa.array(od))
+
+    edges_w = ded.map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    base = ((damping_den - damping_num) * scale) // (damping_den * n_nodes)
+    ranks = {h: scale // n_nodes for h in nodes}
+    for _t in range(iters):
+        rank_ref = ray.put(ranks)
+        sums = (
+            _contrib_partials(edges_w, rank_ref, src_col, dst_col)
+            .groupby(dst_col)
+            .aggregate(Sum("pc_", alias_name="s"))
+            .to_pandas()
+        )
+        contrib = dict(zip(sums[dst_col], sums["s"].astype(int)))
+        ranks = {
+            h: base + (damping_num * contrib.get(h, 0)) // damping_den
+            for h in nodes
+        }
+    return _ranks_dataset(ranks, scale)
+
+
+def _ranks_dataset(ranks: dict, scale: int):
+    import ray.data
+
+    hosts = sorted(ranks)
+    fp = np.array([ranks[h] for h in hosts], dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "rank_fp": pa.array(fp),
+                "rank": pa.array(fp.astype(np.float64) / float(scale)),
+            }
+        )
+    )
+
+
+def canonical_undirected(edges, *, src_col: str = "src_host", dst_col: str = "dst_host"):
+    """Distinct canonical (u < v) undirected pairs; self-loops dropped.
+    One (u, v)-keyed exchange."""
+    from ray.data.aggregate import Count
+
+    def canon(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = batch.column(src_col)
+        b = batch.column(dst_col)
+        u = pc.min_element_wise(a, b)
+        v = pc.max_element_wise(a, b)
+        t = pa.table({"u": u, "v": v})
+        return t.filter(pc.not_equal(t.column("u"), t.column("v")))
+
+    return (
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+    )
+
+
+_SEP = "\x1f"
+
+
+def triangle_stats(und, *, broadcast_cap: int | None = None):
+    """Global triangle count + wedge count + clustering coefficient over
+    distinct undirected (u < v) pairs.
+
+    Orientation: each edge points from lower to higher in the (degree, id)
+    total order, so every out-neighborhood is O(sqrt(m)) and each triangle
+    is counted exactly once. Wedges (b, c) are emitted per oriented source
+    from its sorted out-neighbor list and closed by ONE copartitioned join
+    against the oriented edge-key set. Returns one row
+    (n_triangles, n_wedges, global_cc) where global_cc = 3T / W is one
+    exact-int IEEE divide (NULL when W = 0).
+    """
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    und = und.materialize()
+
+    # Undirected degree per host (node-sized).
+    deg = degree_profile(
+        und.map_batches(
+            lambda b: b.append_column("n", pa.array(np.ones(len(b), dtype=np.int64))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        src_col="u",
+        dst_col="v",
+        n_col="n",
+    ).to_pandas()
+    deg["deg"] = deg["out_deg"] + deg["in_deg"]
+    deg_map = dict(zip(deg["host"], deg["deg"].astype(int)))
+    cap = _PAGERANK_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+    if len(deg_map) > cap:
+        raise NotImplementedError(
+            f"triangle_stats degree-broadcast regime capped at {cap} nodes "
+            f"(measured {len(deg_map)}); the distributed plan joins degrees "
+            "onto edges by key instead of broadcasting"
+        )
+    n_wedges = int(sum(d * (d - 1) // 2 for d in deg_map.values()))
+    deg_ref = ray.put(deg_map)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        dm = ray.get(deg_ref)
+        u = batch.column("u").to_pylist()
+        v = batch.column("v").to_pylist()
+        a_out, b_out = [], []
+        for x, y in zip(u, v):
+            if (dm[x], x) <= (dm[y], y):
+                a_out.append(x)
+                b_out.append(y)
+            else:
+                a_out.append(y)
+                b_out.append(x)
+        return pa.table(
+            {"a": pa.array(a_out, pa.string()), "b": pa.array(b_out, pa.string())}
+        )
+
+    oriented = und.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_edges = oriented.count()
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        dm = ray.get(deg_ref)
+        outs = sorted(df["b"], key=lambda h: (dm[h], h))
+        keys = [
+            outs[i] + _SEP + outs[j]
+            for i in range(len(outs))
+            for j in range(i + 1, len(outs))
+        ]
+        return pd.DataFrame({"pair_key": keys})
+
+    wedge_ds = oriented.groupby("a").map_groups(wedges)
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "pair_key": pc.binary_join_element_wise(
+                    batch.column("a"), batch.column("b"), _SEP
+                )
+            }
+        )
+
+    ekeys = oriented.map_batches(edge_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    # Ray 2.49's hash join rejects the schema-less empty blocks that
+    # map_groups emits for wedge-free sources — compact both sides (the
+    # documented dedup._compact_nonempty workaround; bounded by wedge
+    # count, the operator's inherent m^{3/2} budget) and short-circuit the
+    # wedge-free graph.
+    from docler_ray.stages.dedup import _compact_nonempty
+    from docler_ray.stages.joins import copartition_hash_join
+
+    wedge_c, n_w = _compact_nonempty(wedge_ds)
+    if n_w == 0:
+        n_triangles = 0
+    else:
+        ekeys_c, _n_e = _compact_nonempty(
+            ekeys.map_batches(
+                lambda b: b.append_column(
+                    "_hit", pa.array(np.ones(len(b), dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        closed = copartition_hash_join(
+            wedge_c, ekeys_c, on="pair_key", size_hint=n_edges
+        )
+        n_triangles = int(closed.count())
+    cc = None if n_wedges == 0 else float(3 * n_triangles) / float(n_wedges)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_triangles": pa.array([n_triangles], pa.int64()),
+                "n_wedges": pa.array([n_wedges], pa.int64()),
+                "global_cc": pa.array([cc], pa.float64()),
+            }
+        )
+    )

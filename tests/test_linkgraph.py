@@ -1,0 +1,266 @@
+"""Link-graph kernels: RFC 3986 href resolution, anchor extraction from real
+synth pages, integer fixed-point PageRank vs a pure-Python loop, triangle
+census vs brute force, and regime/edge-case guards."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docler_ray.stages.linkgraph import (
+    PAGERANK_SCALE,
+    canonical_undirected,
+    degree_profile,
+    extract_links,
+    host_edge_counts,
+    pagerank,
+    resolve_href,
+    triangle_stats,
+    url_host,
+)
+
+
+@pytest.mark.parametrize(
+    "base,href,want",
+    [
+        ("https://a.example/x/y", "/p/q", "https://a.example/p/q"),
+        ("https://a.example/x/y", "z", "https://a.example/x/z"),
+        ("https://a.example/x/y/", "../w", "https://a.example/x/w"),
+        ("https://a.example/x/y", "./z", "https://a.example/x/z"),
+        ("https://a.example/x", "https://b.example/c#frag", "https://b.example/c"),
+        ("https://a.example/x", "//c.example/d", "https://c.example/d"),
+        ("http://a.example/x", "//c.example/d", "http://c.example/d"),
+        ("https://a.example/x", "?q=1", "https://a.example/x?q=1"),
+        ("https://a.example/x", "javascript:void(0)", None),
+        ("https://a.example/x", "MAILTO:x@y", None),
+        ("https://a.example/x", "data:text/plain,hi", None),
+        ("https://a.example/x", "tel:+15551234", None),
+        ("https://a.example/x", "#top", None),
+        ("https://a.example/x", "", None),
+        ("https://a.example/x", "   ", None),
+        ("https://a.example/x", "ftp://z/w", None),
+    ],
+)
+def test_resolve_href(base, href, want):
+    assert resolve_href(base, href) == want
+
+
+def test_url_host():
+    assert url_host("https://A.Example:8080/p?q#f") == "a.example:8080"
+    assert url_host("http://h.example") == "h.example"
+    assert url_host("not-a-url") == ""
+
+
+def _edges_ds(pairs):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src_host": pa.array([f"h{a}" for a, _ in pairs], pa.string()),
+                "dst_host": pa.array([f"h{b}" for _, b in pairs], pa.string()),
+            }
+        )
+    )
+
+
+def _rand_digraph(seed, n_nodes=14, n_draws=80):
+    rng = np.random.default_rng(seed)
+    return sorted(
+        {(int(a), int(b)) for a, b in rng.integers(0, n_nodes, (n_draws, 2)) if a != b}
+    )
+
+
+def _py_pagerank(edges, iters=5, scale=PAGERANK_SCALE):
+    nodes = sorted({x for e in edges for x in e})
+    od: dict[int, int] = {}
+    for a, _b in edges:
+        od[a] = od.get(a, 0) + 1
+    n = len(nodes)
+    base = (15 * scale) // (100 * n)
+    r = {h: scale // n for h in nodes}
+    for _ in range(iters):
+        s = {h: 0 for h in nodes}
+        for a, b in edges:
+            s[b] += r[a] // od[a]
+        r = {h: base + (85 * s[h]) // 100 for h in nodes}
+    return {f"h{h}": v for h, v in r.items()}
+
+
+def test_pagerank_matches_pure_python(ray_session):
+    edges = _rand_digraph(3)
+    got = (
+        pagerank(_edges_ds(edges), iters=5)
+        .to_pandas()
+        .set_index("host")["rank_fp"]
+        .to_dict()
+    )
+    assert got == _py_pagerank(edges)
+
+
+def test_pagerank_duplicate_edges_and_dangling(ray_session):
+    # duplicates must collapse (distinct-edge semantics); h9 is dangling
+    # (in-links only) and leaks its mass exactly like the SQL twin
+    edges = [(0, 1), (0, 1), (1, 2), (2, 0), (2, 9), (2, 9)]
+    got = (
+        pagerank(_edges_ds(edges), iters=4)
+        .to_pandas()
+        .set_index("host")["rank_fp"]
+        .to_dict()
+    )
+    assert got == _py_pagerank(sorted(set(edges)), iters=4)
+    # total mass strictly below scale: the dangling leak
+    assert sum(got.values()) < PAGERANK_SCALE
+
+
+def test_pagerank_rank_is_single_divide(ray_session):
+    edges = _rand_digraph(7)
+    df = pagerank(_edges_ds(edges), iters=2).to_pandas()
+    assert (
+        df["rank"].to_numpy()
+        == df["rank_fp"].to_numpy().astype(np.float64) / float(PAGERANK_SCALE)
+    ).all()
+
+
+def test_pagerank_over_cap_raises(ray_session, monkeypatch):
+    import docler_ray.stages.linkgraph as lg
+
+    monkeypatch.setattr(lg, "_PAGERANK_LOCAL_EDGE_CAP", 0)
+    with pytest.raises(NotImplementedError, match="broadcast regime capped"):
+        pagerank(_edges_ds([(0, 1), (1, 2)]), iters=1, broadcast_cap=2)
+
+
+def test_pagerank_distributed_regime_matches_local(ray_session, monkeypatch):
+    """Force the broadcast-iterate regime (local edge cap 0) and pin it to
+    the driver-side regime bit-for-bit."""
+    import docler_ray.stages.linkgraph as lg
+
+    edges = _rand_digraph(5)
+    local = (
+        pagerank(_edges_ds(edges), iters=3)
+        .to_pandas()
+        .set_index("host")["rank_fp"]
+        .to_dict()
+    )
+    monkeypatch.setattr(lg, "_PAGERANK_LOCAL_EDGE_CAP", 0)
+    dist = (
+        pagerank(_edges_ds(edges), iters=3)
+        .to_pandas()
+        .set_index("host")["rank_fp"]
+        .to_dict()
+    )
+    assert dist == local == _py_pagerank(edges, iters=3)
+
+
+def test_triangles_match_brute_force(ray_session):
+    edges = _rand_digraph(11, n_nodes=12, n_draws=70)
+    und = canonical_undirected(_edges_ds(edges))
+    got = triangle_stats(und).to_pandas()
+    pairs = {
+        (min(a, b), max(a, b)) for a, b in edges
+    }
+    nodes = sorted({x for p in pairs for x in p})
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in pairs and (b, c) in pairs and (a, c) in pairs
+    )
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert int(got["n_triangles"][0]) == tri
+    assert int(got["n_wedges"][0]) == wedges
+    assert got["global_cc"][0] == float(3 * tri) / float(wedges)
+
+
+def test_triangles_empty_and_triangle_free(ray_session):
+    # a star graph has wedges but zero triangles
+    star = [(0, k) for k in range(1, 6)]
+    got = triangle_stats(canonical_undirected(_edges_ds(star))).to_pandas()
+    assert int(got["n_triangles"][0]) == 0
+    assert int(got["n_wedges"][0]) == 10
+    assert got["global_cc"][0] == 0.0
+
+
+def test_extract_links_from_synth_page(ray_session):
+    """The committed synth corpus embeds nav/footer/article anchors — the
+    extractor must resolve them against the page host."""
+    import ray.data
+
+    from docler_ray.sources.synth import page_record
+
+    # find an html row (kind < 0.90 for most i)
+    rec = page_record(0)
+    assert rec["html"].startswith(b"<!DOCTYPE")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([rec["url"]], pa.string()),
+                "html": pa.array([rec["html"]], pa.binary()),
+            }
+        )
+    )
+    links = extract_links(ds).to_pandas()
+    assert len(links) > 0
+    page_host = url_host(rec["url"])
+    # nav links are host-relative -> resolve to the page host
+    assert (links["src_host"] == page_host).all()
+    nav = links[links["dst_url"].str.contains("/section-")]
+    assert len(nav) >= 4
+    assert (nav["dst_host"] == page_host).all()
+    # every resolved URL is absolute http(s) without fragments
+    assert links["dst_url"].str.startswith(("http://", "https://")).all()
+    assert not links["dst_url"].str.contains("#").any()
+
+
+def test_extract_links_skips_binary_and_nofollow_flag(ray_session):
+    import ray.data
+
+    html = (
+        b'<html><body><a href="/a">One</a>'
+        b'<a rel="NOFOLLOW" href="https://x.example/b">Two</a></body></html>'
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(
+                    ["https://h.example/p", "https://h.example/q"], pa.string()
+                ),
+                "html": pa.array([html, b"\xff\xfe\x00\x01garbage"], pa.binary()),
+            }
+        )
+    )
+    links = extract_links(ds).to_pandas()
+    assert len(links) == 2
+    assert sorted(links["nofollow"]) == [False, True]
+    counts = host_edge_counts(extract_links(ds)).to_pandas()
+    # nofollow edge dropped, self-host edge dropped -> empty graph
+    assert len(counts) == 0
+
+
+def test_degree_profile_counts(ray_session):
+    import ray.data
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_host": pa.array(["a", "a", "b"], pa.string()),
+                "dst_host": pa.array(["b", "c", "c"], pa.string()),
+                "n": pa.array([5, 2, 1], pa.int64()),
+            }
+        )
+    )
+    got = (
+        degree_profile(edges)
+        .to_pandas()
+        .set_index("host")
+        .sort_index()
+    )
+    assert got.loc["a"].tolist() == [2, 0, 7, 0]
+    assert got.loc["b"].tolist() == [1, 1, 1, 5]
+    assert got.loc["c"].tolist() == [0, 2, 0, 3]

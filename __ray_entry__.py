@@ -6544,6 +6544,83 @@ def _extract_links_sql() -> str:
     return sels
 
 
+def _q_data_quality_audit(sf_dir: str):
+    """Declarative corpus-contract audit (stages/audit.py): null / range /
+    uniqueness / FK violation counts in one |checks|-row report. Row-local
+    checks fuse into one zero-shuffle pass per table; uniqueness pays one
+    key exchange; FKs ride the exact bloom anti join. The mix includes
+    checks that BITE on this corpus (price cap, n_chars band, user-key
+    reuse) and honest zeros (FKs hold by construction)."""
+    import ray.data
+
+    from docler_ray.stages.audit import (
+        FKCheck,
+        NullCheck,
+        RangeCheck,
+        UniqueCheck,
+        run_audit,
+    )
+
+    tables = {
+        "documents": ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ),
+        "orders": ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        ),
+        "events": ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "props", "value"]
+        ),
+        "lineitem": ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+        ),
+        "customer": ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+        ),
+    }
+    checks = [
+        NullCheck("null_events_props", "events", "props"),
+        RangeCheck("range_order_totalprice", "orders", "o_totalprice", hi=100000.0),
+        RangeCheck("range_doc_n_chars", "documents", "n_chars", lo=100, hi=500),
+        RangeCheck("range_event_value", "events", "value", lo=0.0),
+        UniqueCheck("unique_doc_id", "documents", "doc_id"),
+        UniqueCheck("unique_event_user", "events", "user_id"),
+        FKCheck("fk_lineitem_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        FKCheck("fk_event_user", "events", "user_id", "customer", "c_custkey"),
+    ]
+    return run_audit(tables, checks)
+
+
+def _data_quality_audit_sql() -> str:
+    return (
+        'SELECT \'fk_event_user\' AS "check", '
+        "CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_violations, "
+        "CAST(COUNT(e.user_id) AS BIGINT) AS n_checked "
+        "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey "
+        "UNION ALL SELECT 'fk_lineitem_orderkey', "
+        "CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT), "
+        "CAST(COUNT(l.l_orderkey) AS BIGINT) "
+        "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "UNION ALL SELECT 'null_events_props', "
+        "CAST(COUNT(*) - COUNT(props) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM events "
+        "UNION ALL SELECT 'range_doc_n_chars', "
+        "CAST(COUNT(*) FILTER (WHERE n_chars < 100 OR n_chars > 500) AS BIGINT), "
+        "CAST(COUNT(n_chars) AS BIGINT) FROM documents "
+        "UNION ALL SELECT 'range_event_value', "
+        "CAST(COUNT(*) FILTER (WHERE value < 0.0) AS BIGINT), "
+        "CAST(COUNT(value) AS BIGINT) FROM events "
+        "UNION ALL SELECT 'range_order_totalprice', "
+        "CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000.0) AS BIGINT), "
+        "CAST(COUNT(o_totalprice) AS BIGINT) FROM orders "
+        "UNION ALL SELECT 'unique_doc_id', "
+        "CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT), "
+        "CAST(COUNT(*) AS BIGINT) FROM documents "
+        "UNION ALL SELECT 'unique_event_user', "
+        "CAST(COUNT(*) - COUNT(DISTINCT user_id) AS BIGINT), "
+        "CAST(COUNT(*) AS BIGINT) FROM events"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Order matters: the driver samples the FIRST 50 entries for its
@@ -6628,6 +6705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_degree_profile": _q_host_degree_profile,
         "host_triangles": _q_host_triangles,
+        "data_quality_audit": _q_data_quality_audit,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -7645,6 +7723,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_sql(),
         "host_degree_profile": _host_degree_sql(),
         "host_triangles": _host_triangles_sql(),
+        "data_quality_audit": _data_quality_audit_sql(),
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

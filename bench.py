@@ -310,6 +310,7 @@ def bench_once() -> dict:
         timed("host_pagerank", q["host_pagerank"])
         timed("host_degree_profile", q["host_degree_profile"])
         timed("host_triangles", q["host_triangles"])
+        timed("data_quality_audit", q["data_quality_audit"])
     finally:
         ray.shutdown()
     return results

@@ -6544,6 +6544,69 @@ def _extract_links_sql() -> str:
     return sels
 
 
+def _q_events_value_resample_6h(sf_dir: str):
+    """Per-user 6-hour regular-grid resample of event values with forward
+    fill (windows.resample_ffill): in-slot MAX partials map-side, ONE
+    coarse user exchange, vectorized searchsorted fill. Doubles pass
+    through selection-only — hash-exact vs the IGNORE NULLS window twin."""
+    import ray.data
+
+    from docler_ray.stages.windows import resample_ffill
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return resample_ffill(ds, "user_id", "ts", "value", step_secs=21600)
+
+
+_RESAMPLE_SQL = (
+    "WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 21600) * 21600 "
+    "AS BIGINT) AS slot, value FROM events), "
+    "s AS (SELECT user_id, slot, MAX(value) AS v FROM e GROUP BY 1, 2), "
+    "b AS (SELECT user_id, MIN(slot) AS lo, MAX(slot) AS hi FROM s GROUP BY 1), "
+    "g AS (SELECT user_id, UNNEST(range(lo, hi + 1, 21600)) AS slot FROM b), "
+    "j AS (SELECT g.user_id, g.slot, s.v FROM g LEFT JOIN s "
+    "ON g.user_id = s.user_id AND g.slot = s.slot) "
+    "SELECT user_id, slot, last_value(v IGNORE NULLS) OVER "
+    "(PARTITION BY user_id ORDER BY slot) AS value FROM j"
+)
+
+
+def _q_peak_concurrent_sessions(sf_dir: str):
+    """Peak simultaneous sessions (capacity planning over the sessionize
+    output): sweep-line deltas -> one time-keyed exchange -> distributed
+    ordered prefix sum (range-bucket offsets, no global sort) -> blockwise
+    peak partials folded on the driver. One row (peak, peak_time)."""
+    import ray.data
+
+    from docler_ray.stages.windows import peak_concurrency, sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    sess = sessionize(ds, "user_id", "ts", gap_secs=1800)
+    return peak_concurrency(sess, start_col="session_start", end_col="session_end")
+
+
+_PEAK_SESSIONS_SQL = (
+    "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep "
+    "FROM events), "
+    "b AS (SELECT user_id, ep, CASE WHEN lag(ep) OVER w IS NULL "
+    "OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS is_new FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ep)), "
+    "s AS (SELECT user_id, ep, CAST(SUM(is_new) OVER "
+    "(PARTITION BY user_id ORDER BY ep ROWS UNBOUNDED PRECEDING) - 1 "
+    "AS BIGINT) AS session_idx FROM b), "
+    "sess AS (SELECT user_id, session_idx, MIN(ep) AS session_start, "
+    "MAX(ep) AS session_end FROM s GROUP BY user_id, session_idx), "
+    "d AS (SELECT session_start AS t, 1 AS dd FROM sess "
+    "UNION ALL SELECT session_end + 1, -1 FROM sess), "
+    "g AS (SELECT t, SUM(dd) AS delta FROM d GROUP BY t), "
+    "c AS (SELECT t, SUM(delta) OVER (ORDER BY t) AS cum FROM g), "
+    "m AS (SELECT CAST(MAX(cum) AS BIGINT) AS peak FROM c) "
+    "SELECT m.peak, (SELECT CAST(MIN(t) AS BIGINT) FROM c "
+    "WHERE c.cum = m.peak) AS peak_time FROM m"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -6706,6 +6769,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degree_profile": _q_host_degree_profile,
         "host_triangles": _q_host_triangles,
         "data_quality_audit": _q_data_quality_audit,
+        "events_value_resample_6h": _q_events_value_resample_6h,
+        "peak_concurrent_sessions": _q_peak_concurrent_sessions,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -7724,6 +7789,8 @@ def oracle_sql() -> dict[str, str]:
         "host_degree_profile": _host_degree_sql(),
         "host_triangles": _host_triangles_sql(),
         "data_quality_audit": _data_quality_audit_sql(),
+        "events_value_resample_6h": _RESAMPLE_SQL,
+        "peak_concurrent_sessions": _PEAK_SESSIONS_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -311,6 +311,8 @@ def bench_once() -> dict:
         timed("host_degree_profile", q["host_degree_profile"])
         timed("host_triangles", q["host_triangles"])
         timed("data_quality_audit", q["data_quality_audit"])
+        timed("events_value_resample_6h", q["events_value_resample_6h"])
+        timed("peak_concurrent_sessions", q["peak_concurrent_sessions"])
     finally:
         ray.shutdown()
     return results

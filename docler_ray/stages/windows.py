@@ -802,3 +802,171 @@ def per_key_ntile(
         .groupby("coarse")
         .map_groups(rank_stats, batch_format="pandas")
     )
+
+
+def resample_ffill(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    step_secs: int,
+    n_rows: int | None = None,
+):
+    """Per-key regular-grid resampling with forward fill: one output row
+    per (key, slot) on the key's own [min_slot, max_slot] grid at
+    ``step_secs``; slot value = MAX(value) within the slot, forward-filled
+    from the latest populated slot (gap-filling a sparse sensor/event
+    stream into model-ready regular series). MAX is the in-slot aggregate
+    so both engines agree without observation-order tie rules; the fill is
+    pure selection — no float arithmetic, doubles pass through bit-intact.
+
+    Plan: per-batch Arrow (key, slot, max) partials, then ONE coarse-key
+    exchange (hash(key) % N groups — the sessionize co-location shape) and
+    a vectorized per-key grid walk (np.searchsorted over the observed
+    slots). Output size is sum over keys of span/step — the operator's
+    inherent output, not a blowup; per-task memory is bounded by the
+    coarse group target plus its grid.
+    """
+    if n_rows is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover - count unavailable pre-exec
+            n_rows = None
+    n_groups = _session_group_count(n_rows)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ep = _epoch_seconds_arrow(batch.column(ts_col))
+        slot = (ep // step_secs) * step_secs
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "slot": pa.array(slot, pa.int64()),
+                "v": batch.column(value_col),
+            }
+        )
+        g = t.group_by([key_col, "slot"]).aggregate([("v", "max")])
+        return g.rename_columns([key_col, "slot", "v"])
+
+    add_coarse = _make_add_coarse(key_col, n_groups)
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    "slot": pd.Series([], dtype="int64"),
+                    "value": pd.Series([], dtype="float64"),
+                }
+            )
+        # combine partial maxima across blocks, then walk each key's grid
+        g = (
+            df.groupby([key_col, "slot"], sort=True)["v"].max().reset_index()
+        )
+        keys_out: list[np.ndarray] = []
+        slots_out: list[np.ndarray] = []
+        vals_out: list[np.ndarray] = []
+        for k, kdf in g.groupby(key_col, sort=False):
+            obs_slots = kdf["slot"].to_numpy()
+            obs_vals = kdf["v"].to_numpy()
+            grid = np.arange(obs_slots[0], obs_slots[-1] + 1, step_secs)
+            idx = np.searchsorted(obs_slots, grid, side="right") - 1
+            keys_out.append(np.full(len(grid), k))
+            slots_out.append(grid)
+            vals_out.append(obs_vals[idx])
+        return pd.DataFrame(
+            {
+                key_col: np.concatenate(keys_out),
+                "slot": np.concatenate(slots_out),
+                "value": np.concatenate(vals_out),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(fill, batch_format="pandas")
+    )
+
+
+def peak_concurrency(intervals, *, start_col: str, end_col: str, n_rows=None):
+    """Global peak concurrency over closed integer intervals [start, end]:
+    one row (peak, peak_time) where peak is the maximum number of
+    simultaneously active intervals and peak_time the EARLIEST boundary
+    reaching it.
+
+    The sweep-line plan, fully distributed: map-side (+1 at start, -1 at
+    end+1) delta partials -> ONE time-keyed exchange collapses deltas per
+    distinct boundary -> packing.ordered_prefix_sum scans the running sum
+    (range-bucket offsets, B-row driver state, no global sort) -> per-block
+    (max cum, min t at max) partials fold on the driver (<= num_blocks
+    rows). Ties in cum resolve to the smallest t exactly like the SQL
+    window twin.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.packing import ordered_prefix_sum
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        s = batch.column(start_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = batch.column(end_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = np.concatenate([s, e + 1])
+        d = np.concatenate(
+            [np.ones(len(s), dtype=np.int64), -np.ones(len(e), dtype=np.int64)]
+        )
+        tbl = pa.table({"t": pa.array(t), "d": pa.array(d)})
+        g = tbl.group_by("t").aggregate([("d", "sum")])
+        return g.rename_columns(["t", "d"])
+
+    # Materialize the collapsed deltas: ordered_prefix_sum makes four
+    # passes (count, bounds, bucket sums, scan) and would re-execute the
+    # whole upstream lineage each time. The materialized table is one row
+    # per DISTINCT boundary time — the exchange's own output, already in
+    # the object store.
+    collapsed = (
+        intervals.select_columns([start_col, end_col])
+        .map_batches(deltas, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("t")
+        .aggregate(Sum("d", alias_name="delta"))
+        .materialize()
+    )
+    ps = ordered_prefix_sum(collapsed, "t", "delta", n_rows=collapsed.count())
+
+    def local_peak(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"mx": pa.array([], pa.int64()), "tmin": pa.array([], pa.int64())}
+            )
+        cum = batch.column("cum").to_numpy(zero_copy_only=False)
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        mx = int(cum.max())
+        tmin = int(t[cum == mx].min())
+        return pa.table(
+            {"mx": pa.array([mx], pa.int64()), "tmin": pa.array([tmin], pa.int64())}
+        )
+
+    parts = ps.map_batches(
+        local_peak, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "peak": pa.array([0], pa.int64()),
+                    "peak_time": pa.array([None], pa.int64()),
+                }
+            )
+        )
+    peak = max(p["mx"] for p in parts)
+    peak_time = min(p["tmin"] for p in parts if p["mx"] == peak)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "peak": pa.array([peak], pa.int64()),
+                "peak_time": pa.array([peak_time], pa.int64()),
+            }
+        )
+    )

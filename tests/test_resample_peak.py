@@ -1,0 +1,154 @@
+"""resample_ffill (grid + forward-fill semantics) and peak_concurrency
+(sweep-line over the distributed prefix sum) on adversarial fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from docler_ray.stages.windows import peak_concurrency, resample_ffill
+
+
+def _events_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [pd.Timestamp(r[1] * 1_000_000, unit="us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "v": pa.array([float(r[2]) for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def test_resample_gap_fill_and_in_slot_max(ray_session):
+    # key 1: slots 0 and 30 (step 10) with a 2-slot gap; slot 0 holds two
+    # observations (max wins); key 2: single observation -> single row
+    rows = [(1, 2, 5.0), (1, 7, 9.0), (1, 33, 1.5), (2, 100, 7.0)]
+    got = (
+        resample_ffill(_events_ds(rows), "k", "ts", "v", step_secs=10)
+        .to_pandas()
+        .sort_values(["k", "slot"])
+        .reset_index(drop=True)
+    )
+    k1 = got[got["k"] == 1]
+    assert k1["slot"].tolist() == [0, 10, 20, 30]
+    assert k1["value"].tolist() == [9.0, 9.0, 9.0, 1.5]
+    k2 = got[got["k"] == 2]
+    assert k2["slot"].tolist() == [100]
+    assert k2["value"].tolist() == [7.0]
+
+
+def test_resample_slot_boundary(ray_session):
+    # ts exactly on a slot boundary belongs to that slot
+    rows = [(1, 10, 2.0), (1, 19, 3.0), (1, 20, 4.0)]
+    got = (
+        resample_ffill(_events_ds(rows), "k", "ts", "v", step_secs=10)
+        .to_pandas()
+        .sort_values("slot")
+    )
+    assert got["slot"].tolist() == [10, 20]
+    assert got["value"].tolist() == [3.0, 4.0]
+
+
+def test_resample_many_keys_cross_block(ray_session):
+    # enough keys + rows to span multiple blocks/partials; compare against
+    # a pandas reference
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(k), int(t), float(v))
+        for k, t, v in zip(
+            rng.integers(0, 20, 3000),
+            rng.integers(0, 5000, 3000),
+            rng.normal(0, 10, 3000),
+        )
+    ]
+    got = (
+        resample_ffill(_events_ds(rows), "k", "ts", "v", step_secs=100)
+        .to_pandas()
+        .sort_values(["k", "slot"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(rows, columns=["k", "ep", "v"])
+    df["slot"] = (df["ep"] // 100) * 100
+    s = df.groupby(["k", "slot"])["v"].max().reset_index()
+    exp_parts = []
+    for k, kdf in s.groupby("k"):
+        grid = np.arange(kdf["slot"].min(), kdf["slot"].max() + 1, 100)
+        idx = np.searchsorted(kdf["slot"].to_numpy(), grid, side="right") - 1
+        exp_parts.append(
+            pd.DataFrame(
+                {"k": k, "slot": grid, "value": kdf["v"].to_numpy()[idx]}
+            )
+        )
+    exp = pd.concat(exp_parts).sort_values(["k", "slot"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _intervals_ds(pairs):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "s": pa.array([p[0] for p in pairs], pa.int64()),
+                "e": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+
+
+def _peak(pairs):
+    return (
+        peak_concurrency(_intervals_ds(pairs), start_col="s", end_col="e")
+        .to_pandas()
+        .iloc[0]
+    )
+
+
+def test_peak_nested_and_closed_semantics(ray_session):
+    # [1,5] and [5,9] touch at t=5 (closed intervals) -> concurrent there
+    r = _peak([(1, 5), (5, 9)])
+    assert (r["peak"], r["peak_time"]) == (2, 5)
+    # [1,5] and [6,9] do NOT overlap
+    r = _peak([(1, 5), (6, 9)])
+    assert (r["peak"], r["peak_time"]) == (1, 1)
+    # nesting: peak inside the innermost interval
+    r = _peak([(0, 100), (10, 20), (12, 15), (50, 60)])
+    assert (r["peak"], r["peak_time"]) == (3, 12)
+
+
+def test_peak_tie_resolves_to_earliest(ray_session):
+    # two disjoint overlap bursts both reach 2 -> earliest boundary wins
+    r = _peak([(0, 10), (5, 15), (100, 110), (105, 115)])
+    assert (r["peak"], r["peak_time"]) == (2, 5)
+
+
+def test_peak_matches_brute_force_random(ray_session):
+    rng = np.random.default_rng(11)
+    pairs = []
+    for _ in range(500):
+        s = int(rng.integers(0, 10_000))
+        pairs.append((s, s + int(rng.integers(0, 300))))
+    r = _peak(pairs)
+    # brute force over boundary times
+    times = sorted({p[0] for p in pairs} | {p[1] + 1 for p in pairs})
+    best, best_t = -1, None
+    for t in times:
+        c = sum(1 for s, e in pairs if s <= t <= e)
+        if c > best:
+            best, best_t = c, t
+    assert int(r["peak"]) == best
+    assert int(r["peak_time"]) == best_t
+
+
+def test_peak_empty(ray_session):
+    r = _peak([])
+    assert int(r["peak"]) == 0
+    assert pd.isna(r["peak_time"])

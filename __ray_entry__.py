@@ -6607,6 +6607,83 @@ _PEAK_SESSIONS_SQL = (
 )
 
 
+def _q_length_token_ols_by_lang(sf_dir: str):
+    """Grouped OLS regression of ws-token count on char length — the same
+    integer co-moment partials as the pearson query; slope and intercept
+    round exact HUGEINT sums through a pinned IEEE expression order so the
+    doubles hash-match."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.functions.tokens import count_whitespace_tokens
+    from docler_ray.stages.stats import grouped_ols
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def add_vals(batch: pa.Table) -> pa.Table:
+        toks = [
+            count_whitespace_tokens(t or "") for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+                "n_ws_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    return grouped_ols(
+        ds.map_batches(add_vals, batch_format="pyarrow", zero_copy_batch=True),
+        group_col="lang",
+        x_col="n_chars",
+        y_col="n_ws_tokens",
+    )
+
+
+def _length_token_ols_sql() -> str:
+    return (
+        f"WITH v AS (SELECT lang, length(text) AS x, "
+        f"CAST(array_length({_WS_TOKS_SQL}) AS BIGINT) AS y FROM documents), "
+        "m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx "
+        "FROM v GROUP BY lang), "
+        "s AS (SELECT lang, n_rows, sx, sy, "
+        "CAST(n_rows * sxy - sx * sy AS DOUBLE) / "
+        "CAST(NULLIF(n_rows * sxx - sx * sx, 0) AS DOUBLE) AS slope FROM m) "
+        "SELECT lang, n_rows, slope, "
+        "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / "
+        "CAST(n_rows AS DOUBLE) AS intercept FROM s"
+    )
+
+
+def _q_mad_chars_by_lang(sf_dir: str):
+    """Per-language exact median + MAD of document length (robust scale
+    estimate for outlier fencing): two value-count exchanges, the
+    group-sized median table broadcast between them — documents never
+    shuffle. quantile_disc semantics at both levels."""
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_mad_discrete
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_mad_discrete(ds, value_col="n_chars", group_col="lang")
+
+
+_MAD_CHARS_SQL = (
+    "WITH m AS (SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) "
+    "AS median_val FROM documents GROUP BY lang), "
+    "d AS (SELECT doc.lang, abs(doc.n_chars - m.median_val) AS dev "
+    "FROM documents doc JOIN m ON doc.lang = m.lang) "
+    "SELECT m.lang, m.median_val, "
+    "(SELECT CAST(quantile_disc(d.dev, 0.5) AS BIGINT) FROM d "
+    "WHERE d.lang = m.lang) AS mad FROM m"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -6771,6 +6848,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_quality_audit": _q_data_quality_audit,
         "events_value_resample_6h": _q_events_value_resample_6h,
         "peak_concurrent_sessions": _q_peak_concurrent_sessions,
+        "length_token_ols_by_lang": _q_length_token_ols_by_lang,
+        "mad_chars_by_lang": _q_mad_chars_by_lang,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -7791,6 +7870,8 @@ def oracle_sql() -> dict[str, str]:
         "data_quality_audit": _data_quality_audit_sql(),
         "events_value_resample_6h": _RESAMPLE_SQL,
         "peak_concurrent_sessions": _PEAK_SESSIONS_SQL,
+        "length_token_ols_by_lang": _length_token_ols_sql(),
+        "mad_chars_by_lang": _MAD_CHARS_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -313,6 +313,8 @@ def bench_once() -> dict:
         timed("data_quality_audit", q["data_quality_audit"])
         timed("events_value_resample_6h", q["events_value_resample_6h"])
         timed("peak_concurrent_sessions", q["peak_concurrent_sessions"])
+        timed("length_token_ols_by_lang", q["length_token_ols_by_lang"])
+        timed("mad_chars_by_lang", q["mad_chars_by_lang"])
     finally:
         ray.shutdown()
     return results

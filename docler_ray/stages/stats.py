@@ -1413,3 +1413,124 @@ def priority_sample(ds, *, id_col: str, weight_col: str, k: int):
         keep_cols=[id_col, weight_col],
         tie_col=id_col,
     )
+
+
+def grouped_ols(ds, *, group_col: str, x_col: str, y_col: str):
+    """Grouped simple linear regression (population OLS) from the same
+    mergeable integer co-moments as :func:`grouped_pearson`:
+
+        slope     = float(n*sxy - sx*sy) / float(n*sxx - sx*sx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+
+    Every float op is IEEE correctly-rounded in a pinned order, so the
+    doubles hash-match the HUGEINT-sum SQL twin. Zero-x-variance groups
+    get NULL slope and intercept (NULLIF twin). One group-keyed exchange
+    of 5-int partials; nothing else moves.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {group_col: batch.column(group_col).to_pandas(), "x": x, "y": y}
+        )
+        df["xy"] = df["x"] * df["y"]
+        df["xx"] = df["x"] * df["x"]
+        g = df.groupby(group_col, sort=False).agg(
+            p_n=("x", "size"), p_sx=("x", "sum"), p_sy=("y", "sum"),
+            p_sxy=("xy", "sum"), p_sxx=("xx", "sum"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(
+            Sum("p_n", alias_name="n_rows"),
+            Sum("p_sx", alias_name="sx"),
+            Sum("p_sy", alias_name="sy"),
+            Sum("p_sxy", alias_name="sxy"),
+            Sum("p_sxx", alias_name="sxx"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        slopes, intercepts = [], []
+        for r in batch.to_pylist():
+            n, sx, sy = r["n_rows"], r["sx"], r["sy"]
+            den = n * r["sxx"] - sx * sx
+            if den == 0:
+                slopes.append(None)
+                intercepts.append(None)
+                continue
+            slope = float(n * r["sxy"] - sx * sy) / float(den)
+            slopes.append(slope)
+            intercepts.append((float(sy) - slope * float(sx)) / float(n))
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n_rows": batch.column("n_rows"),
+                "slope": pa.array(slopes, pa.float64()),
+                "intercept": pa.array(intercepts, pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_mad_discrete(ds, *, value_col: str, group_col: str):
+    """Per-group exact median + median absolute deviation for an integer
+    column with a bounded value domain (quantile_disc semantics at both
+    levels, matching a spelled-out two-CTE SQL twin — NOT DuckDB's
+    interpolating mad()).
+
+    Two passes, each shipping (group, value, count) partials only: pass 1
+    computes per-group medians (grouped_discrete_quantile); the
+    group-sized median table broadcasts into pass 2's |x - med| transform,
+    so documents never shuffle.
+    """
+    import ray
+
+    med_tbl = grouped_discrete_quantile(ds, value_col=value_col, group_col=group_col)
+    med_col = f"q50_{value_col}"
+    med_map = dict(
+        zip(med_tbl.column(group_col).to_pylist(), med_tbl.column(med_col).to_pylist())
+    )
+    med_ref = ray.put(med_map)
+
+    def dev(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        g = batch.column(group_col).to_pylist()
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        med = np.fromiter((m[k] for k in g), dtype=np.int64, count=len(g))
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "dev": pa.array(np.abs(v - med)),
+            }
+        )
+
+    dev_ds = ds.select_columns([group_col, value_col]).map_batches(
+        dev, batch_format="pyarrow", zero_copy_batch=True
+    )
+    mad_tbl = grouped_discrete_quantile(dev_ds, value_col="dev", group_col=group_col)
+    mad_map = dict(
+        zip(mad_tbl.column(group_col).to_pylist(), mad_tbl.column("q50_dev").to_pylist())
+    )
+    groups = sorted(med_map)
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(groups),
+                "median_val": pa.array(
+                    [med_map[g] for g in groups], pa.int64()
+                ),
+                "mad": pa.array([mad_map[g] for g in groups], pa.int64()),
+            }
+        )
+    )

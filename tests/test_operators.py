@@ -1866,3 +1866,72 @@ def test_grouped_discrete_quantiles_multi(ray_session):
         grouped_discrete_quantiles(
             ds, value_col="v", group_col="g", qs=[0.251, 0.259]
         )
+
+
+def test_grouped_ols_values_and_zero_variance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_ols
+
+    rng = np.random.default_rng(17)
+    x = rng.integers(0, 500, 4000)
+    y = (3 * x + rng.integers(-40, 40, 4000)).astype(np.int64)
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 2000 + ["b"] * 1999 + ["z"], pa.string()),
+            "x": pa.array(np.concatenate([x[:3999], [7]]).astype(np.int64)),
+            "y": pa.array(np.concatenate([y[:3999], [9]]).astype(np.int64)),
+        }
+    )
+    got = (
+        grouped_ols(ray.data.from_arrow(t), group_col="g", x_col="x", y_col="y")
+        .to_pandas()
+        .set_index("g")
+    )
+    for g, lo in (("a", slice(0, 2000)), ("b", slice(2000, 3999))):
+        xs, ys = x[lo].astype(float), y[lo].astype(float)
+        n = len(xs)
+        slope = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / (
+            n * (xs * xs).sum() - xs.sum() ** 2
+        )
+        inter = (ys.sum() - slope * xs.sum()) / n
+        assert abs(got.loc[g, "slope"] - slope) < 1e-9
+        assert abs(got.loc[g, "intercept"] - inter) < 1e-9
+    # single-point group: zero x-variance -> NULL slope and intercept
+    assert got.loc["z", "slope"] is None or got.loc["z", ["slope"]].isna().all()
+
+
+def test_grouped_mad_discrete_vs_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docler_ray.stages.stats import grouped_mad_discrete
+
+    rng = np.random.default_rng(23)
+    g = rng.choice(["p", "q", "r"], 5000)
+    v = rng.integers(0, 300, 5000)
+    got = (
+        grouped_mad_discrete(
+            ray.data.from_arrow(
+                pa.table({"g": pa.array(g), "v": pa.array(v.astype(np.int64))})
+            ),
+            value_col="v",
+            group_col="g",
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+
+    def qdisc(a, q=0.5):
+        a = np.sort(a)
+        return int(a[max(0, int(np.ceil(len(a) * q)) - 1)])
+
+    for grp in ["p", "q", "r"]:
+        vals = v[g == grp]
+        med = qdisc(vals)
+        mad = qdisc(np.abs(vals - med))
+        assert int(got.loc[grp, "median_val"]) == med
+        assert int(got.loc[grp, "mad"]) == mad

@@ -6684,6 +6684,240 @@ _MAD_CHARS_SQL = (
 )
 
 
+_ANCHOR_VOCAB = ("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+
+
+def _anchor_case_sql(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{w}'" for i, w in enumerate(_ANCHOR_VOCAB)
+    )
+    return f"CASE {expr} % 6 {whens} END"
+
+
+def _q_anchor_topk_per_host(sf_dir: str):
+    """Anchor-text rollup (the web-graph signal search engines aggregate):
+    per TARGET host, the top-2 anchor texts by link count — a pure
+    composition of extract_links (map-only DOM walk), map-side (dst_host,
+    anchor) count partials, and the grouped top-k merge. Two anchors per
+    page from a 6-word vocab keyed off doc_id so counts are replayable."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.linkgraph import extract_links
+    from docler_ray.stages.topk import grouped_topk
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls, payloads = [], []
+        for d in ids:
+            urls.append(f"https://src{d % 9}.example/p/page-{d}")
+            a1 = _ANCHOR_VOCAB[(d * 3 + 1) % 6]
+            a2 = _ANCHOR_VOCAB[(d * 5 + 2) % 6]
+            payloads.append(
+                (
+                    "<html><body>"
+                    f'<p><a href="https://site{d % 11}.example/t/{d}">{a1}</a></p>'
+                    f'<p><a href="https://site{(d + 4) % 11}.example/t/{d}">{a2}</a></p>'
+                    "</body></html>"
+                ).encode()
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    pages = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["dst_host", "anchor"])
+            .group_by(["dst_host", "anchor"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["dst_host", "anchor", "pn"])
+
+    counts = (
+        extract_links(pages)
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["dst_host", "anchor"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    return grouped_topk(
+        counts,
+        group_col="dst_host",
+        sort_col="n",
+        k=2,
+        keep_cols=["anchor"],
+        tie_col="anchor",
+    )
+
+
+def _anchor_topk_sql() -> str:
+    a1 = _anchor_case_sql("(doc_id * 3 + 1)")
+    a2 = _anchor_case_sql("(doc_id * 5 + 2)")
+    return (
+        "WITH l AS ("
+        f"SELECT 'site' || CAST(doc_id % 11 AS VARCHAR) || '.example' AS dst_host, "
+        f"{a1} AS anchor FROM documents "
+        "UNION ALL "
+        f"SELECT 'site' || CAST((doc_id + 4) % 11 AS VARCHAR) || '.example', "
+        f"{a2} FROM documents), "
+        "c AS (SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM l GROUP BY 1, 2), "
+        "r AS (SELECT dst_host, anchor, n, ROW_NUMBER() OVER ("
+        "PARTITION BY dst_host ORDER BY n DESC, anchor) AS rnk FROM c) "
+        "SELECT dst_host, anchor, n, CAST(rnk AS BIGINT) AS rank "
+        "FROM r WHERE rnk <= 2"
+    )
+
+
+def _q_readability_scores(sf_dir: str):
+    """Per-document Flesch reading ease over the corpus' line structure
+    (C4's ' merge ' split defines sentences; syllables = [aeiouy]+ runs):
+    zero-shuffle, all three counts are single Arrow kernels
+    (count_substring / count_substring_regex), and the score's float path
+    (two exact int->double divides, two multiplies, two left-assoc
+    subtractions) is the literal expression the oracle evaluates."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.functions.tokens import count_whitespace_tokens
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        words = np.array(
+            [count_whitespace_tokens(t or "") for t in text.to_pylist()],
+            dtype=np.int64,
+        )
+        sents = (
+            pc.count_substring(text, " merge ").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            + 1
+        )
+        syls = (
+            pc.count_substring_regex(pc.utf8_lower(text), "[aeiouy]+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            flesch = (
+                206.835
+                - 1.015 * (words.astype(np.float64) / sents.astype(np.float64))
+                - 84.6 * (syls.astype(np.float64) / words.astype(np.float64))
+            )
+        flesch_arr = pa.array(
+            np.where(words > 0, flesch, np.nan), pa.float64()
+        )
+        if (words == 0).any():
+            mask = pa.array(words == 0)
+            flesch_arr = pc.if_else(mask, pa.scalar(None, pa.float64()), flesch_arr)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(words),
+                "n_sentences": pa.array(sents),
+                "n_syllables": pa.array(syls),
+                "flesch": flesch_arr,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _readability_sql() -> str:
+    syl = (
+        "length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g')) - "
+        "length(replace(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'), 'V', ''))"
+    )
+    return (
+        f"WITH v AS (SELECT doc_id, "
+        f"CAST(array_length({_WS_TOKS_SQL}) AS BIGINT) AS n_words, "
+        "CAST((length(text) - length(replace(text, ' merge ', ''))) // 7 + 1 "
+        "AS BIGINT) AS n_sentences, "
+        f"CAST({syl} AS BIGINT) AS n_syllables FROM documents) "
+        "SELECT doc_id, n_words, n_sentences, n_syllables, "
+        "CASE WHEN n_words = 0 THEN NULL ELSE "
+        "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) "
+        "- 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) "
+        "END AS flesch FROM v"
+    )
+
+
+def _q_snapshot_apply_cdc(sf_dir: str):
+    """Lakehouse MERGE (stages/cdc.py): apply a derived changelog (upserts
+    bump n_chars on doc_id%3==0 at version 1; deletes remove doc_id%7==0
+    at version 2) onto the documents snapshot with last-writer-wins per
+    key — the grouped top-k(1) winner exchange; delete winners drop out."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.cdc import apply_cdc
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def to_changes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lang = batch.column("lang")
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        up = ids % 3 == 0
+        de = ids % 7 == 0
+        t_up = pa.table(
+            {
+                "doc_id": pa.array(ids[up]),
+                "version": pa.array(np.ones(int(up.sum()), dtype=np.int64)),
+                "op": pa.array(["u"] * int(up.sum()), pa.string()),
+                "lang": lang.filter(pa.array(up)),
+                "n_chars": pa.array(nc[up] + 1000),
+            }
+        )
+        t_de = pa.table(
+            {
+                "doc_id": pa.array(ids[de]),
+                "version": pa.array(np.full(int(de.sum()), 2, dtype=np.int64)),
+                "op": pa.array(["d"] * int(de.sum()), pa.string()),
+                "lang": pa.nulls(int(de.sum()), pa.string()),
+                "n_chars": pa.nulls(int(de.sum()), pa.int64()),
+            }
+        )
+        return pa.concat_tables([t_up, t_de])
+
+    changes = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(to_changes, batch_format="pyarrow", zero_copy_batch=True)
+    return apply_cdc(
+        base,
+        changes,
+        key_col="doc_id",
+        version_col="version",
+        payload_cols=["lang", "n_chars"],
+    )
+
+
+_APPLY_CDC_SQL = (
+    "WITH u AS ("
+    "SELECT doc_id, 0 AS version, 'u' AS op, lang, n_chars FROM documents "
+    "UNION ALL SELECT doc_id, 1, 'u', lang, n_chars + 1000 FROM documents "
+    "WHERE doc_id % 3 = 0 "
+    "UNION ALL SELECT doc_id, 2, 'd', NULL, NULL FROM documents "
+    "WHERE doc_id % 7 = 0), "
+    "w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY version DESC) AS rn FROM u) "
+    "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars "
+    "FROM w WHERE rn = 1 AND op = 'u'"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -6850,6 +7084,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrent_sessions": _q_peak_concurrent_sessions,
         "length_token_ols_by_lang": _q_length_token_ols_by_lang,
         "mad_chars_by_lang": _q_mad_chars_by_lang,
+        "anchor_topk_per_host": _q_anchor_topk_per_host,
+        "readability_scores": _q_readability_scores,
+        "snapshot_apply_cdc": _q_snapshot_apply_cdc,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -7872,6 +8109,9 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrent_sessions": _PEAK_SESSIONS_SQL,
         "length_token_ols_by_lang": _length_token_ols_sql(),
         "mad_chars_by_lang": _MAD_CHARS_SQL,
+        "anchor_topk_per_host": _anchor_topk_sql(),
+        "readability_scores": _readability_sql(),
+        "snapshot_apply_cdc": _APPLY_CDC_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -315,6 +315,9 @@ def bench_once() -> dict:
         timed("peak_concurrent_sessions", q["peak_concurrent_sessions"])
         timed("length_token_ols_by_lang", q["length_token_ols_by_lang"])
         timed("mad_chars_by_lang", q["mad_chars_by_lang"])
+        timed("anchor_topk_per_host", q["anchor_topk_per_host"])
+        timed("readability_scores", q["readability_scores"])
+        timed("snapshot_apply_cdc", q["snapshot_apply_cdc"])
     finally:
         ray.shutdown()
     return results

@@ -6918,6 +6918,128 @@ _APPLY_CDC_SQL = (
 )
 
 
+def _q_event_type_bursts(sf_dir: str):
+    """Burst detection per event type over hourly tumbling windows:
+    integer cross-multiply threshold (n x 24 > 3 x trailing-24h-sum) —
+    EXACT, no float drift — with a value-RANGE trailing frame so empty
+    hours weigh in. One (type, window) count exchange + a type-keyed
+    regroup whose state is the window series, not events."""
+    import ray.data
+
+    from docler_ray.stages.windows import detect_bursts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return detect_bursts(ds, "ts", "event_type", window_secs=3600, trail_windows=24)
+
+
+_BURSTS_SQL = (
+    "WITH c AS (SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 "
+    "AS BIGINT) AS window_start, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM events GROUP BY 1, 2), "
+    "t AS (SELECT event_type, window_start, n, CAST(COALESCE(SUM(n) OVER ("
+    "PARTITION BY event_type ORDER BY window_start "
+    "RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING), 0) AS BIGINT) AS trail "
+    "FROM c) "
+    "SELECT event_type, window_start, n, trail, "
+    "(n * 24 > 3 * trail AND trail > 0) AS is_burst FROM t"
+)
+
+
+def _q_custdist(sf_dir: str):
+    """TPC-H Q13 analog (customer order-count distribution, zero bucket
+    included) WITHOUT the customer join: one custkey-keyed count exchange
+    over orders, a count-of-counts regroup, and the zero bucket from two
+    scalars (customer count - customers with orders) — valid because the
+    FK holds (data_quality_audit pins it)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    per_cust = orders.groupby("o_custkey").aggregate(Count(alias_name="c_count"))
+    per_cust = per_cust.materialize()
+    n_with_orders = per_cust.count()
+    n_customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["c_count"])
+            .group_by("c_count")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["c_count", "pn"])
+
+    dist = (
+        per_cust.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_count")
+        .aggregate(Sum("pn", alias_name="custdist"))
+    )
+    zero = n_customers - n_with_orders
+    if zero > 0:
+        import ray.data as rd
+
+        dist = dist.union(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "c_count": pa.array([0], pa.int64()),
+                        "custdist": pa.array([zero], pa.int64()),
+                    }
+                )
+            )
+        )
+    return dist
+
+
+_CUSTDIST_SQL = (
+    "WITH pc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "GROUP BY c_custkey) "
+    "SELECT CAST(c_count AS BIGINT) AS c_count, "
+    "CAST(COUNT(*) AS BIGINT) AS custdist FROM pc GROUP BY c_count"
+)
+
+
+def _q_q4_priority_exists(sf_dir: str):
+    """TPC-H Q4 shape — order counts per priority where EXISTS a returned
+    lineitem: the bloom semi join certificate (map-side bitmap pass, the
+    exchange ships hits only) then a priority-sized count groupby."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from docler_ray.stages.joins import bloom_semi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+
+    def returned(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("l_returnflag"), "R")
+        ).select(["l_orderkey"])
+
+    ret = li.map_batches(returned, batch_format="pyarrow", zero_copy_batch=True)
+    hit = bloom_semi_join(orders, ret, "o_orderkey", "l_orderkey")
+    return hit.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+
+
+_Q4_EXISTS_SQL = (
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders o "
+    "WHERE EXISTS (SELECT 1 FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
+    "GROUP BY o_orderpriority"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -7087,6 +7209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_topk_per_host": _q_anchor_topk_per_host,
         "readability_scores": _q_readability_scores,
         "snapshot_apply_cdc": _q_snapshot_apply_cdc,
+        "event_type_bursts": _q_event_type_bursts,
+        "custdist": _q_custdist,
+        "q4_priority_exists": _q_q4_priority_exists,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -8112,6 +8237,9 @@ def oracle_sql() -> dict[str, str]:
         "anchor_topk_per_host": _anchor_topk_sql(),
         "readability_scores": _readability_sql(),
         "snapshot_apply_cdc": _APPLY_CDC_SQL,
+        "event_type_bursts": _BURSTS_SQL,
+        "custdist": _CUSTDIST_SQL,
+        "q4_priority_exists": _Q4_EXISTS_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -318,6 +318,9 @@ def bench_once() -> dict:
         timed("anchor_topk_per_host", q["anchor_topk_per_host"])
         timed("readability_scores", q["readability_scores"])
         timed("snapshot_apply_cdc", q["snapshot_apply_cdc"])
+        timed("event_type_bursts", q["event_type_bursts"])
+        timed("custdist", q["custdist"])
+        timed("q4_priority_exists", q["q4_priority_exists"])
     finally:
         ray.shutdown()
     return results

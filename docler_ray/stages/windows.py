@@ -970,3 +970,70 @@ def peak_concurrency(intervals, *, start_col: str, end_col: str, n_rows=None):
             }
         )
     )
+
+
+def detect_bursts(
+    ds,
+    ts_col: str,
+    group_col: str,
+    *,
+    window_secs: int = 3600,
+    trail_windows: int = 24,
+    factor_num: int = 3,
+    factor_den: int = 1,
+):
+    """Per-key burst flags over tumbling windows: a window bursts when its
+    count exceeds ``factor`` x its trailing-average, tested by EXACT
+    integer cross-multiply (n * trail_windows * factor_den > factor_num *
+    trail_sum, trail_sum > 0) — no float thresholds to drift from the SQL
+    twin. The trailing frame is value-RANGE based ([w - trail_windows*W,
+    w - W]) so absent (zero-count) windows weigh in for free.
+
+    Plan: tumbling count partials (map-side combine), ONE (key, window)
+    exchange, then a key-keyed regroup whose per-key state is its window
+    COUNT series (windows/key, not rows/key) walked with one cumsum + two
+    searchsorteds. Keys are dimension-sized (event types, hosts); a
+    high-cardinality key would swap the regroup for the coarse-key shape.
+    """
+    counts = tumbling_window_counts(
+        ds, ts_col, group_col, window_secs=window_secs
+    )
+    span = trail_windows * window_secs
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series([], dtype="object"),
+                    "window_start": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "trail": pd.Series([], dtype="int64"),
+                    "is_burst": pd.Series([], dtype="bool"),
+                }
+            )
+        out = []
+        for key, kdf in df.groupby(group_col, sort=False):
+            kdf = kdf.sort_values("window_start", kind="mergesort")
+            w = kdf["window_start"].to_numpy()
+            n = kdf["n"].to_numpy().astype(np.int64)
+            cum = np.concatenate([[0], np.cumsum(n)])
+            lo = np.searchsorted(w, w - span, side="left")
+            hi = np.searchsorted(w, w - window_secs, side="right")
+            trail = cum[hi] - cum[lo]
+            burst = (n * trail_windows * factor_den > factor_num * trail) & (
+                trail > 0
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        group_col: key,
+                        "window_start": w,
+                        "n": n,
+                        "trail": trail,
+                        "is_burst": burst,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return counts.groupby(group_col).map_groups(flag, batch_format="pandas")

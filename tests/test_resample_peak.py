@@ -152,3 +152,45 @@ def test_peak_empty(ray_session):
     r = _peak([])
     assert int(r["peak"]) == 0
     assert pd.isna(r["peak_time"])
+
+
+def test_detect_bursts_gap_and_threshold(ray_session):
+    """A quiet hourly baseline, a 26-hour gap (absent windows must dilute
+    the trailing sum implicitly), then a spike that must flag."""
+    from docler_ray.stages.windows import detect_bursts
+
+    rows = []
+    # baseline: 2 events per hour for hours 0..23
+    for h in range(24):
+        rows += [(1, h * 3600 + 5, 0.0), (1, h * 3600 + 6, 0.0)]
+    # spike at hour 24: 10 events (10*24 > 3*48 -> burst)
+    rows += [(1, 24 * 3600 + k, 0.0) for k in range(10)]
+    # after a 26h silence, hour 51 has 1 event; trailing window covers
+    # hours 27..50 -> trail 0 -> NOT a burst (trail > 0 required)
+    rows += [(1, 51 * 3600 + 1, 0.0)]
+    ds = _events_ds(rows)
+    got = (
+        detect_bursts(
+            ds.map_batches(
+                lambda b: b.append_column(
+                    "event_type", pa.array(["x"] * len(b), pa.string())
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "ts",
+            "event_type",
+        )
+        .to_pandas()
+        .set_index("window_start")
+        .sort_index()
+    )
+    assert bool(got.loc[24 * 3600, "is_burst"]) is True
+    assert int(got.loc[24 * 3600, "trail"]) == 48
+    assert bool(got.loc[51 * 3600, "is_burst"]) is False
+    assert int(got.loc[51 * 3600, "trail"]) == 0
+    # hour 1 with trail=2: 2*24 > 3*2 -> bursts (early-history semantics,
+    # identical in the SQL twin)
+    assert bool(got.loc[3600, "is_burst"]) is True
+    # the first window has no trail -> never a burst
+    assert bool(got.loc[0, "is_burst"]) is False

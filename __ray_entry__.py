@@ -7040,6 +7040,143 @@ _Q4_EXISTS_SQL = (
 )
 
 
+def _q_host_components(sf_dir: str):
+    """Weakly-connected components of the undirected host graph — the
+    dedup tier's min-label machinery (pointer-doubled propagation /
+    measured small-graph union-find) applied to the web graph; component
+    id = min member. The oracle is regime-free: a recursive-CTE transitive
+    closure grouped to MIN(reachable)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.dedup import min_label_components
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for sa, sb, da, db in _LG_FORMULAS:
+            srcs.append((sa * d + sb) % _LG_MOD_TRI)
+            dsts.append((da * d + db) % _LG_MOD_TRI)
+        s = np.concatenate(srcs)
+        t = np.concatenate(dsts)
+        keep = s != t
+        return pa.table(
+            {"id_a": pa.array(s[keep]), "id_b": pa.array(t[keep])}
+        )
+
+    edges = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+    labels = min_label_components(edges)
+
+    def fmt_out(batch: pa.Table) -> pa.Table:
+        def host(col) -> pa.Array:
+            return pc.binary_join_element_wise(
+                "h", pc.cast(col, pa.string()), ""
+            )
+
+        return pa.table(
+            {
+                "host": host(batch.column("src")),
+                "component": host(batch.column("label")),
+            }
+        )
+
+    return labels.map_batches(fmt_out, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _host_components_sql() -> str:
+    sels = " UNION ALL ".join(
+        f"SELECT ({sa} * doc_id + {sb}) % {_LG_MOD_TRI} AS u, "
+        f"({da} * doc_id + {db}) % {_LG_MOD_TRI} AS v FROM documents"
+        for (sa, sb, da, db) in _LG_FORMULAS
+    )
+    return (
+        f"WITH RECURSIVE raw AS ({sels}), "
+        "e0 AS (SELECT DISTINCT u, v FROM raw WHERE u <> v), "
+        "und AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0), "
+        "reach(a, b) AS ("
+        "SELECT u AS a, u AS b FROM (SELECT DISTINCT u FROM und) "
+        "UNION "
+        "SELECT r.a, und.v FROM reach r JOIN und ON r.b = und.u) "
+        "SELECT 'h' || CAST(a AS VARCHAR) AS host, "
+        "'h' || CAST(MIN(b) AS VARCHAR) AS component FROM reach GROUP BY a"
+    )
+
+
+def _q_event_type_pmi(sf_dir: str):
+    """Pointwise mutual information of event-type co-occurrence within
+    users: pmi = ln(n_users * c_ab / (c_a * c_b)) over exact integer
+    counts — the cooccurrence exchange for c_ab, one pivot-shaped pass for
+    the per-type user counts, and a driver-side alphabet^2 finish whose
+    single divide + ln match the oracle's libm bit-for-bit."""
+    import math
+
+    import ray.data
+
+    from docler_ray.stages.assoc import cooccurrence_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    pairs = cooccurrence_counts(
+        ev, entity_col="user_id", value_col="event_type"
+    ).to_pandas()
+
+    def dpartial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return g.select(["user_id", "event_type"])
+
+    from ray.data.aggregate import Count
+
+    per_type = (
+        ev.map_batches(dpartial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="_m"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    n_users = int(
+        ev.groupby("user_id").aggregate(Count(alias_name="_m")).count()
+    )
+    cmap = dict(zip(per_type["event_type"], per_type["c"].astype(int)))
+    rows = []
+    for _, r in pairs.iterrows():
+        a, b, cab = r["value_a"], r["value_b"], int(r["n_entities"])
+        pmi = math.log(
+            float(n_users * cab) / float(cmap[a] * cmap[b])
+        )
+        rows.append((a, b, cab, pmi))
+    rows.sort()
+    return pa.table(
+        {
+            "value_a": pa.array([r[0] for r in rows], pa.string()),
+            "value_b": pa.array([r[1] for r in rows], pa.string()),
+            "c_ab": pa.array([r[2] for r in rows], pa.int64()),
+            "pmi": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+_EVENT_PMI_SQL = (
+    "WITH d AS (SELECT DISTINCT user_id, event_type FROM events), "
+    "n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM events), "
+    "c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1), "
+    "p AS (SELECT a.event_type AS value_a, b.event_type AS value_b, "
+    "CAST(COUNT(*) AS BIGINT) AS c_ab FROM d a JOIN d b "
+    "ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2) "
+    "SELECT p.value_a, p.value_b, p.c_ab, "
+    "ln(CAST(n.nu * p.c_ab AS DOUBLE) / CAST(ca.cnt * cb.cnt AS DOUBLE)) AS pmi "
+    "FROM p, n JOIN c ca ON ca.event_type = p.value_a "
+    "JOIN c cb ON cb.event_type = p.value_b"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -7212,6 +7349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_bursts": _q_event_type_bursts,
         "custdist": _q_custdist,
         "q4_priority_exists": _q_q4_priority_exists,
+        "host_components": _q_host_components,
+        "event_type_pmi": _q_event_type_pmi,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -8240,6 +8379,8 @@ def oracle_sql() -> dict[str, str]:
         "event_type_bursts": _BURSTS_SQL,
         "custdist": _CUSTDIST_SQL,
         "q4_priority_exists": _Q4_EXISTS_SQL,
+        "host_components": _host_components_sql(),
+        "event_type_pmi": _EVENT_PMI_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

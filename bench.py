@@ -321,6 +321,8 @@ def bench_once() -> dict:
         timed("event_type_bursts", q["event_type_bursts"])
         timed("custdist", q["custdist"])
         timed("q4_priority_exists", q["q4_priority_exists"])
+        timed("host_components", q["host_components"])
+        timed("event_type_pmi", q["event_type_pmi"])
     finally:
         ray.shutdown()
     return results

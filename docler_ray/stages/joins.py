@@ -1121,3 +1121,54 @@ def bloom_anti_join(
         on=(left_key,),
     )
     return misses.union(fp_survivors)
+
+
+def salted_copartition_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    salt: int = 8,
+    size_hint: int | None = None,
+):
+    """Hot-key-safe inner hash join: a single key owning a large fraction
+    of ``left`` turns the plain copartitioned join into one straggler
+    partition. Salting splits every left key across ``salt`` buckets
+    (round-robin within each batch — deterministic multiset output, the
+    salt value itself never leaves the join) and replicates the RIGHT side
+    ``salt``x, joining on the composite int64 ``key * salt + s``. Cost:
+    right ships ``salt`` copies — use for big-LEFT x modest-RIGHT skew
+    (the build side must tolerate the replication); the composite key
+    requires ``|key| * salt < 2^62``. Output multiset == the unsalted
+    join (pinned by the equality test).
+
+    Integer keys only (the composite-key trick); NULL keys must be
+    pre-filtered like the unsalted join.
+    """
+    rk = right_on or on
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        k = batch.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if np.abs(k).max(initial=0) * salt >= 2**62:
+            raise ValueError("key range too large for composite salting")
+        s = np.arange(len(k), dtype=np.int64) % salt
+        return batch.append_column("_sk", pa.array(k * salt + s))
+
+    def replicate_right(batch: pa.Table) -> pa.Table:
+        k = batch.column(rk).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        parts = []
+        for s in range(salt):
+            parts.append(batch.append_column("_sk", pa.array(k * salt + s)))
+        return pa.concat_tables(parts)
+
+    lds = left.map_batches(salt_left, batch_format="pyarrow", zero_copy_batch=True)
+    # the right key column always drops: it duplicates ``on`` (collision
+    # when names match; redundant when they don't — the composite carries it)
+    rds = right.map_batches(
+        replicate_right, batch_format="pyarrow", zero_copy_batch=True
+    ).drop_columns([rk])
+    out = copartition_hash_join(lds, rds, on="_sk", size_hint=size_hint)
+    return out.drop_columns(["_sk"])

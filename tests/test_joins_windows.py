@@ -716,3 +716,80 @@ def test_full_outer_join_empty_sides(ray_session):
     assert out["k"].tolist() == [9] and out["w"].tolist() == [3]
     # both empty -> None
     assert full_outer_join(lempty, empty, on="k", right_on="rk") is None
+
+
+def test_salted_join_matches_unsalted_on_skew(ray_session):
+    """One key owns half the left side; the salted composite-key join must
+    return the identical multiset as the plain copartitioned join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docler_ray.stages.joins import (
+        copartition_hash_join,
+        salted_copartition_join,
+    )
+
+    rng = np.random.default_rng(41)
+    hot = np.zeros(4000, dtype=np.int64)  # key 0 = 50% of rows
+    cold = rng.integers(1, 200, 4000)
+    keys = np.concatenate([hot, cold])
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(keys),
+                "lv": pa.array(np.arange(len(keys), dtype=np.int64)),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array(np.arange(0, 200, dtype=np.int64)),
+                "rv": pa.array(np.arange(0, 200, dtype=np.int64) * 7),
+            }
+        )
+    )
+    plain = (
+        copartition_hash_join(left, right, on="k", right_on="rk")
+        .to_pandas()[["k", "lv", "rv"]]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    salted = (
+        salted_copartition_join(left, right, on="k", right_on="rk", salt=8)
+        .to_pandas()[["k", "lv", "rv"]]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(salted, plain)
+
+
+def test_salted_join_salt_one_is_plain(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docler_ray.stages.joins import salted_copartition_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 2, 3], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([2, 3, 4], pa.int64()),
+                "rv": pa.array([20, 30, 40], pa.int64()),
+            }
+        )
+    )
+    out = (
+        salted_copartition_join(left, right, on="k", salt=1)
+        .to_pandas()
+        .sort_values(["k"])
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [2, 2, 3]
+    assert out["rv"].tolist() == [20, 20, 30]

@@ -7177,6 +7177,182 @@ _EVENT_PMI_SQL = (
 )
 
 
+def _q_events_close_pairs(sf_dir: str):
+    """Temporal band self-join (windows.band_pair_counts): per user, pairs
+    of events within 300 s — every pair co-locates in the later event's
+    native band bucket (2x replication), counted by one sorted
+    searchsorted per bucket; output is user-cardinality, the pair list
+    never materializes."""
+    import ray.data
+
+    from docler_ray.stages.windows import band_pair_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return band_pair_counts(ds, "user_id", "ts", "event_id", band_secs=300)
+
+
+_CLOSE_PAIRS_SQL = (
+    "WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) "
+    "AS ep FROM events) "
+    "SELECT a.user_id, COUNT(*) AS n_pairs FROM e a JOIN e b "
+    "ON a.user_id = b.user_id "
+    "AND (a.ep < b.ep OR (a.ep = b.ep AND a.event_id < b.event_id)) "
+    "AND b.ep - a.ep <= 300 "
+    "GROUP BY a.user_id"
+)
+
+
+def _q_robust_outliers_by_lang(sf_dir: str):
+    """Robust outlier counts per language: |n_chars - median| > 3 x MAD by
+    EXACT integer comparison (no float fences) — composes the median+MAD
+    operator (two value-count exchanges) with one zero-shuffle recount
+    pass under the broadcast (median, mad) table."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.stats import grouped_mad_discrete
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    fences = grouped_mad_discrete(ds, value_col="n_chars", group_col="lang").to_pandas()
+    fmap = {
+        r["lang"]: (int(r["median_val"]), int(r["mad"]))
+        for _, r in fences.iterrows()
+    }
+    fref = ray.put(fmap)
+
+    def count_out(batch: pa.Table) -> pa.Table:
+        m = ray.get(fref)
+        langs = batch.column("lang").to_pylist()
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        med = np.fromiter((m[g][0] for g in langs), dtype=np.int64, count=len(langs))
+        mad = np.fromiter((m[g][1] for g in langs), dtype=np.int64, count=len(langs))
+        out = (np.abs(v - med) > 3 * mad).astype(np.int64)
+        t = pa.table({"lang": batch.column("lang"), "po": pa.array(out)})
+        g = t.group_by("lang").aggregate([("po", "sum"), ([], "count_all")])
+        return g.rename_columns(["lang", "po", "pn"])
+
+    agg = (
+        ds.map_batches(count_out, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("po", alias_name="n_outliers"), Sum("pn", alias_name="n_docs"))
+    )
+    return agg
+
+
+_ROBUST_OUTLIERS_SQL = (
+    "WITH m AS (SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) "
+    "AS med FROM documents GROUP BY lang), "
+    "d AS (SELECT doc.lang, abs(doc.n_chars - m.med) AS dev "
+    "FROM documents doc JOIN m ON doc.lang = m.lang), "
+    "f AS (SELECT m.lang, m.med, (SELECT CAST(quantile_disc(d.dev, 0.5) "
+    "AS BIGINT) FROM d WHERE d.lang = m.lang) AS mad FROM m) "
+    "SELECT doc.lang, "
+    "CAST(COUNT(*) FILTER (WHERE abs(doc.n_chars - f.med) > 3 * f.mad) "
+    "AS BIGINT) AS n_outliers, COUNT(*) AS n_docs "
+    "FROM documents doc JOIN f ON doc.lang = f.lang GROUP BY doc.lang"
+)
+
+
+def _q_reconcile_order_totals(sf_dir: str):
+    """Order-grain reconciliation (the lakehouse consistency check): per
+    order, integer-cents header total vs the lineitem roll-up; output one
+    row (n_orders, n_mismatched, sum_abs_diff_cents). ONE orderkey
+    exchange of lineitem cents partials, then the copartition join against
+    header cents and a scalar fold. The orderkey exchange over lineitem is
+    the measured floor (~6 s of the sf0.1 cost on a calm host) — a
+    union'd single-groupby variant measured no better; the join keeps the
+    second exchange post-aggregation-small."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import copartition_hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        e = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        c = np.floor(e * 100 + 0.5).astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"), "pc_": pa.array(c)})
+        g = t.group_by("l_orderkey").aggregate([("pc_", "sum")])
+        return g.rename_columns(["l_orderkey", "pc_"])
+
+    li_sum = (
+        li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("pc_", alias_name="li_cents"))
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def hdr(batch: pa.Table) -> pa.Table:
+        p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "hdr_cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    n_orders = orders.count()
+    joined = copartition_hash_join(
+        orders.map_batches(hdr, batch_format="pyarrow", zero_copy_batch=True),
+        li_sum,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        size_hint=n_orders,
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        h = batch.column("hdr_cents").to_numpy(zero_copy_only=False)
+        s = batch.column("li_cents").to_numpy(zero_copy_only=False)
+        diff = np.abs(h - s)
+        return pa.table(
+            {
+                "pn": pa.array([len(batch)], pa.int64()),
+                "pm": pa.array([int((diff != 0).sum())], pa.int64()),
+                "pd": pa.array([int(diff.sum())], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_orders": pa.array([int(parts["pn"].sum())], pa.int64()),
+                "n_mismatched": pa.array([int(parts["pm"].sum())], pa.int64()),
+                "sum_abs_diff_cents": pa.array([int(parts["pd"].sum())], pa.int64()),
+            }
+        )
+    )
+
+
+_RECONCILE_SQL = (
+    "WITH ls AS (SELECT l_orderkey, CAST(SUM(CAST(floor(l_extendedprice * 100 "
+    "+ 0.5) AS BIGINT)) AS BIGINT) AS li_cents FROM lineitem GROUP BY 1), "
+    "o AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+    "AS hdr_cents FROM orders), "
+    "j AS (SELECT hdr_cents, li_cents FROM o JOIN ls "
+    "ON o.o_orderkey = ls.l_orderkey) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(COUNT(*) FILTER (WHERE hdr_cents <> li_cents) AS BIGINT) "
+    "AS n_mismatched, "
+    "CAST(SUM(abs(hdr_cents - li_cents)) AS BIGINT) AS sum_abs_diff_cents "
+    "FROM j"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -7351,6 +7527,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority_exists": _q_q4_priority_exists,
         "host_components": _q_host_components,
         "event_type_pmi": _q_event_type_pmi,
+        "events_close_pairs": _q_events_close_pairs,
+        "robust_outliers_by_lang": _q_robust_outliers_by_lang,
+        "reconcile_order_totals": _q_reconcile_order_totals,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -8381,6 +8560,9 @@ def oracle_sql() -> dict[str, str]:
         "q4_priority_exists": _Q4_EXISTS_SQL,
         "host_components": _host_components_sql(),
         "event_type_pmi": _EVENT_PMI_SQL,
+        "events_close_pairs": _CLOSE_PAIRS_SQL,
+        "robust_outliers_by_lang": _ROBUST_OUTLIERS_SQL,
+        "reconcile_order_totals": _RECONCILE_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

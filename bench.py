@@ -323,6 +323,9 @@ def bench_once() -> dict:
         timed("q4_priority_exists", q["q4_priority_exists"])
         timed("host_components", q["host_components"])
         timed("event_type_pmi", q["event_type_pmi"])
+        timed("events_close_pairs", q["events_close_pairs"])
+        timed("robust_outliers_by_lang", q["robust_outliers_by_lang"])
+        timed("reconcile_order_totals", q["reconcile_order_totals"])
     finally:
         ray.shutdown()
     return results
@@ -380,6 +383,16 @@ SF1_QUERIES = [
     "trending_types_hourly",
     "session_duration_stats",
     "user_feature_table",
+    # session-3 additions: sweep-line prefix sum, resample grid, burst
+    # windows, CDC winner exchange, count-of-counts, graph family
+    "peak_concurrent_sessions",
+    "events_value_resample_6h",
+    "event_type_bursts",
+    "snapshot_apply_cdc",
+    "custdist",
+    "event_type_pmi",
+    "host_pagerank",
+    "host_triangles",
 ]
 
 

@@ -194,3 +194,75 @@ def test_detect_bursts_gap_and_threshold(ray_session):
     assert bool(got.loc[3600, "is_burst"]) is True
     # the first window has no trail -> never a burst
     assert bool(got.loc[0, "is_burst"]) is False
+
+
+def test_band_pair_counts_boundaries_and_brute(ray_session):
+    from docler_ray.stages.windows import band_pair_counts
+
+    import ray.data
+
+    # hand cases: exact band boundary included; equal ts ordered by id;
+    # cross-bucket pairs (band=10: ep 9 and 19 differ by exactly 10)
+    rows = [
+        (1, 9, 100),
+        (1, 19, 101),   # diff exactly 10 -> pair
+        (1, 30, 102),   # diff 11 from 19 -> no pair
+        (2, 5, 200),
+        (2, 5, 201),    # equal ts -> one pair by id order
+        (3, 0, 300),    # lone event -> no row
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [pd.Timestamp(r[1] * 1_000_000, unit="us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )
+    got = (
+        band_pair_counts(ds, "user", "ts", "event_id", band_secs=10)
+        .to_pandas()
+        .set_index("user")["n_pairs"]
+        .to_dict()
+    )
+    assert got == {1: 1, 2: 1}
+
+    # random brute-force cross-check with many bucket-straddling pairs
+    rng = np.random.default_rng(13)
+    rows = [
+        (int(k), int(t), i)
+        for i, (k, t) in enumerate(
+            zip(rng.integers(0, 5, 2000), rng.integers(0, 3000, 2000))
+        )
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [pd.Timestamp(r[1] * 1_000_000, unit="us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )
+    got = (
+        band_pair_counts(ds, "user", "ts", "event_id", band_secs=60)
+        .to_pandas()
+        .set_index("user")["n_pairs"]
+        .to_dict()
+    )
+    exp: dict[int, int] = {}
+    for i, (k1, t1, i1) in enumerate(rows):
+        for k2, t2, i2 in rows[i + 1 :]:
+            if k1 != k2:
+                continue
+            (ta, ia), (tb, ib) = sorted([(t1, i1), (t2, i2)])
+            if tb - ta <= 60:
+                exp[k1] = exp.get(k1, 0) + 1
+    assert got == exp

@@ -7353,6 +7353,101 @@ _RECONCILE_SQL = (
 )
 
 
+_QSKETCH_QS = [0.25, 0.5, 0.9]
+_QSKETCH_EPS = 0.02
+
+
+def _q_price_quantile_sketch(sf_dir: str):
+    """One-pass mergeable quantile sketch over order prices
+    (sketch.quantile_sketch_onepass): per-block eps-spaced rank samples,
+    driver merge bounded by blocks/eps, one exact-recount pass pinning
+    |rank - target| <= 2*eps*n + n_blocks in-query. The single-pass path a
+    100 TB profile takes where exact_quantiles_narrowing pays 4 scans.
+    The estimates are partition-dependent; the PIN is not — the oracle
+    checks (q, n, within_bound=TRUE), the IVF-recall pattern."""
+    import ray.data
+
+    from docler_ray.stages.sketch import quantile_sketch_onepass
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    return quantile_sketch_onepass(
+        ds, "o_totalprice", qs=_QSKETCH_QS, eps=_QSKETCH_EPS
+    )
+
+
+def _price_quantile_sketch_sql() -> str:
+    sels = " UNION ALL ".join(
+        f"SELECT {q} AS q, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS within_bound "
+        "FROM orders"
+        for q in _QSKETCH_QS
+    )
+    return sels
+
+
+def _q_nfc_normalize_stats(sf_dir: str):
+    """Unicode NFC canonicalization stats per language over a corpus
+    seeded with decomposed sequences (combining acute / ring, Hangul
+    Jamo pairs cycling by doc_id) — zero-shuffle normalize + flag pass,
+    one lang-sized count exchange. Python unicodedata NFC == DuckDB
+    nfc_normalize (UAX #15, probed)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.functions.text import nfc_normalize_batch
+
+    suffixes = ["é", "Å", "가", ""]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        seeded = [t + suffixes[int(d) % 4] for d, t in zip(ids, texts)]
+        norm, changed = nfc_normalize_batch(seeded)
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "pch": pa.array(changed.astype(np.int64)),
+                "plb": pa.array(
+                    np.array([len(s) for s in seeded], dtype=np.int64)
+                ),
+                "pla": pa.array(np.array([len(s) for s in norm], dtype=np.int64)),
+            }
+        )
+        g = t.group_by("lang").aggregate(
+            [("pch", "sum"), ("plb", "sum"), ("pla", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["lang", "pch", "plb", "pla", "pn"])
+
+    return (
+        ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("pch", alias_name="n_changed"),
+            Sum("plb", alias_name="chars_before"),
+            Sum("pla", alias_name="chars_after"),
+            Sum("pn", alias_name="n_docs"),
+        )
+    )
+
+
+_NFC_SQL = (
+    "WITH s AS (SELECT lang, text || CASE doc_id % 4 "
+    "WHEN 0 THEN 'e' || chr(769) WHEN 1 THEN 'A' || chr(778) "
+    "WHEN 2 THEN chr(4352) || chr(4449) ELSE '' END AS seeded FROM documents), "
+    "v AS (SELECT lang, seeded, nfc_normalize(seeded) AS norm FROM s) "
+    "SELECT lang, CAST(SUM(CASE WHEN norm <> seeded THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_changed, "
+    "CAST(SUM(length(seeded)) AS BIGINT) AS chars_before, "
+    "CAST(SUM(length(norm)) AS BIGINT) AS chars_after, "
+    "COUNT(*) AS n_docs FROM v GROUP BY lang"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -7530,6 +7625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_close_pairs": _q_events_close_pairs,
         "robust_outliers_by_lang": _q_robust_outliers_by_lang,
         "reconcile_order_totals": _q_reconcile_order_totals,
+        "price_quantile_sketch": _q_price_quantile_sketch,
+        "nfc_normalize_stats": _q_nfc_normalize_stats,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -8563,6 +8660,8 @@ def oracle_sql() -> dict[str, str]:
         "events_close_pairs": _CLOSE_PAIRS_SQL,
         "robust_outliers_by_lang": _ROBUST_OUTLIERS_SQL,
         "reconcile_order_totals": _RECONCILE_SQL,
+        "price_quantile_sketch": _price_quantile_sketch_sql(),
+        "nfc_normalize_stats": _NFC_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

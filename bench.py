@@ -326,6 +326,8 @@ def bench_once() -> dict:
         timed("events_close_pairs", q["events_close_pairs"])
         timed("robust_outliers_by_lang", q["robust_outliers_by_lang"])
         timed("reconcile_order_totals", q["reconcile_order_totals"])
+        timed("price_quantile_sketch", q["price_quantile_sketch"])
+        timed("nfc_normalize_stats", q["nfc_normalize_stats"])
     finally:
         ray.shutdown()
     return results

@@ -74,3 +74,28 @@ def generate_all_diffs(original: str, corrected: str) -> dict[str, str]:
         )
         result["html_diff"] = dmp.diff_prettyHtml(diffs)
     return result
+
+
+def nfc_normalize_batch(texts: list) -> tuple[list, "object"]:
+    """NFC-normalize a batch of strings; returns (normalized, changed_mask).
+
+    Unicode normalization is the first text-canonicalization step of a
+    multilingual corpus pipeline (decomposed combining marks from PDF
+    extractors and mojibake repair differ byte-wise but compare equal
+    after NFC — exact dedup keys must normalize first). Semantics match
+    DuckDB's nfc_normalize (UAX #15; probed on combining marks, Hangul
+    Jamo, precomposed Latin)."""
+    import unicodedata
+
+    import numpy as np
+
+    out = []
+    changed = np.zeros(len(texts), dtype=bool)
+    for i, t in enumerate(texts):
+        if t is None:
+            out.append(None)
+            continue
+        n = unicodedata.normalize("NFC", t)
+        out.append(n)
+        changed[i] = n != t
+    return out, changed

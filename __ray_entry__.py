@@ -7448,6 +7448,87 @@ _NFC_SQL = (
 )
 
 
+def _q_page_metadata_extract(sf_dir: str):
+    """Head-metadata extraction parity (html/metadata.py): title with
+    entity unescape, meta description (whitespace-collapsed), og:title,
+    canonical link resolved against the page URL, robots noindex/nofollow
+    (case-insensitive, comma directives), html lang attr — one DOM walk
+    per page, map-only; the SQL twin rebuilds every field arithmetically."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def run(batch: pa.Table) -> pa.Table:
+        from docler_ray.html.metadata import extract_metadata
+
+        ids = batch.column("doc_id").to_pylist()
+        rows = []
+        for d in ids:
+            lang_attr = ["en", "de", ""][d % 3]
+            lang_html = f' lang="{lang_attr}"' if lang_attr else ""
+            head = [f"<title>Title &amp; {d}</title>"]
+            head.append(f'<meta name="description" content="Desc  {d}  here">')
+            if d % 2 == 0:
+                head.append(f'<meta property="og:title" content="OG {d}">')
+            if d % 3 == 0:
+                head.append(f'<link rel="canonical" href="/canon/{d}">')
+            if d % 5 == 0:
+                head.append('<meta name="robots" content="noindex, nofollow">')
+            elif d % 5 == 1:
+                head.append('<meta name="robots" content="NOINDEX">')
+            html = (
+                f"<html{lang_html}><head>{''.join(head)}</head>"
+                f"<body><p>Body {d}</p></body></html>"
+            )
+            url = f"https://host{d % 7}.example/en/page-{d}"
+            md = extract_metadata(html, base_url=url)
+            rows.append(
+                {
+                    "doc_id": d,
+                    "title": md.title,
+                    "description": md.description,
+                    "og_title": md.og_title,
+                    "canonical": md.canonical,
+                    "noindex": md.noindex,
+                    "nofollow": md.nofollow,
+                    "lang": md.lang,
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("title", pa.string()),
+                    ("description", pa.string()),
+                    ("og_title", pa.string()),
+                    ("canonical", pa.string()),
+                    ("noindex", pa.bool_()),
+                    ("nofollow", pa.bool_()),
+                    ("lang", pa.string()),
+                ]
+            ),
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_PAGE_METADATA_SQL = (
+    "SELECT doc_id, "
+    "'Title & ' || doc_id AS title, "
+    "'Desc ' || doc_id || ' here' AS description, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'OG ' || doc_id END AS og_title, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'https://host' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.example/canon/' || doc_id END AS canonical, "
+    "doc_id % 5 IN (0, 1) AS noindex, "
+    "doc_id % 5 = 0 AS nofollow, "
+    "CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' END AS lang "
+    "FROM documents"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -7627,6 +7708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reconcile_order_totals": _q_reconcile_order_totals,
         "price_quantile_sketch": _q_price_quantile_sketch,
         "nfc_normalize_stats": _q_nfc_normalize_stats,
+        "page_metadata_extract": _q_page_metadata_extract,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -8662,6 +8744,7 @@ def oracle_sql() -> dict[str, str]:
         "reconcile_order_totals": _RECONCILE_SQL,
         "price_quantile_sketch": _price_quantile_sketch_sql(),
         "nfc_normalize_stats": _NFC_SQL,
+        "page_metadata_extract": _PAGE_METADATA_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

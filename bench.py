@@ -328,6 +328,7 @@ def bench_once() -> dict:
         timed("reconcile_order_totals", q["reconcile_order_totals"])
         timed("price_quantile_sketch", q["price_quantile_sketch"])
         timed("nfc_normalize_stats", q["nfc_normalize_stats"])
+        timed("page_metadata_extract", q["page_metadata_extract"])
     finally:
         ray.shutdown()
     return results

@@ -143,3 +143,53 @@ def test_boolean_hidden_attribute_pruned():
     assert "visible words" in res.content
     assert "secret hidden words" not in res.content
     assert "also hidden" not in res.content
+
+
+def test_extract_metadata_fields():
+    from docler_ray.html.metadata import extract_metadata
+
+    html = (
+        '<html lang="EN-us"><head><title> A &amp;  B </title>'
+        '<meta name="Description" content="ignored-wrong-case-name">'
+        '<meta name="description" content="  d1   d2 ">'
+        '<meta property="og:title" content="OG title">'
+        '<link rel="stylesheet canonical" href="../c">'
+        '<meta name="robots" content=" NOINDEX ,nofollow ">'
+        "</head><body></body></html>"
+    )
+    md = extract_metadata(html, base_url="https://h.example/a/b/page")
+    assert md.title == "A & B"
+    # meta name matching is case-insensitive (WHATWG), so the first
+    # description — whatever its name's case — wins
+    assert md.description == "ignored-wrong-case-name"
+    assert md.og_title == "OG title"
+    assert md.canonical == "https://h.example/a/c"
+    assert md.noindex is True
+    assert md.nofollow is True
+    assert md.lang == "en-us"
+
+
+def test_extract_metadata_first_wins_and_defaults():
+    from docler_ray.html.metadata import extract_metadata
+
+    html = (
+        "<html><head><title>First</title><title>Second</title>"
+        '<link rel="canonical" href="https://x.example/one">'
+        '<link rel="canonical" href="https://x.example/two">'
+        "</head><body><h1>H</h1></body></html>"
+    )
+    md = extract_metadata(html)
+    assert md.title == "First"
+    assert md.canonical == "https://x.example/one"
+    assert md.description is None
+    assert md.og_title is None
+    assert md.noindex is False and md.nofollow is False
+    assert md.lang is None
+
+
+def test_extract_metadata_empty_and_garbage():
+    from docler_ray.html.metadata import extract_metadata
+
+    assert extract_metadata("").title is None
+    md = extract_metadata("<p>no head at all")
+    assert md.title is None and md.canonical is None

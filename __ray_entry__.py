@@ -7529,6 +7529,51 @@ _PAGE_METADATA_SQL = (
 )
 
 
+def _q_url_query_params(sf_dir: str):
+    """URL query-parameter profile over a deterministic query-string
+    corpus (percent-encoded values exercise the decode ladder): map-side
+    explode + distinct partials, one (param, value) exchange, param-sized
+    fold. The min_value column pins the DECODED values ('hello world',
+    'x/y') against the SQL literals."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.urlops import query_param_profile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lang = batch.column("lang").to_pylist()
+        src = batch.column("source").to_pylist()
+        urls = []
+        for di, li, si in zip(d, lang, src):
+            u = (
+                f"https://{si}.example/p/{di}?q={int(di) % 13}&lang={li}"
+                "&msg=hello%20world"
+            )
+            if di % 2 == 0:
+                u += "&utm=x%2Fy"
+            urls.append(u)
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    urls = ds.map_batches(to_urls, batch_format="pyarrow", zero_copy_batch=True)
+    return query_param_profile(urls)
+
+
+_URL_PARAMS_SQL = (
+    "SELECT 'lang' AS param, COUNT(*) AS n, "
+    "COUNT(DISTINCT lang) AS n_distinct, MIN(lang) AS min_value FROM documents "
+    "UNION ALL SELECT 'msg', COUNT(*), 1, 'hello world' FROM documents "
+    "UNION ALL SELECT 'q', COUNT(*), COUNT(DISTINCT doc_id % 13), "
+    "CAST(MIN(doc_id % 13) AS VARCHAR) FROM documents "
+    "UNION ALL SELECT 'utm', COUNT(*) FILTER (WHERE doc_id % 2 = 0), 1, 'x/y' "
+    "FROM documents"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -7709,6 +7754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantile_sketch": _q_price_quantile_sketch,
         "nfc_normalize_stats": _q_nfc_normalize_stats,
         "page_metadata_extract": _q_page_metadata_extract,
+        "url_query_params": _q_url_query_params,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -8745,6 +8791,7 @@ def oracle_sql() -> dict[str, str]:
         "price_quantile_sketch": _price_quantile_sketch_sql(),
         "nfc_normalize_stats": _NFC_SQL,
         "page_metadata_extract": _PAGE_METADATA_SQL,
+        "url_query_params": _URL_PARAMS_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -329,6 +329,7 @@ def bench_once() -> dict:
         timed("price_quantile_sketch", q["price_quantile_sketch"])
         timed("nfc_normalize_stats", q["nfc_normalize_stats"])
         timed("page_metadata_extract", q["page_metadata_extract"])
+        timed("url_query_params", q["url_query_params"])
     finally:
         ray.shutdown()
     return results

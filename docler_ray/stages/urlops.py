@@ -112,3 +112,112 @@ def filter_blocked_hosts(ds, blocked: list[str], url_col: str = "url"):
         return batch.filter(pc.invert(hit))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def parse_query_params(ds, *, url_col: str = "url"):
+    """Explode URL query strings into (param, value) rows with RFC 3986
+    percent-decoding (urllib.parse.unquote_plus semantics minus the plus:
+    '%xx' escapes decode, '+' stays literal — crawl URLs are not form
+    submissions). Map-only; one output row per key=value pair, URLs
+    without a query contribute nothing."""
+    from urllib.parse import unquote
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        params: list[str] = []
+        values: list[str] = []
+        for u in urls:
+            if not u:
+                continue
+            qpos = u.find("?")
+            if qpos < 0:
+                continue
+            query = u[qpos + 1 :]
+            fpos = query.find("#")
+            if fpos >= 0:
+                query = query[:fpos]
+            for part in query.split("&"):
+                if not part:
+                    continue
+                eq = part.find("=")
+                if eq < 0:
+                    params.append(unquote(part))
+                    values.append("")
+                else:
+                    params.append(unquote(part[:eq]))
+                    values.append(unquote(part[eq + 1 :]))
+        return pa.table(
+            {
+                "param": pa.array(params, pa.string()),
+                "value": pa.array(values, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def query_param_profile(ds, *, url_col: str = "url"):
+    """Per-parameter corpus profile: (param, n, n_distinct, min_value) —
+    the crawl-frontier diagnostic that finds session-id/tracking params
+    (huge n_distinct) vs structural ones. Map-side explode + distinct
+    partials, ONE (param, value) exchange, then a param-sized fold."""
+    from ray.data.aggregate import Count, Sum
+
+    pairs = parse_query_params(ds, url_col=url_col)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["param", "value"]).aggregate([([], "count_all")])
+        return g.rename_columns(["param", "value", "pn"])
+
+    per_value = (
+        pairs.map_batches(
+            distinct_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["param", "value"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def fold_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = batch.group_by("param").aggregate(
+            [("n", "sum"), ([], "count_all"), ("value", "min")]
+        )
+        return g.rename_columns(["param", "pn", "pd", "pmin"])
+
+    agg = (
+        per_value.map_batches(
+            fold_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("param")
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("pd", alias_name="n_distinct"),
+        )
+    )
+    # min_value needs its own Min over the per-value table; fold it into
+    # the same param-sized result via a second tiny aggregate
+    from ray.data.aggregate import Min
+
+    mins = per_value.groupby("param").aggregate(Min("value", alias_name="min_value"))
+    amap = agg.to_pandas().set_index("param")
+    mmap = mins.to_pandas().set_index("param")
+    params = sorted(amap.index)
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "param": pa.array(params, pa.string()),
+                "n": pa.array(
+                    [int(amap.loc[p, "n"]) for p in params], pa.int64()
+                ),
+                "n_distinct": pa.array(
+                    [int(amap.loc[p, "n_distinct"]) for p in params], pa.int64()
+                ),
+                "min_value": pa.array(
+                    [str(mmap.loc[p, "min_value"]) for p in params], pa.string()
+                ),
+            }
+        )
+    )

@@ -105,3 +105,46 @@ def test_filter_blocked_hosts(ray_session):
     ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
     out = filter_blocked_hosts(ds, ["bad.example"]).to_pandas()
     assert sorted(out.url.tolist()) == ["garbage", "https://ok.example/b"]
+
+
+def test_parse_query_params_decode_and_edges(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from docler_ray.stages.urlops import parse_query_params
+
+    urls = [
+        "https://h.example/p?a=1&b=two%20words&c=%2Fslash",
+        "https://h.example/noquery",
+        "https://h.example/p?flag&empty=&a=2#frag=ignored",
+        None,
+        "https://h.example/p?plus=a+b",  # '+' stays literal (not a form)
+    ]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    got = parse_query_params(ds).to_pandas()
+    pairs = set(zip(got["param"], got["value"]))
+    assert ("a", "1") in pairs and ("a", "2") in pairs
+    assert ("b", "two words") in pairs
+    assert ("c", "/slash") in pairs
+    assert ("flag", "") in pairs
+    assert ("empty", "") in pairs
+    assert ("plus", "a+b") in pairs
+    # the fragment part never parses as a param
+    assert not any(p.startswith("frag") for p in got["param"])
+
+
+def test_query_param_profile_counts(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from docler_ray.stages.urlops import query_param_profile
+
+    urls = [
+        "https://h/p?x=1&y=a",
+        "https://h/p?x=2&y=a",
+        "https://h/p?x=1",
+    ]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    got = query_param_profile(ds).to_pandas().set_index("param")
+    assert got.loc["x"].tolist() == [3, 2, "1"]
+    assert got.loc["y"].tolist() == [2, 1, "a"]

@@ -7651,6 +7651,730 @@ def _data_quality_audit_sql() -> str:
     )
 
 
+# --- TPC-H join-suite completion (round 5, session 4): Q7/Q10/Q12/Q15 ---
+
+_Q7_NATIONS = ("NATION_3", "NATION_8")  # both carry suppliers at every sf
+_Q7_LO = "1996-01-01"
+_Q7_HI = "1998-01-01"
+
+
+def _q_q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 analog — shipping volume between two nations, grouped by
+    (supplier nation, customer nation, ship year), both directions.
+
+    Distributed plan: the supplier->nation and customer->nation maps are
+    RESTRICTED to the two query nations before broadcast (2/25 of each
+    dimension ships once via ``ray.put``); orders and lineitem each drop
+    non-participating rows map-side BELOW the one co-partitioned orderkey
+    join (selectivity ~ (2/25)^2 of the corpus reaches the exchange), and
+    the cross-nation predicate + per-(s_nat, c_nat, year) cents pre-agg
+    run inside the join's output batches so the trailing groupby ships
+    <= 2 x years keys. Nation NAMES attach after the groupby — the
+    shuffle carries int64 nation keys, not strings."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import _get_broadcast, copartition_hash_join
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    pair = nation[nation["n_name"].isin(_Q7_NATIONS)]
+    names = dict(zip(pair["n_nationkey"], pair["n_name"]))
+    pair_keys = set(names)
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp = supp[supp["s_nationkey"].isin(pair_keys)]
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust[cust["c_nationkey"].isin(pair_keys)]
+    dims_ref = ray.put(
+        {
+            "supp": dict(zip(supp["s_suppkey"], supp["s_nationkey"])),
+            "cust": dict(zip(cust["c_custkey"], cust["c_nationkey"])),
+        }
+    )
+    lo = pd.Timestamp(_Q7_LO).to_pydatetime()
+    hi = pd.Timestamp(_Q7_HI).to_pydatetime()
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        dims = _get_broadcast(dims_ref)
+        ck = pd.Series(batch.column("o_custkey").to_numpy(zero_copy_only=False))
+        c_nat = ck.map(dims["cust"])
+        keep = c_nat.notna().to_numpy()
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+                "c_nat": pa.array(
+                    c_nat.to_numpy(dtype=object)[keep].astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    orders_red = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        dims = _get_broadcast(dims_ref)
+        ts = batch.column("l_shipdate")
+        t = batch.filter(
+            pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi))
+        )
+        sk = pd.Series(t.column("l_suppkey").to_numpy(zero_copy_only=False))
+        s_nat = sk.map(dims["supp"])
+        keep = s_nat.notna().to_numpy()
+        t = t.filter(pa.array(keep))
+        e = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
+        years = (
+            pd.DatetimeIndex(t.column("l_shipdate").to_numpy(zero_copy_only=False))
+            .year.to_numpy()
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "s_nat": pa.array(
+                    s_nat.to_numpy(dtype=object)[keep].astype(np.int64),
+                    pa.int64(),
+                ),
+                "l_year": pa.array(years, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    joined = copartition_hash_join(
+        lineitem.map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True),
+        orders_red,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        size_hint=lineitem.count(),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["s_nat"] != df["c_nat"]]
+        g = (
+            df.groupby(["s_nat", "c_nat", "l_year"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            g.rename(columns={"cents": "partial_cents"}), preserve_index=False
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["s_nat", "c_nat", "l_year"])
+        .aggregate(Sum("partial_cents", alias_name="revenue_cents"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("s_nat").to_numpy(zero_copy_only=False)
+        c = batch.column("c_nat").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "supp_nation": pa.array([names[k] for k in s], pa.string()),
+                "cust_nation": pa.array([names[k] for k in c], pa.string()),
+                "l_year": batch.column("l_year"),
+                "revenue_cents": batch.column("revenue_cents"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_Q7_SQL = (
+    "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+    "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+    "CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+    "AS BIGINT)) AS BIGINT) AS revenue_cents "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+    "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+    f"WHERE l_shipdate >= TIMESTAMP '{_Q7_LO}' "
+    f"AND l_shipdate < TIMESTAMP '{_Q7_HI}' "
+    f"AND ((sn.n_name = '{_Q7_NATIONS[0]}' AND cn.n_name = '{_Q7_NATIONS[1]}') "
+    f"OR (sn.n_name = '{_Q7_NATIONS[1]}' AND cn.n_name = '{_Q7_NATIONS[0]}')) "
+    "GROUP BY 1, 2, 3"
+)
+
+_Q10_LO = "1996-10-01"
+_Q10_HI = "1997-01-01"
+
+
+def _q_q10_returned_items(sf_dir: str):
+    """TPC-H Q10 analog — top-20 customers by revenue lost to returned
+    items over one quarter, with customer/nation attributes attached.
+
+    Distributed plan: returned lineitems pre-aggregate cents per orderkey
+    map-side (no exchange), ONE co-partitioned orderkey join attaches the
+    date-filtered orders' custkey, a custkey groupby finishes the revenue
+    sum, and the global top-20 folds through bounded per-batch partials.
+    Customer/nation attributes attach DRIVER-SIDE to the 20 survivors
+    (a 20-key dimension probe, never a corpus join)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import copartition_hash_join
+    from docler_ray.stages.topk import topk
+
+    lo = pd.Timestamp(_Q10_LO).to_pydatetime()
+    hi = pd.Timestamp(_Q10_HI).to_pydatetime()
+
+    orders_red = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        e = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {"l_orderkey": t.column("l_orderkey").to_numpy(), "cents": cents}
+        )
+        g = df.groupby("l_orderkey", sort=False)["cents"].sum().reset_index()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"], pa.int64()),
+                "partial_cents": pa.array(g["cents"], pa.int64()),
+            }
+        )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    joined = copartition_hash_join(
+        lineitem.map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        orders_red,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        size_hint=lineitem.count(),
+    )
+    rev = (
+        joined.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": b.column("o_custkey"),
+                    "partial_cents": b.column("partial_cents"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("c_custkey")
+        .aggregate(Sum("partial_cents", alias_name="revenue_cents"))
+    )
+    top = topk(
+        rev,
+        sort_col="revenue_cents",
+        k=20,
+        keep_cols=["c_custkey"],
+        tie_col="c_custkey",
+    ).to_pandas()
+    # 20-row survivor set: dimension probe on the driver (bounded by k).
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", top["c_custkey"].tolist())],
+    ).to_pandas()
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    out = top.merge(cust, on="c_custkey").merge(
+        nation[["n_nationkey", "n_name"]],
+        left_on="c_nationkey",
+        right_on="n_nationkey",
+    )
+    out["acctbal_cents"] = np.floor(
+        out["c_acctbal"].to_numpy() * 100 + 0.5
+    ).astype(np.int64)
+    return out[["c_custkey", "c_name", "acctbal_cents", "n_name", "revenue_cents"]]
+
+
+_Q10_SQL = (
+    "WITH rev AS (SELECT o_custkey AS c_custkey, "
+    "CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+    "AS BIGINT)) AS BIGINT) AS revenue_cents "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_returnflag = 'R' "
+    f"AND o_orderdate >= TIMESTAMP '{_Q10_LO}' "
+    f"AND o_orderdate < TIMESTAMP '{_Q10_HI}' "
+    "GROUP BY 1 ORDER BY revenue_cents DESC, c_custkey LIMIT 20) "
+    "SELECT r.c_custkey, c_name, "
+    "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents, "
+    "n_name, revenue_cents "
+    "FROM rev r JOIN customer c ON r.c_custkey = c.c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey"
+)
+
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def _q_q12_delay_bands(sf_dir: str):
+    """TPC-H Q12 analog — lineitem count per ship-delay band split by
+    order priority class (the testdata has no shipmode/commitdate, so the
+    Q12 'late shipment vs priority' diagnostic becomes 30-day bands of
+    shipdate - orderdate, with a -1 band for ship-before-order rows —
+    the synthetic dates are independent, so that band is populated and
+    doubles as a data-quality signal).
+
+    Distributed plan: ONE co-partitioned orderkey join (both sides column-
+    pruned), then the band + priority-class arithmetic and per-band counts
+    are pure int64 map work; the trailing groupby ships 7 keys. Midnight-
+    aligned timestamps make the day diff an exact integer division of the
+    microsecond delta."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import copartition_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    joined = copartition_hash_join(
+        lineitem, orders, on="l_orderkey", right_on="o_orderkey",
+        size_hint=lineitem.count(),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        ordd = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        days = (
+            (ship.astype("datetime64[us]").astype(np.int64)
+             - ordd.astype("datetime64[us]").astype(np.int64))
+            // 86_400_000_000
+        )
+        band = np.where(days < 0, -1, np.minimum(days // 30, 5)).astype(np.int64)
+        prio = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        high = np.isin(prio, _Q12_HIGH)
+        df = pd.DataFrame(
+            {
+                "delay_band": band,
+                "high": high.astype(np.int64),
+                "low": (~high).astype(np.int64),
+            }
+        )
+        g = df.groupby("delay_band", sort=False)[["high", "low"]].sum().reset_index()
+        return pa.table(
+            {
+                "delay_band": pa.array(g["delay_band"], pa.int64()),
+                "p_high": pa.array(g["high"], pa.int64()),
+                "p_low": pa.array(g["low"], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("delay_band")
+        .aggregate(
+            Sum("p_high", alias_name="high_line_count"),
+            Sum("p_low", alias_name="low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = (
+    "SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 0 THEN -1 "
+    "ELSE LEAST(CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) "
+    "// 30, 5) END AS delay_band, "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY 1"
+)
+
+_Q15_LO = "1997-01-01"
+_Q15_HI = "1997-04-01"
+
+
+def _q_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 analog — supplier(s) with the maximum revenue over one
+    quarter (the 'revenue view + scalar max' shape).
+
+    Distributed plan: date-filtered lineitem pre-aggregates cents per
+    suppkey map-side, ONE suppkey groupby finishes the per-supplier sums
+    (supplier-cardinality output — dimension-sized by definition), and the
+    max + equality filter + name attach run on that bounded table
+    driver-side. ALL ties at the max survive, as in the reference query."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp(_Q15_LO).to_pydatetime()
+    hi = pd.Timestamp(_Q15_HI).to_pydatetime()
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("l_shipdate")
+        t = batch.filter(
+            pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi))
+        )
+        e = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {"l_suppkey": t.column("l_suppkey").to_numpy(), "cents": cents}
+        )
+        g = df.groupby("l_suppkey", sort=False)["cents"].sum().reset_index()
+        return pa.table(
+            {
+                "l_suppkey": pa.array(g["l_suppkey"], pa.int64()),
+                "partial_cents": pa.array(g["cents"], pa.int64()),
+            }
+        )
+
+    rev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .aggregate(Sum("partial_cents", alias_name="total_revenue_cents"))
+    ).to_pandas()  # supplier-cardinality table: bounded by the dimension
+    best = rev[rev["total_revenue_cents"] == rev["total_revenue_cents"].max()]
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    out = best.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    return out[["s_suppkey", "s_name", "total_revenue_cents"]]
+
+
+_Q15_SQL = (
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+    "CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+    "AS BIGINT)) AS BIGINT) AS total_revenue_cents "
+    "FROM lineitem "
+    f"WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}' "
+    f"AND l_shipdate < TIMESTAMP '{_Q15_HI}' GROUP BY 1) "
+    "SELECT s_suppkey, s_name, total_revenue_cents "
+    "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+    "WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)"
+)
+
+
+_Q17_BRAND = "Brand#23"
+
+
+def _q_q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 analog — revenue from small-quantity orders: lineitems of
+    one brand whose quantity is below 20% of that part's average ordered
+    quantity (the 'correlated scalar subquery per group' shape).
+
+    Distributed plan: the brand's partkeys reach lineitem through an EXACT
+    bloom semi join (no part-table exchange); the surviving slice runs
+    TWICE from the object store — once to build the per-part (sum_qty, n)
+    table via one partkey groupby, once to evaluate the threshold — with a
+    materialize() on the reduced slice so the corpus scan isn't re-executed.
+    The per-part table is brand-bounded (|part|/|brands|), so the threshold
+    comparison broadcasts it as a dict and the final sum is map-only.
+    Quantities are integral doubles -> int64, so 5*q*n < sum_q is EXACT
+    (no 0.2*avg float compare)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from docler_ray.stages.joins import _get_broadcast, bloom_semi_join
+
+    part_keys = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_brand"), _Q17_BRAND)).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    # brand slice: |lineitem| / |brands| rows; materialized so the two
+    # passes below don't re-run the corpus scan + semi join.
+    sli = bloom_semi_join(
+        lineitem, part_keys, "l_partkey", "p_partkey"
+    ).materialize()
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch.column("l_partkey").to_numpy(),
+                "q": q.astype(np.int64),
+            }
+        )
+        g = df.groupby("l_partkey", sort=False)["q"].agg(["sum", "size"]).reset_index()
+        return pa.table(
+            {
+                "l_partkey": pa.array(g["l_partkey"], pa.int64()),
+                "pq": pa.array(g["sum"], pa.int64()),
+                "pn": pa.array(g["size"], pa.int64()),
+            }
+        )
+
+    stats = (
+        sli.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum("pq", alias_name="sum_q"), Sum("pn", alias_name="n"))
+    ).to_pandas()  # brand-bounded: |part| / |brands| rows
+    stats_ref = ray.put(
+        {
+            int(k): (int(s), int(n))
+            for k, s, n in zip(stats["l_partkey"], stats["sum_q"], stats["n"])
+        }
+    )
+
+    def small_partial(batch: pa.Table) -> pa.Table:
+        st = _get_broadcast(stats_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        sums = np.fromiter((st[int(k)][0] for k in pk), np.int64, len(pk))
+        ns = np.fromiter((st[int(k)][1] for k in pk), np.int64, len(pk))
+        mask = 5 * q * ns < sums
+        cents = np.floor(e[mask] * 100 + 0.5).astype(np.int64)
+        return pa.table({"partial_cents": pa.array([int(cents.sum())], pa.int64())})
+
+    total = sli.map_batches(
+        small_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("partial_cents", alias_name="small_qty_cents"))
+    return pd.DataFrame(
+        {"small_qty_cents": [int(total["small_qty_cents"])]}
+    )
+
+
+_Q17_SQL = (
+    "WITH j AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q, "
+    "l_extendedprice FROM lineitem JOIN part ON p_partkey = l_partkey "
+    f"WHERE p_brand = '{_Q17_BRAND}'), "
+    "a AS (SELECT l_partkey AS pk, SUM(q) AS sq, COUNT(*) AS n "
+    "FROM j GROUP BY 1) "
+    "SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+    "AS BIGINT) AS small_qty_cents "
+    "FROM j JOIN a ON l_partkey = pk WHERE 5 * q * n < sq"
+)
+
+_Q19_ARMS = (
+    # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 15, 1, 21),
+    ("Brand#23", 1, 20, 10, 30),
+    ("Brand#3", 1, 25, 20, 40),
+)
+
+
+def _q_q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 analog — revenue under a 3-arm disjunctive brand/size/
+    quantity predicate (the 'OR-of-conjunctions can't be pushed to one
+    side' shape: the predicate needs part AND lineitem columns per arm).
+
+    Distributed plan: part is corpus-proportional (the Q14 stance), so ONE
+    co-partitioned partkey join carries (brand, size) onto each lineitem
+    row; the 3-arm predicate evaluates vectorized per batch and the scalar
+    sum folds through one-row partials — no second exchange."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import copartition_hash_join
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    joined = copartition_hash_join(
+        lineitem, part, on="l_partkey", right_on="p_partkey",
+        size_hint=lineitem.count(),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        brand = batch.column("p_brand").to_numpy(zero_copy_only=False)
+        size = batch.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(brand), dtype=bool)
+        for b, slo, shi, qlo, qhi in _Q19_ARMS:
+            mask |= (brand == b) & (size >= slo) & (size <= shi) & (q >= qlo) & (q <= qhi)
+        e = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[mask]
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)[mask]
+        cents = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
+        return pa.table({"partial_cents": pa.array([int(cents.sum())], pa.int64())})
+
+    total = joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("partial_cents", alias_name="revenue_cents"))
+    return pd.DataFrame({"revenue_cents": [int(total["revenue_cents"])]})
+
+
+def _q19_sql() -> str:
+    arms = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in _Q19_ARMS
+    )
+    return (
+        "SELECT CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) "
+        "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE {arms}"
+    )
+
+
+_Q22_CUTOFF = "2000-01-01"
+
+
+def _q_q22_dormant_customers(sf_dir: str):
+    """TPC-H Q22 analog — 'wealthy dormant' customers: balance above the
+    positive-balance average, no order since the cutoff; count + total
+    balance per nation (the 'global scalar subquery + anti join' shape).
+
+    Distributed plan: pass 1 folds (n_pos, sum_pos_cents) scalar partials
+    driver-side (two ints — no exchange); pass 2 filters customers by the
+    EXACT integer cross-multiply cents*n > sum (no float average), then
+    removes recent purchasers via the exact bloom ANTI join against the
+    date-filtered orders custkeys (bitmap misses stream through shuffle-
+    free), finishing with a nation-sized groupby of map-side partials."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import bloom_anti_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        pos = bal[bal > 0.0]
+        cents = np.floor(pos * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "pn": pa.array([len(pos)], pa.int64()),
+                "ps": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    tot = cust.map_batches(
+        pos_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("pn", alias_name="n"), Sum("ps", alias_name="s"))
+    n_pos, sum_pos = int(tot["n"]), int(tot["s"])
+
+    def rich(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100 + 0.5).astype(np.int64)
+        mask = cents * n_pos > sum_pos
+        t = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "bal_cents": pa.array(cents[mask], pa.int64()),
+            }
+        )
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow", zero_copy_batch=True)
+    cutoff = pd.Timestamp(_Q22_CUTOFF).to_pydatetime()
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("o_orderdate"), cutoff)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    dormant = bloom_anti_join(rich_ds, recent, "c_custkey", "o_custkey")
+
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_nationkey": batch.column("c_nationkey").to_numpy(),
+                "bal": batch.column("bal_cents").to_numpy(),
+            }
+        )
+        g = df.groupby("c_nationkey", sort=False)["bal"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {
+                "c_nationkey": pa.array(g["c_nationkey"], pa.int64()),
+                "pn": pa.array(g["size"], pa.int64()),
+                "ps": pa.array(g["sum"], pa.int64()),
+            }
+        )
+
+    return (
+        dormant.map_batches(nat_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("pn", alias_name="numcust"),
+            Sum("ps", alias_name="totacctbal_cents"),
+        )
+    )
+
+
+_Q22_SQL = (
+    "WITH pos AS (SELECT COUNT(*) AS n, "
+    "SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS s "
+    "FROM customer WHERE c_acctbal > 0.0) "
+    "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+    "CAST(COUNT(*) AS BIGINT) AS numcust, "
+    "CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS totacctbal_cents "
+    "FROM customer, pos "
+    "WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n > s "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    f"AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}') "
+    "GROUP BY 1"
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Order matters: the driver samples the FIRST 50 entries for its
@@ -7731,6 +8455,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_extract_docs": _q_charset_extract_docs,
         "edit_dedup_keep_best": _q_edit_dedup_keep_best,
         "q14_promo_revenue": _q_q14_promo_revenue,
+        "q7_nation_volume": _q_q7_nation_volume,
+        "q10_returned_items": _q_q10_returned_items,
+        "q12_delay_bands": _q_q12_delay_bands,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q17_small_qty_revenue": _q_q17_small_qty_revenue,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q22_dormant_customers": _q_q22_dormant_customers,
         "extract_links_docs": _q_extract_links_docs,
         "host_pagerank": _q_host_pagerank,
         "host_degree_profile": _q_host_degree_profile,
@@ -8805,6 +9536,13 @@ def oracle_sql() -> dict[str, str]:
             "AS DOUBLE) / CAST(SUM(cents) AS DOUBLE) AS promo_ratio "
             "FROM j GROUP BY ym"
         ),
+        "q7_nation_volume": _Q7_SQL,
+        "q10_returned_items": _Q10_SQL,
+        "q12_delay_bands": _Q12_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q17_small_qty_revenue": _Q17_SQL,
+        "q19_disjunctive_revenue": _q19_sql(),
+        "q22_dormant_customers": _Q22_SQL,
         "q18_large_orders": (
             "SELECT o_orderkey, o_orderdate, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, "

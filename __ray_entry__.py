@@ -8375,6 +8375,638 @@ _Q22_SQL = (
 )
 
 
+_Q16_EXCL_BRAND = "Brand#5"
+_Q16_EXCL_TYPE = "PROMO"
+_Q16_BLOCKED_SUPP = (3, 7)  # the Q16 'complaints' supplier blocklist analog
+
+
+def _q_q16_supplier_cardinality(sf_dir: str):
+    """TPC-H Q16 analog — distinct supplier count per (brand, type, size)
+    for a filtered part family, excluding a supplier blocklist. The
+    testdata has no partsupp table, so the part-supplier relation is the
+    DISTINCT (l_partkey, l_suppkey) projection of lineitem — same
+    cardinality shape, derived instead of stored.
+
+    Distributed plan: map-side distinct partials collapse the pair
+    projection per batch (no exchange), the supplier blocklist filters
+    map-side (a constant tuple — no join), ONE co-partitioned partkey
+    join attaches the filtered part attributes (filters pushed into the
+    part-side scan), map-side distinct again on the (brand, type, size,
+    suppkey) 4-tuple, then one 4-key exchange dedupes globally and the
+    count-distinct folds to a 3-key dimension-sized groupby."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from docler_ray.stages.joins import copartition_hash_join
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(
+                pc.and_(
+                    pc.not_equal(batch.column("p_brand"), _Q16_EXCL_BRAND),
+                    pc.not_equal(batch.column("p_type"), _Q16_EXCL_TYPE),
+                ),
+                pc.equal(
+                    pc.bit_wise_and(
+                        pc.cast(batch.column("p_size"), pa.int64()), 3
+                    ),
+                    1,
+                ),  # p_size % 4 == 1 — the Q16 IN-list of sizes
+            )
+        )
+        return t
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(part_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = ~np.isin(sk, _Q16_BLOCKED_SUPP)
+        df = pd.DataFrame({"l_partkey": pk[keep], "l_suppkey": sk[keep]})
+        return pa.Table.from_pandas(
+            df.drop_duplicates(), preserve_index=False
+        )
+
+    pairs = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+    joined = copartition_hash_join(
+        pairs, part, on="l_partkey", right_on="p_partkey",
+        size_hint=pairs.count(),
+    )
+
+    def tuple_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]
+        ).to_pandas()
+        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+
+    distinct = (
+        joined.map_batches(
+            tuple_distinct, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["p_brand", "p_type", "p_size"], sort=False)
+            .size()
+            .reset_index(name="pc")
+        )
+        g["p_size"] = g["p_size"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        distinct.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Sum("pc", alias_name="supplier_cnt"))
+    )
+
+
+_Q16_SQL = (
+    "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+    "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps "
+    "JOIN part ON p_partkey = l_partkey "
+    f"WHERE p_brand <> '{_Q16_EXCL_BRAND}' AND p_type <> '{_Q16_EXCL_TYPE}' "
+    "AND p_size % 4 = 1 "
+    f"AND l_suppkey NOT IN {_Q16_BLOCKED_SUPP} "
+    "GROUP BY 1, 2, 3"
+)
+
+_Q20_NAME_SUBSTR = "widget"
+_Q20_LO = "1997-01-01"
+_Q20_HI = "1998-01-01"
+
+
+def _q_q20_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 analog — suppliers who shipped a DOMINANT share (> 50%)
+    of some 'widget' part's total 1997 quantity (the reference's
+    'availqty > half of shipped quantity' becomes share-of-shipped; same
+    'aggregate twice at different grains then compare' shape).
+
+    Distributed plan: the name-filtered partkeys reach lineitem through an
+    EXACT bloom semi join, quantities pre-sum map-side per (partkey,
+    suppkey), ONE exchange groups the pair sums, and the per-part total +
+    the 2*sq > tot comparison run INSIDE a partkey-keyed map_groups (the
+    second grain is a regroup of the first's output — pair-table-sized,
+    not corpus-sized). Winners are supplier-bounded: names attach
+    driver-side."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import bloom_semi_join
+
+    lo = pd.Timestamp(_Q20_LO).to_pydatetime()
+    hi = pd.Timestamp(_Q20_HI).to_pydatetime()
+    part_keys = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.match_substring(b.column("p_name"), _Q20_NAME_SUBSTR)
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), lo),
+                pc.less(b.column("l_shipdate"), hi),
+            )
+        ).select(["l_partkey", "l_suppkey", "l_quantity"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    sli = bloom_semi_join(lineitem, part_keys, "l_partkey", "p_partkey")
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch.column("l_partkey").to_numpy(),
+                "l_suppkey": batch.column("l_suppkey").to_numpy(),
+                "q": batch.column("l_quantity")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby(["l_partkey", "l_suppkey"], sort=False)["q"]
+            .sum()
+            .reset_index(name="pq")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pair_sums = (
+        sli.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Sum("pq", alias_name="sq"))
+    )
+
+    def dominant(df: pd.DataFrame) -> pd.DataFrame:
+        tot = int(df["sq"].sum())
+        win = df[2 * df["sq"] > tot]
+        return win[["l_suppkey"]]
+
+    winners = (
+        pair_sums.groupby("l_partkey")
+        .map_groups(dominant, batch_format="pandas")
+        .to_pandas()  # supplier-bounded after dedup; <= filtered-part rows raw
+    )
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    out = (
+        winners.drop_duplicates()
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    return out[["s_suppkey", "s_name"]]
+
+
+_Q20_SQL = (
+    "WITH t AS (SELECT l_partkey, l_suppkey, "
+    "SUM(CAST(l_quantity AS BIGINT)) AS sq "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    f"WHERE p_name LIKE '%{_Q20_NAME_SUBSTR}%' "
+    f"AND l_shipdate >= TIMESTAMP '{_Q20_LO}' "
+    f"AND l_shipdate < TIMESTAMP '{_Q20_HI}' GROUP BY 1, 2), "
+    "tot AS (SELECT l_partkey AS pk, SUM(sq) AS tot FROM t GROUP BY 1) "
+    "SELECT DISTINCT s_suppkey, s_name "
+    "FROM t JOIN tot ON l_partkey = pk "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "WHERE 2 * sq > tot"
+)
+
+_Q8_REGION = "EUROPE"
+_Q8_TYPE = "ECONOMY"
+_Q8_NATION = "NATION_3"
+_Q8_LO = "1996-01-01"
+_Q8_HI = "1998-01-01"
+
+
+def _q_q8_market_share(sf_dir: str):
+    """TPC-H Q8 analog — one nation's market share of a part type's
+    revenue among a region's customers, per order year (the 'ratio of two
+    sums over the same join' shape).
+
+    Distributed plan: the part-type partkeys reach lineitem through an
+    EXACT bloom semi join; customer->in-region and supplier->nationkey
+    collapse to broadcast dicts (region filter applied BEFORE broadcast);
+    date+region-filtered orders meet the lineitem slice in ONE
+    co-partitioned orderkey join; per-year (nation_cents, total_cents)
+    partials fold through a years-sized groupby, and the share is one
+    exact-int division per year — the same IEEE divide DuckDB runs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import _get_broadcast, bloom_semi_join, copartition_hash_join
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkeys = set(region.loc[region["r_name"] == _Q8_REGION, "r_regionkey"])
+    region_nations = set(nation.loc[nation["n_regionkey"].isin(rkeys), "n_nationkey"])
+    target_nat = int(nation.loc[nation["n_name"] == _Q8_NATION, "n_nationkey"].iloc[0])
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    in_region_cust = set(
+        cust.loc[cust["c_nationkey"].isin(region_nations), "c_custkey"]
+    )
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    dims_ref = ray.put(
+        {
+            "cust": in_region_cust,
+            "supp": dict(zip(supp["s_suppkey"], supp["s_nationkey"])),
+        }
+    )
+    lo = pd.Timestamp(_Q8_LO).to_pydatetime()
+    hi = pd.Timestamp(_Q8_HI).to_pydatetime()
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        dims = _get_broadcast(dims_ref)
+        ts = batch.column("o_orderdate")
+        t = batch.filter(
+            pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi))
+        )
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        keep = np.fromiter((k in dims["cust"] for k in ck), bool, len(ck))
+        t = t.filter(pa.array(keep))
+        years = (
+            pd.DatetimeIndex(t.column("o_orderdate").to_numpy(zero_copy_only=False))
+            .year.to_numpy()
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_year": pa.array(years, pa.int64()),
+            }
+        )
+
+    orders_red = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    part_keys = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_type"), _Q8_TYPE)).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    sli = bloom_semi_join(lineitem, part_keys, "l_partkey", "p_partkey")
+    joined = copartition_hash_join(
+        sli, orders_red, on="l_orderkey", right_on="o_orderkey",
+        size_hint=lineitem.count(),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dims = _get_broadcast(dims_ref)
+        e = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        s_nat = np.fromiter((dims["supp"][int(k)] for k in sk), np.int64, len(sk))
+        df = pd.DataFrame(
+            {
+                "o_year": batch.column("o_year").to_numpy(),
+                "total": cents,
+                "nat": np.where(s_nat == target_nat, cents, 0),
+            }
+        )
+        g = df.groupby("o_year", sort=False)[["total", "nat"]].sum().reset_index()
+        return pa.table(
+            {
+                "o_year": pa.array(g["o_year"], pa.int64()),
+                "p_total": pa.array(g["total"], pa.int64()),
+                "p_nat": pa.array(g["nat"], pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_year")
+        .aggregate(
+            Sum("p_nat", alias_name="nation_cents"),
+            Sum("p_total", alias_name="total_cents"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("nation_cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        t = batch.column("total_cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column("mkt_share", pa.array(n / t, pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_Q8_SQL = (
+    "WITH base AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) "
+    "AS cents, s_nationkey "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+    "JOIN region ON cn.n_regionkey = r_regionkey "
+    "JOIN part ON l_partkey = p_partkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    f"WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}' "
+    f"AND o_orderdate >= TIMESTAMP '{_Q8_LO}' "
+    f"AND o_orderdate < TIMESTAMP '{_Q8_HI}') "
+    "SELECT o_year, "
+    "CAST(SUM(CASE WHEN s_nationkey = (SELECT n_nationkey FROM nation "
+    f"WHERE n_name = '{_Q8_NATION}') THEN cents ELSE 0 END) AS BIGINT) "
+    "AS nation_cents, "
+    "CAST(SUM(cents) AS BIGINT) AS total_cents, "
+    "CAST(SUM(CASE WHEN s_nationkey = (SELECT n_nationkey FROM nation "
+    f"WHERE n_name = '{_Q8_NATION}') THEN cents ELSE 0 END) AS DOUBLE) "
+    "/ CAST(SUM(cents) AS DOUBLE) AS mkt_share "
+    "FROM base GROUP BY 1"
+)
+
+_Q9_NAME_SUBSTR = "widget"
+
+
+def _q_q9_product_profit(sf_dir: str):
+    """TPC-H Q9 analog — profit by supplier nation and order year for a
+    part-name family. The testdata has no partsupp.supplycost, so cost is
+    half the part's retail price per unit (an exact-integer stand-in:
+    profit_cents = revenue_cents - qty * floor(p_retailprice*50+0.5)).
+
+    Distributed plan: the TWO corpus-proportional joins Q9 requires —
+    lineitem ⋈ part on partkey (retailprice must ride each row) and
+    ⋈ orders on orderkey (order year) — run as co-partitioned hash joins
+    with the name filter pushed into the part scan (it also prunes the
+    first join's output); supplier->nation is a broadcast dict; per-
+    (nation, year) int64 profit partials fold through a 25 x years-sized
+    groupby; names attach after the exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import _get_broadcast, copartition_hash_join
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.match_substring(batch.column("p_name"), _Q9_NAME_SUBSTR)
+        )
+        rp = t.column("p_retailprice").to_numpy(zero_copy_only=False)
+        half = np.floor(rp * 50 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "half_retail_cents": pa.array(half, pa.int64()),
+            }
+        )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    ).map_batches(part_side, batch_format="pyarrow", zero_copy_batch=True)
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    n_li = lineitem.count()
+    j1 = copartition_hash_join(
+        lineitem, part, on="l_partkey", right_on="p_partkey", size_hint=n_li
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    j2 = copartition_hash_join(
+        j1, orders, on="l_orderkey", right_on="o_orderkey", size_hint=n_li
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = _get_broadcast(supp_ref)
+        e = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        cost = q * batch.column("half_retail_cents").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        nat = np.fromiter((sd[int(k)] for k in sk), np.int64, len(sk))
+        years = (
+            pd.DatetimeIndex(batch.column("o_orderdate").to_numpy(zero_copy_only=False))
+            .year.to_numpy()
+            .astype(np.int64)
+        )
+        df = pd.DataFrame({"nat": nat, "o_year": years, "profit": rev - cost})
+        g = df.groupby(["nat", "o_year"], sort=False)["profit"].sum().reset_index()
+        return pa.Table.from_pandas(
+            g.rename(columns={"profit": "p_profit"}), preserve_index=False
+        )
+
+    agg = (
+        j2.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["nat", "o_year"])
+        .aggregate(Sum("p_profit", alias_name="profit_cents"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nk = batch.column("nat").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "nation": pa.array([names[k] for k in nk], pa.string()),
+                "o_year": batch.column("o_year"),
+                "profit_cents": batch.column("profit_cents"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_Q9_SQL = (
+    "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+    "AS BIGINT) - CAST(l_quantity AS BIGINT) "
+    "* CAST(floor(p_retailprice * 50 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS profit_cents "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    f"WHERE p_name LIKE '%{_Q9_NAME_SUBSTR}%' "
+    "GROUP BY 1, 2"
+)
+
+_Q2_TYPE = "STANDARD"
+_Q2_SIZE_LO = 10
+_Q2_SIZE_HI = 20
+_Q2_REGION = "EUROPE"
+
+
+def _q_q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 analog — for each part in a type/size family, EVERY
+    region-local supplier whose unit price attains that part's minimum
+    (the 'correlated MIN subquery + join back, ties kept' shape). Unit
+    cost is derived from lineitem (no partsupp table):
+    floor(l_extendedprice / l_quantity * 100 + 0.5) — the division is the
+    identical IEEE double op DuckDB runs, so the cents are bit-equal.
+
+    Distributed plan: the filtered partkeys reach lineitem through an
+    EXACT bloom semi join; the region's suppliers collapse to a broadcast
+    set (filter applied map-side BEFORE the aggregation); per-(partkey,
+    suppkey) unit-cents minima pre-fold map-side, ONE pair exchange
+    finishes them, and the per-part global min + tie-keeping equality
+    filter run inside a partkey-keyed map_groups. Survivor attributes
+    attach driver-side (filtered-part-bounded output)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from docler_ray.stages.joins import _get_broadcast, bloom_semi_join
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkeys = set(region.loc[region["r_name"] == _Q2_REGION, "r_regionkey"])
+    rn = nation[nation["n_regionkey"].isin(rkeys)]
+    nat_names = dict(zip(rn["n_nationkey"], rn["n_name"]))
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    supp = supp[supp["s_nationkey"].isin(set(nat_names))]
+    supp_ref = ray.put(set(int(k) for k in supp["s_suppkey"]))
+
+    part_keys = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_size"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.equal(b.column("p_type"), _Q2_TYPE),
+                pc.and_(
+                    pc.greater_equal(b.column("p_size"), _Q2_SIZE_LO),
+                    pc.less_equal(b.column("p_size"), _Q2_SIZE_HI),
+                ),
+            )
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+    sli = bloom_semi_join(lineitem, part_keys, "l_partkey", "p_partkey")
+
+    def unit_partial(batch: pa.Table) -> pa.Table:
+        ok = _get_broadcast(supp_ref)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = np.fromiter((int(k) in ok for k in sk), bool, len(sk))
+        t = batch.filter(pa.array(keep))
+        e = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        unit = np.floor(e / q * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_partkey": t.column("l_partkey").to_numpy(),
+                "l_suppkey": t.column("l_suppkey").to_numpy(),
+                "u": unit,
+            }
+        )
+        g = (
+            df.groupby(["l_partkey", "l_suppkey"], sort=False)["u"]
+            .min()
+            .reset_index(name="pu")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pair_min = (
+        sli.map_batches(unit_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Min("pu", alias_name="unit_cents"))
+    )
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        m = int(df["unit_cents"].min())
+        return df[df["unit_cents"] == m]
+
+    winners = (
+        pair_min.groupby("l_partkey")
+        .map_groups(keep_min, batch_format="pandas")
+        .to_pandas()  # filtered-part-bounded x ties
+    )
+    out = winners.merge(
+        supp[["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]],
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+    )
+    out["n_name"] = out["s_nationkey"].map(nat_names)
+    out["acctbal_cents"] = np.floor(
+        out["s_acctbal"].to_numpy() * 100 + 0.5
+    ).astype(np.int64)
+    out = out.rename(columns={"l_partkey": "p_partkey"})
+    return out[
+        ["p_partkey", "s_suppkey", "s_name", "acctbal_cents", "n_name", "unit_cents"]
+    ]
+
+
+_Q2_SQL = (
+    "WITH costs AS (SELECT l_partkey AS p_partkey, l_suppkey, "
+    "MIN(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)) "
+    "AS unit_cents "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    f"WHERE p_type = '{_Q2_TYPE}' "
+    f"AND p_size BETWEEN {_Q2_SIZE_LO} AND {_Q2_SIZE_HI} "
+    f"AND r_name = '{_Q2_REGION}' "
+    "GROUP BY 1, 2) "
+    "SELECT c.p_partkey, s_suppkey, s_name, "
+    "CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents, "
+    "n_name, unit_cents "
+    "FROM costs c "
+    "JOIN (SELECT p_partkey, MIN(unit_cents) AS mn FROM costs GROUP BY 1) m "
+    "ON c.p_partkey = m.p_partkey AND c.unit_cents = m.mn "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey"
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Order matters: the driver samples the FIRST 50 entries for its
@@ -8462,6 +9094,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": _q_q17_small_qty_revenue,
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
         "q22_dormant_customers": _q_q22_dormant_customers,
+        "q16_supplier_cardinality": _q_q16_supplier_cardinality,
+        "q20_dominant_suppliers": _q_q20_dominant_suppliers,
+        "q8_market_share": _q_q8_market_share,
+        "q9_product_profit": _q_q9_product_profit,
+        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
         "extract_links_docs": _q_extract_links_docs,
         "host_pagerank": _q_host_pagerank,
         "host_degree_profile": _q_host_degree_profile,
@@ -9543,6 +10180,11 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_qty_revenue": _Q17_SQL,
         "q19_disjunctive_revenue": _q19_sql(),
         "q22_dormant_customers": _Q22_SQL,
+        "q16_supplier_cardinality": _Q16_SQL,
+        "q20_dominant_suppliers": _Q20_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q9_product_profit": _Q9_SQL,
+        "q2_min_cost_supplier": _Q2_SQL,
         "q18_large_orders": (
             "SELECT o_orderkey, o_orderdate, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, "

@@ -9007,6 +9007,247 @@ _Q2_SQL = (
 )
 
 
+_Q6_LO = "1997-01-01"
+_Q6_HI = "1998-01-01"
+
+
+def _q_q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 — the forecast-revenue-change scalar: one filtered scan,
+    zero shuffle, one-row partials folded driver-side. The discount-band
+    compare uses the same double literals DuckDB parses, and the cents
+    expression floor(e * d * 100 + 0.5) is the shared exact-int form."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp(_Q6_LO).to_pydatetime()
+    hi = pd.Timestamp(_Q6_HI).to_pydatetime()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        mask = (
+            (ship >= np.datetime64(_Q6_LO))
+            & (ship < np.datetime64(_Q6_HI))
+            & (d >= 0.05)
+            & (d <= 0.07)
+            & (q < 24)
+        )
+        e = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[mask]
+        cents = np.floor(e * d[mask] * 100 + 0.5).astype(np.int64)
+        return pa.table({"pc": pa.array([int(cents.sum())], pa.int64())})
+
+    total = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("pc", alias_name="revenue_cents"))
+    return pd.DataFrame({"revenue_cents": [int(total["revenue_cents"])]})
+
+
+_Q6_SQL = (
+    "SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) "
+    "AS BIGINT)) AS BIGINT) AS revenue_cents FROM lineitem "
+    f"WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}' "
+    f"AND l_shipdate < TIMESTAMP '{_Q6_HI}' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+)
+
+_Q11_NATION_KEY = 3
+
+
+def _q_q11_important_parts(sf_dir: str):
+    """TPC-H Q11 analog — 'important stock': per-part value from one
+    nation's suppliers, keeping parts ABOVE THE MEAN value (scale-free
+    stand-in for Q11's fixed fraction; no partsupp table, so value is the
+    summed lineitem extendedprice cents).
+
+    Distributed plan: the nation's suppkeys collapse to a broadcast set
+    (map-side filter, no supplier join); per-part cents pre-fold map-side
+    into ONE partkey exchange; the grand total + part count fold from the
+    GROUPED table's one-row partials (a second, part-cardinality scan —
+    never the corpus), and the mean threshold applies map-side as an
+    exact integer cross-multiply val * n_parts > total."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import _get_broadcast
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    keys_ref = ray.put(
+        set(int(k) for k in supp.loc[supp["s_nationkey"] == _Q11_NATION_KEY, "s_suppkey"])
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = _get_broadcast(keys_ref)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = np.fromiter((int(k) in ok for k in sk), bool, len(sk))
+        t = batch.filter(pa.array(keep))
+        e = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(e * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {"p_partkey": t.column("l_partkey").to_numpy(), "c": cents}
+        )
+        g = df.groupby("p_partkey", sort=False)["c"].sum().reset_index()
+        return pa.table(
+            {
+                "p_partkey": pa.array(g["p_partkey"], pa.int64()),
+                "pv": pa.array(g["c"], pa.int64()),
+            }
+        )
+
+    vals = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_partkey")
+        .aggregate(Sum("pv", alias_name="value_cents"))
+        .materialize()  # part-cardinality table, read twice below
+    )
+    tot = vals.map_batches(
+        lambda b: pa.table(
+            {
+                "t": pa.array(
+                    [int(b.column("value_cents").to_numpy().sum())], pa.int64()
+                ),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).aggregate(Sum("t", alias_name="t"), Sum("n", alias_name="n"))
+    t_all, n_parts = int(tot["t"]), int(tot["n"])
+    return vals.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                b.column("value_cents").to_numpy(zero_copy_only=False) * n_parts
+                > t_all
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+_Q11_SQL = (
+    "WITH v AS (SELECT l_partkey AS p_partkey, "
+    "CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS value_cents FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+    f"WHERE s_nationkey = {_Q11_NATION_KEY} GROUP BY 1), "
+    "tot AS (SELECT SUM(value_cents) AS t, COUNT(*) AS n FROM v) "
+    "SELECT p_partkey, value_cents FROM v, tot WHERE value_cents * n > t"
+)
+
+
+def _q_q21_sole_returner(sf_dir: str):
+    """TPC-H Q21 analog — 'numwait': for finalized multi-supplier orders
+    where EXACTLY ONE supplier shipped returned ('R') lines, count such
+    orders per that sole supplier (the reference's commit/receipt-date
+    lateness becomes the return flag; same EXISTS/NOT-EXISTS-over-
+    siblings shape).
+
+    Distributed plan: finalized orderkeys reach lineitem through an EXACT
+    bloom semi join; (orderkey, suppkey, any_R) dedupes map-side; ONE
+    orderkey exchange groups each order's supplier set and the sole-
+    returner test emits <= 1 suppkey per order inside map_groups; the
+    per-supplier count folds through supplier-bounded partials and names
+    attach driver-side."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.joins import bloom_semi_join
+
+    fkeys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderstatus"), "F")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+    sli = bloom_semi_join(lineitem, fkeys, "l_orderkey", "o_orderkey")
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch.column("l_orderkey").to_numpy(),
+                "l_suppkey": batch.column("l_suppkey").to_numpy(),
+                "r": (
+                    batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+                    == "R"
+                ).astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby(["l_orderkey", "l_suppkey"], sort=False)["r"]
+            .max()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def sole(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_suppkey")["r"].max().reset_index()
+        if len(g) >= 2 and int(g["r"].sum()) == 1:
+            return g.loc[g["r"] == 1, ["l_suppkey"]]
+        return g.iloc[0:0][["l_suppkey"]]
+
+    culprits = (
+        sli.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .map_groups(sole, batch_format="pandas")
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"s_suppkey": batch.column("l_suppkey").to_numpy()})
+        g = df.groupby("s_suppkey", sort=False).size().reset_index(name="pc")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        culprits.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("s_suppkey")
+        .aggregate(Sum("pc", alias_name="numwait"))
+    ).to_pandas()  # supplier-bounded
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    return counts.merge(supp, on="s_suppkey")[["s_suppkey", "s_name", "numwait"]]
+
+
+_Q21_SQL = (
+    "WITH li AS (SELECT l_orderkey, l_suppkey, "
+    "MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r "
+    "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+    "WHERE o_orderstatus = 'F' GROUP BY 1, 2), "
+    "o AS (SELECT l_orderkey, COUNT(*) AS nsupp, SUM(r) AS nr "
+    "FROM li GROUP BY 1) "
+    "SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
+    "FROM li JOIN o USING (l_orderkey) "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "WHERE li.r = 1 AND o.nsupp >= 2 AND o.nr = 1 "
+    "GROUP BY 1, 2"
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Order matters: the driver samples the FIRST 50 entries for its
@@ -9099,6 +9340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": _q_q8_market_share,
         "q9_product_profit": _q_q9_product_profit,
         "q2_min_cost_supplier": _q_q2_min_cost_supplier,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q11_important_parts": _q_q11_important_parts,
+        "q21_sole_returner": _q_q21_sole_returner,
         "extract_links_docs": _q_extract_links_docs,
         "host_pagerank": _q_host_pagerank,
         "host_degree_profile": _q_host_degree_profile,
@@ -10185,6 +10429,9 @@ def oracle_sql() -> dict[str, str]:
         "q8_market_share": _Q8_SQL,
         "q9_product_profit": _Q9_SQL,
         "q2_min_cost_supplier": _Q2_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
+        "q11_important_parts": _Q11_SQL,
+        "q21_sole_returner": _Q21_SQL,
         "q18_large_orders": (
             "SELECT o_orderkey, o_orderdate, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, "

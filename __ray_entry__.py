@@ -8433,19 +8433,22 @@ def _q_q16_supplier_cardinality(sf_dir: str):
             df.drop_duplicates(), preserve_index=False
         )
 
-    pairs = ray.data.read_parquet(
+    li_raw = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
-    ).map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    n_li = li_raw.count()  # metadata-only on the raw reader
+    pairs = li_raw.map_batches(
+        pair_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
     joined = copartition_hash_join(
-        pairs, part, on="l_partkey", right_on="p_partkey",
-        size_hint=pairs.count(),
+        pairs, part, on="l_partkey", right_on="p_partkey", size_hint=n_li
     )
 
     def tuple_distinct(batch: pa.Table) -> pa.Table:
         df = batch.select(
             ["p_brand", "p_type", "p_size", "l_suppkey"]
-        ).to_pandas()
-        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+        ).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     distinct = (
         joined.map_batches(
@@ -9201,18 +9204,27 @@ def _q_q21_sole_returner(sf_dir: str):
             .max()
             .reset_index()
         )
+        g["coarse"] = (g["l_orderkey"].to_numpy() % 512).astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def sole(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("l_suppkey")["r"].max().reset_index()
-        if len(g) >= 2 and int(g["r"].sum()) == 1:
-            return g.loc[g["r"] == 1, ["l_suppkey"]]
-        return g.iloc[0:0][["l_suppkey"]]
+    def sole_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over a whole coarse bucket of orders (the
+        # repo's many-tiny-groups pattern: a per-orderkey map_groups ran
+        # 2.8x slower at sf0.1)
+        g = (
+            df.groupby(["l_orderkey", "l_suppkey"], sort=False)["r"]
+            .max()
+            .reset_index()
+        )
+        o = g.groupby("l_orderkey", sort=False)["r"].agg(["size", "sum"])
+        ok = o.index[(o["size"] >= 2) & (o["sum"] == 1)]
+        w = g[(g["r"] == 1) & g["l_orderkey"].isin(ok)]
+        return w[["l_suppkey"]]
 
     culprits = (
         sli.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .map_groups(sole, batch_format="pandas")
+        .groupby("coarse")
+        .map_groups(sole_bucket, batch_format="pandas")
     )
 
     def count_partial(batch: pa.Table) -> pa.Table:

@@ -306,6 +306,21 @@ def bench_once() -> dict:
         timed("charset_extract_docs", q["charset_extract_docs"])
         timed("edit_dedup_keep_best", q["edit_dedup_keep_best"])
         timed("q14_promo_revenue", q["q14_promo_revenue"])
+        timed("q7_nation_volume", q["q7_nation_volume"])
+        timed("q10_returned_items", q["q10_returned_items"])
+        timed("q12_delay_bands", q["q12_delay_bands"])
+        timed("q15_top_supplier", q["q15_top_supplier"])
+        timed("q17_small_qty_revenue", q["q17_small_qty_revenue"])
+        timed("q19_disjunctive_revenue", q["q19_disjunctive_revenue"])
+        timed("q22_dormant_customers", q["q22_dormant_customers"])
+        timed("q16_supplier_cardinality", q["q16_supplier_cardinality"])
+        timed("q20_dominant_suppliers", q["q20_dominant_suppliers"])
+        timed("q8_market_share", q["q8_market_share"])
+        timed("q9_product_profit", q["q9_product_profit"])
+        timed("q2_min_cost_supplier", q["q2_min_cost_supplier"])
+        timed("q6_forecast_revenue", q["q6_forecast_revenue"])
+        timed("q11_important_parts", q["q11_important_parts"])
+        timed("q21_sole_returner", q["q21_sole_returner"])
         timed("extract_links_docs", q["extract_links_docs"])
         timed("host_pagerank", q["host_pagerank"])
         timed("host_degree_profile", q["host_degree_profile"])

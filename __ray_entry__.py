@@ -3722,6 +3722,43 @@ def _q_tfidf_top15(sf_dir: str):
     return tfidf_topk(ds, ["spark", "window", "merge"], k=15)
 
 
+def _q_bm25_top15(sf_dir: str):
+    """Okapi BM25 retrieval (k1=1.2, b=0.75 as exact rationals; integer
+    saturation quotients, hash-safe vs SQL): one (terms+1)-row stats
+    exchange covers df and the corpus token total, scoring is stateless
+    map-side, top-k via partial merge."""
+    import ray.data
+
+    from docler_ray.stages.ranking import bm25_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_topk(ds, ["spark", "window", "merge"], k=15)
+
+
+_BM25_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(" + _WS_TOKS_SQL + ") AS u "
+    "FROM documents), "
+    "dl AS (SELECT doc_id, CAST(array_length(" + _WS_TOKS_SQL + ") AS BIGINT) "
+    "AS dl FROM documents), "
+    "gl AS (SELECT (SELECT SUM(dl) FROM dl) AS l, "
+    "(SELECT COUNT(*) FROM documents) AS n), "
+    "tf AS (SELECT doc_id, u AS term, COUNT(*) AS tf FROM toks "
+    "WHERE u IN ('spark', 'window', 'merge') GROUP BY doc_id, u), "
+    "df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term), "
+    "w AS (SELECT term, (1000 * gl.n) // df.df AS w FROM df, gl), "
+    "s AS (SELECT tf.doc_id, SUM(w.w * ((tf.tf * 44 * gl.l * 1000000) // "
+    "(20 * tf.tf * gl.l + 6 * gl.l + 18 * dl.dl * gl.n))) AS score "
+    "FROM tf JOIN w ON tf.term = w.term "
+    "JOIN dl ON tf.doc_id = dl.doc_id, gl GROUP BY tf.doc_id), "
+    "r AS (SELECT doc_id, score, ROW_NUMBER() OVER ("
+    "ORDER BY score DESC, doc_id) AS rank FROM s) "
+    "SELECT doc_id, CAST(score AS BIGINT) AS score, "
+    "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 15"
+)
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     """Grouped top-k (ROW_NUMBER PARTITION BY <= k) without a corpus sort:
     per-batch groupby-head partials, per-group merge."""
@@ -9355,6 +9392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": _q_q6_forecast_revenue,
         "q11_important_parts": _q_q11_important_parts,
         "q21_sole_returner": _q_q21_sole_returner,
+        "bm25_top15": _q_bm25_top15,
         "extract_links_docs": _q_extract_links_docs,
         "host_pagerank": _q_host_pagerank,
         "host_degree_profile": _q_host_degree_profile,
@@ -10444,6 +10482,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": _Q6_SQL,
         "q11_important_parts": _Q11_SQL,
         "q21_sole_returner": _Q21_SQL,
+        "bm25_top15": _BM25_SQL,
         "q18_large_orders": (
             "SELECT o_orderkey, o_orderdate, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, "

@@ -217,6 +217,7 @@ def bench_once() -> dict:
         timed("events_user_seq", q["events_user_seq"])
         timed("decontaminate_docs", q["decontaminate_docs"])
         timed("tfidf_top15", q["tfidf_top15"])
+        timed("bm25_top15", q["bm25_top15"])
         timed("top_docs_per_lang", q["top_docs_per_lang"])
         timed("lineitem_f_order_counts", q["lineitem_f_order_counts"])
         timed("price_histogram", q["price_histogram"])

@@ -152,3 +152,148 @@ def tfidf_topk(
             "rank": rank,
         }
     )
+
+
+_BM25_TFC_SCALE = 1_000_000
+
+
+def bm25_topk(
+    ds,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    n_docs: int | None = None,
+) -> pa.Table:
+    """Top-k documents by integer-exact Okapi BM25 (Robertson et al.,
+    TREC-3) for ``query_terms``, with k1 = 1.2 and b = 0.75 carried as the
+    exact rationals 6/5 and 3/4 so every score is a deterministic int64
+    (the oracle-hash discipline of :func:`tfidf_topk`; BM25's float log
+    idf likewise becomes the monotone integer weight (1000 * N) // df).
+
+    With avgdl = L/N (L = corpus ws-token count), the per-term saturation
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) multiplied through by 20*L*N
+    is the exact rational (tf*44*L) / (20*tf*L + 6*L + 18*dl*N); scores are
+    sum_t w_t * ((tf*44*L*SCALE) // den_t). Magnitude bound: numerators
+    stay under 2^63 while tf*L*SCALE < 9e18 — at 5e5 docs x 50 tokens
+    (sf1) the headroom is ~40x; for larger corpora shrink SCALE.
+
+    Distributed plan: ONE stats pass (stateless map) emits per-batch
+    (term, df-partial) rows for the query terms plus a sentinel ''-row
+    carrying the token-count partial — a single (len(terms)+1)-row
+    exchange covers df AND L; the scoring pass is stateless map-side with
+    the weight vector closed over (ints, not an object-store round trip),
+    and top-k folds through k x num_blocks partials.
+    """
+    from ray.data.aggregate import Sum
+
+    from docler_ray.stages.topk import topk
+
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if n_docs is None:
+        n_docs = ds.count()
+    terms_arr = pa.array(terms, pa.string())
+    n_terms = len(terms)
+
+    def _toks(batch: pa.Table):
+        s = pc.fill_null(batch.column(text_col), "")
+        toks = pc.split_pattern_regex(s, _WS_SPLIT_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        parent = toks.value_parent_indices().to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return flat, parent.astype(np.int64), nonempty
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, nonempty = _toks(batch)
+        tidx = (
+            pc.fill_null(pc.index_in(flat, value_set=terms_arr), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        m = tidx >= 0
+        uniq = np.unique(parent[m] * n_terms + tidx[m])
+        pdf = np.bincount(uniq % n_terms, minlength=n_terms).astype(np.int64)
+        return pa.table(
+            {
+                "term": pa.concat_arrays([terms_arr, pa.array([""], pa.string())]),
+                "pv": pa.array(
+                    np.concatenate([pdf, [int(nonempty.sum())]]), pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("pv", alias_name="v"))
+        .take_all()
+    )  # len(terms) + 1 rows
+    total_l = 0
+    df = {}
+    for r in rows:
+        if r["term"] == "":
+            total_l = int(r["v"])
+        elif r["v"]:
+            df[r["term"]] = int(r["v"])
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    if not df or total_l == 0:
+        return empty
+    w_arr = np.array(
+        [(1000 * n_docs) // df[t] if t in df else 0 for t in terms],
+        dtype=np.int64,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, parent, nonempty = _toks(batch)
+        dl = np.bincount(parent[nonempty], minlength=batch.num_rows).astype(
+            np.int64
+        )
+        tidx = (
+            pc.fill_null(pc.index_in(flat, value_set=terms_arr), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        m = tidx >= 0
+        uniq, tf = np.unique(parent[m] * n_terms + tidx[m], return_counts=True)
+        tf = tf.astype(np.int64)
+        d = uniq // n_terms
+        t = uniq % n_terms
+        num = tf * (44 * total_l * _BM25_TFC_SCALE)
+        den = 20 * tf * total_l + 6 * total_l + 18 * dl[d] * n_docs
+        scores = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(scores, d, w_arr[t] * (num // den))
+        keep = scores > 0
+        ids = (
+            pc.cast(batch.column(id_col), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "score": pa.array(scores[keep], pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    top = topk(
+        scored, sort_col="score", k=k, keep_cols=[id_col], tie_col=id_col
+    )
+    return pa.table(
+        {
+            id_col: top.column(id_col),
+            "score": top.column("score"),
+            "rank": pa.array(range(1, top.num_rows + 1), pa.int64()),
+        }
+    )

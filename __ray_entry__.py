@@ -4494,6 +4494,26 @@ def _url_docs_ds(sf_dir: str):
     )
 
 
+def _q_crawl_schedule(sf_dir: str):
+    """Polite-crawler frontier scheduling: per-host queue position +
+    fetch-slot offset under a 2 s politeness delay — the dispatch plan a
+    crawler derives from a frontier before fetching. One crc32(host)
+    coarse exchange; in-bucket work vectorized across hosts."""
+    from docler_ray.stages.urlops import crawl_schedule
+
+    return crawl_schedule(_url_docs_ds(sf_dir), delay_s=2)
+
+
+_CRAWL_SCHEDULE_SQL = (
+    "WITH u AS (SELECT doc_id, source || '.example' AS host FROM documents) "
+    "SELECT doc_id, host, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT) "
+    "AS seq, "
+    "CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1) * 2 "
+    "AS BIGINT) AS fetch_offset_s FROM u"
+)
+
+
 def _q_url_host_profile(sf_dir: str):
     """Per-host corpus profile (host, tld, n, sum_path_depth): vectorized
     RE2 parse + map-side pre-agg, host-cardinality shuffle only."""
@@ -9393,6 +9413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": _q_q11_important_parts,
         "q21_sole_returner": _q_q21_sole_returner,
         "bm25_top15": _q_bm25_top15,
+        "crawl_schedule": _q_crawl_schedule,
         "extract_links_docs": _q_extract_links_docs,
         "host_pagerank": _q_host_pagerank,
         "host_degree_profile": _q_host_degree_profile,
@@ -10483,6 +10504,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_parts": _Q11_SQL,
         "q21_sole_returner": _Q21_SQL,
         "bm25_top15": _BM25_SQL,
+        "crawl_schedule": _CRAWL_SCHEDULE_SQL,
         "q18_large_orders": (
             "SELECT o_orderkey, o_orderdate, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, "

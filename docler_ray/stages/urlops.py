@@ -221,3 +221,65 @@ def query_param_profile(ds, *, url_col: str = "url"):
             }
         )
     )
+
+
+def crawl_schedule(
+    ds,
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    delay_s: int = 2,
+    n_rows: int | None = None,
+):
+    """Per-host politeness scheduling for a crawl frontier: each URL's
+    1-based position in its host's fetch queue (deterministic order:
+    ascending ``id_col``) and its fetch-slot offset ``(seq-1) * delay_s``
+    seconds — the frontier-to-schedule operator every polite crawler runs
+    before dispatch (one fetch per host per delay window).
+
+    Distributed plan: vectorized host parse (no exchange), then the shared
+    per-key ordered pattern — ``coarse = crc32(host) % n_groups``
+    co-locates each host's rows in ONE exchange while keeping ~constant
+    rows per pandas task, and the in-bucket (host, id) mergesort +
+    cumcount is vectorized across every host in the bucket. Per-task state
+    is bucket-sized, never host- or corpus-sized."""
+    import pandas as pd
+
+    from docler_ray.stages.windows import _make_add_coarse, _session_group_count
+
+    if n_rows is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover
+            n_rows = None
+    parsed = parse_urls(ds, url_col).select_columns([id_col, "host"])
+    add_coarse = _make_add_coarse("host", _session_group_count(n_rows))
+
+    def schedule(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "host": pd.Series([], dtype="object"),
+                    "seq": pd.Series([], dtype="int64"),
+                    "fetch_offset_s": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["host", id_col], kind="mergesort")
+        seq = (df.groupby("host", sort=False).cumcount().to_numpy() + 1).astype(
+            "int64"
+        )
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "host": df["host"].to_numpy(),
+                "seq": seq,
+                "fetch_offset_s": (seq - 1) * int(delay_s),
+            }
+        )
+
+    return (
+        parsed.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(schedule, batch_format="pandas")
+    )

@@ -4514,6 +4514,60 @@ _CRAWL_SCHEDULE_SQL = (
 )
 
 
+def _robots_corpus(sf_dir: str) -> dict[str, str]:
+    """Deterministic per-host robots.txt corpus over the documents
+    sources (host-cardinality side input, like the PDF fixture pattern):
+    a bot-specific block the '*' group must ignore, a language-section
+    Disallow chosen by source-name parity, a LONGER Allow carving the
+    doc-1* family back out (longest-match precedence), and a $-anchored
+    exact rule — the four RFC 9309 behaviors that bite."""
+    import pandas as pd
+
+    sources = sorted(
+        pd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source"]
+        )["source"].unique()
+    )
+    corpus = {}
+    for s in sources:
+        blk = "de" if len(s) % 2 == 0 else "fr"
+        corpus[f"{s}.example"] = (
+            "User-agent: bot-x\nDisallow: /\n\n"
+            "User-agent: *\n"
+            f"Disallow: /{blk}\n"
+            f"Allow: /{blk}/doc-1\n"
+            "Disallow: /zh/doc-9$\n"
+            "# trailing comment\n"
+        )
+    return corpus
+
+
+def _q_robots_survivors(sf_dir: str):
+    """robots.txt crawl-policy gate -> per-lang survivor counts: the real
+    RFC 9309 parser runs over a deterministic host-cardinality robots
+    corpus (parsed once, rules broadcast), the longest-match decision is
+    map-only and vectorized per host; zero shuffle until the lang-sized
+    groupby."""
+    from ray.data.aggregate import Count
+
+    from docler_ray.stages.urlops import filter_robots
+
+    ds = filter_robots(_url_docs_ds(sf_dir), _robots_corpus(sf_dir))
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+_ROBOTS_SQL = (
+    "WITH u AS (SELECT doc_id, lang, "
+    "'/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) AS path, "
+    "CASE WHEN length(source) % 2 = 0 THEN 'de' ELSE 'fr' END AS blk "
+    "FROM documents) "
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM u "
+    "WHERE NOT ((lang = blk AND path NOT LIKE '/' || blk || '/doc-1%') "
+    "OR path = '/zh/doc-9') "
+    "GROUP BY 1"
+)
+
+
 def _q_url_host_profile(sf_dir: str):
     """Per-host corpus profile (host, tld, n, sum_path_depth): vectorized
     RE2 parse + map-side pre-agg, host-cardinality shuffle only."""
@@ -9414,6 +9468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sole_returner": _q_q21_sole_returner,
         "bm25_top15": _q_bm25_top15,
         "crawl_schedule": _q_crawl_schedule,
+        "robots_survivors": _q_robots_survivors,
         "extract_links_docs": _q_extract_links_docs,
         "host_pagerank": _q_host_pagerank,
         "host_degree_profile": _q_host_degree_profile,
@@ -10505,6 +10560,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_sole_returner": _Q21_SQL,
         "bm25_top15": _BM25_SQL,
         "crawl_schedule": _CRAWL_SCHEDULE_SQL,
+        "robots_survivors": _ROBOTS_SQL,
         "q18_large_orders": (
             "SELECT o_orderkey, o_orderdate, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, "

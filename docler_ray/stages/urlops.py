@@ -283,3 +283,38 @@ def crawl_schedule(
         .groupby("coarse")
         .map_groups(schedule, batch_format="pandas")
     )
+
+
+def filter_robots(ds, robots_by_host: dict[str, str], *, url_col: str = "url"):
+    """Crawl-policy filter: drop URLs whose path a host's robots.txt
+    disallows for the ``*`` user-agent (RFC 9309 longest-match). The
+    robots corpus is host-cardinality by definition, so the texts parse
+    ONCE driver-side into rule lists and the {host: rules} dict broadcasts
+    via ``ray.put``; the decision pass is map-only, vectorized per distinct
+    host in each batch (sequential only in the per-host rule list). Hosts
+    with no robots.txt allow everything."""
+    import numpy as np
+    import ray
+
+    from docler_ray.functions.robots import parse_robots, robots_allowed_batch
+    from docler_ray.stages.joins import _get_broadcast
+
+    rules_ref = ray.put(
+        {h: parse_robots(t) for h, t in robots_by_host.items()}
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        rules_by_host = _get_broadcast(rules_ref)
+        parsed = parse_url_batch(batch, url_col)
+        hosts = parsed.column("host").to_numpy(zero_copy_only=False)
+        paths = parsed.column("path").to_numpy(zero_copy_only=False)
+        allowed = np.ones(len(hosts), dtype=bool)
+        for h in np.unique(hosts):
+            rules = rules_by_host.get(h)
+            if not rules:
+                continue
+            idx = np.nonzero(hosts == h)[0]
+            allowed[idx] = robots_allowed_batch(paths[idx], rules)
+        return batch.filter(pa.array(allowed))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -6490,6 +6490,55 @@ def _host_pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
     return "".join(parts)
 
 
+def _q_host_hits(sf_dir: str):
+    """Integer fixed-point HITS (Kleinberg, JACM'99; 3 iterations, scale
+    10^9, max-normalization) over the deterministic DISTINCT host graph —
+    each half-step sum is order-independent int64 and the normalizing
+    raw*scale//max runs driver-side in arbitrary-precision Python ints
+    (the SQL twin widens the same step through HUGEINT), so hub_fp /
+    auth_fp hash-match the unrolled SQL bit-for-bit; hub/auth are single
+    IEEE divides by 10^9."""
+    from docler_ray.stages.linkgraph import hits
+
+    return hits(_lg_edges_ds(sf_dir, _LG_MOD_PR), iters=3)
+
+
+def _host_hits_sql(iters: int = 3, scale: int = 10**9) -> str:
+    edges = _lg_edges_sql(_LG_MOD_PR, distinct=True)
+    parts = [
+        f"WITH e AS ({edges}), ",
+        "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e), ",
+        f"h0 AS (SELECT host, CAST({scale} AS BIGINT) AS s FROM nodes), ",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            # authority half-step: pull hub mass along u->v, max-normalize
+            f"ra{t} AS (SELECT nd.host, CAST(COALESCE(x.c, 0) AS HUGEINT) AS r "
+            f"FROM nodes nd LEFT JOIN (SELECT e.dst AS host, SUM(h.s) AS c "
+            f"FROM e JOIN h{t - 1} h ON e.src = h.host GROUP BY e.dst) x "
+            "ON nd.host = x.host), "
+            f"a{t} AS (SELECT host, CAST(CASE WHEN m.m = 0 THEN 0 ELSE "
+            f"(r * {scale}) // m.m END AS BIGINT) AS s "
+            f"FROM ra{t}, (SELECT MAX(r) AS m FROM ra{t}) m), "
+            # hub half-step: pull fresh authority mass back along u->v
+            f"rh{t} AS (SELECT nd.host, CAST(COALESCE(x.c, 0) AS HUGEINT) AS r "
+            f"FROM nodes nd LEFT JOIN (SELECT e.src AS host, SUM(a.s) AS c "
+            f"FROM e JOIN a{t} a ON e.dst = a.host GROUP BY e.src) x "
+            "ON nd.host = x.host), "
+            f"h{t} AS (SELECT host, CAST(CASE WHEN m.m = 0 THEN 0 ELSE "
+            f"(r * {scale}) // m.m END AS BIGINT) AS s "
+            f"FROM rh{t}, (SELECT MAX(r) AS m FROM rh{t}) m), "
+        )
+    parts[-1] = parts[-1][:-2] + " "  # drop the trailing ", " after the last CTE
+    parts.append(
+        f"SELECT h.host, h.s AS hub_fp, a.s AS auth_fp, "
+        f"CAST(h.s AS DOUBLE) / {float(scale)!r} AS hub, "
+        f"CAST(a.s AS DOUBLE) / {float(scale)!r} AS auth "
+        f"FROM h{iters} h JOIN a{iters} a ON h.host = a.host"
+    )
+    return "".join(parts)
+
+
 def _q_host_degree_profile(sf_dir: str):
     """Per-host in/out degree + link mass over the multi-edge host graph:
     ONE (src,dst) exchange for edge counts, then both endpoints emitted
@@ -9471,6 +9520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_survivors": _q_robots_survivors,
         "extract_links_docs": _q_extract_links_docs,
         "host_pagerank": _q_host_pagerank,
+        "host_hits": _q_host_hits,
         "host_degree_profile": _q_host_degree_profile,
         "host_triangles": _q_host_triangles,
         "data_quality_audit": _q_data_quality_audit,
@@ -10508,6 +10558,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_dedup_keep_best": _edit_keep_best_sql(),
         "extract_links_docs": _extract_links_sql(),
         "host_pagerank": _host_pagerank_sql(),
+        "host_hits": _host_hits_sql(),
         "host_degree_profile": _host_degree_sql(),
         "host_triangles": _host_triangles_sql(),
         "data_quality_audit": _data_quality_audit_sql(),

@@ -566,3 +566,149 @@ def triangle_stats(und, *, broadcast_cap: int | None = None):
             }
         )
     )
+
+
+HITS_SCALE = 10**9
+
+
+def hits(
+    edges,
+    *,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    iters: int = 3,
+    scale: int = HITS_SCALE,
+    broadcast_cap: int | None = None,
+):
+    """Integer fixed-point HITS (Kleinberg, JACM'99) over DISTINCT directed
+    edges: hubs/authorities with max-normalization instead of the L2 norm —
+
+        a_t(v) = (SUM_{u->v} h_{t-1}(u)) * scale // max_raw_a
+        h_t(u) = (SUM_{u->v} a_t(v))     * scale // max_raw_h
+
+    Every sum is order-independent int64 (per-edge terms <= scale, so
+    partials stay < edges * scale); the normalizing multiply runs
+    DRIVER-SIDE on the node-sized dict in arbitrary-precision Python ints
+    (raw * scale would overflow int64 — the SQL twin widens through
+    HUGEINT for the same step), so the result is bit-identical to the
+    unrolled SQL regardless of combine order. Returns (host, hub_fp,
+    auth_fp, hub, auth) with the floats being single IEEE divides by
+    ``scale``.
+
+    Same MEASURED regimes as :func:`pagerank`: small distinct-edge sets
+    iterate on the driver; larger graphs under ``broadcast_cap`` nodes
+    broadcast the score dict per half-step with one groupby exchange per
+    direction; above the cap raises with the documented distributed-join
+    plan."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cap = _PAGERANK_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+    ded = edges.groupby([src_col, dst_col]).aggregate(Count(alias_name="_m"))
+    ded = ded.drop_columns(["_m"]).materialize()
+
+    def _norm(raw: dict) -> dict:
+        mx = max(raw.values(), default=0)
+        if mx == 0:
+            return dict.fromkeys(raw, 0)
+        return {h: (int(v) * scale) // mx for h, v in raw.items()}
+
+    def _out(nodes, h, a):
+        hf = np.array([h[x] for x in nodes], dtype=np.int64)
+        af = np.array([a[x] for x in nodes], dtype=np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array(nodes, pa.string()),
+                    "hub_fp": pa.array(hf),
+                    "auth_fp": pa.array(af),
+                    "hub": pa.array(hf.astype(np.float64) / scale),
+                    "auth": pa.array(af.astype(np.float64) / scale),
+                }
+            )
+        )
+
+    n_edges = ded.count()
+    if n_edges == 0:  # empty groupby output loses the key schema
+        return _out([], {}, {})
+    if n_edges <= min(cap, _PAGERANK_LOCAL_EDGE_CAP):
+        edf = ded.to_pandas()
+        e_src = edf[src_col].tolist()
+        e_dst = edf[dst_col].tolist()
+        nodes = sorted(set(e_src) | set(e_dst))
+        if not nodes:
+            return _out([], {}, {})
+        h = dict.fromkeys(nodes, scale)
+        a = dict.fromkeys(nodes, 0)
+        for _t in range(iters):
+            raw = dict.fromkeys(nodes, 0)
+            for u, v in zip(e_src, e_dst):
+                raw[v] += h[u]
+            a = _norm(raw)
+            raw = dict.fromkeys(nodes, 0)
+            for u, v in zip(e_src, e_dst):
+                raw[u] += a[v]
+            h = _norm(raw)
+        return _out(nodes, h, a)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pa.concat_arrays(
+                    [
+                        batch.column(src_col).combine_chunks(),
+                        batch.column(dst_col).combine_chunks(),
+                    ]
+                    if batch.num_rows
+                    else [pa.array([], pa.string())]
+                )
+            }
+        )
+
+    nodes_ds = (
+        ded.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .materialize()
+    )
+    n_nodes = nodes_ds.count()
+    if n_nodes == 0:
+        return _out([], {}, {})
+    if n_nodes > cap:
+        raise NotImplementedError(
+            f"hits broadcast regime capped at {cap} nodes (measured "
+            f"{n_nodes}); the distributed plan is a per-half-step "
+            f"copartitioned join of edges with the score Dataset "
+            "(2 exchanges per half-step) — wire it when a corpus crosses "
+            "the cap"
+        )
+    nodes = sorted(nodes_ds.to_pandas()["host"])
+
+    def _half(score_ref, from_col: str, to_col: str) -> dict:
+        def partial(batch: pa.Table) -> pa.Table:
+            sc: dict = ray.get(score_ref)
+            src = batch.column(from_col).to_pylist()
+            r = np.fromiter(
+                (sc.get(s, 0) for s in src), dtype=np.int64, count=len(src)
+            )
+            t = pa.table({to_col: batch.column(to_col), "pc_": pa.array(r)})
+            g = t.group_by(to_col).aggregate([("pc_", "sum")])
+            return g.rename_columns([to_col, "pc_"])
+
+        sums = (
+            ded.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(to_col)
+            .aggregate(Sum("pc_", alias_name="s"))
+            .to_pandas()
+        )
+        raw = dict.fromkeys(nodes, 0)
+        raw.update(zip(sums[to_col], (int(x) for x in sums["s"])))
+        return raw
+
+    h = dict.fromkeys(nodes, scale)
+    a = dict.fromkeys(nodes, 0)
+    for _t in range(iters):
+        a = _norm(_half(ray.put(h), src_col, dst_col))
+        h = _norm(_half(ray.put(a), dst_col, src_col))
+    return _out(nodes, h, a)

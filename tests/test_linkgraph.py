@@ -155,6 +155,110 @@ def test_pagerank_distributed_regime_matches_local(ray_session, monkeypatch):
     assert dist == local == _py_pagerank(edges, iters=3)
 
 
+def _py_hits(edges, iters=3, scale=None):
+    from docler_ray.stages.linkgraph import HITS_SCALE
+
+    scale = HITS_SCALE if scale is None else scale
+    nodes = sorted({x for e in edges for x in e})
+
+    def norm(raw):
+        mx = max(raw.values(), default=0)
+        if mx == 0:
+            return dict.fromkeys(raw, 0)
+        return {h: (v * scale) // mx for h, v in raw.items()}
+
+    h = dict.fromkeys(nodes, scale)
+    a = dict.fromkeys(nodes, 0)
+    for _ in range(iters):
+        raw = dict.fromkeys(nodes, 0)
+        for u, v in edges:
+            raw[v] += h[u]
+        a = norm(raw)
+        raw = dict.fromkeys(nodes, 0)
+        for u, v in edges:
+            raw[u] += a[v]
+        h = norm(raw)
+    return (
+        {f"h{x}": h[x] for x in nodes},
+        {f"h{x}": a[x] for x in nodes},
+    )
+
+
+def _hits_dicts(df):
+    idx = df.set_index("host")
+    return idx["hub_fp"].to_dict(), idx["auth_fp"].to_dict()
+
+
+def test_hits_matches_pure_python(ray_session):
+    from docler_ray.stages.linkgraph import hits
+
+    edges = _rand_digraph(13)
+    hub, auth = _hits_dicts(hits(_edges_ds(edges), iters=3).to_pandas())
+    want_h, want_a = _py_hits(edges, iters=3)
+    assert hub == want_h
+    assert auth == want_a
+
+
+def test_hits_duplicate_edges_collapse(ray_session):
+    from docler_ray.stages.linkgraph import hits
+
+    edges = [(0, 1), (0, 1), (1, 2), (2, 0), (2, 9), (2, 9)]
+    hub, auth = _hits_dicts(hits(_edges_ds(edges), iters=3).to_pandas())
+    want_h, want_a = _py_hits(sorted(set(edges)), iters=3)
+    assert hub == want_h
+    assert auth == want_a
+    # max-normalization: the top hub and top authority sit exactly at scale
+    from docler_ray.stages.linkgraph import HITS_SCALE
+
+    assert max(hub.values()) == HITS_SCALE
+    assert max(auth.values()) == HITS_SCALE
+
+
+def test_hits_distributed_regime_matches_local(ray_session, monkeypatch):
+    """Force the broadcast half-step regime (local edge cap 0) and pin it
+    to the driver-side regime bit-for-bit."""
+    import docler_ray.stages.linkgraph as lg
+
+    edges = _rand_digraph(17)
+    local = _hits_dicts(lg.hits(_edges_ds(edges), iters=2).to_pandas())
+    monkeypatch.setattr(lg, "_PAGERANK_LOCAL_EDGE_CAP", 0)
+    dist = _hits_dicts(lg.hits(_edges_ds(edges), iters=2).to_pandas())
+    assert dist == local == _py_hits(edges, iters=2)
+
+
+def test_hits_float_is_single_divide(ray_session):
+    from docler_ray.stages.linkgraph import HITS_SCALE, hits
+
+    edges = _rand_digraph(19)
+    df = hits(_edges_ds(edges), iters=2).to_pandas()
+    assert (
+        df["hub"].to_numpy()
+        == df["hub_fp"].to_numpy().astype(np.float64) / float(HITS_SCALE)
+    ).all()
+    assert (
+        df["auth"].to_numpy()
+        == df["auth_fp"].to_numpy().astype(np.float64) / float(HITS_SCALE)
+    ).all()
+
+
+def test_hits_over_cap_raises(ray_session, monkeypatch):
+    import docler_ray.stages.linkgraph as lg
+
+    monkeypatch.setattr(lg, "_PAGERANK_LOCAL_EDGE_CAP", 0)
+    with pytest.raises(NotImplementedError, match="broadcast regime capped"):
+        lg.hits(_edges_ds([(0, 1), (1, 2)]), iters=1, broadcast_cap=2)
+
+
+def test_hits_empty_graph(ray_session):
+    from docler_ray.stages.linkgraph import hits
+
+    got = hits(_edges_ds([]), iters=3)
+    # typed 0-row anchor: schema survives even though to_pandas() of an
+    # empty Dataset drops columns (Ray 2.49 quirk)
+    assert got.count() == 0
+    assert got.schema().names == ["host", "hub_fp", "auth_fp", "hub", "auth"]
+
+
 def test_triangles_match_brute_force(ray_session):
     edges = _rand_digraph(11, n_nodes=12, n_draws=70)
     und = canonical_undirected(_edges_ds(edges))

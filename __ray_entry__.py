@@ -7734,6 +7734,58 @@ _URL_PARAMS_SQL = (
 )
 
 
+def _q_url_canonicalize(sf_dir: str):
+    """RFC 3986 §6 URL canonicalization (stages/urlops.py): six messy
+    spelling families per doc_id (case, default port + dot segments,
+    unreserved percent-escapes, fragment, empty path, reserved-escape
+    case + query decode) flow through the general canonical machine —
+    vectorized RE2 suspect sweep, Python only on violators — and the SQL
+    twin rebuilds every canonical spelling arithmetically from the same
+    doc_id formulas. Path case must SURVIVE (only scheme+host lowercase)."""
+    import ray.data
+
+    from docler_ray.stages.urlops import canonicalize_urls
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        urls = []
+        for di in d:
+            h, v = int(di) % 23, int(di) % 6
+            if v == 0:
+                u = f"HTTP://HOST{h}.EXAMPLE/A/B"
+            elif v == 1:
+                u = f"http://host{h}.example:80/a/./b/../c"
+            elif v == 2:
+                u = f"https://host{h}.example:443/%7euser/%2dx"
+            elif v == 3:
+                u = f"http://host{h}.example/a/b#frag{int(di)}"
+            elif v == 4:
+                u = f"http://host{h}.example"
+            else:
+                u = f"http://host{h}.example/a%3fb?q=%41"
+            urls.append(u)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "url": pa.array(urls, pa.string())}
+        )
+
+    urls = ds.map_batches(to_urls, batch_format="pyarrow", zero_copy_batch=True)
+    return canonicalize_urls(urls).select_columns(["doc_id", "url_canon"])
+
+
+_URL_CANON_SQL = (
+    "SELECT doc_id, CASE doc_id % 6 "
+    "WHEN 0 THEN 'http://host' || h || '.example/A/B' "
+    "WHEN 1 THEN 'http://host' || h || '.example/a/c' "
+    "WHEN 2 THEN 'https://host' || h || '.example/~user/-x' "
+    "WHEN 3 THEN 'http://host' || h || '.example/a/b' "
+    "WHEN 4 THEN 'http://host' || h || '.example/' "
+    "ELSE 'http://host' || h || '.example/a%3Fb?q=A' END AS url_canon "
+    "FROM (SELECT doc_id, CAST(doc_id % 23 AS VARCHAR) AS h FROM documents)"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -9543,6 +9595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_normalize_stats": _q_nfc_normalize_stats,
         "page_metadata_extract": _q_page_metadata_extract,
         "url_query_params": _q_url_query_params,
+        "url_canonicalize": _q_url_canonicalize,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -10581,6 +10634,7 @@ def oracle_sql() -> dict[str, str]:
         "nfc_normalize_stats": _NFC_SQL,
         "page_metadata_extract": _PAGE_METADATA_SQL,
         "url_query_params": _URL_PARAMS_SQL,
+        "url_canonicalize": _URL_CANON_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

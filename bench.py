@@ -347,6 +347,7 @@ def bench_once() -> dict:
         timed("nfc_normalize_stats", q["nfc_normalize_stats"])
         timed("page_metadata_extract", q["page_metadata_extract"])
         timed("url_query_params", q["url_query_params"])
+        timed("url_canonicalize", q["url_canonicalize"])
     finally:
         ray.shutdown()
     return results

@@ -318,3 +318,156 @@ def filter_robots(ds, robots_by_host: dict[str, str], *, url_col: str = "url"):
         return batch.filter(pa.array(allowed))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- RFC 3986 §6 URL canonicalization ---------------------------------------
+# Crawl frontiers and dedup keys need ONE spelling per resource. This is the
+# syntax-based + scheme-based normalization ladder of RFC 3986 §6.2.2-6.2.3
+# (case normalization, percent-encoding normalization, dot-segment removal,
+# default-port and empty-path rules) plus the crawl-specific fragment strip
+# (fragments never reach the server). No reference precedent (docler is
+# filesystem-keyed); semantics follow the RFC text directly.
+
+_URL_SPLIT_RE = None  # compiled lazily; module import stays cheap
+
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_HEX = frozenset("0123456789abcdefABCDEF")
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _pct_normalize(s: str) -> str:
+    """RFC 3986 §6.2.2.1-2: uppercase the hex of retained escapes, decode
+    escapes of unreserved characters. Invalid escapes (bad/short hex) pass
+    through literally — a canonicalizer must never corrupt its input."""
+    if "%" not in s:
+        return s
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 2 < n and s[i + 1] in _HEX and s[i + 2] in _HEX:
+            ch = chr(int(s[i + 1 : i + 3], 16))
+            if ch in _UNRESERVED:
+                out.append(ch)
+            else:
+                out.append("%" + s[i + 1 : i + 3].upper())
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, transliterated from the RFC's
+    buffer algorithm (the five-case loop), not from any library."""
+    inp = path
+    out: list[str] = []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            j = inp.find("/", 1)
+            if j < 0:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:j])
+                inp = inp[j:]
+    return "".join(out)
+
+
+def canonicalize_url(url: str) -> str:
+    """One canonical spelling per resource (RFC 3986 §6.2.2-6.2.3 +
+    fragment strip). Non-hierarchical / non-URL strings return unchanged —
+    canonicalization is total and idempotent, never lossy on garbage."""
+    global _URL_SPLIT_RE
+    if _URL_SPLIT_RE is None:
+        import re
+
+        _URL_SPLIT_RE = re.compile(
+            r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+        )
+    m = _URL_SPLIT_RE.match(url)
+    if not m:
+        return url
+    scheme = m.group(1).lower()
+    authority = m.group(2)
+    path = m.group(3)
+    query = m.group(4)  # includes the leading '?', or None
+
+    # authority: lowercase host, strip a scheme-default port; userinfo kept
+    userinfo = ""
+    hostport = authority
+    at = authority.rfind("@")
+    if at >= 0:
+        userinfo = authority[: at + 1]
+        hostport = authority[at + 1 :]
+    host, port = hostport, None
+    colon = hostport.rfind(":")
+    if colon >= 0 and hostport.find("]", colon) < 0:  # not inside an IPv6 [..]
+        maybe = hostport[colon + 1 :]
+        if maybe.isdigit() or maybe == "":
+            host, port = hostport[:colon], maybe
+    host = host.lower()
+    if port is not None and port.lstrip("0") == port and port == _DEFAULT_PORTS.get(scheme):
+        port = None
+    if port:
+        host = f"{host}:{port}"
+    authority = userinfo + host
+
+    path = _remove_dot_segments(_pct_normalize(path))
+    if not path and scheme in _DEFAULT_PORTS:
+        path = "/"
+    out = f"{scheme}://{authority}{path}"
+    if query is not None:
+        out += _pct_normalize(query)
+    return out
+
+
+# conservative vectorized fast path: a URL that matches NONE of these RE2
+# patterns is provably already canonical, so the Python machine only runs
+# on the violators (a mostly-clean corpus canonicalizes at Arrow speed)
+_SUSPECT_PATTERNS = (
+    r"[%#A-Z]",          # escapes to normalize, fragment, or uppercase
+    r"/\.\.?(/|$)",      # dot segments
+    r"://[^/?#]*:",      # any explicit port (or userinfo with ':')
+    r"://[^/?#]*@",      # userinfo — rfind('@') cases
+    r"^[a-z][a-z0-9+.\-]*://[^/?#]*$",  # empty path -> '/'
+)
+
+
+def canonicalize_urls(ds, *, url_col: str = "url", out_col: str = "url_canon"):
+    """Zero-shuffle map pass appending the canonical spelling. One
+    vectorized RE2 sweep marks the suspect rows; only those pay the
+    per-URL Python machine (setup-free, so a task pool suffices)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = pc.fill_null(batch.column(url_col), "")
+        suspect = pc.match_substring_regex(urls, _SUSPECT_PATTERNS[0])
+        for pat in _SUSPECT_PATTERNS[1:]:
+            suspect = pc.or_(suspect, pc.match_substring_regex(urls, pat))
+        vals = urls.to_pylist()
+        mask = suspect.to_numpy(zero_copy_only=False)
+        out = [canonicalize_url(u) if m else u for u, m in zip(vals, mask)]
+        return batch.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 ADVERSARIAL_URLS = [
     "https://host0.example/en/article-1",
@@ -148,3 +149,80 @@ def test_query_param_profile_counts(ray_session):
     got = query_param_profile(ds).to_pandas().set_index("param")
     assert got.loc["x"].tolist() == [3, 2, "1"]
     assert got.loc["y"].tolist() == [2, 1, "a"]
+
+
+# --- RFC 3986 §6 canonicalization -------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "url,want",
+    [
+        # §6.2.2.1 case normalization: scheme+host only, path case survives
+        ("HTTP://Host7.EXAMPLE/A/B", "http://host7.example/A/B"),
+        # §6.2.3 default port + §5.2.4 dot segments
+        ("http://h.example:80/a/./b/../c", "http://h.example/a/c"),
+        ("https://h.example:443/x", "https://h.example/x"),
+        ("http://h.example:8080/x", "http://h.example:8080/x"),
+        ("http://h.example:/x", "http://h.example/x"),  # empty port drops
+        # §6.2.2.2 percent normalization: decode unreserved, uppercase rest
+        ("https://h.example/%7euser/%2dx", "https://h.example/~user/-x"),
+        ("http://h.example/a%3fb?q=%41%2f", "http://h.example/a%3Fb?q=A%2F"),
+        # invalid escapes pass through literally (never corrupt input)
+        ("http://h.example/%zz%4", "http://h.example/%zz%4"),
+        # fragment strip + empty-path rule
+        ("http://h.example/a/b#frag", "http://h.example/a/b"),
+        ("http://h.example", "http://h.example/"),
+        ("http://h.example?q=1", "http://h.example/?q=1"),
+        # leading .. cannot climb above root
+        ("http://h.example/../../a", "http://h.example/a"),
+        # userinfo kept verbatim, host still lowercases
+        ("http://U:p@H.Example/x", "http://U:p@h.example/x"),
+        # non-http(s) schemes: no empty-path/default-port rules
+        ("ftp://H.example", "ftp://h.example"),
+        # non-URLs unchanged
+        ("not a url", "not a url"),
+        ("", ""),
+    ],
+)
+def test_canonicalize_url(url, want):
+    from docler_ray.stages.urlops import canonicalize_url
+
+    assert canonicalize_url(url) == want
+
+
+def test_canonicalize_idempotent():
+    from docler_ray.stages.urlops import canonicalize_url
+
+    urls = [
+        "HTTP://Host7.EXAMPLE:80/A/./B/../C%2d?Q=%41#f",
+        "https://h.example",
+        "http://u@h.example:443/x",
+        "garbage",
+    ]
+    for u in urls:
+        once = canonicalize_url(u)
+        assert canonicalize_url(once) == once
+
+
+def test_canonicalize_urls_fast_path_and_machine_agree(ray_session):
+    """Every row the RE2 suspect sweep skips must already be a fixpoint of
+    the Python machine — the vectorized fast path may never change the
+    answer, only skip work."""
+    import ray.data
+
+    from docler_ray.stages.urlops import canonicalize_url, canonicalize_urls
+
+    urls = [
+        "http://h.example/a/c",          # clean: fast path skips it
+        "HTTP://H.EXAMPLE/A",            # uppercase
+        "http://h.example:80/a",         # default port
+        "http://h.example/a/../b",       # dot segments
+        "http://h.example/%7ex",         # escape
+        "http://h.example",              # empty path
+        "http://u@h.example/x",          # userinfo
+        "not a url",
+    ]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    got = canonicalize_urls(ds).to_pandas().sort_values("url")["url_canon"].tolist()
+    want = sorted(zip(urls, [canonicalize_url(u) for u in urls]))
+    assert got == [c for _, c in want]

@@ -7786,6 +7786,82 @@ _URL_CANON_SQL = (
 )
 
 
+def _q_winnow_profile_docs(sf_dir: str):
+    """Winnowing fingerprint profile (Schleimer-Wilkerson-Aiken,
+    SIGMOD'03; stages/winnow.py): word 4-gram 52-bit md5 hashes, window
+    w=8, rightmost-tie minimum selection — zero-shuffle map pass with the
+    per-doc selection fully vectorized. n_fp/fp_min/fp_xor/fp_sum pin the
+    exact selected multiset; the SQL twin replays the selection rule via
+    a band self-join (min per window, MAX(i) on ties)."""
+    import ray.data
+
+    from docler_ray.stages.winnow import winnow_profile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_profile(ds)
+
+
+def _q_winnow_shared_pairs(sf_dir: str):
+    """MOSS match step over the winnowing fingerprints: doc pairs sharing
+    >= 2 distinct selected hashes. ONE fp-keyed int64 exchange groups
+    co-owners (md5 buckets are near-uniform; owners > 256 dropped as
+    boilerplate), C(g,2) pairs emit vectorized per group, one (a,b)
+    count exchange applies the threshold."""
+    import ray.data
+
+    from docler_ray.stages.winnow import winnow_shared_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_shared_pairs(ds, min_shared=2)
+
+
+_WINNOW_GRAMS_SQL = (
+    "WITH toks AS (SELECT doc_id, " + _WS_TOKS_SQL + " AS ws FROM documents), "
+    "grams AS (SELECT doc_id, i, CAST(('0x' || substr(md5("
+    "array_to_string(ws[i:i+3], ' ')), 1, 13))::UBIGINT AS BIGINT) AS h "
+    "FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i)), "
+    "ng AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams "
+    "GROUP BY doc_id), "
+    "wins AS (SELECT g.doc_id, g.i AS t, MIN(g2.h) AS mn "
+    "FROM grams g JOIN ng USING (doc_id) JOIN grams g2 "
+    "ON g2.doc_id = g.doc_id AND g2.i BETWEEN g.i AND g.i + LEAST(8, ng.n) - 1 "
+    "WHERE g.i <= ng.n - LEAST(8, ng.n) + 1 GROUP BY g.doc_id, g.i), "
+    "sel AS (SELECT w.doc_id, w.t, MAX(g.i) AS p "
+    "FROM wins w JOIN ng ON ng.doc_id = w.doc_id JOIN grams g "
+    "ON g.doc_id = w.doc_id AND g.i BETWEEN w.t AND w.t + LEAST(8, ng.n) - 1 "
+    "AND g.h = w.mn GROUP BY w.doc_id, w.t), "
+    "selu AS (SELECT DISTINCT doc_id, p FROM sel), "
+    "fp AS (SELECT s.doc_id, g.h FROM selu s JOIN grams g "
+    "ON g.doc_id = s.doc_id AND g.i = s.p)"
+)
+
+_WINNOW_PROFILE_SQL = (
+    _WINNOW_GRAMS_SQL + ", "
+    "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp, MIN(h) AS fp_min, "
+    "CAST(bit_xor(h) AS BIGINT) AS fp_xor, CAST(SUM(h) AS BIGINT) AS fp_sum "
+    "FROM fp GROUP BY doc_id) "
+    "SELECT d.doc_id, COALESCE(ng.n, 0) AS n_grams, COALESCE(a.n_fp, 0) AS n_fp, "
+    "COALESCE(a.fp_min, 0) AS fp_min, COALESCE(a.fp_xor, 0) AS fp_xor, "
+    "COALESCE(a.fp_sum, 0) AS fp_sum "
+    "FROM documents d LEFT JOIN ng ON ng.doc_id = d.doc_id "
+    "LEFT JOIN agg a ON a.doc_id = d.doc_id"
+)
+
+_WINNOW_PAIRS_SQL = (
+    _WINNOW_GRAMS_SQL + ", "
+    "fpd AS (SELECT DISTINCT doc_id, h FROM fp), "
+    "ok AS (SELECT h FROM fpd GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 256) "
+    "SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared "
+    "FROM fpd a JOIN ok ON ok.h = a.h JOIN fpd b "
+    "ON b.h = a.h AND b.doc_id > a.doc_id "
+    "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -9596,6 +9672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_metadata_extract": _q_page_metadata_extract,
         "url_query_params": _q_url_query_params,
         "url_canonicalize": _q_url_canonicalize,
+        "winnow_profile_docs": _q_winnow_profile_docs,
+        "winnow_shared_pairs": _q_winnow_shared_pairs,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -10635,6 +10713,8 @@ def oracle_sql() -> dict[str, str]:
         "page_metadata_extract": _PAGE_METADATA_SQL,
         "url_query_params": _URL_PARAMS_SQL,
         "url_canonicalize": _URL_CANON_SQL,
+        "winnow_profile_docs": _WINNOW_PROFILE_SQL,
+        "winnow_shared_pairs": _WINNOW_PAIRS_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

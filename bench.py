@@ -348,6 +348,8 @@ def bench_once() -> dict:
         timed("page_metadata_extract", q["page_metadata_extract"])
         timed("url_query_params", q["url_query_params"])
         timed("url_canonicalize", q["url_canonicalize"])
+        timed("winnow_profile_docs", q["winnow_profile_docs"])
+        timed("winnow_shared_pairs", q["winnow_shared_pairs"])
     finally:
         ray.shutdown()
     return results

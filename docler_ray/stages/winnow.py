@@ -1,0 +1,180 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+Local Algorithms for Document Fingerprinting", SIGMOD'03).
+
+The MOSS selection rule: hash every word k-gram, slide a window of w
+consecutive gram hashes, keep the minimum of each window (ties -> the
+RIGHTMOST minimum), and the distinct selected positions form the document's
+fingerprint set. Guarantee (the paper's Theorem 1 analog): any shared
+substring of at least w + k - 1 words produces at least one shared
+fingerprint, while the expected density is 2/(w+1) — a local, position-
+independent signature, unlike fixed-stride sampling.
+
+Zero-shuffle: fingerprinting is a stateless map over the corpus; each doc's
+selection runs fully vectorized (one sliding_window_view min + a reversed
+argmin for the rightmost-tie rule). Gram hashes are the repo's 52-bit md5
+convention so the DuckDB oracle replays them bit-for-bit:
+``('0x' || substr(md5(gram), 1, 13))::UBIGINT``.
+
+No reference precedent (docler has no fingerprinting tier); the algorithm is
+from the published paper only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from docler_ray.functions.tokens import ws_tokens
+
+DEFAULT_K = 4  # words per gram
+DEFAULT_W = 8  # grams per window
+
+
+def gram_hashes(tokens: list[str], k: int = DEFAULT_K) -> np.ndarray:
+    """52-bit md5 hash per word k-gram (space-joined), int64 ndarray.
+
+    A doc with fewer than k tokens has no grams (empty array) — winnowing
+    is defined on grams, and the paper's guarantee needs >= w+k-1 words
+    anyway; short docs legitimately fingerprint to the empty set.
+    """
+    n = len(tokens) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        g = " ".join(tokens[i : i + k])
+        out[i] = int(hashlib.md5(g.encode("utf-8", "replace")).hexdigest()[:13], 16)
+    return out
+
+
+def winnow_positions(h: np.ndarray, w: int = DEFAULT_W) -> np.ndarray:
+    """Selected gram positions (sorted, distinct) under the SIGMOD'03 rule.
+
+    Fewer than w grams -> the whole doc is one window (the paper's
+    degenerate case): select the rightmost global minimum.
+    """
+    n = len(h)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n < w:
+        w = n
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost argmin: argmin of the reversed window is the FIRST minimum
+    # from the right, so w-1-that is the rightmost minimum's offset
+    right_off = w - 1 - np.argmin(win[:, ::-1], axis=1)
+    sel = np.arange(len(win), dtype=np.int64) + right_off
+    return np.unique(sel)
+
+
+def winnow_profile(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+):
+    """Per-document fingerprint profile: (id, n_grams, n_fp, fp_min,
+    fp_xor, fp_sum) — the three reductions pin the exact selected MULTISET
+    (hashes at distinct selected positions) without shipping it; fp_sum
+    headroom: 52-bit hashes x <=2^11 selections stays < 2^63.
+
+    Stateless zero-copy map pass; no exchange.
+    """
+
+    def prof(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        texts = batch.column(text_col).to_pylist()
+        ng = np.empty(len(texts), dtype=np.int64)
+        nf = np.empty(len(texts), dtype=np.int64)
+        fmin = np.zeros(len(texts), dtype=np.int64)
+        fxor = np.zeros(len(texts), dtype=np.int64)
+        fsum = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            h = gram_hashes(ws_tokens(t or ""), k)
+            sel = winnow_positions(h, w)
+            ng[i] = len(h)
+            nf[i] = len(sel)
+            if len(sel):
+                picked = h[sel]
+                fmin[i] = picked.min()
+                fxor[i] = np.bitwise_xor.reduce(picked)
+                fsum[i] = picked.sum()
+        return pa.table(
+            {
+                id_col: ids,
+                "n_grams": pa.array(ng),
+                "n_fp": pa.array(nf),
+                "fp_min": pa.array(fmin),
+                "fp_xor": pa.array(fxor),
+                "fp_sum": pa.array(fsum),
+            }
+        )
+
+    return ds.map_batches(prof, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winnow_shared_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+    min_shared: int = 2,
+):
+    """Document pairs sharing >= min_shared distinct fingerprint HASHES —
+    the MOSS match step. Plan: the map pass emits each doc's DISTINCT
+    selected hashes as (fp, id) postings; ONE fp-keyed int64 exchange
+    groups co-owners; tiny groups (a fingerprint shared corpus-wide is
+    boilerplate, handled by the hot-bucket cap) emit their C(g,2) pairs
+    vectorized; a final (a,b)-keyed count groupby applies the threshold.
+
+    Partitioning assumption: fingerprint buckets are near-uniform (md5);
+    a fp owned by > _HOT_OWNER_CAP docs is dropped as boilerplate — the
+    standard posting-list cap, documented so callers can raise it.
+    """
+    from ray.data.aggregate import Count
+
+    _HOT_OWNER_CAP = 256
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        fps, owners = [], []
+        for i, t in enumerate(texts):
+            h = gram_hashes(ws_tokens(t or ""), k)
+            sel = winnow_positions(h, w)
+            if len(sel):
+                uniq = np.unique(h[sel])
+                fps.append(uniq)
+                owners.append(np.full(len(uniq), ids[i], dtype=np.int64))
+        if not fps:
+            return pa.table(
+                {"fp": pa.array([], pa.int64()), "owner": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "fp": pa.array(np.concatenate(fps)),
+                "owner": pa.array(np.concatenate(owners)),
+            }
+        )
+
+    def pairs_of(group: pa.Table) -> pa.Table:
+        own = np.unique(group.column("owner").to_numpy(zero_copy_only=False))
+        g = len(own)
+        if g < 2 or g > _HOT_OWNER_CAP:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        ia, ib = np.triu_indices(g, 1)
+        return pa.table({"a": pa.array(own[ia]), "b": pa.array(own[ib])})
+
+    post = ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = post.groupby("fp").map_groups(pairs_of, batch_format="pyarrow")
+    counted = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_shared"))
+    return counted.filter(
+        expr=f"n_shared >= {int(min_shared)}"
+    )

@@ -7862,6 +7862,88 @@ _WINNOW_PAIRS_SQL = (
 )
 
 
+def _q_sitemap_frontier_rows(sf_dir: str):
+    """Sitemap-protocol explode (functions/sitemap.py): five deterministic
+    document families per doc_id — full-field urlset, CDATA loc, a
+    sitemapindex (kind='sitemap' re-fetch rows), a loc-less entry (dropped)
+    beside an unparseable priority (NULL), and a non-sitemap page (zero
+    rows) — flow through the scanning parser in one zero-shuffle flat-map;
+    the SQL twin rebuilds every frontier row arithmetically."""
+    import ray.data
+
+    from docler_ray.stages.urlops import parse_sitemaps
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_xml(batch: pa.Table) -> pa.Table:
+        out = []
+        for di in batch.column("doc_id").to_pylist():
+            h, v, m = di % 23, di % 5, di % 9 + 1
+            base = f"https://host{h}.example"
+            if v == 0:
+                x = (
+                    '<?xml version="1.0"?><urlset '
+                    'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                    f"<url><loc>{base}/a?x=1&amp;y={di}</loc>"
+                    f"<lastmod>2026-01-0{m}</lastmod>"
+                    "<changefreq>daily</changefreq>"
+                    "<priority>0.5</priority></url>"
+                    f"<url><loc>{base}/b</loc></url></urlset>"
+                )
+            elif v == 1:
+                x = (
+                    f"<urlset><url><loc><![CDATA[{base}/c?raw&amp]]></loc>"
+                    "<priority>0.25</priority></url></urlset>"
+                )
+            elif v == 2:
+                x = (
+                    "<sitemapindex>"
+                    f"<sitemap><loc>{base}/s1.xml</loc>"
+                    f"<lastmod>2026-02-0{m}</lastmod></sitemap>"
+                    f"<sitemap><loc> {base}/s2.xml </loc></sitemap>"
+                    "</sitemapindex>"
+                )
+            elif v == 3:
+                x = (
+                    "<urlset><url><lastmod>2026-03-01</lastmod></url>"
+                    f"<url><loc>{base}/d</loc><priority>high</priority>"
+                    "</url></urlset>"
+                )
+            else:
+                x = "<html><body>not a sitemap</body></html>"
+            out.append(x)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sitemap_xml": pa.array(out, pa.string()),
+            }
+        )
+
+    xml = ds.map_batches(to_xml, batch_format="pyarrow", zero_copy_batch=True)
+    return parse_sitemaps(xml)
+
+
+_SITEMAP_SQL = (
+    "WITH d AS (SELECT doc_id, doc_id % 5 AS v, "
+    "'https://host' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS b, "
+    "CAST(doc_id % 9 + 1 AS VARCHAR) AS m FROM documents) "
+    "SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'url' AS kind, "
+    "b || '/a?x=1&y=' || CAST(doc_id AS VARCHAR) AS loc, "
+    "'2026-01-0' || m AS lastmod, 'daily' AS changefreq, "
+    "CAST(0.5 AS DOUBLE) AS priority FROM d WHERE v = 0 "
+    "UNION ALL SELECT doc_id, 1, 'url', b || '/b', '', '', NULL "
+    "FROM d WHERE v = 0 "
+    "UNION ALL SELECT doc_id, 0, 'url', b || '/c?raw&amp', '', '', 0.25 "
+    "FROM d WHERE v = 1 "
+    "UNION ALL SELECT doc_id, 0, 'sitemap', b || '/s1.xml', "
+    "'2026-02-0' || m, '', NULL FROM d WHERE v = 2 "
+    "UNION ALL SELECT doc_id, 1, 'sitemap', b || '/s2.xml', '', '', NULL "
+    "FROM d WHERE v = 2 "
+    "UNION ALL SELECT doc_id, 0, 'url', b || '/d', '', '', NULL "
+    "FROM d WHERE v = 3"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -9674,6 +9756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": _q_url_canonicalize,
         "winnow_profile_docs": _q_winnow_profile_docs,
         "winnow_shared_pairs": _q_winnow_shared_pairs,
+        "sitemap_frontier_rows": _q_sitemap_frontier_rows,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -10715,6 +10798,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _URL_CANON_SQL,
         "winnow_profile_docs": _WINNOW_PROFILE_SQL,
         "winnow_shared_pairs": _WINNOW_PAIRS_SQL,
+        "sitemap_frontier_rows": _SITEMAP_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

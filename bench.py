@@ -350,6 +350,7 @@ def bench_once() -> dict:
         timed("url_canonicalize", q["url_canonicalize"])
         timed("winnow_profile_docs", q["winnow_profile_docs"])
         timed("winnow_shared_pairs", q["winnow_shared_pairs"])
+        timed("sitemap_frontier_rows", q["sitemap_frontier_rows"])
     finally:
         ray.shutdown()
     return results

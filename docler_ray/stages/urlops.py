@@ -471,3 +471,38 @@ def canonicalize_urls(ds, *, url_col: str = "url", out_col: str = "url_canon"):
         return batch.append_column(out_col, pa.array(out, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def parse_sitemaps(ds, *, xml_col: str = "sitemap_xml", id_col: str = "doc_id"):
+    """Explode sitemap documents into frontier rows (functions/sitemap.py):
+    one zero-shuffle flat-map pass, rows (id, pos, kind, loc, lastmod,
+    changefreq, priority) in file order. Non-sitemap payloads contribute
+    zero rows — discovery feeds never error the pipeline."""
+    from docler_ray.functions.sitemap import parse_sitemap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        xmls = batch.column(xml_col).to_pylist()
+        out_id, pos, kind, loc, lastmod, freq, prio = [], [], [], [], [], [], []
+        for i, x in zip(ids, xmls):
+            for p, e in enumerate(parse_sitemap(x or "")):
+                out_id.append(i)
+                pos.append(p)
+                kind.append(e["kind"])
+                loc.append(e["loc"])
+                lastmod.append(e["lastmod"])
+                freq.append(e["changefreq"])
+                prio.append(e["priority"])
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "kind": pa.array(kind, pa.string()),
+                "loc": pa.array(loc, pa.string()),
+                "lastmod": pa.array(lastmod, pa.string()),
+                "changefreq": pa.array(freq, pa.string()),
+                "priority": pa.array(prio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

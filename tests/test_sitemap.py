@@ -1,0 +1,93 @@
+"""Sitemap-protocol parser (sitemaps.org): urlset/sitemapindex kinds,
+CDATA, entities, malformed entries, and the flat-map stage contract."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from docler_ray.functions.sitemap import parse_sitemap
+
+
+def test_urlset_full_fields():
+    x = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/'
+        'schemas/sitemap/0.9"><url><loc>https://h.example/a?x=1&amp;y=2'
+        "</loc><lastmod>2026-01-02</lastmod><changefreq>daily</changefreq>"
+        "<priority>0.8</priority></url></urlset>"
+    )
+    (e,) = parse_sitemap(x)
+    assert e == {
+        "kind": "url",
+        "loc": "https://h.example/a?x=1&y=2",
+        "lastmod": "2026-01-02",
+        "changefreq": "daily",
+        "priority": 0.8,
+    }
+
+
+def test_cdata_loc_is_literal():
+    x = "<urlset><url><loc><![CDATA[https://h.example/b?raw&amp]]></loc></url></urlset>"
+    (e,) = parse_sitemap(x)
+    assert e["loc"] == "https://h.example/b?raw&amp"  # CDATA: no unescape
+
+
+def test_sitemapindex_kind():
+    x = (
+        "<sitemapindex><sitemap><loc>https://h.example/s1.xml</loc>"
+        "<lastmod>2026-02-01</lastmod></sitemap>"
+        "<sitemap><loc> https://h.example/s2.xml </loc></sitemap>"
+        "</sitemapindex>"
+    )
+    got = parse_sitemap(x)
+    assert [e["kind"] for e in got] == ["sitemap", "sitemap"]
+    assert got[1]["loc"] == "https://h.example/s2.xml"  # stripped
+
+
+def test_malformed_entries():
+    # loc-less entry dropped; unparseable priority -> None; self-closing
+    # loc -> dropped; non-sitemap input and garbage -> []
+    x = (
+        "<urlset><url><lastmod>2026-03-01</lastmod></url>"
+        "<url><loc>u</loc><priority>high</priority></url>"
+        "<url><loc/></url></urlset>"
+    )
+    got = parse_sitemap(x)
+    assert len(got) == 1
+    assert got[0]["loc"] == "u" and got[0]["priority"] is None
+    assert parse_sitemap("<html><body>x</body></html>") == []
+    assert parse_sitemap("") == []
+    assert parse_sitemap("<urlset><url><loc>unclosed") == []
+
+
+def test_tag_name_boundaries():
+    # <location> must not satisfy a <loc> search
+    x = "<urlset><url><location>bad</location><loc>good</loc></url></urlset>"
+    (e,) = parse_sitemap(x)
+    assert e["loc"] == "good"
+
+
+def test_parse_sitemaps_stage(ray_session):
+    import ray.data
+
+    from docler_ray.stages.urlops import parse_sitemaps
+
+    xmls = [
+        "<urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+        "not xml",
+        "<sitemapindex><sitemap><loc>s</loc></sitemap></sitemapindex>",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "sitemap_xml": pa.array(xmls, pa.string()),
+            }
+        )
+    )
+    df = parse_sitemaps(ds).to_pandas().sort_values(["doc_id", "pos"])
+    # NB: df.loc is the pandas indexer — the loc COLUMN needs df["loc"]
+    assert list(zip(df.doc_id, df.pos, df.kind, df["loc"])) == [
+        (0, 0, "url", "a"),
+        (0, 1, "url", "b"),
+        (2, 0, "sitemap", "s"),
+    ]

@@ -6539,6 +6539,89 @@ def _host_hits_sql(iters: int = 3, scale: int = 10**9) -> str:
     return "".join(parts)
 
 
+_KCORE_MOD = 300
+_KCORE_K = 7
+_KCORE_UNROLL = 12  # measured 7 peel rounds at sf0.001/0.01, 0 at sf0.1
+
+
+def _kcore_edges_ds(sf_dir: str):
+    """Deterministic md5-derived random host graph (the linear-congruence
+    graphs are too regular for peeling to bite): per doc, three edges with
+    endpoints md5(doc_id||tag||side) % 300 — Poisson-ish degrees, so the
+    7-core peels 71 of 300 hosts over 7 cascading rounds."""
+    import hashlib
+
+    import ray.data
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for di in batch.column("doc_id").to_pylist():
+            for tag in ("a", "b", "c"):
+                s = int(
+                    hashlib.md5(f"{di}{tag}s".encode()).hexdigest()[:13], 16
+                ) % _KCORE_MOD
+                t = int(
+                    hashlib.md5(f"{di}{tag}t".encode()).hexdigest()[:13], 16
+                ) % _KCORE_MOD
+                srcs.append(f"h{s}")
+                dsts.append(f"h{t}")
+        return pa.table(
+            {
+                "src_host": pa.array(srcs, pa.string()),
+                "dst_host": pa.array(dsts, pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_host_kcore(sf_dir: str):
+    """k-core decomposition (Seidman, Social Networks'83) of the md5 host
+    graph: iterative degree-<k peel to fixpoint, survivors with their
+    within-core degree. The SQL twin unrolls {unroll} peel rounds (7
+    measured + margin; at fixpoint the extra rounds are identities)."""
+    from docler_ray.stages.linkgraph import canonical_undirected, k_core
+
+    return k_core(canonical_undirected(_kcore_edges_ds(sf_dir)), _KCORE_K)
+
+
+def _host_kcore_sql(
+    k: int = _KCORE_K, mod: int = _KCORE_MOD, unroll: int = _KCORE_UNROLL
+) -> str:
+    sides = " UNION ALL ".join(
+        f"SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{tag}s'), 1, 13))"
+        f"::UBIGINT % {mod} AS a, "
+        f"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{tag}t'), 1, 13))"
+        f"::UBIGINT % {mod} AS b FROM documents"
+        for tag in ("a", "b", "c")
+    )
+    # MATERIALIZED: DuckDB inlines plain CTEs, so 12 unrolled self-joins
+    # would re-expand `raw` (and re-open the parquet) exponentially
+    parts = [
+        f"WITH raw AS MATERIALIZED ({sides}), ",
+        "e AS MATERIALIZED (SELECT DISTINCT "
+        "'h' || CAST(least(a, b) AS VARCHAR) AS u, "
+        "'h' || CAST(greatest(a, b) AS VARCHAR) AS v FROM raw WHERE a <> b), ",
+        "n0 AS MATERIALIZED (SELECT u AS host FROM e UNION SELECT v FROM e), ",
+    ]
+    for t in range(1, unroll + 1):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT host, CAST(COUNT(*) AS BIGINT) AS deg "
+            f"FROM (SELECT e.u AS host FROM e JOIN n{t - 1} x ON e.u = x.host "
+            f"JOIN n{t - 1} y ON e.v = y.host "
+            f"UNION ALL SELECT e.v FROM e JOIN n{t - 1} x ON e.u = x.host "
+            f"JOIN n{t - 1} y ON e.v = y.host) GROUP BY host), "
+            f"n{t} AS MATERIALIZED (SELECT host FROM d{t} WHERE deg >= {k}), "
+        )
+    parts[-1] = parts[-1][:-2] + " "
+    parts.append(
+        f"SELECT host, deg AS core_deg FROM d{unroll} WHERE deg >= {k}"
+    )
+    return "".join(parts)
+
+
 def _q_host_degree_profile(sf_dir: str):
     """Per-host in/out degree + link mass over the multi-edge host graph:
     ONE (src,dst) exchange for edge counts, then both endpoints emitted
@@ -9731,6 +9814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links_docs": _q_extract_links_docs,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
+        "host_kcore": _q_host_kcore,
         "host_degree_profile": _q_host_degree_profile,
         "host_triangles": _q_host_triangles,
         "data_quality_audit": _q_data_quality_audit,
@@ -10773,6 +10857,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_links_docs": _extract_links_sql(),
         "host_pagerank": _host_pagerank_sql(),
         "host_hits": _host_hits_sql(),
+        "host_kcore": _host_kcore_sql(),
         "host_degree_profile": _host_degree_sql(),
         "host_triangles": _host_triangles_sql(),
         "data_quality_audit": _data_quality_audit_sql(),

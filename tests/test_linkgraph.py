@@ -368,3 +368,78 @@ def test_degree_profile_counts(ray_session):
     assert got.loc["a"].tolist() == [2, 0, 7, 0]
     assert got.loc["b"].tolist() == [1, 1, 1, 5]
     assert got.loc["c"].tolist() == [0, 2, 0, 3]
+
+
+def _brute_kcore(pairs, k):
+    pairs = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = {x for p in pairs for x in p}
+    while True:
+        deg = dict.fromkeys(nodes, 0)
+        for a, b in pairs:
+            if a in nodes and b in nodes:
+                deg[a] += 1
+                deg[b] += 1
+        nxt = {n for n in nodes if deg[n] >= k}
+        if nxt == nodes:
+            return {f"h{n}": deg[n] for n in nodes}
+        nodes = nxt
+
+
+def _kcore_dict(df):
+    return {h: int(d) for h, d in zip(df["host"], df["core_deg"])}
+
+
+def test_kcore_matches_brute_force(ray_session):
+    from docler_ray.stages.linkgraph import canonical_undirected, k_core
+
+    for seed, k in ((3, 3), (9, 4), (21, 5)):
+        edges = _rand_digraph(seed, n_nodes=16, n_draws=70)
+        got = _kcore_dict(
+            k_core(canonical_undirected(_edges_ds(edges)), k).to_pandas()
+        )
+        assert got == _brute_kcore(edges, k), (seed, k)
+
+
+def test_kcore_triangle_with_tail(ray_session):
+    from docler_ray.stages.linkgraph import canonical_undirected, k_core
+
+    # the tail (2-3, 3-4) peels in two cascading rounds; triangle survives
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    got = _kcore_dict(
+        k_core(canonical_undirected(_edges_ds(pairs)), 2).to_pandas()
+    )
+    assert got == {"h0": 2, "h1": 2, "h2": 2}
+
+
+def test_kcore_distributed_regime_matches_local(ray_session, monkeypatch):
+    import docler_ray.stages.linkgraph as lg
+
+    edges = _rand_digraph(6, n_nodes=14, n_draws=60)
+    und = lambda: lg.canonical_undirected(_edges_ds(edges))  # noqa: E731
+    local = _kcore_dict(lg.k_core(und(), 3).to_pandas())
+    monkeypatch.setattr(lg, "_PAGERANK_LOCAL_EDGE_CAP", 0)
+    dist = _kcore_dict(lg.k_core(und(), 3).to_pandas())
+    assert dist == local == _brute_kcore(edges, 3)
+
+
+def test_kcore_empty_and_all_peeled(ray_session):
+    from docler_ray.stages.linkgraph import canonical_undirected, k_core
+
+    got = k_core(canonical_undirected(_edges_ds([])), 2)
+    assert got.count() == 0
+    assert got.schema().names == ["host", "core_deg"]
+    # a path graph has no 2-core at all
+    path = [(0, 1), (1, 2), (2, 3)]
+    assert k_core(canonical_undirected(_edges_ds(path)), 2).count() == 0
+
+
+def test_kcore_over_cap_raises(ray_session, monkeypatch):
+    import docler_ray.stages.linkgraph as lg
+
+    monkeypatch.setattr(lg, "_PAGERANK_LOCAL_EDGE_CAP", 0)
+    with pytest.raises(NotImplementedError, match="broadcast regime capped"):
+        lg.k_core(
+            lg.canonical_undirected(_edges_ds([(0, 1), (1, 2)])),
+            1,
+            broadcast_cap=2,
+        )

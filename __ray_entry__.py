@@ -8027,6 +8027,63 @@ _SITEMAP_SQL = (
 )
 
 
+def _q_registered_domains(sf_dir: str):
+    """eTLD+1 extraction (publicsuffix.org ALGORITHM over the embedded
+    deterministic rule subset, functions/psl.py): six host families per
+    doc_id exercise multi-label suffixes, the *.ck wildcard, the !www.ck
+    exception, a github.io private-style entry, the implicit '*' default,
+    and a bare public suffix (not registrable -> ''). Zero-shuffle map,
+    per-distinct-host memoized; CASE-rebuild oracle."""
+    import ray.data
+
+    from docler_ray.stages.urlops import registered_domains
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_hosts(batch: pa.Table) -> pa.Table:
+        hosts = []
+        for di in batch.column("doc_id").to_pylist():
+            v = di % 6
+            if v == 0:
+                h = f"a{di}.shop.example.com"
+            elif v == 1:
+                h = f"b{di}.co.uk"
+            elif v == 2:
+                h = f"e.c.d{di}.ck"
+            elif v == 3:
+                h = "www.ck"
+            elif v == 4:
+                h = f"x{di}.github.io"
+            else:
+                h = "com"
+            hosts.append(h)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "host": pa.array(hosts, pa.string())}
+        )
+
+    hosts = ds.map_batches(to_hosts, batch_format="pyarrow", zero_copy_batch=True)
+    return registered_domains(hosts)
+
+
+_REG_DOMAINS_SQL = (
+    "SELECT doc_id, CASE doc_id % 6 "
+    "WHEN 0 THEN 'a' || i || '.shop.example.com' "
+    "WHEN 1 THEN 'b' || i || '.co.uk' "
+    "WHEN 2 THEN 'e.c.d' || i || '.ck' "
+    "WHEN 3 THEN 'www.ck' "
+    "WHEN 4 THEN 'x' || i || '.github.io' "
+    "ELSE 'com' END AS host, "
+    "CASE doc_id % 6 "
+    "WHEN 0 THEN 'example.com' "
+    "WHEN 1 THEN 'b' || i || '.co.uk' "
+    "WHEN 2 THEN 'c.d' || i || '.ck' "
+    "WHEN 3 THEN 'www.ck' "
+    "WHEN 4 THEN 'x' || i || '.github.io' "
+    "ELSE '' END AS reg_domain "
+    "FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents)"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -9841,6 +9898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_profile_docs": _q_winnow_profile_docs,
         "winnow_shared_pairs": _q_winnow_shared_pairs,
         "sitemap_frontier_rows": _q_sitemap_frontier_rows,
+        "registered_domains": _q_registered_domains,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -10884,6 +10942,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_profile_docs": _WINNOW_PROFILE_SQL,
         "winnow_shared_pairs": _WINNOW_PAIRS_SQL,
         "sitemap_frontier_rows": _SITEMAP_SQL,
+        "registered_domains": _REG_DOMAINS_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

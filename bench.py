@@ -352,6 +352,7 @@ def bench_once() -> dict:
         timed("winnow_profile_docs", q["winnow_profile_docs"])
         timed("winnow_shared_pairs", q["winnow_shared_pairs"])
         timed("sitemap_frontier_rows", q["sitemap_frontier_rows"])
+        timed("registered_domains", q["registered_domains"])
     finally:
         ray.shutdown()
     return results

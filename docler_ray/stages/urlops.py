@@ -506,3 +506,30 @@ def parse_sitemaps(ds, *, xml_col: str = "sitemap_xml", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def registered_domains(
+    ds, *, host_col: str = "host", out_col: str = "reg_domain", psl_text: str | None = None
+):
+    """Append the eTLD+1 registrable domain (functions/psl.py) — the
+    per-owner rollup key for crawl quotas. Zero shuffle; the rule table is
+    tiny and closes over the tasks; each batch computes once per DISTINCT
+    host (web corpora repeat hosts heavily) and scatters via the unique
+    inverse."""
+    import numpy as np
+
+    from docler_ray.functions.psl import parse_psl_rules, registered_domain
+
+    rules = parse_psl_rules(psl_text) if psl_text is not None else None
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hosts = batch.column(host_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(hosts, return_inverse=True)
+        mapped = np.array(
+            [registered_domain(h or "", rules) for h in uniq], dtype=object
+        )
+        return batch.append_column(
+            out_col, pa.array(mapped[inv], pa.string())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -8084,6 +8084,52 @@ _REG_DOMAINS_SQL = (
 )
 
 
+_CRAWL_BUDGET = 997  # prime: every host carries a nonzero remainder
+
+
+def _q_crawl_budget_quotas(sf_dir: str):
+    """Hamilton largest-remainder crawl-budget apportionment
+    (stages/urlops.py): 997 fetch slots split across hosts proportional to
+    per-host char mass — floor quotas plus +1 to the largest remainders
+    (ties host-ascending), summing to the budget EXACTLY. Map-side weight
+    partials, one host exchange, dimension-bounded driver finish."""
+    import ray.data
+
+    from docler_ray.stages.urlops import allocate_crawl_budget
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def host(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "host": pc.binary_join_element_wise(
+                    batch.column("source"), ".example", ""
+                ),
+                "weight": batch.column("n_chars"),
+            }
+        )
+
+    hosts = ds.map_batches(host, batch_format="pyarrow", zero_copy_batch=True)
+    return allocate_crawl_budget(hosts, _CRAWL_BUDGET)
+
+
+_CRAWL_BUDGET_SQL = (
+    f"WITH w AS (SELECT source || '.example' AS host, "
+    "CAST(SUM(n_chars) AS BIGINT) AS weight FROM documents GROUP BY 1), "
+    "t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tot FROM w), "
+    f"b AS (SELECT host, weight, ({_CRAWL_BUDGET} * weight) // t.tot AS base, "
+    f"({_CRAWL_BUDGET} * weight) % t.tot AS rem FROM w, t), "
+    f"x AS (SELECT CAST({_CRAWL_BUDGET} - SUM(base) AS BIGINT) AS extra FROM b), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk FROM b) "
+    "SELECT host, weight, CAST(base + CASE WHEN rk <= x.extra THEN 1 ELSE 0 END "
+    "AS BIGINT) AS quota FROM r, x"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -9899,6 +9945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_shared_pairs": _q_winnow_shared_pairs,
         "sitemap_frontier_rows": _q_sitemap_frontier_rows,
         "registered_domains": _q_registered_domains,
+        "crawl_budget_quotas": _q_crawl_budget_quotas,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -10943,6 +10990,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_shared_pairs": _WINNOW_PAIRS_SQL,
         "sitemap_frontier_rows": _SITEMAP_SQL,
         "registered_domains": _REG_DOMAINS_SQL,
+        "crawl_budget_quotas": _CRAWL_BUDGET_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -353,6 +353,7 @@ def bench_once() -> dict:
         timed("winnow_shared_pairs", q["winnow_shared_pairs"])
         timed("sitemap_frontier_rows", q["sitemap_frontier_rows"])
         timed("registered_domains", q["registered_domains"])
+        timed("crawl_budget_quotas", q["crawl_budget_quotas"])
     finally:
         ray.shutdown()
     return results

@@ -226,3 +226,61 @@ def test_canonicalize_urls_fast_path_and_machine_agree(ray_session):
     got = canonicalize_urls(ds).to_pandas().sort_values("url")["url_canon"].tolist()
     want = sorted(zip(urls, [canonicalize_url(u) for u in urls]))
     assert got == [c for _, c in want]
+
+
+# --- Hamilton largest-remainder budget allocation ----------------------------
+
+
+def _budget_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array([h for h, _ in rows], pa.string()),
+                "weight": pa.array([w for _, w in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def test_budget_sums_exactly_and_is_proportional(ray_session):
+    from docler_ray.stages.urlops import allocate_crawl_budget
+
+    rows = [("a", 5), ("b", 3), ("c", 2), ("a", 5)]  # a=10, b=3, c=2, W=15
+    df = (
+        allocate_crawl_budget(_budget_ds(rows), 7)
+        .to_pandas()
+        .set_index("host")
+    )
+    # base: a: 70//15=4 rem 10, b: 21//15=1 rem 6, c: 14//15=0 rem 14
+    # extra = 7-5 = 2 -> c (rem 14) and a (rem 10) get +1
+    assert df["quota"].to_dict() == {"a": 5, "b": 1, "c": 1}
+    assert df["quota"].sum() == 7
+    assert df["weight"].to_dict() == {"a": 10, "b": 3, "c": 2}
+
+
+def test_budget_tie_breaks_host_ascending(ray_session):
+    from docler_ray.stages.urlops import allocate_crawl_budget
+
+    # equal weights, budget 5 over 3 hosts: base 1 each, rem equal ->
+    # extra 2 slots go to the two lexicographically first hosts
+    rows = [("x", 1), ("m", 1), ("q", 1)]
+    df = (
+        allocate_crawl_budget(_budget_ds(rows), 5)
+        .to_pandas()
+        .set_index("host")
+    )
+    assert df["quota"].to_dict() == {"m": 2, "q": 2, "x": 1}
+
+
+def test_budget_empty_and_cap(ray_session):
+    import pytest as _pytest
+
+    from docler_ray.stages.urlops import allocate_crawl_budget
+
+    empty = allocate_crawl_budget(_budget_ds([]), 10)
+    assert empty.count() == 0
+    assert empty.schema().names == ["host", "weight", "quota"]
+    with _pytest.raises(NotImplementedError, match="driver finish capped"):
+        allocate_crawl_budget(_budget_ds([("a", 1), ("b", 1)]), 3, host_cap=1)

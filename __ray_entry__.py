@@ -8130,6 +8130,55 @@ _CRAWL_BUDGET_SQL = (
 )
 
 
+_LATENESS_US = 480 * 60 * 1_000_000  # 8 h allowed lateness
+
+
+def _q_events_late_flags(sf_dir: str):
+    """Event-time watermark late-data detection (Dataflow model, Akidau
+    et al. VLDB'15; stages/windows.py): arrival order is a deterministic
+    block-100 reversal of event_id (simulated network reordering — the
+    raw feed is time-sorted, so the watermark would never bite), the
+    watermark is the exclusive running max of event time via the
+    range-bucketed distributed prefix scan, and late = ts below watermark
+    minus 8 h. 857/1000 late at sf0.001 — the flag bites both ways."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docler_ray.stages.windows import late_event_flags
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def arrival(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id")
+        arr = pc.add(
+            pc.multiply(pc.divide(e, 100), 100),
+            pc.subtract(99, pc.subtract(e, pc.multiply(pc.divide(e, 100), 100))),
+        )
+        return pa.table(
+            {
+                "arrival": arr,
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            }
+        )
+
+    arr = ds.map_batches(arrival, batch_format="pyarrow", zero_copy_batch=True)
+    return late_event_flags(
+        arr, order_col="arrival", ts_col="ts_us", lateness_us=_LATENESS_US
+    )
+
+
+_LATE_FLAGS_SQL = (
+    "WITH a AS (SELECT (event_id // 100) * 100 + 99 - event_id % 100 AS arrival, "
+    "epoch_us(ts) AS ts_us FROM events), "
+    "w AS (SELECT arrival, ts_us, MAX(ts_us) OVER (ORDER BY arrival "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_excl_us FROM a) "
+    f"SELECT arrival, ts_us, wm_excl_us, "
+    f"COALESCE(wm_excl_us - {_LATENESS_US} > ts_us, FALSE) AS late FROM w"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -9946,6 +9995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_frontier_rows": _q_sitemap_frontier_rows,
         "registered_domains": _q_registered_domains,
         "crawl_budget_quotas": _q_crawl_budget_quotas,
+        "events_late_flags": _q_events_late_flags,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -10991,6 +11041,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_frontier_rows": _SITEMAP_SQL,
         "registered_domains": _REG_DOMAINS_SQL,
         "crawl_budget_quotas": _CRAWL_BUDGET_SQL,
+        "events_late_flags": _LATE_FLAGS_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

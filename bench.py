@@ -354,6 +354,7 @@ def bench_once() -> dict:
         timed("sitemap_frontier_rows", q["sitemap_frontier_rows"])
         timed("registered_domains", q["registered_domains"])
         timed("crawl_budget_quotas", q["crawl_budget_quotas"])
+        timed("events_late_flags", q["events_late_flags"])
     finally:
         ray.shutdown()
     return results

@@ -165,3 +165,101 @@ def pack_sequences(
     return ordered_prefix_sum(
         ds, order_col, token_col, n_rows=n_rows, _budget=int(budget)
     )
+
+
+def ordered_prefix_max(ds, order_col: str, value_col: str, *, n_rows: int | None = None):
+    """(order_col, value_col, ``cummax_excl``) — the EXCLUSIVE running max
+    of value_col in order_col order (NULL for the first row: no
+    predecessor). Same three-phase plan as :func:`ordered_prefix_sum`
+    (range-bucket the monotone key, B-row bucket maxima to the driver,
+    per-bucket scan) — the streaming-watermark primitive: "the largest
+    event time seen BEFORE this arrival".
+    """
+    from ray.data.aggregate import Max, Min
+
+    if n_rows is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover
+            n_rows = None
+    n_buckets = _bucket_count(n_rows)
+
+    ds = ds.select_columns([order_col, value_col])
+    bounds = ds.aggregate(
+        Min(order_col, alias_name="lo"), Max(order_col, alias_name="hi")
+    )
+    if bounds["lo"] is None:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    order_col: pa.array([], type=pa.int64()),
+                    value_col: pa.array([], type=pa.int64()),
+                    "cummax_excl": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = hi - lo + 1
+    if span * n_buckets >= 2**62:
+        raise ValueError("order-key span too large for range bucketing")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(order_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        b = ((keys - lo) * n_buckets) // span
+        return batch.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    bucketed = ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    maxes = (
+        bucketed.groupby("bucket")
+        .aggregate(Max(value_col, alias_name="bucket_max"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    _SENTINEL = np.iinfo(np.int64).min
+    ids = maxes["bucket"].to_numpy()
+    # exclusive cummax across buckets: base of bucket i = max of buckets < i
+    cm = np.maximum.accumulate(maxes["bucket_max"].to_numpy().astype(np.int64))
+    bases_arr = np.concatenate(([_SENTINEL], cm[:-1]))
+    bases = dict(zip(ids.tolist(), bases_arr.tolist()))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    order_col: pd.Series([], dtype="int64"),
+                    value_col: pd.Series([], dtype="int64"),
+                    "cummax_excl": pd.Series([], dtype="Int64"),
+                }
+            )
+        df = df.sort_values(order_col, kind="mergesort")
+        vals = df[value_col].to_numpy(dtype=np.int64)
+        incl = np.maximum.accumulate(vals)
+        excl = np.concatenate(([_SENTINEL], incl[:-1]))
+        base = bases[int(df["bucket"].iloc[0])]
+        excl = np.maximum(excl, base)
+        return pd.DataFrame(
+            {
+                order_col: df[order_col].to_numpy(dtype=np.int64),
+                value_col: vals,
+                # nullable Int64 (NOT a float detour — epoch-us magnitudes
+                # are int64-exact but would round beyond 2^53 in float64):
+                # NULL where no predecessor exists
+                "cummax_excl": pd.array(
+                    np.where(excl == _SENTINEL, 0, excl),
+                    dtype="Int64",
+                ),
+            }
+        ).assign(
+            cummax_excl=lambda d: d["cummax_excl"].mask(
+                pd.Series(excl == _SENTINEL, index=d.index)
+            )
+        )
+
+    return bucketed.groupby("bucket").map_groups(scan, batch_format="pandas")

@@ -1161,3 +1161,41 @@ def _col_hash_generic(col) -> np.ndarray:
     )
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     return crcs[codes]
+
+
+def late_event_flags(ds, *, order_col: str, ts_col: str, lateness_us: int):
+    """Event-time watermark late-data detection (the Dataflow model,
+    Akidau et al. VLDB'15, under BATCH replay semantics): arrivals in
+    ``order_col`` order carry event times ``ts_col`` (int64 micros); the
+    watermark BEFORE an arrival is the exclusive running max of event time
+    minus the allowed lateness, and an event is LATE iff its event time
+    sits below that watermark — exactly the rows a streaming engine would
+    drop or side-output.
+
+    Plan: one :func:`packing.ordered_prefix_max` (range-bucketed scan —
+    no global sort, driver holds B bucket maxima) plus a stateless flag
+    map. Returns (order_col, ts_us, wm_excl_us [NULL for the first
+    arrival], late).
+    """
+    import pyarrow.compute as pc
+
+    from docler_ray.stages.packing import ordered_prefix_max
+
+    pm = ordered_prefix_max(ds, order_col, ts_col)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        wm = batch.column("cummax_excl")
+        ts = batch.column(ts_col)
+        late = pc.fill_null(
+            pc.greater(pc.subtract(wm, lateness_us), ts), False
+        )
+        return pa.table(
+            {
+                order_col: batch.column(order_col),
+                "ts_us": ts,
+                "wm_excl_us": wm,
+                "late": late,
+            }
+        )
+
+    return pm.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

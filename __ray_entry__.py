@@ -8179,6 +8179,48 @@ _LATE_FLAGS_SQL = (
 )
 
 
+def _q_cdc_dedup_profile(sf_dir: str):
+    """Content-defined chunking storage-dedup profile (LBFS SOSP'01 /
+    FastCDC ATC'16 boundaries at word granularity, stages/cdc_chunks.py):
+    a chunk closes after any token whose 52-bit md5 is 0 mod 64, so chunk
+    identities are insertion-shift-resistant; per-lang (chunks, distinct
+    chunks, token mass, distinct token mass) says what a content-addressed
+    store would hold. Map-side distinct partials, ONE (lang, chunk_hash)
+    exchange, lang-sized fold; window-cumsum + string_agg SQL twin."""
+    import ray.data
+
+    from docler_ray.stages.cdc_chunks import cdc_dedup_profile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+    return cdc_dedup_profile(ds)
+
+
+_CDC_PROFILE_SQL = (
+    "WITH toks AS (SELECT doc_id, lang, i, ws[i] AS tok FROM "
+    "(SELECT doc_id, lang, " + _WS_TOKS_SQL + " AS ws FROM documents), "
+    "LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)), "
+    "hb AS (SELECT doc_id, lang, i, tok, "
+    "CAST(('0x' || substr(md5(tok), 1, 13))::UBIGINT % 64 = 0 AS INT) AS b "
+    "FROM toks), "
+    "cid AS (SELECT doc_id, lang, i, tok, COALESCE(SUM(b) OVER ("
+    "PARTITION BY doc_id ORDER BY i "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id "
+    "FROM hb), "
+    "chunks AS (SELECT doc_id, lang, chunk_id, "
+    "CAST(('0x' || substr(md5(string_agg(tok, ' ' ORDER BY i)), 1, 13))"
+    "::UBIGINT AS BIGINT) AS h, CAST(COUNT(*) AS BIGINT) AS ntok "
+    "FROM cid GROUP BY doc_id, lang, chunk_id), "
+    "per AS (SELECT lang, h, CAST(COUNT(*) AS BIGINT) AS n, MIN(ntok) AS ntok "
+    "FROM chunks GROUP BY lang, h) "
+    "SELECT lang, CAST(SUM(n) AS BIGINT) AS n_chunks, "
+    "CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks, "
+    "CAST(SUM(n * ntok) AS BIGINT) AS token_mass, "
+    "CAST(SUM(ntok) AS BIGINT) AS distinct_token_mass FROM per GROUP BY lang"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -9996,6 +10038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registered_domains": _q_registered_domains,
         "crawl_budget_quotas": _q_crawl_budget_quotas,
         "events_late_flags": _q_events_late_flags,
+        "cdc_dedup_profile": _q_cdc_dedup_profile,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11042,6 +11085,7 @@ def oracle_sql() -> dict[str, str]:
         "registered_domains": _REG_DOMAINS_SQL,
         "crawl_budget_quotas": _CRAWL_BUDGET_SQL,
         "events_late_flags": _LATE_FLAGS_SQL,
+        "cdc_dedup_profile": _CDC_PROFILE_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

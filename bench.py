@@ -355,6 +355,7 @@ def bench_once() -> dict:
         timed("registered_domains", q["registered_domains"])
         timed("crawl_budget_quotas", q["crawl_budget_quotas"])
         timed("events_late_flags", q["events_late_flags"])
+        timed("cdc_dedup_profile", q["cdc_dedup_profile"])
     finally:
         ray.shutdown()
     return results

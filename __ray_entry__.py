@@ -8221,6 +8221,47 @@ _CDC_PROFILE_SQL = (
 )
 
 
+# border-free (first char != last char => no self-overlap), so every-
+# occurrence AC counts equal the non-overlapping replace-arithmetic counts
+_AC_PATTERNS = [
+    "hash join",
+    "table scan",
+    "group by",
+    "window filter",
+    "merge data",
+    "big sort",
+    "the order",
+    "vector",
+    "customer",
+    "spark",
+]
+
+
+def _q_ac_pattern_counts(sf_dir: str):
+    """Aho-Corasick dictionary matching (CACM'75; stages/acmatch.py):
+    corpus-total occurrences of a 10-pattern dictionary in ONE automaton
+    pass per batch — the automaton compiles once per ACTOR (the stateful
+    actor-pool contract), vs O(patterns) scans for the per-pattern
+    count_substring plan. Patterns are border-free so the SQL
+    replace-arithmetic twin is exact."""
+    import ray.data
+
+    from docler_ray.stages.acmatch import ac_pattern_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return ac_pattern_counts(ds, _AC_PATTERNS)
+
+
+def _ac_counts_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{p}' AS pattern, CAST(SUM((length(text) - "
+        f"length(replace(text, '{p}', ''))) / {len(p)}) AS BIGINT) AS n "
+        "FROM documents"
+        for p in _AC_PATTERNS
+    )
+    return f"SELECT pattern, n FROM ({arms}) WHERE n > 0"
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10039,6 +10080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget_quotas": _q_crawl_budget_quotas,
         "events_late_flags": _q_events_late_flags,
         "cdc_dedup_profile": _q_cdc_dedup_profile,
+        "ac_pattern_counts": _q_ac_pattern_counts,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11086,6 +11128,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget_quotas": _CRAWL_BUDGET_SQL,
         "events_late_flags": _LATE_FLAGS_SQL,
         "cdc_dedup_profile": _CDC_PROFILE_SQL,
+        "ac_pattern_counts": _ac_counts_sql(),
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

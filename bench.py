@@ -356,6 +356,7 @@ def bench_once() -> dict:
         timed("crawl_budget_quotas", q["crawl_budget_quotas"])
         timed("events_late_flags", q["events_late_flags"])
         timed("cdc_dedup_profile", q["cdc_dedup_profile"])
+        timed("ac_pattern_counts", q["ac_pattern_counts"])
     finally:
         ray.shutdown()
     return results

@@ -1,0 +1,127 @@
+"""Aho-Corasick multi-pattern matching (Aho & Corasick, CACM'75) as the
+canonical STATEFUL actor-pool stage: the automaton (goto trie + BFS
+failure links + suffix-merged output sets) compiles ONCE per actor in
+``__init__`` and every batch then streams through it in a single pass —
+one text scan for the whole dictionary, where per-pattern scanning
+(functions/phrase_hit_counts) pays O(patterns) passes. At 10^5-entry
+blocklists/taxonomies the single-pass automaton is the only viable shape.
+
+Counting semantics: EVERY occurrence of every pattern (overlapping
+occurrences included — outputs propagate along suffix links). For
+border-free patterns (first char != last char suffices) self-overlap is
+impossible, so the count equals the non-overlapping count and the DuckDB
+replace-arithmetic oracle replays it exactly; the query pins that subset.
+
+docler has no matching tier; algorithm from the published paper only.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+import pyarrow as pa
+
+
+class AhoCorasick:
+    """Classic goto/fail/output automaton over unicode code points."""
+
+    def __init__(self, patterns: list[str]):
+        self.patterns = list(patterns)
+        goto: list[dict] = [{}]
+        out: list[list[int]] = [[]]
+        for pid, p in enumerate(self.patterns):
+            s = 0
+            for ch in p:
+                nxt = goto[s].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    out.append([])
+                    nxt = len(goto) - 1
+                    goto[s][ch] = nxt
+                s = nxt
+            out[s].append(pid)
+        fail = [0] * len(goto)
+        q: deque[int] = deque()
+        for s in goto[0].values():
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, s in goto[r].items():
+                q.append(s)
+                f = fail[r]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+                out[s] = out[s] + out[fail[s]]  # suffix-link outputs
+        self._goto = goto
+        self._fail = fail
+        self._out = out
+
+    def count_into(self, text: str, counts: np.ndarray) -> None:
+        """Add every occurrence of every pattern in ``text`` to counts."""
+        goto, fail, out = self._goto, self._fail, self._out
+        s = 0
+        for ch in text:
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            if out[s]:
+                for pid in out[s]:
+                    counts[pid] += 1
+
+    def counts(self, text: str) -> np.ndarray:
+        c = np.zeros(len(self.patterns), dtype=np.int64)
+        self.count_into(text, c)
+        return c
+
+
+class _ACPartial:
+    """map_batches actor: automaton built once per actor, per-batch
+    partial (pattern, n) rows with zero-count patterns skipped."""
+
+    def __init__(self, patterns: list[str], text_col: str):
+        self._ac = AhoCorasick(patterns)
+        self._text_col = text_col
+        self._pat_arr = pa.array(patterns, pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = np.zeros(len(self._ac.patterns), dtype=np.int64)
+        for t in batch.column(self._text_col).to_pylist():
+            if t:
+                self._ac.count_into(t, counts)
+        keep = counts > 0
+        return pa.table(
+            {
+                "pattern": self._pat_arr.filter(pa.array(keep)),
+                "pn": pa.array(counts[keep]),
+            }
+        )
+
+    @staticmethod
+    def empty() -> pa.Table:
+        return pa.table(
+            {"pattern": pa.array([], pa.string()), "pn": pa.array([], pa.int64())}
+        )
+
+
+def ac_pattern_counts(
+    ds, patterns: list[str], *, text_col: str = "text", concurrency: int = 4
+):
+    """Corpus-total occurrence count per dictionary pattern: ONE automaton
+    pass per batch inside an actor pool (compile once per actor), partial
+    counts fold through a dictionary-sized groupby. Patterns with zero
+    corpus occurrences are absent from the output (emit-on-hit)."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(
+            _ACPartial,
+            fn_constructor_args=(list(patterns), text_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+        .groupby("pattern")
+        .aggregate(Sum("pn", alias_name="n"))
+    )

@@ -8262,6 +8262,54 @@ def _ac_counts_sql() -> str:
     return f"SELECT pattern, n FROM ({arms}) WHERE n > 0"
 
 
+def _q_resolve_redirects(sf_dir: str):
+    """Redirect-chain resolution over the functional redirect graph
+    (stages/linkgraph.py): per doc_id a chain of doc_id%4+1 hops plus a
+    2-cycle for every 7th doc — the colored walk resolves every source to
+    its terminal with hop count, loop members and their feeders get
+    NULL/cyclic. Arithmetic-rebuild oracle (chain answers are closed-form
+    by construction)."""
+    import ray.data
+
+    from docler_ray.stages.linkgraph import resolve_redirects
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for d in batch.column("doc_id").to_pylist():
+            hops = d % 4 + 1
+            for j in range(hops):
+                srcs.append(f"u{d}_{j}")
+                dsts.append(f"u{d}_{j + 1}")
+            if d % 7 == 0:
+                srcs += [f"c{d}_0", f"c{d}_1"]
+                dsts += [f"c{d}_1", f"c{d}_0"]
+        return pa.table(
+            {
+                "src_url": pa.array(srcs, pa.string()),
+                "dst_url": pa.array(dsts, pa.string()),
+            }
+        )
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return resolve_redirects(edges)
+
+
+_RESOLVE_REDIRECTS_SQL = (
+    "WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS L FROM documents), "
+    "chain AS (SELECT doc_id, L, j FROM d, "
+    "LATERAL (SELECT unnest(range(0, L)) AS j)) "
+    "SELECT 'u' || doc_id || '_' || j AS src, "
+    "'u' || doc_id || '_' || L AS final, CAST(L - j AS BIGINT) AS hops, "
+    "FALSE AS cyclic FROM chain "
+    "UNION ALL SELECT 'c' || doc_id || '_0', NULL, NULL, TRUE "
+    "FROM documents WHERE doc_id % 7 = 0 "
+    "UNION ALL SELECT 'c' || doc_id || '_1', NULL, NULL, TRUE "
+    "FROM documents WHERE doc_id % 7 = 0"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10081,6 +10129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_flags": _q_events_late_flags,
         "cdc_dedup_profile": _q_cdc_dedup_profile,
         "ac_pattern_counts": _q_ac_pattern_counts,
+        "resolve_redirects": _q_resolve_redirects,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11129,6 +11178,7 @@ def oracle_sql() -> dict[str, str]:
         "events_late_flags": _LATE_FLAGS_SQL,
         "cdc_dedup_profile": _CDC_PROFILE_SQL,
         "ac_pattern_counts": _ac_counts_sql(),
+        "resolve_redirects": _RESOLVE_REDIRECTS_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

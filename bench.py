@@ -357,6 +357,7 @@ def bench_once() -> dict:
         timed("events_late_flags", q["events_late_flags"])
         timed("cdc_dedup_profile", q["cdc_dedup_profile"])
         timed("ac_pattern_counts", q["ac_pattern_counts"])
+        timed("resolve_redirects", q["resolve_redirects"])
     finally:
         ray.shutdown()
     return results

@@ -851,3 +851,111 @@ def _get_broadcast_set(ref):
     import ray
 
     return ray.get(ref)
+
+
+def resolve_redirects(
+    edges,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    broadcast_cap: int | None = None,
+):
+    """Resolve every redirect source to its FINAL target over the
+    functional redirect graph (each src has one outgoing edge after the
+    distinct pass; later duplicates of a src are an input error and raise).
+    Returns one row per src: (src, final, hops, cyclic) — final/hops NULL
+    for sources whose chain enters a redirect LOOP (final is undefined;
+    a fetcher treats them as dead).
+
+    Regimes mirror :func:`pagerank`: the distinct edge map is
+    node-cardinality state, so under the broadcast cap the resolution runs
+    as ONE colored walk over the map (iterative three-color cycle
+    detection, O(nodes) total — every node's answer memoizes); above the
+    cap the documented plan is pointer-doubling self-joins (log2(longest
+    chain) copartitioned joins, no driver state) and this raises naming
+    it."""
+    import ray
+    from ray.data.aggregate import Count
+
+    cap = _PAGERANK_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+    ded = (
+        edges.groupby([src_col, dst_col])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .materialize()
+    )
+    n_edges = ded.count()
+
+    def _out(srcs, finals, hops, cyc):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(srcs, pa.string()),
+                    "final": pa.array(finals, pa.string()),
+                    "hops": pa.array(hops, pa.int64()),
+                    "cyclic": pa.array(cyc, pa.bool_()),
+                }
+            )
+        )
+
+    if n_edges == 0:
+        return _out([], [], [], [])
+    if n_edges > cap:
+        raise NotImplementedError(
+            f"resolve_redirects broadcast regime capped at {cap} distinct "
+            f"edges (measured {n_edges}); beyond it run pointer-doubling "
+            "self-joins: log2(longest chain) rounds of f := f∘f as "
+            "copartitioned joins on the pointer column"
+        )
+    edf = ded.to_pandas()
+    nxt: dict = {}
+    for s, d in zip(edf[src_col], edf[dst_col]):
+        if s in nxt and nxt[s] != d:
+            raise ValueError(
+                f"redirect map is not functional: {s!r} has two targets"
+            )
+        nxt[s] = d
+    # three-color walk: 0/absent=white, 1=on current path, 2=resolved
+    final: dict = {}
+    hops: dict = {}
+    cyclic: dict = {}
+    color: dict = {}
+    for start in nxt:
+        if color.get(start) == 2:
+            continue
+        path = []
+        node = start
+        while True:
+            if node not in nxt:  # terminal
+                base_final, base_hops, base_cyc = node, 0, False
+                break
+            c = color.get(node)
+            if c == 2:  # memoized
+                base_final = final[node]
+                base_hops = hops[node]
+                base_cyc = cyclic[node]
+                break
+            if c == 1:  # closed a loop within this walk
+                i = path.index(node)
+                for p in path[i:]:
+                    final[p], hops[p], cyclic[p], color[p] = None, None, True, 2
+                path = path[:i]
+                base_final, base_hops, base_cyc = None, None, True
+                break
+            color[node] = 1
+            path.append(node)
+            node = nxt[node]
+        for j, p in enumerate(reversed(path), start=1):
+            cyclic[p] = base_cyc
+            final[p] = base_final
+            hops[p] = None if base_cyc else base_hops + j
+            color[p] = 2
+    srcs = sorted(nxt)
+    return _out(
+        srcs,
+        [final[s] for s in srcs],
+        [hops[s] for s in srcs],
+        [cyclic[s] for s in srcs],
+    )

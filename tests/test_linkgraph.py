@@ -443,3 +443,55 @@ def test_kcore_over_cap_raises(ray_session, monkeypatch):
             1,
             broadcast_cap=2,
         )
+
+
+def _redirect_ds(pairs):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([a for a, _ in pairs], pa.string()),
+                "dst_url": pa.array([b for _, b in pairs], pa.string()),
+            }
+        )
+    )
+
+
+def test_resolve_redirects_chain_cycle_feeder(ray_session):
+    from docler_ray.stages.linkgraph import resolve_redirects
+
+    # chain a->b->c->T; 2-cycle x<->y; feeder f->x; duplicate edge collapses
+    pairs = [("a", "b"), ("b", "c"), ("c", "T"), ("x", "y"), ("y", "x"), ("f", "x"), ("a", "b")]
+    df = resolve_redirects(_redirect_ds(pairs)).to_pandas().set_index("src")
+    assert df.loc["a", "final"] == "T" and df.loc["a", "hops"] == 3
+    assert df.loc["b", "hops"] == 2 and df.loc["c", "hops"] == 1
+    for n in ("x", "y", "f"):
+        assert bool(df.loc[n, "cyclic"]) and df.loc[n, "final"] is None
+
+
+def test_resolve_redirects_self_loop_and_memo(ray_session):
+    from docler_ray.stages.linkgraph import resolve_redirects
+
+    # s->s self loop; two chains converging on one terminal exercise memo
+    pairs = [("s", "s"), ("p", "m"), ("q", "m"), ("m", "T")]
+    df = resolve_redirects(_redirect_ds(pairs)).to_pandas().set_index("src")
+    assert bool(df.loc["s", "cyclic"])
+    assert df.loc["p", "hops"] == 2 and df.loc["q", "hops"] == 2
+    assert df.loc["m", "hops"] == 1
+
+
+def test_resolve_redirects_nonfunctional_raises(ray_session):
+    from docler_ray.stages.linkgraph import resolve_redirects
+
+    with pytest.raises(ValueError, match="not functional"):
+        resolve_redirects(_redirect_ds([("a", "b"), ("a", "c")]))
+
+
+def test_resolve_redirects_empty_and_cap(ray_session):
+    from docler_ray.stages.linkgraph import resolve_redirects
+
+    out = resolve_redirects(_redirect_ds([]))
+    assert out.count() == 0
+    with pytest.raises(NotImplementedError, match="broadcast regime capped"):
+        resolve_redirects(_redirect_ds([("a", "b"), ("b", "c")]), broadcast_cap=1)

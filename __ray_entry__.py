@@ -8310,6 +8310,81 @@ _RESOLVE_REDIRECTS_SQL = (
 )
 
 
+def _q_frontier_pipeline(sf_dir: str):
+    """The crawl-tier FLAGSHIP composition: messy URL spellings (three
+    canonicalization families + duplicate fragment variants for every 5th
+    doc) -> RFC 3986 canonicalize -> canonical-spelling dedup (keep min
+    doc_id, one url exchange) -> RFC 9309 robots filter (broadcast corpus,
+    map-only) -> politeness schedule (one crc-coarse exchange). Four
+    stages, two exchanges total; the SQL twin chains the same CTEs."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from docler_ray.stages.urlops import (
+        canonicalize_urls,
+        crawl_schedule,
+        filter_robots,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def to_messy(batch: pa.Table) -> pa.Table:
+        ids, urls = [], []
+        for d, lang, src in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("lang").to_pylist(),
+            batch.column("source").to_pylist(),
+        ):
+            tail = f"{lang}/doc-{d}"
+            v = d % 3
+            if v == 0:
+                u = f"https://{src}.example/{tail}"
+            elif v == 1:
+                u = f"HTTPS://{src.upper()}.EXAMPLE:443/{tail}#ref"
+            else:
+                u = f"https://{src}.example/x/../{tail}"
+            ids.append(d)
+            urls.append(u)
+            if d % 5 == 0:  # duplicate spelling of the same resource
+                ids.append(d)
+                urls.append(f"https://{src}.example/{tail}#dup")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    messy = ds.map_batches(to_messy, batch_format="pyarrow", zero_copy_batch=True)
+    canon = canonicalize_urls(messy).select_columns(["doc_id", "url_canon"])
+    ded = (
+        canon.groupby("url_canon")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .rename_columns({"url_canon": "url"})
+    )
+    surv = filter_robots(ded, _robots_corpus(sf_dir), url_col="url")
+    return crawl_schedule(surv, delay_s=2)
+
+
+_FRONTIER_PIPELINE_SQL = (
+    "WITH u AS (SELECT doc_id, lang, source || '.example' AS host, "
+    "'/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) AS path, "
+    "CASE WHEN length(source) % 2 = 0 THEN 'de' ELSE 'fr' END AS blk "
+    "FROM documents), "
+    # every messy spelling canonicalizes to one url per doc; the %5
+    # duplicates collapse in the same GROUP BY
+    "surv AS (SELECT doc_id, host, path FROM u "
+    "WHERE NOT ((lang = blk AND path NOT LIKE '/' || blk || '/doc-1%') "
+    "OR path = '/zh/doc-9')) "
+    "SELECT doc_id, host, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT) "
+    "AS seq, CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1) "
+    "* 2 AS BIGINT) AS fetch_offset_s FROM surv"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10130,6 +10205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_profile": _q_cdc_dedup_profile,
         "ac_pattern_counts": _q_ac_pattern_counts,
         "resolve_redirects": _q_resolve_redirects,
+        "frontier_pipeline": _q_frontier_pipeline,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11179,6 +11255,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dedup_profile": _CDC_PROFILE_SQL,
         "ac_pattern_counts": _ac_counts_sql(),
         "resolve_redirects": _RESOLVE_REDIRECTS_SQL,
+        "frontier_pipeline": _FRONTIER_PIPELINE_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

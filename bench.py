@@ -358,6 +358,7 @@ def bench_once() -> dict:
         timed("cdc_dedup_profile", q["cdc_dedup_profile"])
         timed("ac_pattern_counts", q["ac_pattern_counts"])
         timed("resolve_redirects", q["resolve_redirects"])
+        timed("frontier_pipeline", q["frontier_pipeline"])
     finally:
         ray.shutdown()
     return results

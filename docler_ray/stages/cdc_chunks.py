@@ -29,8 +29,18 @@ from docler_ray.functions.tokens import ws_tokens
 DEFAULT_MODULUS = 64  # expected chunk length in tokens
 
 
+from functools import lru_cache
+
+
 def _h52(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8", "replace")).hexdigest()[:13], 16)
+
+
+# token-level hashes repeat heavily (Zipf): a bounded per-process memo
+# turns the boundary scan from one md5 per TOKEN into one per DISTINCT
+# token. Chunk-identity hashes stay uncached (chunks rarely repeat within
+# a process, and the cache would hold long strings).
+_h52_token = lru_cache(maxsize=65536)(_h52)
 
 
 def doc_chunks(text: str, modulus: int = DEFAULT_MODULUS) -> list[tuple[int, int]]:
@@ -42,7 +52,7 @@ def doc_chunks(text: str, modulus: int = DEFAULT_MODULUS) -> list[tuple[int, int
     out: list[tuple[int, int]] = []
     start = 0
     for i, t in enumerate(toks):
-        if _h52(t) % modulus == 0:
+        if _h52_token(t) % modulus == 0:
             chunk = toks[start : i + 1]
             out.append((_h52(" ".join(chunk)), len(chunk)))
             start = i + 1

@@ -8385,6 +8385,50 @@ _FRONTIER_PIPELINE_SQL = (
 )
 
 
+def _q_user_value_ewma(sf_dir: str):
+    """Per-user decayed-activity score: integer EWMA with alpha = 1/2
+    carried exactly (s_1 = v_1, s_i = (s_{i-1} + v_i) // 2 over cents in
+    event order; stages/windows.py::grouped_int_ewma) — ONE crc-coarse
+    exchange; the halving recurrence has no associative scan, so the
+    in-bucket pass is a bounded per-row loop covering all the bucket's
+    users at once. Recursive-CTE oracle replays the recurrence."""
+    import ray.data
+
+    from docler_ray.stages.windows import grouped_int_ewma
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    c = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_int_ewma(c)
+
+
+_USER_EWMA_SQL = (
+    "WITH RECURSIVE seq AS (SELECT user_id, "
+    "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn "
+    "FROM events), "
+    "ew AS (SELECT user_id, rn, c AS s FROM seq WHERE rn = 1 "
+    "UNION ALL SELECT q.user_id, q.rn, (e.s + q.c) // 2 "
+    "FROM ew e JOIN seq q ON q.user_id = e.user_id AND q.rn = e.rn + 1), "
+    "fin AS (SELECT user_id, MAX(rn) AS n_events FROM seq GROUP BY user_id) "
+    "SELECT f.user_id, CAST(f.n_events AS BIGINT) AS n_events, "
+    "e.s AS ewma FROM fin f JOIN ew e "
+    "ON e.user_id = f.user_id AND e.rn = f.n_events"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10206,6 +10250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ac_pattern_counts": _q_ac_pattern_counts,
         "resolve_redirects": _q_resolve_redirects,
         "frontier_pipeline": _q_frontier_pipeline,
+        "user_value_ewma": _q_user_value_ewma,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11256,6 +11301,7 @@ def oracle_sql() -> dict[str, str]:
         "ac_pattern_counts": _ac_counts_sql(),
         "resolve_redirects": _RESOLVE_REDIRECTS_SQL,
         "frontier_pipeline": _FRONTIER_PIPELINE_SQL,
+        "user_value_ewma": _USER_EWMA_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -359,6 +359,7 @@ def bench_once() -> dict:
         timed("ac_pattern_counts", q["ac_pattern_counts"])
         timed("resolve_redirects", q["resolve_redirects"])
         timed("frontier_pipeline", q["frontier_pipeline"])
+        timed("user_value_ewma", q["user_value_ewma"])
     finally:
         ray.shutdown()
     return results

@@ -1199,3 +1199,76 @@ def late_event_flags(ds, *, order_col: str, ts_col: str, lateness_us: int):
         )
 
     return pm.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_int_ewma(
+    ds,
+    *,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "cents",
+    n_rows: int | None = None,
+):
+    """Per-key integer EWMA with alpha = 1/2 carried EXACTLY: s_1 = v_1,
+    s_i = (s_{i-1} + v_i) // 2 — the decayed-activity score a crawl/user
+    profiler keeps, with floor-div halving instead of float decay so the
+    distributed result hash-matches the recursive-CTE SQL twin
+    bit-for-bit. Returns (key, n_events, ewma) at each key's last event.
+
+    Plan: the shared crc-coarse per-key ordered pattern (ONE exchange,
+    in-bucket mergesort across all keys). The halving recurrence is
+    nonlinear in int arithmetic (no associative scan exists), so the
+    in-bucket pass is a per-row loop — bounded by the ~TARGET-rows bucket,
+    never corpus-sized, and each task's loop covers ALL its keys at once.
+    """
+    if n_rows is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover
+            n_rows = None
+    add_coarse = _make_add_coarse(key_col, _session_group_count(n_rows))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "ewma": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values([key_col, order_col], kind="mergesort")
+        keys = df[key_col].to_numpy()
+        vals = df[value_col].to_numpy(dtype=np.int64)
+        out_k: list[int] = []
+        out_n: list[int] = []
+        out_s: list[int] = []
+        cur_k = None
+        s = 0
+        n = 0
+        for k, v in zip(keys, vals):
+            if k != cur_k:
+                if cur_k is not None:
+                    out_k.append(cur_k)
+                    out_n.append(n)
+                    out_s.append(s)
+                cur_k, s, n = k, int(v), 1
+            else:
+                s = (s + int(v)) // 2
+                n += 1
+        out_k.append(cur_k)
+        out_n.append(n)
+        out_s.append(s)
+        return pd.DataFrame(
+            {
+                key_col: np.asarray(out_k, dtype=np.int64),
+                "n_events": np.asarray(out_n, dtype=np.int64),
+                "ewma": np.asarray(out_s, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(scan, batch_format="pandas")
+    )

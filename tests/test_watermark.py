@@ -83,3 +83,64 @@ def test_late_flags_empty(ray_session):
     ds = _arrivals_ds([], [])
     out = late_event_flags(ds, order_col="arrival", ts_col="ts_us", lateness_us=1)
     assert out.count() == 0
+
+
+# --- per-key exact integer EWMA ----------------------------------------------
+
+
+def test_grouped_int_ewma_matches_sequential(ray_session):
+    import numpy as np
+    import ray.data
+
+    from docler_ray.stages.windows import grouped_int_ewma
+
+    rng = np.random.default_rng(9)
+    n = 400
+    keys = rng.integers(0, 12, n)
+    order = rng.permutation(n)
+    vals = rng.integers(0, 10**6, n)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(keys, pa.int64()),
+                "event_id": pa.array(order, pa.int64()),
+                "cents": pa.array(vals, pa.int64()),
+            }
+        )
+    ).repartition(5)
+    got = (
+        grouped_int_ewma(ds)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    # sequential reference
+    import collections
+
+    seq = collections.defaultdict(list)
+    for k, o, v in sorted(zip(keys, order, vals), key=lambda t: (t[0], t[1])):
+        seq[int(k)].append(int(v))
+    for k, vs in seq.items():
+        s = vs[0]
+        for v in vs[1:]:
+            s = (s + v) // 2
+        assert got.loc[k, "ewma"] == s
+        assert got.loc[k, "n_events"] == len(vs)
+
+
+def test_grouped_int_ewma_single_event_and_empty(ray_session):
+    import ray.data
+
+    from docler_ray.stages.windows import grouped_int_ewma
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([7], pa.int64()),
+                "event_id": pa.array([0], pa.int64()),
+                "cents": pa.array([123], pa.int64()),
+            }
+        )
+    )
+    df = grouped_int_ewma(ds).to_pandas()
+    assert df.iloc[0].tolist() == [7, 1, 123]

@@ -8429,6 +8429,44 @@ _USER_EWMA_SQL = (
 )
 
 
+def _q_span_corruption_plan(sf_dir: str):
+    """T5 denoising span-corruption accounting (Raffel et al., JMLR'20;
+    stages/packing.py): position i masked iff md5("{doc_id}:{i}") lands
+    below 15%, maximal masked runs are spans, corrupted_len = n_tokens -
+    n_masked + n_spans — the batch-budget book-keeping a denoising loader
+    runs before materializing corrupted text. Zero shuffle; LAG-window
+    oracle over the same hashes."""
+    import ray.data
+
+    from docler_ray.stages.packing import span_corruption_plan
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return span_corruption_plan(ds)
+
+
+_SPAN_CORRUPTION_SQL = (
+    "WITH toks AS (SELECT doc_id, len(" + _WS_TOKS_SQL + ") AS n "
+    "FROM documents), "
+    "pos AS (SELECT doc_id, i FROM toks, "
+    "LATERAL (SELECT unnest(range(1, n + 1)) AS i)), "
+    "m AS (SELECT doc_id, i, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) "
+    "|| ':' || CAST(i AS VARCHAR)), 1, 13))::UBIGINT % 100 < 15 AS mk "
+    "FROM pos), "
+    "s AS (SELECT doc_id, mk, mk AND NOT COALESCE(LAG(mk) OVER ("
+    "PARTITION BY doc_id ORDER BY i), FALSE) AS st FROM m), "
+    "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+    "CAST(COUNT(*) FILTER (mk) AS BIGINT) AS n_masked, "
+    "CAST(COUNT(*) FILTER (st) AS BIGINT) AS n_spans "
+    "FROM s GROUP BY doc_id) "
+    "SELECT t.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens, "
+    "COALESCE(a.n_masked, 0) AS n_masked, COALESCE(a.n_spans, 0) AS n_spans, "
+    "COALESCE(a.n_tokens - a.n_masked + a.n_spans, 0) AS corrupted_len "
+    "FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10251,6 +10289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resolve_redirects": _q_resolve_redirects,
         "frontier_pipeline": _q_frontier_pipeline,
         "user_value_ewma": _q_user_value_ewma,
+        "span_corruption_plan": _q_span_corruption_plan,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11302,6 +11341,7 @@ def oracle_sql() -> dict[str, str]:
         "resolve_redirects": _RESOLVE_REDIRECTS_SQL,
         "frontier_pipeline": _FRONTIER_PIPELINE_SQL,
         "user_value_ewma": _USER_EWMA_SQL,
+        "span_corruption_plan": _SPAN_CORRUPTION_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -360,6 +360,7 @@ def bench_once() -> dict:
         timed("resolve_redirects", q["resolve_redirects"])
         timed("frontier_pipeline", q["frontier_pipeline"])
         timed("user_value_ewma", q["user_value_ewma"])
+        timed("span_corruption_plan", q["span_corruption_plan"])
     finally:
         ray.shutdown()
     return results

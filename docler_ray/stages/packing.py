@@ -263,3 +263,65 @@ def ordered_prefix_max(ds, order_col: str, value_col: str, *, n_rows: int | None
         )
 
     return bucketed.groupby("bucket").map_groups(scan, batch_format="pandas")
+
+
+def span_corruption_plan(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate_pct: int = 15,
+):
+    """T5-style span-corruption accounting (Raffel et al., JMLR'20
+    denoising objective): token position i of a doc is masked iff the
+    52-bit md5 of "{id}:{i}" lands below rate_pct % — an iid deterministic
+    coin both engines replay — and maximal masked RUNS become spans, each
+    replaced by one sentinel in the corrupted sequence. Returns per doc
+    (id, n_tokens, n_masked, n_spans, corrupted_len = n_tokens - n_masked
+    + n_spans): the exact length book-keeping a denoising data loader
+    needs to budget batches BEFORE materializing corrupted text.
+
+    Zero shuffle; the per-doc mask is positionally deterministic so the
+    SQL twin replays it with a LAG window over the same hashes."""
+    import hashlib
+
+    def plan(batch: pa.Table) -> pa.Table:
+        from docler_ray.functions.tokens import ws_tokens
+
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        nt = np.empty(len(ids), dtype=np.int64)
+        nm = np.empty(len(ids), dtype=np.int64)
+        nsp = np.empty(len(ids), dtype=np.int64)
+        for r, (d, t) in enumerate(zip(ids, texts)):
+            n = len(ws_tokens(t or ""))
+            nt[r] = n
+            if n == 0:
+                nm[r] = nsp[r] = 0
+                continue
+            mask = np.fromiter(
+                (
+                    int(
+                        hashlib.md5(f"{d}:{i}".encode()).hexdigest()[:13], 16
+                    ) % 100
+                    < rate_pct
+                    for i in range(1, n + 1)
+                ),
+                dtype=bool,
+                count=n,
+            )
+            nm[r] = int(mask.sum())
+            # span starts: masked with unmasked (or nothing) before
+            starts = mask & ~np.concatenate(([False], mask[:-1]))
+            nsp[r] = int(starts.sum())
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(nt),
+                "n_masked": pa.array(nm),
+                "n_spans": pa.array(nsp),
+                "corrupted_len": pa.array(nt - nm + nsp),
+            }
+        )
+
+    return ds.map_batches(plan, batch_format="pyarrow", zero_copy_batch=True)

@@ -6622,6 +6622,50 @@ def _host_kcore_sql(
     return "".join(parts)
 
 
+_WALKS_PER_NODE = 2
+_WALK_LEN = 8
+
+
+def _q_host_random_walks(sf_dir: str):
+    """DeepWalk corpus (Perozzi KDD'14) over the deterministic host graph,
+    DERANDOMIZED (stages/linkgraph.py::random_walks): each hop picks the
+    sorted out-neighbor indexed by md5("{node}:{walk}:{step}") % degree,
+    so the corpus is reproducible and the recursive-CTE twin replays
+    every hop; sinks end walks early. Broadcast-adjacency regime under the
+    measured cap; per-step copartitioned-join plan documented above it."""
+    from docler_ray.stages.linkgraph import random_walks
+
+    return random_walks(
+        _lg_edges_ds(sf_dir, _LG_MOD_PR),
+        walks_per_node=_WALKS_PER_NODE,
+        walk_len=_WALK_LEN,
+    )
+
+
+def _host_walks_sql(w: int = _WALKS_PER_NODE, length: int = _WALK_LEN) -> str:
+    edges = _lg_edges_sql(_LG_MOD_PR, distinct=True)
+    return (
+        f"WITH RECURSIVE e AS ({edges}), "
+        "nb AS (SELECT src, list(dst ORDER BY dst) AS ns FROM e GROUP BY src), "
+        # DuckDB 1.0 treats any top-level set-op CTE under WITH RECURSIVE
+        # as a recursive anchor/step pair (measured: UNION stops deduping);
+        # a subquery + DISTINCT keeps the CTE body a plain SELECT
+        "nodes AS (SELECT DISTINCT host FROM "
+        "(SELECT src AS host FROM e UNION ALL SELECT dst FROM e)), "
+        "starts AS (SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS rk "
+        "FROM nodes), "
+        f"seeds AS (SELECT rk * {w} + j AS walk_id, host AS node "
+        f"FROM starts, LATERAL (SELECT unnest(range(0, {w})) AS j)), "
+        "walk AS (SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM seeds "
+        "UNION ALL SELECT x.walk_id, x.step + 1, "
+        "nb.ns[1 + CAST(('0x' || substr(md5(x.node || ':' || "
+        "CAST(x.walk_id AS VARCHAR) || ':' || CAST(x.step + 1 AS VARCHAR)), "
+        "1, 13))::UBIGINT % len(nb.ns) AS INT)] "
+        f"FROM walk x JOIN nb ON nb.src = x.node WHERE x.step + 1 < {length}) "
+        "SELECT walk_id, step, node FROM walk"
+    )
+
+
 def _q_host_degree_profile(sf_dir: str):
     """Per-host in/out degree + link mass over the multi-edge host graph:
     ONE (src,dst) exchange for edge counts, then both endpoints emitted
@@ -10255,6 +10299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
         "host_kcore": _q_host_kcore,
+        "host_random_walks": _q_host_random_walks,
         "host_degree_profile": _q_host_degree_profile,
         "host_triangles": _q_host_triangles,
         "data_quality_audit": _q_data_quality_audit,
@@ -11307,6 +11352,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_sql(),
         "host_hits": _host_hits_sql(),
         "host_kcore": _host_kcore_sql(),
+        "host_random_walks": _host_walks_sql(),
         "host_degree_profile": _host_degree_sql(),
         "host_triangles": _host_triangles_sql(),
         "data_quality_audit": _data_quality_audit_sql(),

@@ -959,3 +959,109 @@ def resolve_redirects(
         [hops[s] for s in srcs],
         [cyclic[s] for s in srcs],
     )
+
+
+def random_walks(
+    edges,
+    *,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    walks_per_node: int = 2,
+    walk_len: int = 8,
+    broadcast_cap: int | None = None,
+):
+    """DeepWalk-style walk corpus (Perozzi et al., KDD'14) over the
+    DISTINCT directed graph, DERANDOMIZED: at (node, step, walk) the next
+    hop is the SORTED out-neighbor list indexed by a 52-bit md5 of
+    "{node}:{walk}:{step}" — deterministic, so the walk corpus is
+    reproducible across runs AND replayed exactly by a recursive-CTE SQL
+    twin (a seeded RNG could not be). Walks stop early at sinks (no
+    out-edges). Returns (walk_id, step, node) with walk_id =
+    node-rank * walks_per_node + walk-index over the sorted start nodes.
+
+    Regimes mirror :func:`pagerank`: the adjacency is node-cardinality
+    state; under the cap it broadcasts once and every step advances ALL
+    walks in one vectorized pass (steps, not walks, drive the loop);
+    above the cap the documented plan is one copartitioned join per step
+    against the edge Dataset."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count
+
+    cap = _PAGERANK_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+    ded = (
+        edges.groupby([src_col, dst_col])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .materialize()
+    )
+    n_edges = ded.count()
+
+    def _out(walk_ids, steps, nodes):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "walk_id": pa.array(walk_ids, pa.int64()),
+                    "step": pa.array(steps, pa.int64()),
+                    "node": pa.array(nodes, pa.string()),
+                }
+            )
+        )
+
+    if n_edges == 0:
+        return _out([], [], [])
+    if n_edges > cap:
+        raise NotImplementedError(
+            f"random_walks broadcast regime capped at {cap} distinct edges "
+            f"(measured {n_edges}); beyond it advance all walks with one "
+            "copartitioned join per step (frontier ⋈ edges on the current "
+            "node, md5 pick inside the join task)"
+        )
+    edf = ded.to_pandas()
+    adj: dict = {}
+    for s, d in zip(edf[src_col], edf[dst_col]):
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+    starts = sorted(set(edf[src_col]) | set(edf[dst_col]))
+
+    walk_ids: list[int] = []
+    steps: list[int] = []
+    nodes: list[str] = []
+    # frontier of live walks; each step advances all of them at once
+    live = [
+        (rank * walks_per_node + w, start)
+        for rank, start in enumerate(starts)
+        for w in range(walks_per_node)
+    ]
+    for wid, node in live:
+        walk_ids.append(wid)
+        steps.append(0)
+        nodes.append(node)
+    for step in range(1, walk_len):
+        nxt = []
+        for wid, node in live:
+            ns = adj.get(node)
+            if not ns:
+                continue  # sink: walk ends early
+            pick = (
+                int(
+                    hashlib.md5(
+                        f"{node}:{wid}:{step}".encode()
+                    ).hexdigest()[:13],
+                    16,
+                )
+                % len(ns)
+            )
+            nxt.append((wid, ns[pick]))
+        for wid, node in nxt:
+            walk_ids.append(wid)
+            steps.append(step)
+            nodes.append(node)
+        live = nxt
+        if not live:
+            break
+    return _out(walk_ids, steps, nodes)

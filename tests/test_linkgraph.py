@@ -495,3 +495,48 @@ def test_resolve_redirects_empty_and_cap(ray_session):
     assert out.count() == 0
     with pytest.raises(NotImplementedError, match="broadcast regime capped"):
         resolve_redirects(_redirect_ds([("a", "b"), ("b", "c")]), broadcast_cap=1)
+
+
+def test_random_walks_deterministic_and_valid(ray_session):
+    import hashlib
+
+    from docler_ray.stages.linkgraph import random_walks
+
+    edges = _rand_digraph(23, n_nodes=10, n_draws=40)
+    df1 = random_walks(_edges_ds(edges), walks_per_node=2, walk_len=6).to_pandas()
+    df2 = random_walks(_edges_ds(edges), walks_per_node=2, walk_len=6).to_pandas()
+    # reproducible bit-for-bit
+    assert df1.sort_values(["walk_id", "step"]).values.tolist() == df2.sort_values(
+        ["walk_id", "step"]
+    ).values.tolist()
+    # every consecutive hop is a real edge chosen by the md5 rule
+    adj = {}
+    for a, b in sorted(set(edges)):
+        adj.setdefault(f"h{a}", []).append(f"h{b}")
+    walks = df1.sort_values(["walk_id", "step"]).groupby("walk_id")
+    for wid, g in walks:
+        ns_nodes = g["node"].tolist()
+        for step, (cur, nxt) in enumerate(zip(ns_nodes, ns_nodes[1:]), start=1):
+            ns = adj[cur]
+            pick = (
+                int(hashlib.md5(f"{cur}:{wid}:{step}".encode()).hexdigest()[:13], 16)
+                % len(ns)
+            )
+            assert nxt == ns[pick]
+
+
+def test_random_walks_sink_ends_early(ray_session):
+    from docler_ray.stages.linkgraph import random_walks
+
+    # b is a sink: walks from a reach b at step 1 and stop
+    df = random_walks(
+        _edges_ds([(0, 1)]), walks_per_node=1, walk_len=5
+    ).to_pandas()
+    by_walk = df.groupby("walk_id")["step"].max().tolist()
+    assert sorted(by_walk) == [0, 1]  # h1's walk ends at 0, h0's at 1
+
+
+def test_random_walks_empty(ray_session):
+    from docler_ray.stages.linkgraph import random_walks
+
+    assert random_walks(_edges_ds([])).count() == 0

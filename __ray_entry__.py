@@ -6666,6 +6666,32 @@ def _host_walks_sql(w: int = _WALKS_PER_NODE, length: int = _WALK_LEN) -> str:
     )
 
 
+def _q_walk_skipgram_pairs(sf_dir: str):
+    """Skip-gram training pairs (window ±2) over the derandomized walk
+    corpus — the word2vec/DeepWalk consumer: vectorized shifted-array
+    pair emission per walk bucket, then one (center, context) count
+    exchange. The oracle self-joins the recursive walk twin."""
+    from docler_ray.stages.linkgraph import random_walks, skipgram_pairs
+
+    walks = random_walks(
+        _lg_edges_ds(sf_dir, _LG_MOD_PR),
+        walks_per_node=_WALKS_PER_NODE,
+        walk_len=_WALK_LEN,
+    )
+    return skipgram_pairs(walks, window=2)
+
+
+def _walk_skipgram_sql() -> str:
+    w = _host_walks_sql()
+    return (
+        f"SELECT a.node AS center, b.node AS context, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM ({w}) a JOIN ({w}) b "
+        "ON a.walk_id = b.walk_id AND abs(a.step - b.step) BETWEEN 1 AND 2 "
+        "GROUP BY 1, 2"
+    )
+
+
 def _q_host_degree_profile(sf_dir: str):
     """Per-host in/out degree + link mass over the multi-edge host graph:
     ONE (src,dst) exchange for edge counts, then both endpoints emitted
@@ -10300,6 +10326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": _q_host_hits,
         "host_kcore": _q_host_kcore,
         "host_random_walks": _q_host_random_walks,
+        "walk_skipgram_pairs": _q_walk_skipgram_pairs,
         "host_degree_profile": _q_host_degree_profile,
         "host_triangles": _q_host_triangles,
         "data_quality_audit": _q_data_quality_audit,
@@ -11353,6 +11380,7 @@ def oracle_sql() -> dict[str, str]:
         "host_hits": _host_hits_sql(),
         "host_kcore": _host_kcore_sql(),
         "host_random_walks": _host_walks_sql(),
+        "walk_skipgram_pairs": _walk_skipgram_sql(),
         "host_degree_profile": _host_degree_sql(),
         "host_triangles": _host_triangles_sql(),
         "data_quality_audit": _data_quality_audit_sql(),

@@ -1065,3 +1065,65 @@ def random_walks(
         if not live:
             break
     return _out(walk_ids, steps, nodes)
+
+
+def skipgram_pairs(
+    walks,
+    *,
+    window: int = 2,
+    id_col: str = "walk_id",
+    step_col: str = "step",
+    node_col: str = "node",
+):
+    """(center, context, n) skip-gram training pairs over a walk corpus
+    (the word2vec/DeepWalk consumer): every ordered pair within ±window
+    steps of the same walk. In-bucket emission is fully vectorized —
+    sort by (walk, step), then each offset in ±window is one shifted-array
+    compare (same-walk AND step-delta mask), no per-row Python. One
+    crc-coarse walk exchange for co-location, one (center, context)
+    count exchange."""
+    from ray.data.aggregate import Sum
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        keys = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        coarse = ((keys * np.uint64(1000003)) % np.uint64(256)).astype(np.int64)
+        return batch.append_column("coarse", pa.array(coarse))
+
+    def emit(df):
+        import pandas as pd
+
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "center": pd.Series([], dtype="object"),
+                    "context": pd.Series([], dtype="object"),
+                    "pn": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values([id_col, step_col], kind="mergesort")
+        wid = df[id_col].to_numpy()
+        stp = df[step_col].to_numpy()
+        nod = df[node_col].to_numpy()
+        centers, contexts = [], []
+        for off in range(1, window + 1):
+            ok = (wid[off:] == wid[:-off]) & (stp[off:] - stp[:-off] == off)
+            centers.append(nod[:-off][ok])
+            contexts.append(nod[off:][ok])
+            centers.append(nod[off:][ok])  # symmetric pair
+            contexts.append(nod[:-off][ok])
+        c = np.concatenate(centers) if centers else np.array([], dtype=object)
+        x = np.concatenate(contexts) if contexts else np.array([], dtype=object)
+        out = pd.DataFrame({"center": c, "context": x})
+        g = out.groupby(["center", "context"], sort=False).size().reset_index()
+        g.columns = ["center", "context", "pn"]
+        return g
+
+    return (
+        walks.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(emit, batch_format="pandas")
+        .groupby(["center", "context"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )

@@ -540,3 +540,28 @@ def test_random_walks_empty(ray_session):
     from docler_ray.stages.linkgraph import random_walks
 
     assert random_walks(_edges_ds([])).count() == 0
+
+
+def test_skipgram_pairs_window_semantics(ray_session):
+    import ray.data
+
+    from docler_ray.stages.linkgraph import skipgram_pairs
+
+    # one walk A B C D: window 2 pairs (symmetric):
+    # dist1: AB BC CD (x2 directions), dist2: AC BD (x2)
+    walks = ray.data.from_arrow(
+        pa.table(
+            {
+                "walk_id": pa.array([0, 0, 0, 0, 1], pa.int64()),
+                "step": pa.array([0, 1, 2, 3, 0], pa.int64()),
+                "node": pa.array(["A", "B", "C", "D", "A"], pa.string()),
+            }
+        )
+    )
+    df = skipgram_pairs(walks, window=2).to_pandas()
+    got = {(r.center, r.context): int(r.n) for r in df.itertuples()}
+    want = {}
+    for a, b in [("A", "B"), ("B", "C"), ("C", "D"), ("A", "C"), ("B", "D")]:
+        want[(a, b)] = 1
+        want[(b, a)] = 1
+    assert got == want  # the single-node walk 1 contributes nothing

@@ -8537,6 +8537,76 @@ _SPAN_CORRUPTION_SQL = (
 )
 
 
+def _q_jsonld_metadata(sf_dir: str):
+    """JSON-LD structured-data extraction (html/jsonld.py): five script
+    families per doc_id — a full Article (escaped-quote headline, nested
+    author object), a top-level array (Product + bare Offer), malformed
+    JSON (skipped), an Org with a list-of-strings author (first wins),
+    and a page with only a text/javascript block (zero rows). Zero-shuffle
+    flat map; CASE/UNION rebuild oracle."""
+    import ray.data
+
+    from docler_ray.html.jsonld import extract_jsonld_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_html(batch: pa.Table) -> pa.Table:
+        out = []
+        for d in batch.column("doc_id").to_pylist():
+            v, mday = d % 5, d % 9 + 1
+            if v == 0:
+                s = (
+                    '<script type="application/ld+json">'
+                    '{"@type":"Article","headline":"Story \\"%d\\"",'
+                    '"datePublished":"2026-01-0%d",'
+                    '"author":{"@type":"Person","name":"Author %d"}}'
+                    "</script>" % (d, mday, d % 23)
+                )
+            elif v == 1:
+                s = (
+                    "<script TYPE='application/ld+json'>"
+                    '[{"@type":"Product","name":"Widget %d"},{"@type":"Offer"}]'
+                    "</script>" % d
+                )
+            elif v == 2:
+                s = '<script type="application/ld+json">{broken json</script>'
+            elif v == 3:
+                s = (
+                    '<script type = application/ld+json >'
+                    '{"@type":"Organization","name":"Org %d",'
+                    '"author":["A%d","B"]}</script>' % (d % 23, d)
+                )
+            else:
+                s = '<script type="text/javascript">var x = 1;</script>'
+            out.append(f"<html><head>{s}</head><body><p>x</p></body></html>")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "html": pa.array(out, pa.string()),
+            }
+        )
+
+    pages = ds.map_batches(to_html, batch_format="pyarrow", zero_copy_batch=True)
+    return pages.map_batches(
+        extract_jsonld_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+_JSONLD_SQL = (
+    "WITH d AS (SELECT doc_id, doc_id % 5 AS v, "
+    "CAST(doc_id AS VARCHAR) AS i, CAST(doc_id % 23 AS VARCHAR) AS h, "
+    "CAST(doc_id % 9 + 1 AS VARCHAR) AS m FROM documents) "
+    "SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'Article' AS jtype, "
+    "'Story \"' || i || '\"' AS name, '2026-01-0' || m AS date_published, "
+    "'Author ' || h AS author FROM d WHERE v = 0 "
+    "UNION ALL SELECT doc_id, 0, 'Product', 'Widget ' || i, '', '' "
+    "FROM d WHERE v = 1 "
+    "UNION ALL SELECT doc_id, 1, 'Offer', '', '', '' FROM d WHERE v = 1 "
+    "UNION ALL SELECT doc_id, 0, 'Organization', 'Org ' || h, '', 'A' || i "
+    "FROM d WHERE v = 3"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10362,6 +10432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_pipeline": _q_frontier_pipeline,
         "user_value_ewma": _q_user_value_ewma,
         "span_corruption_plan": _q_span_corruption_plan,
+        "jsonld_metadata": _q_jsonld_metadata,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11416,6 +11487,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_pipeline": _FRONTIER_PIPELINE_SQL,
         "user_value_ewma": _USER_EWMA_SQL,
         "span_corruption_plan": _SPAN_CORRUPTION_SQL,
+        "jsonld_metadata": _JSONLD_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

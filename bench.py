@@ -363,6 +363,7 @@ def bench_once() -> dict:
         timed("frontier_pipeline", q["frontier_pipeline"])
         timed("user_value_ewma", q["user_value_ewma"])
         timed("span_corruption_plan", q["span_corruption_plan"])
+        timed("jsonld_metadata", q["jsonld_metadata"])
     finally:
         ray.shutdown()
     return results

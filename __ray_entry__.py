@@ -8607,6 +8607,84 @@ _JSONLD_SQL = (
 )
 
 
+def _q_feed_frontier_rows(sf_dir: str):
+    """RSS/Atom feed explode (functions/sitemap.py::parse_feed): four
+    document families per doc_id — a 2-item RSS channel (entities in the
+    title), a 2-entry Atom feed (href as attribute, both quote styles),
+    an RSS item with neither link nor title (dropped) beside a valid one,
+    and a non-feed page (zero rows). Zero-shuffle flat map; arithmetic
+    rebuild oracle."""
+    import ray.data
+
+    from docler_ray.stages.urlops import parse_feeds
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_xml(batch: pa.Table) -> pa.Table:
+        out = []
+        for d in batch.column("doc_id").to_pylist():
+            v, mday = d % 4, d % 9 + 1
+            base = f"https://host{d % 23}.example"
+            if v == 0:
+                x = (
+                    '<rss version="2.0"><channel><title>F</title>'
+                    f"<item><title>Post &amp; {d}</title>"
+                    f"<link>{base}/p1</link>"
+                    f"<pubDate>2026-01-0{mday}</pubDate>"
+                    f"<guid>g{d}</guid></item>"
+                    f"<item><link>{base}/p2</link></item>"
+                    "</channel></rss>"
+                )
+            elif v == 1:
+                x = (
+                    '<feed xmlns="http://www.w3.org/2005/Atom">'
+                    f"<entry><title>E{d}</title>"
+                    f'<link href="{base}/a1"/>'
+                    f"<updated>2026-02-0{mday}</updated>"
+                    f"<id>u{d}</id></entry>"
+                    f"<entry><title>Second</title>"
+                    f"<link rel='alternate' href='{base}/a2'/></entry>"
+                    "</feed>"
+                )
+            elif v == 2:
+                x = (
+                    "<rss><channel>"
+                    "<item><description>bare</description></item>"
+                    f"<item><title>Only {d}</title></item>"
+                    "</channel></rss>"
+                )
+            else:
+                x = "<html><body>not a feed</body></html>"
+            out.append(x)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "feed_xml": pa.array(out, pa.string()),
+            }
+        )
+
+    xml = ds.map_batches(to_xml, batch_format="pyarrow", zero_copy_batch=True)
+    return parse_feeds(xml)
+
+
+_FEED_SQL = (
+    "WITH d AS (SELECT doc_id, doc_id % 4 AS v, CAST(doc_id AS VARCHAR) AS i, "
+    "'https://host' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS b, "
+    "CAST(doc_id % 9 + 1 AS VARCHAR) AS m FROM documents) "
+    "SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'rss' AS kind, "
+    "'Post & ' || i AS title, b || '/p1' AS link, "
+    "'2026-01-0' || m AS updated, 'g' || i AS guid FROM d WHERE v = 0 "
+    "UNION ALL SELECT doc_id, 1, 'rss', '', b || '/p2', '', '' "
+    "FROM d WHERE v = 0 "
+    "UNION ALL SELECT doc_id, 0, 'atom', 'E' || i, b || '/a1', "
+    "'2026-02-0' || m, 'u' || i FROM d WHERE v = 1 "
+    "UNION ALL SELECT doc_id, 1, 'atom', 'Second', b || '/a2', '', '' "
+    "FROM d WHERE v = 1 "
+    "UNION ALL SELECT doc_id, 0, 'rss', 'Only ' || i, '', '', '' "
+    "FROM d WHERE v = 2"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10433,6 +10511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ewma": _q_user_value_ewma,
         "span_corruption_plan": _q_span_corruption_plan,
         "jsonld_metadata": _q_jsonld_metadata,
+        "feed_frontier_rows": _q_feed_frontier_rows,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11488,6 +11567,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_ewma": _USER_EWMA_SQL,
         "span_corruption_plan": _SPAN_CORRUPTION_SQL,
         "jsonld_metadata": _JSONLD_SQL,
+        "feed_frontier_rows": _FEED_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

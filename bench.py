@@ -364,6 +364,7 @@ def bench_once() -> dict:
         timed("user_value_ewma", q["user_value_ewma"])
         timed("span_corruption_plan", q["span_corruption_plan"])
         timed("jsonld_metadata", q["jsonld_metadata"])
+        timed("feed_frontier_rows", q["feed_frontier_rows"])
     finally:
         ray.shutdown()
     return results

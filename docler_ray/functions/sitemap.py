@@ -122,3 +122,70 @@ def parse_sitemap(xml: str) -> list[dict]:
             }
         )
     return out
+
+
+def _attr_of(block: str, tag: str, attr: str) -> str:
+    """Value of ``attr`` on the first <tag ...> element (Atom's
+    <link href="..."/> carries its URL as an attribute, not text)."""
+    open_pat = "<" + tag
+    i = 0
+    n = len(block)
+    while True:
+        i = block.find(open_pat, i)
+        if i < 0:
+            return ""
+        j = i + len(open_pat)
+        if j < n and block[j] not in ">\t\n\r /":
+            i = j
+            continue
+        gt = block.find(">", j)
+        if gt < 0:
+            return ""
+        head = block[i:gt]
+        for quote in ('"', "'"):
+            pat = attr + "=" + quote
+            k = head.find(pat)
+            if k >= 0:
+                end = head.find(quote, k + len(pat))
+                if end >= 0:
+                    return unescape(head[k + len(pat) : end]).strip()
+        return ""
+
+
+def parse_feed(xml: str) -> list[dict]:
+    """RSS 2.0 / Atom 1.0 entries in file order — the crawl-discovery
+    sibling of :func:`parse_sitemap` (news/blog frontiers poll feeds).
+
+    Each entry: {kind: 'rss'|'atom', title, link, updated, guid} — RSS
+    maps pubDate->updated and guid->guid; Atom maps <link href>->link and
+    <id>->guid. Entries with neither link nor title are dropped;
+    non-feed input parses to []."""
+    out: list[dict] = []
+    if "<rss" in xml or "<channel" in xml:
+        kind, entry_tag = "rss", "item"
+    elif "<feed" in xml:
+        kind, entry_tag = "atom", "entry"
+    else:
+        return out
+    for block in _blocks(xml, entry_tag):
+        title = _text_of(block, "title")
+        if kind == "rss":
+            link = _text_of(block, "link")
+            updated = _text_of(block, "pubDate")
+            guid = _text_of(block, "guid")
+        else:
+            link = _attr_of(block, "link", "href") or _text_of(block, "link")
+            updated = _text_of(block, "updated")
+            guid = _text_of(block, "id")
+        if not link and not title:
+            continue
+        out.append(
+            {
+                "kind": kind,
+                "title": title,
+                "link": link,
+                "updated": updated,
+                "guid": guid,
+            }
+        )
+    return out

@@ -621,3 +621,37 @@ def allocate_crawl_budget(
             }
         )
     )
+
+
+def parse_feeds(ds, *, xml_col: str = "feed_xml", id_col: str = "doc_id"):
+    """Explode RSS/Atom feed documents into discovery rows
+    (functions/sitemap.py::parse_feed): one zero-shuffle flat-map, rows
+    (id, pos, kind, title, link, updated, guid) in file order."""
+    from docler_ray.functions.sitemap import parse_feed
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        xmls = batch.column(xml_col).to_pylist()
+        out_id, pos, kind, title, link, upd, guid = [], [], [], [], [], [], []
+        for i, x in zip(ids, xmls):
+            for p, e in enumerate(parse_feed(x or "")):
+                out_id.append(i)
+                pos.append(p)
+                kind.append(e["kind"])
+                title.append(e["title"])
+                link.append(e["link"])
+                upd.append(e["updated"])
+                guid.append(e["guid"])
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "kind": pa.array(kind, pa.string()),
+                "title": pa.array(title, pa.string()),
+                "link": pa.array(link, pa.string()),
+                "updated": pa.array(upd, pa.string()),
+                "guid": pa.array(guid, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -91,3 +91,49 @@ def test_parse_sitemaps_stage(ray_session):
         (0, 1, "url", "b"),
         (2, 0, "sitemap", "s"),
     ]
+
+
+# --- RSS/Atom feeds ----------------------------------------------------------
+
+
+def test_feed_rss_fields_and_drops():
+    from docler_ray.functions.sitemap import parse_feed
+
+    rss = (
+        '<rss version="2.0"><channel><title>F</title>'
+        "<item><title>Post &amp; One</title><link>https://h/p1</link>"
+        "<pubDate>Mon, 01 Jan 2026</pubDate><guid>g1</guid></item>"
+        "<item><description>no link no title</description></item>"
+        "<item><title>T2</title></item></channel></rss>"
+    )
+    got = parse_feed(rss)
+    assert got[0] == {
+        "kind": "rss",
+        "title": "Post & One",
+        "link": "https://h/p1",
+        "updated": "Mon, 01 Jan 2026",
+        "guid": "g1",
+    }
+    assert [e["title"] for e in got] == ["Post & One", "T2"]  # bare dropped
+
+
+def test_feed_atom_href_attribute():
+    from docler_ray.functions.sitemap import parse_feed
+
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<entry><title>E1</title><link href="https://h/a1"/>'
+        "<updated>2026-02-01</updated><id>u1</id></entry>"
+        "<entry><title>E2</title>"
+        "<link rel='alternate' href='https://h/a2'/></entry></feed>"
+    )
+    got = parse_feed(atom)
+    assert [e["link"] for e in got] == ["https://h/a1", "https://h/a2"]
+    assert got[0]["guid"] == "u1" and got[0]["kind"] == "atom"
+
+
+def test_feed_non_feed_input():
+    from docler_ray.functions.sitemap import parse_feed
+
+    assert parse_feed("<html><body>x</body></html>") == []
+    assert parse_feed("") == []

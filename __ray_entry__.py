@@ -8685,6 +8685,51 @@ _FEED_SQL = (
 )
 
 
+def _q_url_aligned_pairs(sf_dir: str):
+    """URL-pattern cross-lingual alignment (ParaCrawl recipe stage 1;
+    stages/urlops.py::aligned_url_pairs): host AND path tail both derive
+    from gid = doc_id // 5, so every 5 consecutive docs form one
+    alignment group on one host (their langs vary with the corpus); pairs
+    with DIFFERENT langs and a < b survive. One (host, tail) exchange;
+    self-join oracle."""
+    import ray.data
+
+    from docler_ray.stages.urlops import aligned_url_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        gid = pc.cast(pc.divide(batch.column("doc_id"), 5), pa.string())
+        url = pc.binary_join_element_wise(
+            "https://site",
+            gid,
+            ".example/",
+            batch.column("lang"),
+            "/doc-",
+            gid,
+            "",
+        )
+        return batch.append_column("url", url)
+
+    urls = ds.map_batches(to_urls, batch_format="pyarrow", zero_copy_batch=True)
+    return aligned_url_pairs(urls)
+
+
+_URL_ALIGNED_SQL = (
+    "WITH u AS (SELECT doc_id, lang, "
+    "'site' || CAST(doc_id // 5 AS VARCHAR) || '.example' AS host, "
+    "'/doc-' || CAST(doc_id // 5 AS VARCHAR) AS tail FROM documents) "
+    "SELECT a.doc_id AS a, b.doc_id AS b, a.lang AS lang_a, "
+    "b.lang AS lang_b, a.host FROM u a JOIN u b "
+    "ON a.host = b.host AND a.tail = b.tail AND a.doc_id < b.doc_id "
+    "AND a.lang <> b.lang"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10512,6 +10557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption_plan": _q_span_corruption_plan,
         "jsonld_metadata": _q_jsonld_metadata,
         "feed_frontier_rows": _q_feed_frontier_rows,
+        "url_aligned_pairs": _q_url_aligned_pairs,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11568,6 +11614,7 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption_plan": _SPAN_CORRUPTION_SQL,
         "jsonld_metadata": _JSONLD_SQL,
         "feed_frontier_rows": _FEED_SQL,
+        "url_aligned_pairs": _URL_ALIGNED_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -365,6 +365,7 @@ def bench_once() -> dict:
         timed("span_corruption_plan", q["span_corruption_plan"])
         timed("jsonld_metadata", q["jsonld_metadata"])
         timed("feed_frontier_rows", q["feed_frontier_rows"])
+        timed("url_aligned_pairs", q["url_aligned_pairs"])
     finally:
         ray.shutdown()
     return results

@@ -655,3 +655,76 @@ def parse_feeds(ds, *, xml_col: str = "feed_xml", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def aligned_url_pairs(
+    ds,
+    *,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    group_cap: int = 64,
+):
+    """Cross-lingual document alignment by URL pattern (the ParaCrawl /
+    WikiMatrix mining recipe's first stage: pages whose URLs differ ONLY
+    in the language path segment are translation candidates). The first
+    path segment is treated as the site's language slot; the alignment
+    key is (host, path-with-that-segment-removed). ONE key exchange;
+    in-group emission is all cross-LANGUAGE pairs ordered by id (a < b),
+    capped at ``group_cap`` members (a shared tail across hundreds of
+    pages is a template, not a translation set). Returns (a, b, lang_a,
+    lang_b, host)."""
+    import numpy as np
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        t = parse_url_batch(batch.select([url_col]), url_col)
+        hosts = t.column("host").to_pylist()
+        paths = t.column("path").to_pylist()
+        tails = []
+        for p in paths:
+            # strip the first segment: /en/a/b -> /a/b ('' if no 2nd slash)
+            j = p.find("/", 1)
+            tails.append(p[j:] if j > 0 else "")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                lang_col: batch.column(lang_col),
+                "host": pa.array(hosts, pa.string()),
+                "tail": pa.array(tails, pa.string()),
+            }
+        )
+
+    def pairs(df):
+        import pandas as pd
+
+        cols = {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "lang_a": pd.Series([], dtype="object"),
+            "lang_b": pd.Series([], dtype="object"),
+            "host": pd.Series([], dtype="object"),
+        }
+        if df.empty or len(df) > group_cap or df["tail"].iloc[0] == "":
+            return pd.DataFrame(cols)
+        df = df.sort_values(id_col, kind="mergesort")
+        ids = df[id_col].to_numpy()
+        langs = df[lang_col].to_numpy()
+        ia, ib = np.triu_indices(len(df), 1)
+        keep = langs[ia] != langs[ib]
+        if not keep.any():
+            return pd.DataFrame(cols)
+        return pd.DataFrame(
+            {
+                "a": ids[ia][keep],
+                "b": ids[ib][keep],
+                "lang_a": langs[ia][keep],
+                "lang_b": langs[ib][keep],
+                "host": df["host"].iloc[0],
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["host", "tail"])
+        .map_groups(pairs, batch_format="pandas")
+    )

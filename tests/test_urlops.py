@@ -284,3 +284,53 @@ def test_budget_empty_and_cap(ray_session):
     assert empty.schema().names == ["host", "weight", "quota"]
     with _pytest.raises(NotImplementedError, match="driver finish capped"):
         allocate_crawl_budget(_budget_ds([("a", 1), ("b", 1)]), 3, host_cap=1)
+
+
+# --- URL-pattern cross-lingual alignment -------------------------------------
+
+
+def test_aligned_url_pairs_semantics(ray_session):
+    import ray.data
+
+    from docler_ray.stages.urlops import aligned_url_pairs
+
+    rows = [
+        (0, "en", "https://s.example/en/a/p1"),
+        (1, "fr", "https://s.example/fr/a/p1"),  # aligns with 0
+        (2, "en", "https://s.example/en/a/p1"),  # same lang as 0: no pair 0-2
+        (3, "de", "https://other.example/de/a/p1"),  # different host
+        (4, "en", "https://s.example/en"),  # no tail after lang segment
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "url": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    df = aligned_url_pairs(ds).to_pandas()
+    got = {(int(r.a), int(r.b)) for r in df.itertuples()}
+    assert got == {(0, 1), (1, 2)}  # cross-lang only, a < b
+
+
+def test_aligned_url_pairs_group_cap(ray_session):
+    import ray.data
+
+    from docler_ray.stages.urlops import aligned_url_pairs
+
+    # 5 members of one template group with cap 4: dropped as boilerplate
+    rows = [
+        (i, "en" if i % 2 else "fr", "https://s.example/x/a/p") for i in range(5)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "url": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    assert aligned_url_pairs(ds, group_cap=4).count() == 0

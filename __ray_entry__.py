@@ -8730,6 +8730,74 @@ _URL_ALIGNED_SQL = (
 )
 
 
+def _q_page_nav_signals(sf_dir: str):
+    """Meta-refresh redirects + rel=next/prev pagination
+    (html/metadata.py::extract_nav): four page families — full signals
+    with a quoted URL= form, a comma-separator zero-delay refresh, a
+    relative rel=next only, and a bare page — each resolved against the
+    page URL, first occurrence wins. The HTML-level redirect surface that
+    feeds resolve_redirects without an HTTP 3xx. CASE oracle."""
+    import ray.data
+
+    from docler_ray.html.metadata import extract_nav
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def nav(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ru, rd, nu, pu = [], [], [], []
+        for d in ids:
+            v = d % 4
+            base = f"https://host{d % 23}.example/page/2"
+            if v == 0:
+                h = (
+                    "<html><head>"
+                    f"<meta http-equiv=\"Refresh\" content=\"5; URL='/t{d}'\">"
+                    '<link rel="next" href="/page/3">'
+                    '<link rel="prev" href="/page/1">'
+                    "</head></html>"
+                )
+            elif v == 1:
+                h = (
+                    "<html><head><meta http-equiv=refresh "
+                    f'content="0,url=/z{d}"></head></html>'
+                )
+            elif v == 2:
+                h = f'<html><head><link rel=next href="./n{d}"></head></html>'
+            else:
+                h = "<html><head><title>t</title></head></html>"
+            r = extract_nav(h, base)
+            ru.append(r["refresh_url"])
+            rd.append(r["refresh_delay"])
+            nu.append(r["next_url"])
+            pu.append(r["prev_url"])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "refresh_url": pa.array(ru, pa.string()),
+                "refresh_delay": pa.array(rd, pa.int64()),
+                "next_url": pa.array(nu, pa.string()),
+                "prev_url": pa.array(pu, pa.string()),
+            }
+        )
+
+    return ds.map_batches(nav, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_PAGE_NAV_SQL = (
+    "WITH d AS (SELECT doc_id, doc_id % 4 AS v, CAST(doc_id AS VARCHAR) AS i, "
+    "'https://host' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS b "
+    "FROM documents) "
+    "SELECT doc_id, "
+    "CASE v WHEN 0 THEN b || '/t' || i WHEN 1 THEN b || '/z' || i END "
+    "AS refresh_url, "
+    "CASE v WHEN 0 THEN 5 WHEN 1 THEN 0 END AS refresh_delay, "
+    "CASE v WHEN 0 THEN b || '/page/3' WHEN 2 THEN b || '/page/n' || i END "
+    "AS next_url, "
+    "CASE v WHEN 0 THEN b || '/page/1' END AS prev_url FROM d"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10558,6 +10626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonld_metadata": _q_jsonld_metadata,
         "feed_frontier_rows": _q_feed_frontier_rows,
         "url_aligned_pairs": _q_url_aligned_pairs,
+        "page_nav_signals": _q_page_nav_signals,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11615,6 +11684,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonld_metadata": _JSONLD_SQL,
         "feed_frontier_rows": _FEED_SQL,
         "url_aligned_pairs": _URL_ALIGNED_SQL,
+        "page_nav_signals": _PAGE_NAV_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -366,6 +366,7 @@ def bench_once() -> dict:
         timed("jsonld_metadata", q["jsonld_metadata"])
         timed("feed_frontier_rows", q["feed_frontier_rows"])
         timed("url_aligned_pairs", q["url_aligned_pairs"])
+        timed("page_nav_signals", q["page_nav_signals"])
     finally:
         ray.shutdown()
     return results

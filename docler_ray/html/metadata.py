@@ -79,3 +79,63 @@ def extract_metadata_from_dom(root: Node, base_url: str | None = None) -> PageMe
                 else:
                     md.canonical = href or None
     return md
+
+
+def extract_nav(html: str, base_url: str | None = None) -> dict:
+    """Navigation signals beyond the head-metadata tier: the meta-refresh
+    redirect target (``<meta http-equiv="refresh"
+    content="N;url=...">`` — the HTML-level redirect that never sends an
+    HTTP 3xx, feeding linkgraph.resolve_redirects) and rel=next/prev
+    pagination hrefs, each first-occurrence-wins and resolved against
+    ``base_url``. Returns {refresh_url, refresh_delay, next_url,
+    prev_url} with None for absent signals."""
+    from docler_ray.stages.linkgraph import resolve_href
+
+    root = parse_html(html)
+    refresh_url = None
+    refresh_delay = None
+    next_url = None
+    prev_url = None
+    for node in root.iter():
+        tag = node.tag
+        if tag == "meta" and refresh_url is None:
+            if node.attr("http-equiv").strip().lower() != "refresh":
+                continue
+            content = node.attr("content")
+            # "N; url=TARGET" — the separator may be ';' or ',', the url=
+            # key is case-insensitive and optional whitespace abounds
+            head, sep, rest = content.partition(";")
+            if not sep:
+                head, sep, rest = content.partition(",")
+            try:
+                delay = int(head.strip())
+            except ValueError:
+                continue
+            target = rest.strip()
+            if target[:4].lower() == "url=":
+                target = target[4:].strip().strip("'\"")
+            if target and base_url is not None:
+                target = resolve_href(base_url, target)
+            if target:
+                refresh_url = target
+                refresh_delay = delay
+        elif tag == "link":
+            rels = node.attr("rel").lower().split()
+            href = node.attr("href")
+            if not href:
+                continue
+            resolved = (
+                resolve_href(base_url, href) if base_url is not None else href
+            )
+            if resolved is None:
+                continue
+            if "next" in rels and next_url is None:
+                next_url = resolved
+            elif "prev" in rels and prev_url is None:
+                prev_url = resolved
+    return {
+        "refresh_url": refresh_url,
+        "refresh_delay": refresh_delay,
+        "next_url": next_url,
+        "prev_url": prev_url,
+    }

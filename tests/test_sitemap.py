@@ -137,3 +137,45 @@ def test_feed_non_feed_input():
 
     assert parse_feed("<html><body>x</body></html>") == []
     assert parse_feed("") == []
+
+
+# --- meta-refresh + pagination nav signals -----------------------------------
+
+
+def test_extract_nav_forms():
+    from docler_ray.html.metadata import extract_nav
+
+    h = (
+        "<html><head>"
+        "<meta http-equiv=\"Refresh\" content=\"5; URL='/t?x=1'\">"
+        '<link rel="next" href="/p/3"><link rel="prev" href="/p/1">'
+        "</head></html>"
+    )
+    got = extract_nav(h, "https://h.example/p/2")
+    assert got == {
+        "refresh_url": "https://h.example/t?x=1",
+        "refresh_delay": 5,
+        "next_url": "https://h.example/p/3",
+        "prev_url": "https://h.example/p/1",
+    }
+    # comma separator, no url= quotes, zero delay
+    got = extract_nav(
+        '<meta http-equiv=refresh content="0,url=/z">', "https://h.example/a"
+    )
+    assert got["refresh_url"] == "https://h.example/z"
+    assert got["refresh_delay"] == 0
+    # malformed delay or javascript target -> no signal
+    assert (
+        extract_nav(
+            '<meta http-equiv=refresh content="soon;url=/x">',
+            "https://h.example/a",
+        )["refresh_url"]
+        is None
+    )
+    assert (
+        extract_nav(
+            '<meta http-equiv=refresh content="0;url=javascript:x()">',
+            "https://h.example/a",
+        )["refresh_url"]
+        is None
+    )

@@ -8798,6 +8798,36 @@ _PAGE_NAV_SQL = (
 )
 
 
+def _q_conform_docs_schema(sf_dir: str):
+    """Schema conformance (stages/conform.py): the documents table forced
+    onto a declared ingest contract — n_chars widened to float64,
+    a missing quality_tier column filled with the default 'untiered', a
+    missing fetch_ms filled as typed nulls, the text column dropped
+    (non-strict), target column order. CAST/COALESCE oracle."""
+    import ray.data
+
+    from docler_ray.stages.conform import conform_schema
+
+    target = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("lang", pa.string()),
+            pa.field("n_chars", pa.float64()),
+            pa.field("quality_tier", pa.string()),
+            pa.field("fetch_ms", pa.int64()),
+        ]
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return conform_schema(ds, target, defaults={"quality_tier": "untiered"})
+
+
+_CONFORM_SQL = (
+    "SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars, "
+    "'untiered' AS quality_tier, CAST(NULL AS BIGINT) AS fetch_ms "
+    "FROM documents"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10627,6 +10657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feed_frontier_rows": _q_feed_frontier_rows,
         "url_aligned_pairs": _q_url_aligned_pairs,
         "page_nav_signals": _q_page_nav_signals,
+        "conform_docs_schema": _q_conform_docs_schema,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11685,6 +11716,7 @@ def oracle_sql() -> dict[str, str]:
         "feed_frontier_rows": _FEED_SQL,
         "url_aligned_pairs": _URL_ALIGNED_SQL,
         "page_nav_signals": _PAGE_NAV_SQL,
+        "conform_docs_schema": _CONFORM_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -367,6 +367,7 @@ def bench_once() -> dict:
         timed("feed_frontier_rows", q["feed_frontier_rows"])
         timed("url_aligned_pairs", q["url_aligned_pairs"])
         timed("page_nav_signals", q["page_nav_signals"])
+        timed("conform_docs_schema", q["conform_docs_schema"])
     finally:
         ray.shutdown()
     return results

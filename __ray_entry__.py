@@ -8828,6 +8828,42 @@ _CONFORM_SQL = (
 )
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Broder containment (SEQUENCES'97 — the asymmetric sibling of
+    resemblance; stages/winnow.py::containment_pairs): pairs whose shared
+    distinct 4-gram shingles cover >= 4/5 of the SMALLER set, the score
+    that catches short-quoted-in-long which Jaccard dilutes. Postings
+    carry the owner's gram count as payload so no doc-level join happens;
+    gram exchange + (a,b,n_a,n_b) count exchange, exact cross-multiply."""
+    import ray.data
+
+    from docler_ray.stages.winnow import containment_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return containment_pairs(ds, num=4, den=5)
+
+
+_CONTAINMENT_SQL = (
+    "WITH toks AS (SELECT doc_id, " + _WS_TOKS_SQL + " AS ws FROM documents), "
+    "grams AS (SELECT doc_id, CAST(('0x' || substr(md5("
+    "array_to_string(ws[i:i+3], ' ')), 1, 13))::UBIGINT AS BIGINT) AS h "
+    "FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i)), "
+    "gd AS (SELECT DISTINCT doc_id, h FROM grams), "
+    "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM gd "
+    "GROUP BY doc_id), "
+    "ok AS (SELECT h FROM gd GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 256), "
+    "p AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_shared "
+    "FROM gd a JOIN ok USING (h) JOIN gd b "
+    "ON b.h = a.h AND b.doc_id > a.doc_id GROUP BY 1, 2) "
+    "SELECT p.a, p.b, p.n_shared, ca.n AS n_a, cb.n AS n_b FROM p "
+    "JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b "
+    "WHERE p.n_shared * 5 >= 4 * LEAST(ca.n, cb.n)"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10658,6 +10694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_aligned_pairs": _q_url_aligned_pairs,
         "page_nav_signals": _q_page_nav_signals,
         "conform_docs_schema": _q_conform_docs_schema,
+        "containment_pairs": _q_containment_pairs,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11717,6 +11754,7 @@ def oracle_sql() -> dict[str, str]:
         "url_aligned_pairs": _URL_ALIGNED_SQL,
         "page_nav_signals": _PAGE_NAV_SQL,
         "conform_docs_schema": _CONFORM_SQL,
+        "containment_pairs": _CONTAINMENT_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -368,6 +368,7 @@ def bench_once() -> dict:
         timed("url_aligned_pairs", q["url_aligned_pairs"])
         timed("page_nav_signals", q["page_nav_signals"])
         timed("conform_docs_schema", q["conform_docs_schema"])
+        timed("containment_pairs", q["containment_pairs"])
     finally:
         ray.shutdown()
     return results

@@ -178,3 +178,101 @@ def winnow_shared_pairs(
     return counted.filter(
         expr=f"n_shared >= {int(min_shared)}"
     )
+
+
+def containment_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    num: int = 4,
+    den: int = 5,
+    owner_cap: int = 256,
+):
+    """Broder containment pairs (the ASYMMETRIC sibling of resemblance,
+    Broder SEQUENCES'97 §2): C(A,B) = |S(A) ∩ S(B)| / |S(A)| over distinct
+    word k-gram shingle sets — the score that catches a short document
+    QUOTED inside a long one, which Jaccard dilutes away. Emits (a, b,
+    n_shared, n_a, n_b) for pairs whose containment in EITHER direction
+    reaches num/den, tested as the exact integer cross-multiply
+    n_shared * den >= num * min(n_a, n_b).
+
+    Plan: each posting row carries its owner's distinct-gram COUNT as
+    payload, so pair emission inside the gram group yields (a, b, n_a,
+    n_b) directly and NO doc-level join ever happens; one gram-keyed
+    exchange (md5-uniform, owners > owner_cap dropped as boilerplate) +
+    one (a, b, n_a, n_b) count exchange."""
+    from ray.data.aggregate import Count
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        fps, owners, counts = [], [], []
+        for i, t in enumerate(texts):
+            uniq = np.unique(gram_hashes(ws_tokens(t or ""), k))
+            if len(uniq):
+                fps.append(uniq)
+                owners.append(np.full(len(uniq), ids[i], dtype=np.int64))
+                counts.append(np.full(len(uniq), len(uniq), dtype=np.int64))
+        if not fps:
+            return pa.table(
+                {
+                    "fp": pa.array([], pa.int64()),
+                    "owner": pa.array([], pa.int64()),
+                    "n_own": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "fp": pa.array(np.concatenate(fps)),
+                "owner": pa.array(np.concatenate(owners)),
+                "n_own": pa.array(np.concatenate(counts)),
+            }
+        )
+
+    def pairs_of(group: pa.Table) -> pa.Table:
+        own = group.column("owner").to_numpy(zero_copy_only=False)
+        cnt = group.column("n_own").to_numpy(zero_copy_only=False)
+        order = np.argsort(own)
+        own, cnt = own[order], cnt[order]
+        g = len(own)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+            }
+        )
+        if g < 2 or g > owner_cap:
+            return empty
+        ia, ib = np.triu_indices(g, 1)
+        return pa.table(
+            {
+                "a": pa.array(own[ia]),
+                "b": pa.array(own[ib]),
+                "n_a": pa.array(cnt[ia]),
+                "n_b": pa.array(cnt[ib]),
+            }
+        )
+
+    post = ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+    counted = (
+        post.groupby("fp")
+        .map_groups(pairs_of, batch_format="pyarrow")
+        .groupby(["a", "b", "n_a", "n_b"])
+        .aggregate(Count(alias_name="n_shared"))
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mn = pc.min_element_wise(batch.column("n_a"), batch.column("n_b"))
+        ok = pc.greater_equal(
+            pc.multiply(batch.column("n_shared"), den), pc.multiply(mn, num)
+        )
+        out = batch.filter(ok)
+        return out.select(["a", "b", "n_shared", "n_a", "n_b"])
+
+    return counted.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -129,3 +129,55 @@ def test_winnow_shared_pairs_finds_plagiarism(ray_session):
     )
     df = winnow_shared_pairs(ds, min_shared=2).to_pandas()
     assert [(int(r.a), int(r.b)) for r in df.itertuples()] == [(0, 1)]
+
+
+# --- Broder containment ------------------------------------------------------
+
+
+def test_containment_catches_quote_jaccard_misses(ray_session):
+    import ray.data
+
+    from docler_ray.stages.winnow import containment_pairs
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    long_doc = (
+        " ".join(f"l{i}" for i in range(80)) + " " + quote + " "
+        + " ".join(f"m{i}" for i in range(80))
+    )
+    texts = [quote, long_doc, "an unrelated third document of words"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    df = containment_pairs(ds, num=4, den=5).to_pandas()
+    assert [(int(r.a), int(r.b)) for r in df.itertuples()] == [(0, 1)]
+    row = df.iloc[0]
+    # every gram of the quote appears in the long doc: full containment
+    assert row["n_shared"] == row["n_a"] == 9  # 12 words -> 9 4-grams
+    # Jaccard would be 9 / (9 + n_b - 9) ~ 0.05 — far below any threshold
+    assert row["n_b"] > 100
+
+
+def test_containment_threshold_cross_multiply(ray_session):
+    import ray.data
+
+    from docler_ray.stages.winnow import containment_pairs
+
+    base = [f"w{i}" for i in range(13)]  # 10 grams
+    # doc 1 shares exactly 7 of doc 0's 10 grams (7/10 < 4/5): dropped
+    texts = [" ".join(base), " ".join(base[:10] + ["x", "y", "z"])]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    assert containment_pairs(ds, num=4, den=5).count() == 0
+    # at 7/10 threshold they pass
+    assert containment_pairs(ds, num=7, den=10).count() == 1

@@ -436,6 +436,15 @@ SF1_QUERIES = [
     "event_type_pmi",
     "host_pagerank",
     "host_triangles",
+    # session-5 additions: posting-pair exchanges (shared-fingerprint and
+    # containment pairs over 10x docs), k-core peel rounds, the watermark
+    # prefix scan over 10M events, EWMA per-key scan, flagship frontier
+    "winnow_shared_pairs",
+    "containment_pairs",
+    "host_kcore",
+    "events_late_flags",
+    "user_value_ewma",
+    "frontier_pipeline",
 ]
 
 

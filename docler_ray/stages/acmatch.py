@@ -106,12 +106,17 @@ class _ACPartial:
 
 
 def ac_pattern_counts(
-    ds, patterns: list[str], *, text_col: str = "text", concurrency: int = 4
+    ds, patterns: list[str], *, text_col: str = "text", concurrency=(1, 4)
 ):
     """Corpus-total occurrence count per dictionary pattern: ONE automaton
     pass per batch inside an actor pool (compile once per actor), partial
     counts fold through a dictionary-sized groupby. Patterns with zero
-    corpus occurrences are absent from the output (emit-on-hit)."""
+    corpus occurrences are absent from the output (emit-on-hit).
+
+    ``concurrency`` is an AUTOSCALING (min, max) range, not a fixed pool:
+    a fixed pool of size == the cluster's CPU count deadlocks small
+    clusters (all CPUs parked in actors, none left for the upstream read
+    tasks — measured as a wedged 4-CPU pytest session)."""
     from ray.data.aggregate import Sum
 
     return (

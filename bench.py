@@ -432,7 +432,9 @@ SF1_QUERIES = [
     "events_value_resample_6h",
     "event_type_bursts",
     "snapshot_apply_cdc",
-    "custdist",
+    # custdist removed from the tier: it reads customer.parquet, which
+    # prepare_sf1 does not materialize (dimension FK would need the same
+    # per-copy custkey shift as orders); sf0.1 + driver cover it
     "event_type_pmi",
     "host_pagerank",
     "host_triangles",

@@ -162,18 +162,8 @@ def winnow_shared_pairs(
             }
         )
 
-    def pairs_of(group: pa.Table) -> pa.Table:
-        own = np.unique(group.column("owner").to_numpy(zero_copy_only=False))
-        g = len(own)
-        if g < 2 or g > _HOT_OWNER_CAP:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        ia, ib = np.triu_indices(g, 1)
-        return pa.table({"a": pa.array(own[ia]), "b": pa.array(own[ib])})
-
     post = ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = post.groupby("fp").map_groups(pairs_of, batch_format="pyarrow")
+    pairs = _coarse_allpairs(post, [], owner_cap=_HOT_OWNER_CAP)
     counted = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_shared"))
     return counted.filter(
         expr=f"n_shared >= {int(min_shared)}"
@@ -231,48 +221,104 @@ def containment_pairs(
             }
         )
 
-    def pairs_of(group: pa.Table) -> pa.Table:
-        own = group.column("owner").to_numpy(zero_copy_only=False)
-        cnt = group.column("n_own").to_numpy(zero_copy_only=False)
-        order = np.argsort(own)
-        own, cnt = own[order], cnt[order]
-        g = len(own)
-        empty = pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "n_a": pa.array([], pa.int64()),
-                "n_b": pa.array([], pa.int64()),
-            }
-        )
-        if g < 2 or g > owner_cap:
-            return empty
-        ia, ib = np.triu_indices(g, 1)
-        return pa.table(
-            {
-                "a": pa.array(own[ia]),
-                "b": pa.array(own[ib]),
-                "n_a": pa.array(cnt[ia]),
-                "n_b": pa.array(cnt[ib]),
-            }
-        )
-
     post = ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
-    counted = (
-        post.groupby("fp")
-        .map_groups(pairs_of, batch_format="pyarrow")
-        .groupby(["a", "b", "n_a", "n_b"])
-        .aggregate(Count(alias_name="n_shared"))
+    pairs = _coarse_allpairs(post, ["n_own"], owner_cap=owner_cap)
+    counted = pairs.groupby(["a", "b", "n_own_a", "n_own_b"]).aggregate(
+        Count(alias_name="n_shared")
     )
 
     def keep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        mn = pc.min_element_wise(batch.column("n_a"), batch.column("n_b"))
+        n_a = batch.column("n_own_a")
+        n_b = batch.column("n_own_b")
+        mn = pc.min_element_wise(n_a, n_b)
         ok = pc.greater_equal(
             pc.multiply(batch.column("n_shared"), den), pc.multiply(mn, num)
         )
         out = batch.filter(ok)
-        return out.select(["a", "b", "n_shared", "n_a", "n_b"])
+        return pa.table(
+            {
+                "a": out.column("a"),
+                "b": out.column("b"),
+                "n_shared": out.column("n_shared"),
+                "n_a": out.column("n_own_a"),
+                "n_b": out.column("n_own_b"),
+            }
+        )
 
     return counted.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _coarse_allpairs(post, value_cols: list[str], *, owner_cap: int):
+    """Shared ALL-pairs-per-fingerprint emission: ONE coarse exchange
+    (fp folded into a bounded-keyspace bucket), then each bucket task
+    emits every within-fp pair via the shifted-array trick — for offset d,
+    rows t and t+d pair iff fp[t] == fp[t+d] — so the loop count is
+    bounded by the LONGEST surviving segment (<= owner_cap), not the
+    number of fingerprints: per-fp Python calls measured 5x slower on the
+    sf1 tier (62.8 s -> see BASELINE.md). Oversized fp segments (shared
+    boilerplate) drop before emission. Owners are unique within an fp
+    (distinct grams per doc), so sorting by (fp, owner) makes a < b
+    structural. Input columns: fp, owner, *value_cols (per-owner payloads
+    gathered onto both sides as {col}_a / {col}_b)."""
+    import pandas as pd
+
+    def emit(df: pd.DataFrame) -> pa.Table:
+        cols_a = {f"{c}_a": np.array([], dtype=np.int64) for c in value_cols}
+        cols_b = {f"{c}_b": np.array([], dtype=np.int64) for c in value_cols}
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                **{k: pa.array(v) for k, v in {**cols_a, **cols_b}.items()},
+            }
+        )
+        if df.empty:
+            return empty
+        df = df.sort_values(["fp", "owner"], kind="mergesort")
+        fp = df["fp"].to_numpy(dtype=np.int64)
+        own = df["owner"].to_numpy(dtype=np.int64)
+        vals = {c: df[c].to_numpy(dtype=np.int64) for c in value_cols}
+        # drop oversized fp segments before pairing
+        uniq, inv, counts = np.unique(fp, return_inverse=True, return_counts=True)
+        keep = counts[inv] <= owner_cap
+        if not keep.all():
+            fp, own = fp[keep], own[keep]
+            vals = {c: v[keep] for c, v in vals.items()}
+        n = len(fp)
+        if n < 2:
+            return empty
+        max_seg = int(np.bincount(np.unique(fp, return_inverse=True)[1]).max())
+        outs_a, outs_b = [], []
+        outs_vals = {c: ([], []) for c in value_cols}
+        for d in range(1, max_seg):
+            m = fp[d:] == fp[:-d]
+            if not m.any():
+                break
+            outs_a.append(own[:-d][m])
+            outs_b.append(own[d:][m])
+            for c, v in vals.items():
+                outs_vals[c][0].append(v[:-d][m])
+                outs_vals[c][1].append(v[d:][m])
+        if not outs_a:
+            return empty
+        out = {
+            "a": pa.array(np.concatenate(outs_a)),
+            "b": pa.array(np.concatenate(outs_b)),
+        }
+        for c in value_cols:
+            out[f"{c}_a"] = pa.array(np.concatenate(outs_vals[c][0]))
+            out[f"{c}_b"] = pa.array(np.concatenate(outs_vals[c][1]))
+        return pa.table(out)
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        f = batch.column("fp").to_numpy(zero_copy_only=False).astype(np.uint64)
+        coarse = ((f * np.uint64(1000003)) % np.uint64(1024)).astype(np.int64)
+        return batch.append_column("coarse", pa.array(coarse))
+
+    return (
+        post.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(emit, batch_format="pandas")
+    )

@@ -6692,6 +6692,29 @@ def _walk_skipgram_sql() -> str:
     )
 
 
+def _q_mutual_link_pairs(sf_dir: str):
+    """Reciprocal host pairs over the mod-19 graph (link-exchange spam
+    signal, stages/linkgraph.py::mutual_link_pairs): map-side canonical
+    split into forward/reverse partials, ONE (u,v) exchange, both-positive
+    filter. Self-join oracle over the directed multi-edge counts."""
+    from docler_ray.stages.linkgraph import mutual_link_pairs
+
+    return mutual_link_pairs(_lg_edges_ds(sf_dir, _LG_MOD_TRI))
+
+
+def _mutual_links_sql() -> str:
+    raw = _lg_edges_sql(_LG_MOD_TRI, distinct=False)
+    return (
+        f"WITH e AS (SELECT src, dst FROM ({raw})), "
+        "c AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v, "
+        "CAST(SUM(CASE WHEN src = least(src, dst) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_uv, "
+        "CAST(SUM(CASE WHEN src = least(src, dst) THEN 0 ELSE 1 END) "
+        "AS BIGINT) AS n_vu FROM e GROUP BY 1, 2) "
+        "SELECT u, v, n_uv, n_vu FROM c WHERE n_uv > 0 AND n_vu > 0"
+    )
+
+
 def _q_host_degree_profile(sf_dir: str):
     """Per-host in/out degree + link mass over the multi-edge host graph:
     ONE (src,dst) exchange for edge counts, then both endpoints emitted
@@ -10654,6 +10677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_kcore": _q_host_kcore,
         "host_random_walks": _q_host_random_walks,
         "walk_skipgram_pairs": _q_walk_skipgram_pairs,
+        "mutual_link_pairs": _q_mutual_link_pairs,
         "host_degree_profile": _q_host_degree_profile,
         "host_triangles": _q_host_triangles,
         "data_quality_audit": _q_data_quality_audit,
@@ -11714,6 +11738,7 @@ def oracle_sql() -> dict[str, str]:
         "host_kcore": _host_kcore_sql(),
         "host_random_walks": _host_walks_sql(),
         "walk_skipgram_pairs": _walk_skipgram_sql(),
+        "mutual_link_pairs": _mutual_links_sql(),
         "host_degree_profile": _host_degree_sql(),
         "host_triangles": _host_triangles_sql(),
         "data_quality_audit": _data_quality_audit_sql(),

@@ -1127,3 +1127,53 @@ def skipgram_pairs(
         .groupby(["center", "context"])
         .aggregate(Sum("pn", alias_name="n"))
     )
+
+
+def mutual_link_pairs(edges, *, src_col: str = "src_host", dst_col: str = "dst_host"):
+    """Reciprocal host pairs — the classic link-exchange/spam-farm signal
+    (mutual links are ~3x more likely between colluding hosts; TrustRank-
+    era heuristic): canonical (u < v) pairs where BOTH directions exist,
+    with each direction's multi-edge count. Plan: the map side canonizes
+    AND splits each edge's count into forward/reverse partial columns, so
+    ONE (u, v)-keyed exchange carries both directions; a pair survives
+    iff both sums are positive. Returns (u, v, n_uv, n_vu)."""
+    from ray.data.aggregate import Sum
+
+    def canon(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = batch.column(src_col)
+        d = batch.column(dst_col)
+        t = pa.table({"s": s, "d": d}).filter(pc.not_equal(s, d))
+        u = pc.min_element_wise(t.column("s"), t.column("d"))
+        v = pc.max_element_wise(t.column("s"), t.column("d"))
+        fwd = pc.cast(pc.equal(t.column("s"), u), pa.int64())  # 1: u -> v
+        g = (
+            pa.table(
+                {
+                    "u": u,
+                    "v": v,
+                    "pf": fwd,
+                    "pr": pc.subtract(1, fwd),
+                }
+            )
+            .group_by(["u", "v"])
+            .aggregate([("pf", "sum"), ("pr", "sum")])
+        )
+        return g.rename_columns(["u", "v", "pf", "pr"])
+
+    both = (
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .aggregate(Sum("pf", alias_name="n_uv"), Sum("pr", alias_name="n_vu"))
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.and_(
+            pc.greater(batch.column("n_uv"), 0), pc.greater(batch.column("n_vu"), 0)
+        )
+        return batch.filter(ok)
+
+    return both.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

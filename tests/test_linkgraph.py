@@ -565,3 +565,14 @@ def test_skipgram_pairs_window_semantics(ray_session):
         want[(a, b)] = 1
         want[(b, a)] = 1
     assert got == want  # the single-node walk 1 contributes nothing
+
+
+def test_mutual_link_pairs(ray_session):
+    from docler_ray.stages.linkgraph import mutual_link_pairs
+
+    # 0<->1 mutual (2 fwd, 1 rev); 2->3 one-way; self-loop dropped
+    edges = [(0, 1), (0, 1), (1, 0), (2, 3), (4, 4)]
+    df = mutual_link_pairs(_edges_ds(edges)).to_pandas()
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert (r["u"], r["v"], r["n_uv"], r["n_vu"]) == ("h0", "h1", 2, 1)

@@ -8887,6 +8887,52 @@ _CONTAINMENT_SQL = (
 )
 
 
+def _q_trap_suspect_params(sf_dir: str):
+    """Crawl-trap detection (stages/urlops.py::trap_suspect_params):
+    per-doc URLs carry a per-request 'sid' token (md5 of doc_id — fully
+    distinct, the trap) beside a 10-value 'page' param (structural) and a
+    'v' param only on host h1; hosts hash into 3 buckets so every (host,
+    sid) cell clears min_n=50 at sf0.001. Only the sid rows survive the
+    9/10 distinctness cross-multiply. COUNT/COUNT-DISTINCT oracle."""
+    import hashlib
+
+    import ray.data
+
+    from docler_ray.stages.urlops import trap_suspect_params
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        urls = []
+        for d in batch.column("doc_id").to_pylist():
+            h = d % 3
+            sid = hashlib.md5(str(d).encode()).hexdigest()[:12]
+            u = f"https://h{h}.example/p?sid={sid}&page={d % 10}"
+            if h == 1:
+                u += f"&v={d % 4}"
+            urls.append(u)
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    urls = ds.map_batches(to_urls, batch_format="pyarrow", zero_copy_batch=True)
+    return trap_suspect_params(urls)
+
+
+_TRAP_PARAMS_SQL = (
+    "WITH u AS (SELECT doc_id, 'h' || CAST(doc_id % 3 AS VARCHAR) "
+    "|| '.example' AS host, substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) "
+    "AS sid, CAST(doc_id % 10 AS VARCHAR) AS page, "
+    "CAST(doc_id % 4 AS VARCHAR) AS v FROM documents), "
+    "pairs AS (SELECT host, 'sid' AS param, sid AS value FROM u "
+    "UNION ALL SELECT host, 'page', page FROM u "
+    "UNION ALL SELECT host, 'v', v FROM u WHERE host = 'h1.example'), "
+    "agg AS (SELECT host, param, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct "
+    "FROM pairs GROUP BY 1, 2) "
+    "SELECT host, param, n, n_distinct FROM agg "
+    "WHERE n >= 50 AND n_distinct * 10 >= n * 9"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10719,6 +10765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_nav_signals": _q_page_nav_signals,
         "conform_docs_schema": _q_conform_docs_schema,
         "containment_pairs": _q_containment_pairs,
+        "trap_suspect_params": _q_trap_suspect_params,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11780,6 +11827,7 @@ def oracle_sql() -> dict[str, str]:
         "page_nav_signals": _PAGE_NAV_SQL,
         "conform_docs_schema": _CONFORM_SQL,
         "containment_pairs": _CONTAINMENT_SQL,
+        "trap_suspect_params": _TRAP_PARAMS_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -370,6 +370,7 @@ def bench_once() -> dict:
         timed("page_nav_signals", q["page_nav_signals"])
         timed("conform_docs_schema", q["conform_docs_schema"])
         timed("containment_pairs", q["containment_pairs"])
+        timed("trap_suspect_params", q["trap_suspect_params"])
     finally:
         ray.shutdown()
     return results

@@ -728,3 +728,97 @@ def aligned_url_pairs(
         .groupby(["host", "tail"])
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+def trap_suspect_params(
+    ds,
+    *,
+    url_col: str = "url",
+    min_n: int = 50,
+    num: int = 9,
+    den: int = 10,
+):
+    """Crawl-trap / session-id detection per (host, param): a parameter
+    whose value is distinct on >= num/den of >= min_n sightings is
+    URL-space explosion (calendar traps, session ids, per-request
+    tokens) — the frontier must strip it or cap the host. Exact integer
+    cross-multiply (n_distinct * den >= num * n). Plan: the host rides
+    the query_param_profile explode, distinct partials, ONE
+    (host, param, value) exchange, then a (host, param) fold. Returns
+    flagged rows only: (host, param, n, n_distinct)."""
+    from ray.data.aggregate import Count, Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from urllib.parse import unquote
+
+        t = parse_url_batch(batch.select([url_col]), url_col)
+        hosts = t.column("host").to_pylist()
+        urls = pc.fill_null(batch.column(url_col), "").to_pylist()
+        oh, op, ov = [], [], []
+        for h, u in zip(hosts, urls):
+            q = u.find("?")
+            if q < 0 or not h:
+                continue
+            query = u[q + 1 :]
+            f = query.find("#")
+            if f >= 0:
+                query = query[:f]
+            for part in query.split("&"):
+                if not part:
+                    continue
+                eq = part.find("=")
+                if eq < 0:
+                    oh.append(h)
+                    op.append(unquote(part))
+                    ov.append("")
+                else:
+                    oh.append(h)
+                    op.append(unquote(part[:eq]))
+                    ov.append(unquote(part[eq + 1 :]))
+        return pa.table(
+            {
+                "host": pa.array(oh, pa.string()),
+                "param": pa.array(op, pa.string()),
+                "value": pa.array(ov, pa.string()),
+            }
+        )
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["host", "param", "value"]).aggregate([([], "count_all")])
+        return g.rename_columns(["host", "param", "value", "pn"])
+
+    per_value = (
+        pairs.map_batches(
+            distinct_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["host", "param", "value"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def fold_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["host", "param"]).aggregate(
+            [("n", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["host", "param", "pn", "pd"])
+
+    agg = (
+        per_value.map_batches(
+            fold_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["host", "param"])
+        .aggregate(Sum("pn", alias_name="n"), Sum("pd", alias_name="n_distinct"))
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.greater_equal(batch.column("n"), min_n),
+            pc.greater_equal(
+                pc.multiply(batch.column("n_distinct"), den),
+                pc.multiply(batch.column("n"), num),
+            ),
+        )
+        return batch.filter(ok)
+
+    return agg.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

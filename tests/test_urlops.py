@@ -334,3 +334,19 @@ def test_aligned_url_pairs_group_cap(ray_session):
         )
     )
     assert aligned_url_pairs(ds, group_cap=4).count() == 0
+
+
+def test_trap_suspect_params(ray_session):
+    import ray.data
+
+    from docler_ray.stages.urlops import trap_suspect_params
+
+    # sid: 60 sightings all distinct -> trap; page: 60 sightings 10 values
+    # -> structural; low-volume distinct param stays under min_n
+    urls = [f"https://h.example/p?sid=s{i}&page={i % 10}" for i in range(60)]
+    urls += [f"https://h.example/p?rare=r{i}" for i in range(5)]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    df = trap_suspect_params(ds, min_n=50).to_pandas()
+    assert [(r.host, r.param, int(r.n), int(r.n_distinct)) for r in df.itertuples()] == [
+        ("h.example", "sid", 60, 60)
+    ]

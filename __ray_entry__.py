@@ -8933,6 +8933,62 @@ _TRAP_PARAMS_SQL = (
 )
 
 
+def _q_bitext_pair_scores(sf_dir: str):
+    """Bitext mining stage 2 (stages/urlops.py::bitext_number_overlap):
+    the URL-aligned candidate pairs scored by shared digit-token overlap
+    (numbers survive translation verbatim — the ParaCrawl pre-MT filter).
+    Each doc carries doc_id%3+1 synthetic digits gid*100+j, so a pair
+    shares exactly min(a%3,b%3)+1 of them — closed-form oracle. Pair
+    index broadcast once; postings carry side counts; one (pid, hash)
+    exchange."""
+    import ray.data
+
+    from docler_ray.stages.urlops import aligned_url_pairs, bitext_number_overlap
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_pylist()
+        gid = pc.cast(pc.divide(batch.column("doc_id"), 5), pa.string())
+        url = pc.binary_join_element_wise(
+            "https://site", gid, ".example/", batch.column("lang"), "/doc-", gid, ""
+        )
+        texts = batch.column("text").to_pylist()
+        out = []
+        for d, t in zip(ids, texts):
+            digits = " ".join(str((d // 5) * 100 + j) for j in range(d % 3 + 1))
+            out.append((t or "") + " " + digits)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "url": url,
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    prepped = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = aligned_url_pairs(prepped).select_columns(["a", "b"])
+    return bitext_number_overlap(prepped, pairs)
+
+
+_BITEXT_SCORES_SQL = (
+    "WITH u AS (SELECT doc_id, lang, "
+    "'site' || CAST(doc_id // 5 AS VARCHAR) || '.example' AS host, "
+    "'/doc-' || CAST(doc_id // 5 AS VARCHAR) AS tail FROM documents) "
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "CAST(least(a.doc_id % 3, b.doc_id % 3) + 1 AS BIGINT) AS n_shared, "
+    "CAST(a.doc_id % 3 + 1 AS BIGINT) AS n_a, "
+    "CAST(b.doc_id % 3 + 1 AS BIGINT) AS n_b "
+    "FROM u a JOIN u b ON a.host = b.host AND a.tail = b.tail "
+    "AND a.doc_id < b.doc_id AND a.lang <> b.lang"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10766,6 +10822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conform_docs_schema": _q_conform_docs_schema,
         "containment_pairs": _q_containment_pairs,
         "trap_suspect_params": _q_trap_suspect_params,
+        "bitext_pair_scores": _q_bitext_pair_scores,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11828,6 +11885,7 @@ def oracle_sql() -> dict[str, str]:
         "conform_docs_schema": _CONFORM_SQL,
         "containment_pairs": _CONTAINMENT_SQL,
         "trap_suspect_params": _TRAP_PARAMS_SQL,
+        "bitext_pair_scores": _BITEXT_SCORES_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -371,6 +371,7 @@ def bench_once() -> dict:
         timed("conform_docs_schema", q["conform_docs_schema"])
         timed("containment_pairs", q["containment_pairs"])
         timed("trap_suspect_params", q["trap_suspect_params"])
+        timed("bitext_pair_scores", q["bitext_pair_scores"])
     finally:
         ray.shutdown()
     return results

@@ -822,3 +822,169 @@ def trap_suspect_params(
         return batch.filter(ok)
 
     return agg.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_BITEXT_PAIR_CAP = 2_000_000  # broadcast bound for the pair list
+
+
+def bitext_number_overlap(
+    docs,
+    pairs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pair_cap: int | None = None,
+):
+    """Stage 2 of URL-pattern bitext mining (after
+    :func:`aligned_url_pairs`): score each candidate pair by its shared
+    DIGIT-token overlap — numbers survive translation verbatim, so
+    number agreement is the cheap language-independent filter the
+    ParaCrawl pipeline applies before any MT model. Returns (a, b,
+    n_shared, n_a, n_b) where n_* count distinct digit tokens.
+
+    Plan: the pair list is alignment-bounded (grown from URL tails, not
+    the corpus square) — under ``pair_cap`` it broadcasts as a doc ->
+    [(pair_id, side)] index via ``ray.put``; the doc pass emits (pid,
+    side, digit-hash) postings WITH each side's distinct count as
+    payload; one (pid, hash) exchange finds both-side hashes; a pid fold
+    counts them. Above the cap raises naming the join plan."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    cap = _BITEXT_PAIR_CAP if pair_cap is None else pair_cap
+    pdf = pairs.materialize()
+    n_pairs = pdf.count()
+    if n_pairs == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if n_pairs > cap:
+        raise NotImplementedError(
+            f"bitext pair broadcast capped at {cap} pairs (measured "
+            f"{n_pairs}); beyond it run two copartitioned joins of the "
+            "postings with the pair table (on a, then b)"
+        )
+    pp = pdf.to_pandas()
+    index: dict = {}
+    pair_ids = {}
+    for pid, (a, b) in enumerate(zip(pp["a"], pp["b"])):
+        pair_ids[pid] = (int(a), int(b))
+        index.setdefault(int(a), []).append((pid, 0))
+        index.setdefault(int(b), []).append((pid, 1))
+    idx_ref = ray.put(index)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from docler_ray.functions.tokens import ws_tokens
+        from docler_ray.stages.joins import _get_broadcast
+
+        idx = _get_broadcast(idx_ref)
+        out_pid, out_side, out_h, out_n = [], [], [], []
+        for d, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            entries = idx.get(int(d))
+            if not entries:
+                continue
+            # 52-bit md5 keys (NEVER builtins.hash — PYTHONHASHSEED makes
+            # it process-nondeterministic); distinct-count survives keying
+            nums = sorted(
+                {
+                    int(hashlib.md5(tok.encode()).hexdigest()[:13], 16)
+                    for tok in ws_tokens(t or "")
+                    if tok.isdigit()
+                }
+            )
+            for pid, side in entries:
+                for h in nums:
+                    out_pid.append(pid)
+                    out_side.append(side)
+                    out_h.append(h)
+                    out_n.append(len(nums))
+        return pa.table(
+            {
+                "pid": pa.array(out_pid, pa.int64()),
+                "side": pa.array(out_side, pa.int64()),
+                "h": pa.array(out_h, pa.int64()),
+                "nn": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    post = docs.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+    per_hash = post.groupby(["pid", "h"]).aggregate(
+        Count(alias_name="sides"),
+        Min("side", alias_name="smin"),
+        Max("side", alias_name="smax"),
+        Max("nn", alias_name="nmax"),
+        Min("nn", alias_name="nmin"),
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        both = pc.and_(
+            pc.equal(batch.column("smin"), 0), pc.equal(batch.column("smax"), 1)
+        )
+        shared = pc.cast(both, pa.int64())
+        g = (
+            pa.table({"pid": batch.column("pid"), "sh": shared})
+            .group_by("pid")
+            .aggregate([("sh", "sum")])
+        )
+        return g.rename_columns(["pid", "ps"])
+
+    counts = (
+        post.map_batches(
+            lambda b: pa.table(
+                {
+                    "pid": b.column("pid"),
+                    "side": b.column("side"),
+                    "nn": b.column("nn"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["pid", "side"])
+        .aggregate(Max("nn", alias_name="n"))
+        .to_pandas()
+    )
+    shared = (
+        per_hash.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pid")
+        .aggregate(Sum("ps", alias_name="n_shared"))
+        .to_pandas()
+    )
+    sh = dict(zip(shared["pid"], (int(x) for x in shared["n_shared"])))
+    n_by = {}
+    for pid, side, n in zip(counts["pid"], counts["side"], counts["n"]):
+        n_by[(int(pid), int(side))] = int(n)
+    rows_a, rows_b, rows_s, rows_na, rows_nb = [], [], [], [], []
+    for pid, (a, b) in pair_ids.items():
+        rows_a.append(a)
+        rows_b.append(b)
+        rows_s.append(sh.get(pid, 0))
+        rows_na.append(n_by.get((pid, 0), 0))
+        rows_nb.append(n_by.get((pid, 1), 0))
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(rows_a, pa.int64()),
+                "b": pa.array(rows_b, pa.int64()),
+                "n_shared": pa.array(rows_s, pa.int64()),
+                "n_a": pa.array(rows_na, pa.int64()),
+                "n_b": pa.array(rows_nb, pa.int64()),
+            }
+        )
+    )

@@ -350,3 +350,58 @@ def test_trap_suspect_params(ray_session):
     assert [(r.host, r.param, int(r.n), int(r.n_distinct)) for r in df.itertuples()] == [
         ("h.example", "sid", 60, 60)
     ]
+
+
+def test_bitext_number_overlap(ray_session):
+    import ray.data
+
+    from docler_ray.stages.urlops import bitext_number_overlap
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "hello 42 world 7 2026",
+                        "bonjour 42 monde 7 1999",
+                        "unrelated 555",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {"a": pa.array([0, 0], pa.int64()), "b": pa.array([1, 2], pa.int64())}
+        )
+    )
+    df = (
+        bitext_number_overlap(docs, pairs)
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    assert df.loc[0].tolist() == [0, 1, 2, 3, 3]  # shares 42 and 7
+    assert df.loc[1].tolist() == [0, 2, 0, 3, 1]  # no shared numbers
+
+
+def test_bitext_empty_pairs(ray_session):
+    import ray.data
+
+    from docler_ray.stages.urlops import bitext_number_overlap
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["x 1"], pa.string()),
+            }
+        )
+    )
+    pairs = ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    out = bitext_number_overlap(docs, pairs)
+    assert out.count() == 0

@@ -8989,6 +8989,61 @@ _BITEXT_SCORES_SQL = (
 )
 
 
+def _q_hreflang_alternates(sf_dir: str):
+    """hreflang alternate extraction (html/metadata.py::extract_hreflang):
+    per doc a 3-language alternate set (uppercase lang normalized,
+    region-tagged variant, relative hrefs resolved) plus a rel-less and a
+    stylesheet decoy and a javascript: drop; zero-shuffle flat map with
+    arithmetic-rebuild oracle."""
+    import ray.data
+
+    from docler_ray.html.metadata import extract_hreflang
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def nav(batch: pa.Table) -> pa.Table:
+        out_id, pos, hl, href = [], [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            base = f"https://host{d % 23}.example/x/p{d}"
+            h = (
+                "<html><head>"
+                f'<link rel="alternate" hreflang="EN" href="/en/p{d}">'
+                f'<link rel="alternate" hreflang="fr-CA" '
+                f'href="https://host{d % 23}.example/fr/p{d}">'
+                f'<link rel="alternate" hreflang="de" href="./q{d}">'
+                '<link rel="alternate" href="/no-lang">'
+                '<link rel="stylesheet" hreflang="zz" href="/css">'
+                '<link rel="alternate" hreflang="es" href="javascript:x()">'
+                "</head></html>"
+            )
+            for p, (lang, url) in enumerate(extract_hreflang(h, base)):
+                out_id.append(d)
+                pos.append(p)
+                hl.append(lang)
+                href.append(url)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "hreflang": pa.array(hl, pa.string()),
+                "href": pa.array(href, pa.string()),
+            }
+        )
+
+    return ds.map_batches(nav, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_HREFLANG_SQL = (
+    "WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, "
+    "'https://host' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS b "
+    "FROM documents) "
+    "SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'en' AS hreflang, "
+    "b || '/en/p' || i AS href FROM d "
+    "UNION ALL SELECT doc_id, 1, 'fr-ca', b || '/fr/p' || i FROM d "
+    "UNION ALL SELECT doc_id, 2, 'de', b || '/x/q' || i FROM d"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10823,6 +10878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "trap_suspect_params": _q_trap_suspect_params,
         "bitext_pair_scores": _q_bitext_pair_scores,
+        "hreflang_alternates": _q_hreflang_alternates,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11886,6 +11942,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _CONTAINMENT_SQL,
         "trap_suspect_params": _TRAP_PARAMS_SQL,
         "bitext_pair_scores": _BITEXT_SCORES_SQL,
+        "hreflang_alternates": _HREFLANG_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -372,6 +372,7 @@ def bench_once() -> dict:
         timed("containment_pairs", q["containment_pairs"])
         timed("trap_suspect_params", q["trap_suspect_params"])
         timed("bitext_pair_scores", q["bitext_pair_scores"])
+        timed("hreflang_alternates", q["hreflang_alternates"])
     finally:
         ray.shutdown()
     return results

@@ -139,3 +139,29 @@ def extract_nav(html: str, base_url: str | None = None) -> dict:
         "next_url": next_url,
         "prev_url": prev_url,
     }
+
+
+def extract_hreflang(html: str, base_url: str | None = None) -> list[tuple[str, str]]:
+    """(hreflang, resolved href) pairs from ``<link rel="alternate"
+    hreflang=...>`` — the multilingual-cluster declaration search engines
+    consolidate on. Document order, every occurrence (a page legitimately
+    declares many); hreflang lowercased; nav-scheme/unresolvable hrefs
+    dropped."""
+    from docler_ray.stages.linkgraph import resolve_href
+
+    root = parse_html(html)
+    out: list[tuple[str, str]] = []
+    for node in root.iter():
+        if node.tag != "link":
+            continue
+        rels = node.attr("rel").lower().split()
+        if "alternate" not in rels:
+            continue
+        hl = node.attr("hreflang").strip().lower()
+        href = node.attr("href")
+        if not hl or not href:
+            continue
+        resolved = resolve_href(base_url, href) if base_url is not None else href
+        if resolved:
+            out.append((hl, resolved))
+    return out

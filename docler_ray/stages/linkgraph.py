@@ -1177,3 +1177,71 @@ def mutual_link_pairs(edges, *, src_col: str = "src_host", dst_col: str = "dst_h
         return batch.filter(ok)
 
     return both.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def glove_cooccurrence(
+    walks,
+    *,
+    window: int = 2,
+    id_col: str = "walk_id",
+    step_col: str = "step",
+    node_col: str = "node",
+):
+    """GloVe-style distance-weighted co-occurrence (Pennington et al.,
+    EMNLP'14: X_ij accumulates 1/d per co-occurrence at distance d).
+    Weights are carried EXACTLY as integers scaled by lcm(1..window) —
+    for window 2 that is 2/d in {2, 1} — so the table hash-matches a SQL
+    rebuild with no float accumulation order to pin. Same one-exchange
+    shifted-array plan as :func:`skipgram_pairs`; returns (center,
+    context, x2 = 2*X_ij)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    scale = math.lcm(*range(1, window + 1))
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        keys = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        coarse = ((keys * np.uint64(1000003)) % np.uint64(256)).astype(np.int64)
+        return batch.append_column("coarse", pa.array(coarse))
+
+    def emit(df):
+        import pandas as pd
+
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "center": pd.Series([], dtype="object"),
+                    "context": pd.Series([], dtype="object"),
+                    "pw": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values([id_col, step_col], kind="mergesort")
+        wid = df[id_col].to_numpy()
+        stp = df[step_col].to_numpy()
+        nod = df[node_col].to_numpy()
+        centers, contexts, weights = [], [], []
+        for off in range(1, window + 1):
+            ok = (wid[off:] == wid[:-off]) & (stp[off:] - stp[:-off] == off)
+            w = scale // off
+            for a, b in ((nod[:-off][ok], nod[off:][ok]),
+                         (nod[off:][ok], nod[:-off][ok])):
+                centers.append(a)
+                contexts.append(b)
+                weights.append(np.full(len(a), w, dtype=np.int64))
+        c = np.concatenate(centers)
+        x = np.concatenate(contexts)
+        w = np.concatenate(weights)
+        out = pd.DataFrame({"center": c, "context": x, "pw": w})
+        g = out.groupby(["center", "context"], sort=False)["pw"].sum().reset_index()
+        return g
+
+    return (
+        walks.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(emit, batch_format="pandas")
+        .groupby(["center", "context"])
+        .aggregate(Sum("pw", alias_name="x2"))
+    )

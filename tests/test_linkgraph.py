@@ -576,3 +576,23 @@ def test_mutual_link_pairs(ray_session):
     assert len(df) == 1
     r = df.iloc[0]
     assert (r["u"], r["v"], r["n_uv"], r["n_vu"]) == ("h0", "h1", 2, 1)
+
+
+def test_glove_cooccurrence_weights(ray_session):
+    import ray.data
+
+    from docler_ray.stages.linkgraph import glove_cooccurrence
+
+    # walk A B A: pairs at d=1 (A-B twice) weight 2; d=2 (A-A) weight 1
+    walks = ray.data.from_arrow(
+        pa.table(
+            {
+                "walk_id": pa.array([0, 0, 0], pa.int64()),
+                "step": pa.array([0, 1, 2], pa.int64()),
+                "node": pa.array(["A", "B", "A"], pa.string()),
+            }
+        )
+    )
+    df = glove_cooccurrence(walks, window=2).to_pandas()
+    got = {(r.center, r.context): int(r.x2) for r in df.itertuples()}
+    assert got == {("A", "B"): 4, ("B", "A"): 4, ("A", "A"): 2}

@@ -6719,6 +6719,31 @@ def _glove_sql() -> str:
     )
 
 
+def _q_link_prediction_cn(sf_dir: str):
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg CIKM'03;
+    stages/linkgraph.py::common_neighbor_scores) over the mod-19 host
+    graph: exact CN count per co-wedged pair with an is_edge split. One
+    center exchange (shifted-array all-pairs, hub cap) + one pair count
+    exchange; wedge self-join oracle."""
+    from docler_ray.stages.linkgraph import canonical_undirected, common_neighbor_scores
+
+    und = canonical_undirected(_lg_edges_ds(sf_dir, _LG_MOD_TRI))
+    return common_neighbor_scores(und)
+
+
+def _link_prediction_sql() -> str:
+    raw = _lg_edges_sql(_LG_MOD_TRI, distinct=False)
+    return (
+        f"WITH e AS (SELECT DISTINCT least(src, dst) AS u, "
+        f"greatest(src, dst) AS v FROM ({raw}) WHERE src <> dst), "
+        "adj AS (SELECT u AS c, v AS nb FROM e UNION ALL SELECT v, u FROM e), "
+        "p AS (SELECT a.nb AS u, b.nb AS v, CAST(COUNT(*) AS BIGINT) AS cn "
+        "FROM adj a JOIN adj b ON a.c = b.c AND a.nb < b.nb GROUP BY 1, 2) "
+        "SELECT p.u, p.v, p.cn, e.u IS NOT NULL AS is_edge "
+        "FROM p LEFT JOIN e ON e.u = p.u AND e.v = p.v"
+    )
+
+
 def _q_mutual_link_pairs(sf_dir: str):
     """Reciprocal host pairs over the mod-19 graph (link-exchange spam
     signal, stages/linkgraph.py::mutual_link_pairs): map-side canonical
@@ -10977,6 +11002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walk_skipgram_pairs": _q_walk_skipgram_pairs,
         "mutual_link_pairs": _q_mutual_link_pairs,
         "glove_cooccurrence": _q_glove_cooccurrence,
+        "link_prediction_cn": _q_link_prediction_cn,
         "host_degree_profile": _q_host_degree_profile,
         "host_triangles": _q_host_triangles,
         "data_quality_audit": _q_data_quality_audit,
@@ -12044,6 +12070,7 @@ def oracle_sql() -> dict[str, str]:
         "walk_skipgram_pairs": _walk_skipgram_sql(),
         "mutual_link_pairs": _mutual_links_sql(),
         "glove_cooccurrence": _glove_sql(),
+        "link_prediction_cn": _link_prediction_sql(),
         "host_degree_profile": _host_degree_sql(),
         "host_triangles": _host_triangles_sql(),
         "data_quality_audit": _data_quality_audit_sql(),

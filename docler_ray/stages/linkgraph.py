@@ -1245,3 +1245,133 @@ def glove_cooccurrence(
         .groupby(["center", "context"])
         .aggregate(Sum("pw", alias_name="x2"))
     )
+
+
+def common_neighbor_scores(
+    und,
+    *,
+    degree_cap: int = 4096,
+    broadcast_cap: int | None = None,
+):
+    """Common-neighbor link-prediction scores (Liben-Nowell & Kleinberg,
+    CIKM'03 — CN is the baseline every link predictor is measured
+    against): for every node pair sharing >= 1 neighbor, the exact count
+    of common neighbors, with an ``is_edge`` flag so consumers can split
+    prediction candidates (non-edges) from triangle support (edges).
+    Input is :func:`canonical_undirected` output.
+
+    Plan: symmetrize to (center, neighbor) rows; ONE crc-coarse center
+    exchange; within each bucket the per-center all-pairs emit is the
+    shifted-array trick (sorted neighbors => u < v structural), centers
+    above ``degree_cap`` dropped as hubs (a celebrity's neighbor pairs
+    are quadratic noise — documented, like the LSH posting cap); one
+    (u, v) count exchange; the edge flag is a broadcast membership test
+    under the measured cap."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from docler_ray.stages.windows import _make_add_coarse
+
+    cap = _PAGERANK_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+    ded = und.materialize()
+    n_edges = ded.count()
+
+    def _empty():
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array([], pa.string()),
+                    "v": pa.array([], pa.string()),
+                    "cn": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.bool_()),
+                }
+            )
+        )
+
+    if n_edges == 0:
+        return _empty()
+    if n_edges > cap:
+        raise NotImplementedError(
+            f"common_neighbor edge-flag broadcast capped at {cap} edges "
+            f"(measured {n_edges}); beyond it flag via the exact bloom "
+            "anti/semi join against the edge set"
+        )
+    edf = ded.to_pandas()
+    edge_set = set(zip(edf["u"], edf["v"]))
+    edges_ref = ray.put(edge_set)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "center": pa.concat_arrays(
+                    [
+                        batch.column("u").combine_chunks(),
+                        batch.column("v").combine_chunks(),
+                    ]
+                ),
+                "nb": pa.concat_arrays(
+                    [
+                        batch.column("v").combine_chunks(),
+                        batch.column("u").combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    sym = ded.map_batches(symmetrize, batch_format="pyarrow", zero_copy_batch=True)
+    add_coarse = _make_add_coarse("center", 256)
+
+    def emit(df):
+        import pandas as pd
+
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype="object"),
+                    "v": pd.Series([], dtype="object"),
+                }
+            )
+        df = df.sort_values(["center", "nb"], kind="mergesort")
+        ctr = df["center"].to_numpy()
+        nb = df["nb"].to_numpy()
+        # drop hub centers before pairing
+        uniq, inv, counts = np.unique(ctr, return_inverse=True, return_counts=True)
+        keep = counts[inv] <= degree_cap
+        ctr, nb = ctr[keep], nb[keep]
+        if len(ctr) < 2:
+            return pd.DataFrame(
+                {"u": pd.Series([], dtype="object"), "v": pd.Series([], dtype="object")}
+            )
+        max_deg = int(np.bincount(np.unique(ctr, return_inverse=True)[1]).max())
+        us, vs = [], []
+        for d in range(1, max_deg):
+            m = ctr[d:] == ctr[:-d]
+            if not m.any():
+                break
+            us.append(nb[:-d][m])
+            vs.append(nb[d:][m])
+        if not us:
+            return pd.DataFrame(
+                {"u": pd.Series([], dtype="object"), "v": pd.Series([], dtype="object")}
+            )
+        return pd.DataFrame({"u": np.concatenate(us), "v": np.concatenate(vs)})
+
+    counted = (
+        sym.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(emit, batch_format="pandas")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="cn"))
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        es = ray.get(edges_ref)
+        us = batch.column("u").to_pylist()
+        vs = batch.column("v").to_pylist()
+        return batch.append_column(
+            "is_edge", pa.array([(a, b) in es for a, b in zip(us, vs)], pa.bool_())
+        )
+
+    return counted.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

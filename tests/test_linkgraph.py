@@ -596,3 +596,36 @@ def test_glove_cooccurrence_weights(ray_session):
     df = glove_cooccurrence(walks, window=2).to_pandas()
     got = {(r.center, r.context): int(r.x2) for r in df.itertuples()}
     assert got == {("A", "B"): 4, ("B", "A"): 4, ("A", "A"): 2}
+
+
+def test_common_neighbor_scores(ray_session):
+    from docler_ray.stages.linkgraph import (
+        canonical_undirected,
+        common_neighbor_scores,
+    )
+
+    # square 0-1-2-3-0: opposite corners share 2 common neighbors and are
+    # NOT edges (the prediction candidates); adjacent corners share 0
+    # common neighbors... plus diagonal 0-2 added as a real edge makes
+    # (1,3) the only pure candidate and gives edge pairs nonzero CN
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    df = (
+        common_neighbor_scores(canonical_undirected(_edges_ds(pairs)))
+        .to_pandas()
+        .set_index(["u", "v"])
+    )
+    assert df.loc[("h1", "h3")].tolist() == [2, False]  # the candidate
+    assert df.loc[("h0", "h2")].tolist() == [2, True]  # diagonal edge
+    assert df.loc[("h0", "h1")].tolist() == [1, True]  # via h2
+    # no pair without a common neighbor appears
+    assert (df["cn"] >= 1).all()
+
+
+def test_common_neighbor_empty(ray_session):
+    from docler_ray.stages.linkgraph import (
+        canonical_undirected,
+        common_neighbor_scores,
+    )
+
+    out = common_neighbor_scores(canonical_undirected(_edges_ds([])))
+    assert out.count() == 0

@@ -4568,6 +4568,66 @@ _ROBOTS_SQL = (
 )
 
 
+def _q_robots_directives(sf_dir: str):
+    """robots.txt auxiliary directives (functions/robots.py::
+    parse_robots_directives): per host a corpus with a bot-specific
+    Crawl-delay the '*' group must ignore, a fractional '*' delay, 1-2
+    group-independent Sitemap lines, and an unparseable delay line —
+    output (host, n_sitemaps, first_sitemap, crawl_delay). Host-
+    cardinality side input parsed once driver-side (the robots pattern);
+    arithmetic oracle."""
+    import ray.data
+
+    from docler_ray.functions.robots import parse_robots_directives
+
+    sources = sorted(
+        __import__("pandas")
+        .read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])["source"]
+        .unique()
+    )
+    rows = []
+    for s in sources:
+        host = f"{s}.example"
+        delay = len(s) % 5 + 1
+        text = (
+            f"Sitemap: https://{host}/sitemap.xml\n"
+            "User-agent: bot-x\nCrawl-delay: 99\nDisallow: /\n\n"
+            f"User-agent: *\nCrawl-delay: {delay}.5\nDisallow: /tmp\n"
+            "Crawl-delay: bogus\n"
+        )
+        if len(s) % 2 == 0:
+            text += f"Sitemap: https://{host}/s2.xml\n"
+        d = parse_robots_directives(text)
+        rows.append(
+            (
+                host,
+                len(d["sitemaps"]),
+                d["sitemaps"][0] if d["sitemaps"] else "",
+                d["crawl_delay"],
+            )
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array([r[0] for r in rows], pa.string()),
+                "n_sitemaps": pa.array([r[1] for r in rows], pa.int64()),
+                "first_sitemap": pa.array([r[2] for r in rows], pa.string()),
+                "crawl_delay": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+_ROBOTS_DIRECTIVES_SQL = (
+    "SELECT source || '.example' AS host, "
+    "CAST(CASE WHEN length(source) % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) "
+    "AS n_sitemaps, "
+    "'https://' || source || '.example/sitemap.xml' AS first_sitemap, "
+    "CAST(length(source) % 5 + 1 AS DOUBLE) + 0.5 AS crawl_delay "
+    "FROM (SELECT DISTINCT source FROM documents)"
+)
+
+
 def _q_url_host_profile(sf_dir: str):
     """Per-host corpus profile (host, tld, n, sum_path_depth): vectorized
     RE2 parse + map-side pre-agg, host-cardinality shuffle only."""
@@ -11003,6 +11063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_link_pairs": _q_mutual_link_pairs,
         "glove_cooccurrence": _q_glove_cooccurrence,
         "link_prediction_cn": _q_link_prediction_cn,
+        "robots_directives": _q_robots_directives,
         "host_degree_profile": _q_host_degree_profile,
         "host_triangles": _q_host_triangles,
         "data_quality_audit": _q_data_quality_audit,
@@ -12071,6 +12132,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_link_pairs": _mutual_links_sql(),
         "glove_cooccurrence": _glove_sql(),
         "link_prediction_cn": _link_prediction_sql(),
+        "robots_directives": _ROBOTS_DIRECTIVES_SQL,
         "host_degree_profile": _host_degree_sql(),
         "host_triangles": _host_triangles_sql(),
         "data_quality_audit": _data_quality_audit_sql(),

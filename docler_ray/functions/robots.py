@@ -22,6 +22,10 @@ import fnmatch
 import re
 
 _RULE_RE = re.compile(r"^(user-agent|allow|disallow)\s*:\s*(.*?)\s*$", re.I)
+# the directive superset: rules plus the group-independent/auxiliary fields
+_DIRECTIVE_RE = re.compile(
+    r"^(user-agent|allow|disallow|sitemap|crawl-delay)\s*:\s*(.*?)\s*$", re.I
+)
 
 
 def parse_robots(text: str, *, user_agent: str = "*") -> list[tuple[str, bool]]:
@@ -113,3 +117,46 @@ def robots_allowed_batch(paths, rules: list[tuple[str, bool]]):
         best_len[better] = spec
         best_allow[upd] = is_allow
     return best_allow
+
+
+def parse_robots_directives(text: str, *, user_agent: str = "*") -> dict:
+    """Non-rule robots.txt directives the frontier consumes beyond the
+    allow/disallow groups: ``Sitemap:`` lines (RFC 9309 §2.3-adjacent,
+    GROUP-INDEPENDENT per the spec — collected from the whole file in
+    order) and ``Crawl-delay:`` (non-standard but ubiquitous; scoped to
+    the matching user-agent group like the rules, '*' fallback; fractional
+    seconds accepted, unparseable values ignored). Returns {sitemaps:
+    [urls...], crawl_delay: float | None}."""
+    sitemaps: list[str] = []
+    delays: dict[str, float] = {}
+    current: list[str] = []
+    in_group_header = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        m = _DIRECTIVE_RE.match(line)
+        if not m:
+            continue
+        field, value = m.group(1).lower(), m.group(2)
+        if field == "sitemap":
+            if value:
+                sitemaps.append(value)
+            continue
+        if field == "user-agent":
+            if not in_group_header:
+                current = []
+                in_group_header = True
+            current.append(value.lower())
+        else:
+            in_group_header = False
+            if field == "crawl-delay" and current:
+                try:
+                    d = float(value)
+                except ValueError:
+                    continue
+                for ua in current:
+                    delays.setdefault(ua, d)
+    ua = user_agent.lower()
+    delay = delays.get(ua, delays.get("*"))
+    return {"sitemaps": sitemaps, "crawl_delay": delay}

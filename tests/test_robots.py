@@ -85,3 +85,34 @@ def test_batch_matches_scalar():
     got = robots_allowed_batch(paths, rules)
     want = [robots_allowed(p, rules) for p in paths]
     assert got.tolist() == want
+
+
+# --- auxiliary directives (Sitemap / Crawl-delay) ----------------------------
+
+
+def test_directives_sitemaps_group_independent():
+    from docler_ray.functions.robots import parse_robots_directives
+
+    t = (
+        "Sitemap: https://h/s1.xml\n"
+        "User-agent: bot-x\nCrawl-delay: 10\nDisallow: /\n"
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /tmp\n"
+        "Sitemap: https://h/s2.xml\nCrawl-delay: bogus\n"
+    )
+    d = parse_robots_directives(t)
+    # sitemaps collected file-wide in order, regardless of group position
+    assert d["sitemaps"] == ["https://h/s1.xml", "https://h/s2.xml"]
+    assert d["crawl_delay"] == 2.5  # the '*' group; bogus value ignored
+    assert parse_robots_directives(t, user_agent="bot-x")["crawl_delay"] == 10.0
+
+
+def test_directives_fallbacks():
+    from docler_ray.functions.robots import parse_robots_directives
+
+    # UA without its own delay falls back to '*'
+    t = "User-agent: *\nCrawl-delay: 3\nDisallow: /x\n"
+    assert parse_robots_directives(t, user_agent="someone")["crawl_delay"] == 3.0
+    assert parse_robots_directives("")["sitemaps"] == []
+    assert parse_robots_directives("")["crawl_delay"] is None
+    # delay before any user-agent line: ignored
+    assert parse_robots_directives("Crawl-delay: 9\n")["crawl_delay"] is None

@@ -4628,6 +4628,35 @@ _ROBOTS_DIRECTIVES_SQL = (
 )
 
 
+def _q_crawl_schedule_robots(sf_dir: str):
+    """Politeness scheduling with robots-derived PER-HOST delays
+    (stages/urlops.py::crawl_schedule_per_host): each host's Crawl-delay
+    (len(source)%5+1).5 s becomes an integer-ms slot width, broadcast
+    once; queue position via the shared crc-coarse per-key ordered
+    pattern. ROW_NUMBER x per-host delay oracle."""
+    from docler_ray.stages.urlops import crawl_schedule_per_host
+
+    sources = sorted(
+        __import__("pandas")
+        .read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])["source"]
+        .unique()
+    )
+    delays = {
+        f"{s}.example": (len(s) % 5 + 1) * 1000 + 500 for s in sources
+    }
+    return crawl_schedule_per_host(_url_docs_ds(sf_dir), delays)
+
+
+_CRAWL_SCHEDULE_ROBOTS_SQL = (
+    "SELECT doc_id, source || '.example' AS host, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) "
+    "AS seq, "
+    "CAST((ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1) * "
+    "((length(source) % 5 + 1) * 1000 + 500) AS BIGINT) AS fetch_offset_ms "
+    "FROM documents"
+)
+
+
 def _q_url_host_profile(sf_dir: str):
     """Per-host corpus profile (host, tld, n, sum_path_depth): vectorized
     RE2 parse + map-side pre-agg, host-cardinality shuffle only."""
@@ -11064,6 +11093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "glove_cooccurrence": _q_glove_cooccurrence,
         "link_prediction_cn": _q_link_prediction_cn,
         "robots_directives": _q_robots_directives,
+        "crawl_schedule_robots": _q_crawl_schedule_robots,
         "host_degree_profile": _q_host_degree_profile,
         "host_triangles": _q_host_triangles,
         "data_quality_audit": _q_data_quality_audit,
@@ -12133,6 +12163,7 @@ def oracle_sql() -> dict[str, str]:
         "glove_cooccurrence": _glove_sql(),
         "link_prediction_cn": _link_prediction_sql(),
         "robots_directives": _ROBOTS_DIRECTIVES_SQL,
+        "crawl_schedule_robots": _CRAWL_SCHEDULE_ROBOTS_SQL,
         "host_degree_profile": _host_degree_sql(),
         "host_triangles": _host_triangles_sql(),
         "data_quality_audit": _data_quality_audit_sql(),

@@ -988,3 +988,72 @@ def bitext_number_overlap(
             }
         )
     )
+
+
+def crawl_schedule_per_host(
+    ds,
+    delays_ms_by_host: dict[str, int],
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    default_delay_ms: int = 1000,
+    n_rows: int | None = None,
+):
+    """Politeness scheduling with PER-HOST delays (the robots Crawl-delay
+    integration): queue position as in :func:`crawl_schedule`, but the
+    fetch-slot offset is (seq-1) * the host's own delay in integer
+    MILLISECONDS (crawl-delays are fractional; ms keeps the arithmetic
+    exact). The delay map is host-cardinality and broadcasts once.
+    Returns (id, host, seq, fetch_offset_ms)."""
+    import ray
+
+    from docler_ray.stages.windows import _make_add_coarse, _session_group_count
+
+    if n_rows is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover
+            n_rows = None
+    delays_ref = ray.put(dict(delays_ms_by_host))
+    parsed = parse_urls(ds, url_col).select_columns([id_col, "host"])
+    add_coarse = _make_add_coarse("host", _session_group_count(n_rows))
+
+    def schedule(df):
+        import numpy as np
+        import pandas as pd
+
+        from docler_ray.stages.joins import _get_broadcast
+
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "host": pd.Series([], dtype="object"),
+                    "seq": pd.Series([], dtype="int64"),
+                    "fetch_offset_ms": pd.Series([], dtype="int64"),
+                }
+            )
+        delays = _get_broadcast(delays_ref)
+        df = df.sort_values(["host", id_col], kind="mergesort")
+        seq = (df.groupby("host", sort=False).cumcount().to_numpy() + 1).astype(
+            "int64"
+        )
+        hosts = df["host"].to_numpy()
+        uniq, inv = np.unique(hosts, return_inverse=True)
+        dms = np.array(
+            [int(delays.get(h, default_delay_ms)) for h in uniq], dtype=np.int64
+        )[inv]
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "host": hosts,
+                "seq": seq,
+                "fetch_offset_ms": (seq - 1) * dms,
+            }
+        )
+
+    return (
+        parsed.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(schedule, batch_format="pandas")
+    )

@@ -405,3 +405,38 @@ def test_bitext_empty_pairs(ray_session):
     )
     out = bitext_number_overlap(docs, pairs)
     assert out.count() == 0
+
+
+def test_crawl_schedule_per_host_delays(ray_session):
+    import ray.data
+
+    from docler_ray.stages.urlops import crawl_schedule_per_host
+
+    urls = [
+        "https://fast.example/a",
+        "https://fast.example/b",
+        "https://slow.example/c",
+        "https://slow.example/d",
+        "https://other.example/e",  # not in the map: default delay
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(5)), pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+    )
+    df = (
+        crawl_schedule_per_host(
+            ds, {"fast.example": 500, "slow.example": 10_000},
+            default_delay_ms=1234,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert df.loc[1, "fetch_offset_ms"] == 500   # 2nd on fast
+    assert df.loc[3, "fetch_offset_ms"] == 10_000  # 2nd on slow
+    assert df.loc[4, "fetch_offset_ms"] == 0     # 1st on other
+    assert df["seq"].tolist() == [1, 2, 1, 2, 1]

@@ -8168,15 +8168,66 @@ _WINNOW_PROFILE_SQL = (
     "LEFT JOIN agg a ON a.doc_id = d.doc_id"
 )
 
-_WINNOW_PAIRS_SQL = (
-    _WINNOW_GRAMS_SQL + ", "
-    "fpd AS (SELECT DISTINCT doc_id, h FROM fp), "
-    "ok AS (SELECT h FROM fpd GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 256) "
-    "SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared "
-    "FROM fpd a JOIN ok ON ok.h = a.h JOIN fpd b "
-    "ON b.h = a.h AND b.doc_id > a.doc_id "
-    "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
-)
+def _winnow_pairs_sql(min_shared: int = 2) -> str:
+    return (
+        _WINNOW_GRAMS_SQL + ", "
+        "fpd AS (SELECT DISTINCT doc_id, h FROM fp), "
+        "ok AS (SELECT h FROM fpd GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 256) "
+        "SELECT a.doc_id AS a, b.doc_id AS b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "FROM fpd a JOIN ok ON ok.h = a.h JOIN fpd b "
+        "ON b.h = a.h AND b.doc_id > a.doc_id "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}"
+    )
+
+
+_WINNOW_PAIRS_SQL = _winnow_pairs_sql(2)
+
+
+def _q_winnow_dedup_survivors(sf_dir: str):
+    """Winnowing dedup END-TO-END: the MOSS pair graph at min_shared=4
+    closed into components (the dedup tier's min-label machinery) with
+    keep-min survivors — fingerprint-based near-dedup whose selection
+    layer is position-robust where fixed-stride sampling is not. Same
+    recursive-closure oracle discipline as edit_neardup_survivors."""
+    import ray.data
+
+    from docler_ray.stages.dedup import anti_join_survivors, min_label_components
+    from docler_ray.stages.winnow import winnow_shared_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = ds.count()
+    pairs = winnow_shared_pairs(ds, min_shared=4).rename_columns(
+        {"a": "id_a", "b": "id_b"}
+    )
+    labels = min_label_components(pairs)
+    if labels is None:
+        return ds.select_columns(["doc_id"])
+
+    def to_drop(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.less(batch.column("label"), batch.column("src")))
+        return pa.table({"doc_id": t.column("src")})
+
+    drop = labels.map_batches(to_drop, batch_format="pyarrow", zero_copy_batch=True)
+    return anti_join_survivors(ds, drop, "doc_id", left_rows=n).select_columns(
+        ["doc_id"]
+    )
+
+
+def _winnow_survivors_sql() -> str:
+    return (
+        f"WITH RECURSIVE p AS ({_winnow_pairs_sql(4)}), "
+        "sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+        "reach(a, b) AS (SELECT a, b FROM sym "
+        "  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), "
+        "lbl AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a) "
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id NOT IN (SELECT id FROM lbl WHERE mn < id)"
+    )
 
 
 def _q_sitemap_frontier_rows(sf_dir: str):
@@ -11094,6 +11145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction_cn": _q_link_prediction_cn,
         "robots_directives": _q_robots_directives,
         "crawl_schedule_robots": _q_crawl_schedule_robots,
+        "winnow_dedup_survivors": _q_winnow_dedup_survivors,
         "host_degree_profile": _q_host_degree_profile,
         "host_triangles": _q_host_triangles,
         "data_quality_audit": _q_data_quality_audit,
@@ -12164,6 +12216,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_cn": _link_prediction_sql(),
         "robots_directives": _ROBOTS_DIRECTIVES_SQL,
         "crawl_schedule_robots": _CRAWL_SCHEDULE_ROBOTS_SQL,
+        "winnow_dedup_survivors": _winnow_survivors_sql(),
         "host_degree_profile": _host_degree_sql(),
         "host_triangles": _host_triangles_sql(),
         "data_quality_audit": _data_quality_audit_sql(),

@@ -333,6 +333,7 @@ def bench_once() -> dict:
         timed("link_prediction_cn", q["link_prediction_cn"])
         timed("robots_directives", q["robots_directives"])
         timed("crawl_schedule_robots", q["crawl_schedule_robots"])
+        timed("winnow_dedup_survivors", q["winnow_dedup_survivors"])
         timed("host_degree_profile", q["host_degree_profile"])
         timed("host_triangles", q["host_triangles"])
         timed("data_quality_audit", q["data_quality_audit"])

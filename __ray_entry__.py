@@ -4657,6 +4657,54 @@ _CRAWL_SCHEDULE_ROBOTS_SQL = (
 )
 
 
+def _q_idn_host_decode(sf_dir: str):
+    """IDN/punycode host normalization (stages/urlops.py::
+    decode_idn_hosts): four host families per doc_id — a German umlaut
+    label, a CJK label, an ASCII host untouched, and MALFORMED punycode
+    passed through unchanged; the stdlib IDNA codec decodes, memoized per
+    distinct host. Unicode-literal CASE oracle."""
+    import ray.data
+
+    from docler_ray.stages.urlops import decode_idn_hosts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_hosts(batch: pa.Table) -> pa.Table:
+        hosts = []
+        for d in batch.column("doc_id").to_pylist():
+            v = d % 4
+            if v == 0:
+                h = "xn--bcher-kva.example"
+            elif v == 1:
+                h = "xn--fiq228c.cn"
+            elif v == 2:
+                h = f"plain{d}.example"
+            else:
+                h = "xn--zzzzzz.bad"  # malformed punycode: pass-through
+            hosts.append(h)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "host": pa.array(hosts, pa.string())}
+        )
+
+    hosts = ds.map_batches(to_hosts, batch_format="pyarrow", zero_copy_batch=True)
+    return decode_idn_hosts(hosts)
+
+
+_IDN_SQL = (
+    "SELECT doc_id, CASE doc_id % 4 "
+    "WHEN 0 THEN 'xn--bcher-kva.example' "
+    "WHEN 1 THEN 'xn--fiq228c.cn' "
+    "WHEN 2 THEN 'plain' || CAST(doc_id AS VARCHAR) || '.example' "
+    "ELSE 'xn--zzzzzz.bad' END AS host, "
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN 'bücher.example' "
+    "WHEN 1 THEN '中文.cn' "
+    "WHEN 2 THEN 'plain' || CAST(doc_id AS VARCHAR) || '.example' "
+    "ELSE 'xn--zzzzzz.bad' END AS host_unicode "
+    "FROM documents"
+)
+
+
 def _q_url_host_profile(sf_dir: str):
     """Per-host corpus profile (host, tld, n, sum_path_depth): vectorized
     RE2 parse + map-side pre-agg, host-cardinality shuffle only."""
@@ -11146,6 +11194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_directives": _q_robots_directives,
         "crawl_schedule_robots": _q_crawl_schedule_robots,
         "winnow_dedup_survivors": _q_winnow_dedup_survivors,
+        "idn_host_decode": _q_idn_host_decode,
         "host_degree_profile": _q_host_degree_profile,
         "host_triangles": _q_host_triangles,
         "data_quality_audit": _q_data_quality_audit,
@@ -12217,6 +12266,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_directives": _ROBOTS_DIRECTIVES_SQL,
         "crawl_schedule_robots": _CRAWL_SCHEDULE_ROBOTS_SQL,
         "winnow_dedup_survivors": _winnow_survivors_sql(),
+        "idn_host_decode": _IDN_SQL,
         "host_degree_profile": _host_degree_sql(),
         "host_triangles": _host_triangles_sql(),
         "data_quality_audit": _data_quality_audit_sql(),

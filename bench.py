@@ -334,6 +334,7 @@ def bench_once() -> dict:
         timed("robots_directives", q["robots_directives"])
         timed("crawl_schedule_robots", q["crawl_schedule_robots"])
         timed("winnow_dedup_survivors", q["winnow_dedup_survivors"])
+        timed("idn_host_decode", q["idn_host_decode"])
         timed("host_degree_profile", q["host_degree_profile"])
         timed("host_triangles", q["host_triangles"])
         timed("data_quality_audit", q["data_quality_audit"])

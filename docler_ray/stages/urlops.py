@@ -1057,3 +1057,29 @@ def crawl_schedule_per_host(
         .groupby("coarse")
         .map_groups(schedule, batch_format="pandas")
     )
+
+
+def decode_idn_hosts(ds, *, host_col: str = "host", out_col: str = "host_unicode"):
+    """Decode punycode (xn--) host labels to their unicode form via the
+    stdlib IDNA codec — display/clustering normalization for
+    internationalized domains (the ASCII form stays the WIRE identity;
+    this adds the human/reporting one). Memoized per distinct host like
+    :func:`registered_domains`; hosts that fail to decode (malformed
+    punycode) pass through unchanged — normalization never corrupts."""
+    import numpy as np
+
+    def decode_one(h: str) -> str:
+        if "xn--" not in h:
+            return h
+        try:
+            return h.encode("ascii").decode("idna")
+        except (UnicodeError, UnicodeDecodeError):
+            return h
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hosts = batch.column(host_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(hosts, return_inverse=True)
+        mapped = np.array([decode_one(h or "") for h in uniq], dtype=object)
+        return batch.append_column(out_col, pa.array(mapped[inv], pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -440,3 +440,25 @@ def test_crawl_schedule_per_host_delays(ray_session):
     assert df.loc[3, "fetch_offset_ms"] == 10_000  # 2nd on slow
     assert df.loc[4, "fetch_offset_ms"] == 0     # 1st on other
     assert df["seq"].tolist() == [1, 2, 1, 2, 1]
+
+
+def test_decode_idn_hosts(ray_session):
+    import ray.data
+
+    from docler_ray.stages.urlops import decode_idn_hosts
+
+    hosts = [
+        "xn--bcher-kva.example",
+        "xn--fiq228c.cn",
+        "plain.example",
+        "xn--zzzzzz.bad",  # malformed: pass-through
+        "",
+    ]
+    ds = ray.data.from_arrow(pa.table({"host": pa.array(hosts, pa.string())}))
+    df = decode_idn_hosts(ds).to_pandas()
+    got = dict(zip(df["host"], df["host_unicode"]))
+    assert got["xn--bcher-kva.example"] == "bücher.example"
+    assert got["xn--fiq228c.cn"] == "中文.cn"
+    assert got["plain.example"] == "plain.example"
+    assert got["xn--zzzzzz.bad"] == "xn--zzzzzz.bad"
+    assert got[""] == ""
